@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` -- flagship pipeline-as-batch query on sf0.001 (the
+reference's whole adapter dataflow in one plan).
+``queries()`` / ``oracle_sql()`` -- the full operator registry from
+``mqtt_message_pump_spark.plans`` (SURVEY.md SS2 fixture keys) with DuckDB
+oracle twins.
 """
 
 from __future__ import annotations
@@ -12,27 +12,59 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mqtt_message_pump_spark.functions.flatten import explode_records, flatten_struct
+from mqtt_message_pump_spark.plans import ORACLES, QUERIES
+from mqtt_message_pump_spark.plans.registry import table
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's pump pipeline as one batch plan.
+
+    events.props plays the MQTT payload: wrap into a two-record payload
+    (the "multi-record" wire shape), ``from_json`` -> map explode (key_id)
+    -> recursive flatten -> derived collect_date -> 5-second tumbling
+    window count/sum (the monitor's interval metrics).  Exercises P4, P5,
+    P6, P10, A3 from SURVEY.md SS2 in a single plan.
+    """
+    events = table(spark, SF_DIR, "events")
+    payload = F.concat(
+        F.lit('{"r1":'), F.col("props"), F.lit(',"r2":'), F.col("props"), F.lit("}")
+    )
+    schema = T.MapType(T.StringType(), T.StructType([T.StructField("k", T.LongType())]))
+    parsed = events.select(
+        "event_id",
+        "ts",
+        F.from_json(payload, schema).alias("records"),
+    )
+    exploded = explode_records(parsed, "records")
+    flat = flatten_struct(exploded, ["record"], sort_columns=True)
+    return (
+        flat.withColumn("collect_date", F.to_date("ts"))
+        .groupBy(F.window("ts", "5 seconds"), "collect_date", "key_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("k").alias("sum_k"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "collect_date",
+            "key_id",
+            "n_records",
+            "sum_k",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md SS2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for every oracle-checkable query key."""
+    return dict(ORACLES)

@@ -1,0 +1,145 @@
+"""Multimodal column support: images/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched Pandas functions.
+
+Design (the part that must be right at 100 TB):
+
+- The storage schema keeps media as ``binary`` plus a metadata struct
+  (modality, format, width/height/duration, byte length).  Parquet stores
+  binaries row-group-compressed; metadata predicates (modality = 'image',
+  width >= 64) push down WITHOUT touching the bytes because Parquet column
+  pruning skips the binary column entirely for metadata-only queries.
+- Decode / resize / frame-sample run as ``mapInPandas`` stages: Arrow
+  moves the binary batches to Python zero-copy; each batch is a pandas
+  DataFrame so vectorized libs (PIL/opencv/ffmpeg) work batch-at-a-time.
+- The actual codec calls are STUBBED here (the image/audio libraries are
+  not in this container): ``decode_image_batch`` raises
+  ``NotImplementedError`` unless ``fake=True``, in which case a
+  deterministic bytes-derived feature is produced so the plumbing (schema,
+  batching, partitioning) is fully testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_METADATA = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_METADATA),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (binary payload = compressed
+    pseudo-pixels) for exercising the plumbing without codec libraries."""
+    rows = []
+    for i in range(n):
+        raw = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 8
+        content = zlib.compress(raw)
+        modality = ("image", "audio", "video")[i % 3]
+        rows.append(
+            (
+                i,
+                bytearray(content),
+                (modality, "fake", 32 + i % 8, 32, 1000 * (i % 5), len(content)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_feature(content: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real decode->embed: seed an RNG from
+    the content digest.  Replace with PIL/torchvision in production."""
+    digest = hashlib.sha256(content).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Binary -> feature vector via ``mapInPandas`` (Arrow batches).
+
+    With ``fake=False`` this is the production seam: swap ``_fake_feature``
+    for a real decoder.  Batch shape: the iterator yields one pandas
+    DataFrame per Arrow batch, so per-batch library setup is amortized.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/opencv/ffmpeg, "
+                    "not available in this environment"
+                )
+            feats = [_fake_feature(bytes(b)) for b in batch["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "feature": [f.tolist() for f in feats],
+                    "decoded_ok": True,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(decode, DECODED_SCHEMA)
+
+
+def metadata_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation: modality histogram + byte totals.  Never
+    reads the binary column (verify with .explain: ReadSchema excludes
+    ``content``)."""
+    return (
+        df.groupBy(F.col("meta.modality").alias("modality"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.avg("meta.width").alias("avg_width"),
+        )
+    )
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: expand each video row into frame
+    timestamps (sequence + explode -- JVM-side), to be decoded per-frame
+    downstream.  Decode itself is the stubbed mapInPandas stage."""
+    videos = df.filter(F.col("meta.modality") == "video")
+    ts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return videos.select(
+        "media_id",
+        F.explode(ts).alias("frame_ms"),
+        "content",
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k -- broadcast the (small) query set
+against the candidate corpus; per-row dot product is a pure array
+expression (``zip_with`` + ``aggregate``), fully codegen'd, no Python.
+The scan side streams: at 100 TB this is one pass, no shuffle until the
+final per-query top-k (a TakeOrdered over k*|queries| rows).
+
+Scale path: random-hyperplane LSH buckets (sign-bit signatures) restrict
+candidates to matching buckets; multi-probe = compare against neighboring
+buckets by flipping one bit.  An IVF-style variant (k-means coarse
+quantizer) is expressible the same way: assign to nearest centroid
+(broadcast centroids), shuffle only on centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns, left-to-right summation
+    (deterministic, matches DuckDB's list_dot_product ordering)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id from the sign bits of dot products with fixed random
+    hyperplanes (hyperplanes are literals -> broadcast for free)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot_expr(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def random_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: returns (query_id, cand_id, cosine, rank).
+
+    The query side is explicitly broadcast; ranking rounds the cosine (to
+    make rank deterministic across float summation orders) and tie-breaks
+    on candidate id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cos = cosine_expr(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    hyperplane sign bucket.  Trades recall for a |corpus|/2^planes
+    reduction in comparisons; exact cosine re-ranks within the bucket."""
+    planes = random_planes(num_planes, dim, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", sign_bucket(F.col("qv"), planes))
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", sign_bucket(F.col("cv"), planes))
+    cos = cosine_expr(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

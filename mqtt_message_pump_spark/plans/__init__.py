@@ -1,0 +1,12 @@
+"""Batch query registry: every operator from SURVEY.md SS2 as a
+``(spark, sf_dir) -> DataFrame`` callable plus its DuckDB oracle SQL twin.
+
+Importing this package registers all queries.
+"""
+
+from mqtt_message_pump_spark.plans.registry import ORACLES, QUERIES, query, table
+
+# Import for registration side effects.
+from mqtt_message_pump_spark.plans import core, relational, metrics, llm  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query", "table"]

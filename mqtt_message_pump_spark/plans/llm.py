@@ -1,0 +1,329 @@
+"""Registered queries for the LLM-data-pipeline extensions (SURVEY.md
+SS2.8): dedup family, similarity search, text analysis.
+
+The oracle SQL for the hash-based operators (minhash / simhash /
+fingerprint) is generated from the same constants as the Spark
+implementation, using only cross-engine-deterministic primitives (md5,
+int64 arithmetic, left-to-right list folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.functions import text as TX
+from mqtt_message_pump_spark.operators import dedup as DD
+from mqtt_message_pump_spark.operators import similarity as SIM
+from mqtt_message_pump_spark.plans.registry import query, table
+
+# ---------------------------------------------------------------- text ---
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {TX.SQL_TOKEN_COUNT.format(text='text')} AS n_tokens,
+           {TX.SQL_REGEX_TOKEN_COUNT.format(text='text')} AS n_alnum_tokens,
+           length(text) AS n_chars_calc,
+           {TX.SQL_STOPWORD_COUNT.format(text='text')} AS n_stop
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + basic text statistics; pure string/array
+    expressions, zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(t).alias("n_tokens"),
+        TX.regex_token_count(t).alias("n_alnum_tokens"),
+        F.length(t).alias("n_chars_calc"),
+        TX.stopword_count(t).alias("n_stop"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           (least((CAST(n_char AS DOUBLE) / n_tok) / 10.0, 1.0) + (n_stop / n_tok))
+             * 0.5 * least(n_tok / 100.0, 1.0) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST({TX.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_char,
+             CAST({TX.SQL_STOPWORD_COUNT.format(text='text')} AS DOUBLE) AS n_stop
+      FROM documents)
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / stopword-ratio blend)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+             {TX.sql_lang_score('text', 'en')} AS s_en,
+             {TX.sql_lang_score('text', 'es')} AS s_es,
+             {TX.sql_lang_score('text', 'de')} AS s_de
+      FROM documents)
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via stopword-profile argmax."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.lang_id(F.col("text")).alias("predicted_lang")
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {TX.SQL_FINGERPRINT.format(text='text')} AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (order-sensitive token fold)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------- dedup ---
+
+
+@query(
+    "q_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct text; a single
+    hash aggregation.  At scale, group on md5(text) instead of raw text."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, ["text"], "doc_id").select("doc_id", "text")
+
+
+_NH, _BANDS, _SHN = 8, 4, 3
+_SQL_HASH32 = "CAST('0x' || substring(md5({s}), 1, 8) AS BIGINT)"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 1, 2)), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))"
+)
+
+
+def _sql_minhash_cols() -> str:
+    cols = []
+    for i in range(_NH):
+        a, b = 2 * i + 1, 1000003 * (i + 1)
+        h = _SQL_HASH32.format(s="s")
+        cols.append(
+            f"list_min(list_transform(sh, s -> ({a} * {h} + {b}) % "
+            f"{DD.MINHASH_PRIME})) AS mh_{i}"
+        )
+    return ",\n           ".join(cols)
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_minhash_cols()}
+    FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over distinct 3-token shingles); the
+    narrow-map half of MinHash-LSH dedup."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.with_minhash(
+        docs, "text", num_hashes=_NH, shingle_n=_SHN, hash32=True
+    ).select("doc_id", *[f"mh_{i}" for i in range(_NH)])
+
+
+def _sql_band_buckets() -> str:
+    rows = _NH // _BANDS
+    selects = []
+    for b in range(_BANDS):
+        cols = [f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)]
+        selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('_', {', '.join(cols)}) "
+            "AS bucket FROM sigs"
+        )
+    return "\n      UNION ALL\n      ".join(selects)
+
+
+@query(
+    "q_minhash_pairs",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    ), buckets AS (
+      {_sql_band_buckets()}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (4 bands x 2 rows): the only shuffle is on the
+    (band, bucket) key; the quadratic comparison never materializes."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on candidate pairs (adjacent ids
+    here as the deterministic pair generator; production uses the LSH
+    candidates from q_minhash_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    joined = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+_SIM_BITS = 16
+
+
+def _sql_simhash() -> str:
+    votes = []
+    for b in range(_SIM_BITS):
+        votes.append(
+            "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)), "
+            f"(a, x) -> a + x) > 0 THEN {1 << b} ELSE 0 END"
+        )
+    return " + ".join(votes)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS simhash
+    FROM (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            s -> {_SQL_HASH32.format(s='s')}) AS hs
+      FROM documents)
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (16-bit, token bit-vote); near-dup detection is
+    then Hamming distance over the signature, banded like MinHash."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        DD.simhash_bits(F.col("text"), bits=_SIM_BITS, hash32=True).alias("simhash"),
+    )
+
+
+# ---------------------------------------------------------- similarity ---
+
+_TOPK = 3
+_NQ = 5  # query vectors: vec_id < 5
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    # Explicit double fold matching Spark's left-to-right zip_with/aggregate.
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+_SQL_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_SQL_VD} AS vd FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_sql_cosine('q.vd', 'c.vd')}, 6) AS cosine
+      FROM v q JOIN v c ON q.vec_id < {_NQ} AND c.vec_id <> q.vec_id)
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)
+    WHERE rank <= {_TOPK}
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set, codegen'd array dot
+    product, per-query window rank with deterministic tie-break."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return SIM.brute_force_topk(queries, emb, k=_TOPK).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
+
+
+@query("q_ann_lsh")  # rows-only: recall checked in tests vs brute force
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets: compares only
+    within the query's sign-bit bucket (corpus/2^planes work reduction)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return SIM.lsh_topk(queries, emb, k=_TOPK, num_planes=4).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
+
+
+@query(
+    "q_embed_near_dup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_SQL_VD} AS vd FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cosine('a.vd', 'b.vd')}, 6) AS cosine
+    FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+    WHERE round({_sql_cosine('a.vd', 'b.vd')}, 6) >= 0.0
+    """,
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scoring on deterministic candidate pairs
+    (adjacent ids; production pairs come from the LSH buckets)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vd"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vd").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vd").alias("vb"))
+    joined = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    cos = F.round(SIM.cosine_expr(F.col("va"), F.col("vb")), 6)
+    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.0
+    )

@@ -1,0 +1,152 @@
+"""Monitor / aggregation queries: the reference's only aggregation engine
+re-expressed relationally.
+
+Reference: 10 atomic counter channels aggregate per-stage succeed/fail
+counts and byte sums (``monitor.go:191-260``); a 5-second ticker derives
+tumbling-interval rates (``monitor.go:111-189``), lifetime averages
+(``monitor.go:138-146``), queue lags as cross-stage count deltas
+(``monitor.go:120-128``), and serializes everything to a JSON payload
+(``monitor.go:130-176``).
+
+Scale notes: all of these are partial-aggregation-friendly (map-side
+combine before one shuffle on a low-cardinality key); the stage-delta
+window runs over the tiny aggregated frame, never the raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.plans.registry import query, table
+
+# Exact decimal sum, order-independent across partitions -> safe to hash.
+_DEC = "decimal(18,2)"
+
+
+@query("q_count", oracle="SELECT COUNT(*) AS total FROM lineitem")
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count (check query ``SELECT count() as total``,
+    ``data_dbstore.go:299``)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("total"))
+
+
+@query(
+    "q_group_agg",
+    oracle="""
+    SELECT event_type AS stage,
+           COUNT(*) AS msg_count,
+           SUM(CAST(value AS DECIMAL(18,2))) AS bytes_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage counter aggregation (``monitor.go:191-260``): succeed/fail
+    counts + byte sums per pipeline stage -> groupBy + count/sum with
+    map-side partial aggregation."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.col("event_type").alias("stage"))
+        .agg(
+            F.count("*").alias("msg_count"),
+            F.sum(F.col("value").cast(_DEC)).alias("bytes_sum"),
+        )
+    )
+
+
+@query(
+    "q_tumbling_window",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 5) * 5 AS BIGINT) * 1000000)
+             AS window_start,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-second tumbling interval metrics (``monitor.go:111-189``): the
+    ticker window as ``F.window(ts, '5 seconds')`` -- in streaming mode the
+    same expression runs incrementally with a watermark."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 seconds"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "q_avg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime average rates (``(succeed+failed)/runtime``,
+    ``monitor.go:138-146``): average derived from the exact decimal sum /
+    exact count so both engines produce the identical double."""
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")).alias(
+            "avg_value"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_stage_delta",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS stage, COUNT(*) AS cnt
+      FROM events GROUP BY event_type
+    )
+    SELECT stage, cnt,
+           COALESCE(LAG(cnt) OVER (ORDER BY stage), cnt) - cnt AS wait_num
+    FROM s
+    """,
+)
+def q_stage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue-lag derivation (``waitNumForX = upstream.Succeed -
+    downstream.Succeed``, ``monitor.go:120-128``): cross-stage delta via a
+    lag window over the already-aggregated (tiny) stage frame."""
+    events = table(spark, sf_dir, "events")
+    stages = events.groupBy(F.col("event_type").alias("stage")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("stage")
+    return stages.select(
+        "stage",
+        "cnt",
+        (F.coalesce(F.lag("cnt").over(w), F.col("cnt")) - F.col("cnt")).alias(
+            "wait_num"
+        ),
+    )
+
+
+@query(
+    "q_to_json",
+    oracle="""
+    SELECT event_id,
+           CAST(to_json({'event_type': event_type, 'user_id': user_id})
+                AS VARCHAR) AS metrics_json
+    FROM events
+    """,
+)
+def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics JSON serialization (``monitor.go:130-176``, Sprintf-built
+    payload) as ``to_json(struct(...))`` -- schema-driven, codegen'd."""
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.to_json(F.struct("event_type", "user_id")).alias("metrics_json"),
+    )

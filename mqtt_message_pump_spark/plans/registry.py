@@ -1,0 +1,65 @@
+"""Query registry + fixture loading helpers.
+
+Every query is registered under a SURVEY.md SS2 fixture key with an optional
+DuckDB oracle (ANSI SQL over the same parquet tables).  Queries without an
+oracle get the driver's weaker rows-only check (reserved for genuinely
+non-deterministic or non-SQL-expressible operators).
+
+Cross-engine determinism rules used throughout (so the driver's
+order-insensitive value-hash matches):
+
+- Money-like sums go through ``DECIMAL(18,2)``: decimal addition is exact
+  and order-independent, so Spark's parallel partial aggregation and
+  DuckDB's single-threaded sum agree bit-for-bit.  Plain double sums would
+  differ in the last ulp depending on reduction order.
+- Averages are derived from the exact decimal sum cast to double, divided
+  by the exact count -- one double op, identical in IEEE on both engines.
+- Every computed column is aliased identically in the DataFrame code and
+  the oracle SQL (the driver sorts columns by name before hashing).
+- Top-k queries always carry a unique tie-break key in the ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a (spark, sf_dir) -> DataFrame under ``name``
+    with an optional DuckDB oracle SQL string."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects
+# outright; we read them as raw nanos (legacy conf) and rebuild the
+# timestamp with integer division -- truncation toward zero matches
+# DuckDB's TIMESTAMP_NS -> TIMESTAMP cast for positive epochs.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.  Pins the session time zone to UTC so naive
+    parquet timestamps mean the same instant in Spark and DuckDB."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, []):
+        field = df.schema[c]
+        if field.dataType.simpleString() == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df

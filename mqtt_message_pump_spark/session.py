@@ -1,0 +1,54 @@
+"""SparkSession builder tuned for this engine.
+
+Local testing runs a single JVM (``local[N]``); production targets a
+multi-executor cluster reading ~100 TB, so every default here is chosen to
+survive a 1000x scale-up: AQE on (runtime coalesce + skew-join handling),
+shuffle partitions sized to cores locally (overridable for a cluster),
+Arrow transfer on for the Pandas-UDF slow path, UTC session time zone so
+timestamp semantics are stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mqtt_message_pump_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session time zone to UTC (safe to call on a borrowed session).
+
+    The driver hands us its own SparkSession; timestamps in the parquet
+    fixtures are naive, and DuckDB treats them as naive too, so UTC keeps
+    the two engines bit-identical.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate: run every registered
+query on Spark and its oracle SQL on DuckDB over the same parquet tables,
+compare row-count + schema-width + order-insensitive values (columns
+sorted by name, like the driver's value-hash).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+import pytest
+
+from mqtt_message_pump_spark.plans import ORACLES, QUERIES
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def _normalize_result(col_names, rows):
+    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
+    out = [tuple(_norm(row[i]) for i in order) for row in rows]
+    return sorted(col_names), sorted(out)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_query_matches_oracle(key, spark, sf_dir, duck):
+    sdf = QUERIES[key](spark, sf_dir)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    res = duck.execute(ORACLES[key])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    s_cols, s_vals = _normalize_result(spark_cols, [tuple(r) for r in spark_rows])
+    d_cols, d_vals = _normalize_result(duck_cols, duck_rows)
+
+    assert s_cols == d_cols, f"{key}: column names differ: {s_cols} vs {d_cols}"
+    assert len(s_vals) == len(d_vals), (
+        f"{key}: row count {len(s_vals)} vs {len(d_vals)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_vals, d_vals) if a != b
+    ]
+    assert not mismatches, f"{key}: first mismatches: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(key, spark, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "window_start",
+        "collect_date",
+        "key_id",
+        "n_records",
+        "sum_k",
+    }
+
+
+def test_every_query_has_registry_entry():
+    import __spark_entry__ as E
+
+    q = E.queries()
+    o = E.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 25
