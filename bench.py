@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "sum_headline_query_sec", "value": N, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Method (BASELINE.md): warm session, median of 3 runs per query; execution
+forced with the noop sink (full computation, no driver collect cost).
+``pump_batch`` is the reference dataflow analog: events -> mid enrichment ->
+dual path (raw projection + explode/flatten) -> partitioned parquet write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.plans import QUERIES
+from mqtt_message_pump_spark.session import get_spark
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_tumbling_window",
+    "q_group_agg",
+    "q_explode_map",
+    "q_flatten_struct",
+    "q_top_customers",
+    "q_window_rank",
+    "q_distinct_agg",
+    "q_dedup",
+    "q_dedup_minhash",
+    "q_minhash_pairs",
+    "q_dedup_simhash",
+    "q_cosine_topk",
+    "q_text_stats",
+    "q_quality_score",
+    "q_fingerprint",
+]
+
+RUNS = 3
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_query(fn, spark, sf_dir, label="") -> float:
+    times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        times.append(time.perf_counter() - t0)
+    print(f"# {label} runs: {[round(t, 2) for t in times]}", file=sys.stderr)
+    return statistics.median(times)
+
+
+def pump_batch(spark, sf_dir: str, out_dir: str) -> None:
+    """The reference pipeline as batch: S1-S5/P1-P6/P10 in one job."""
+    from mqtt_message_pump_spark.streaming.pump import run_batch_pump
+
+    run_batch_pump(spark, sf_dir, out_dir)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="pump-bench")
+
+    # warm up the session (JVM/codegen/parquet footer caches)
+    force(QUERIES["q_count"](spark, sf_dir))
+
+    results: dict[str, float] = {}
+    for key in HEADLINE:
+        results[key] = round(time_query(QUERIES[key], spark, sf_dir, key), 3)
+
+    # pump pipeline throughput (median of RUNS; includes parquet write)
+    times = []
+    for _ in range(RUNS):
+        tmp = tempfile.mkdtemp(prefix="pump_bench_")
+        try:
+            t0 = time.perf_counter()
+            pump_batch(spark, sf_dir, tmp)
+            times.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(f"# pump_batch runs: {[round(t, 2) for t in times]}", file=sys.stderr)
+    results["pump_batch"] = round(statistics.median(times), 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_headline_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,16 @@ def regex_token_count(text: Column, pattern: str = "[A-Za-z0-9]+") -> Column:
     return F.regexp_count(text, F.lit(pattern))
 
 
+def _word_alt_pattern(words: tuple[str, ...]) -> str:
+    # \b-anchored alternation: one codegen'd regex pass instead of a
+    # per-token interpreted lambda (higher-order functions don't codegen).
+    # Tokens are whitespace-separated words, so each token matches at most
+    # once in both Java regex (Spark) and RE2 (DuckDB).
+    return r"\b(" + "|".join(words) + r")\b"
+
+
 def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))
+    return F.regexp_count(text, F.lit(_word_alt_pattern(stopwords)))
 
 
 def quality_score(text: Column) -> Column:
@@ -59,13 +67,8 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    toks = tokens(text)
-
-    def make_member(words: tuple[str, ...]):
-        return lambda t: t.isin(*words)
-
     return {
-        lang: F.size(F.filter(toks, make_member(words)))
+        lang: F.regexp_count(text, F.lit(_word_alt_pattern(words)))
         for lang, words in LANG_PROFILES.items()
     }
 
@@ -105,8 +108,7 @@ def _sql_list(words: tuple[str, ...]) -> str:
 SQL_TOKEN_COUNT = "len(string_split({text}, ' '))"
 SQL_REGEX_TOKEN_COUNT = "len(regexp_extract_all({text}, '[A-Za-z0-9]+'))"
 SQL_STOPWORD_COUNT = (
-    "len(list_filter(string_split({text}, ' '), "
-    f"t -> t IN ({_sql_list(STOPWORDS)})))"
+    "len(regexp_extract_all({text}, '\\b(" + "|".join(STOPWORDS) + ")\\b'))"
 )
 SQL_QUALITY_SCORE = (
     "(least((CAST(length({text}) AS DOUBLE) / n_tok) / 10.0, 1.0)"
@@ -121,7 +123,5 @@ SQL_FINGERPRINT = (
 
 
 def sql_lang_score(text: str, lang: str) -> str:
-    return (
-        f"len(list_filter(string_split({text}, ' '), "
-        f"t -> t IN ({_sql_list(LANG_PROFILES[lang])})))"
-    )
+    words = "|".join(LANG_PROFILES[lang])
+    return f"len(regexp_extract_all({text}, '\\b({words})\\b'))"

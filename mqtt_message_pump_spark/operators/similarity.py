@@ -76,15 +76,21 @@ def brute_force_topk(
     make rank deterministic across float summation orders) and tie-breaks
     on candidate id.
     """
+    # Norms are precomputed per ROW, not per pair: higher-order array
+    # expressions run interpreted (outside codegen), so the naive
+    # cosine-per-pair recomputes two O(dim) folds |Q|x|C| times.  With
+    # per-row norms only the dot product remains in the pair loop -- 3x
+    # fewer lambda evaluations, same exact arithmetic (identical folds, so
+    # the DuckDB oracle still matches bit-for-bit before rounding).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", norm_expr(F.col("qv")))
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    cos = cosine_expr(F.col("qv"), F.col("cv"))
+    ).withColumn("cn", norm_expr(F.col("cv")))
+    cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = (
@@ -111,20 +117,39 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     round_digits: int | None = 6,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
     hyperplane sign bucket.  Trades recall for a |corpus|/2^planes
-    reduction in comparisons; exact cosine re-ranks within the bucket."""
+    reduction in comparisons; exact cosine re-ranks within the bucket.
+
+    ``multi_probe`` additionally probes every bucket at Hamming distance 1
+    from the query's (flip one sign bit): near neighbors that straddle a
+    single hyperplane are recovered at (planes+1)x probe cost, still a
+    2^planes/(planes+1) work reduction.  Only the (tiny, broadcast) query
+    side expands -- the corpus is still bucketed once.
+    """
     planes = random_planes(num_planes, dim, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", sign_bucket(F.col("qv"), planes))
+    ).withColumn("bucket", sign_bucket(F.col("qv"), planes)).withColumn(
+        "qn", norm_expr(F.col("qv"))
+    )
+    probe_xors = [0] + ([1 << i for i in range(num_planes)] if multi_probe else [])
+    q = q.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in probe_xors])
+        ),
+    )
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", sign_bucket(F.col("cv"), planes))
-    cos = cosine_expr(F.col("qv"), F.col("cv"))
+    ).withColumn("bucket", sign_bucket(F.col("cv"), planes)).withColumn(
+        "cn", norm_expr(F.col("cv"))
+    )
+    cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = (

@@ -34,7 +34,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # don't let shuffle/broadcast cleanup RPCs stall the next job
+        # (observed multi-second pauses after shuffle-heavy queries)
+        .config("spark.cleaner.referenceTracking.blocking", "false")
+        # local mode = driver-only JVM: all executor threads share this
+        # heap, so size it like a worker, not a coordinator
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

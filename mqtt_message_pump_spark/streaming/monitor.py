@@ -1,0 +1,81 @@
+"""Pump monitor: the reference's metrics pipeline as a
+StreamingQueryListener.
+
+Reference (monitor.go): 10 atomic counter channels -> 5-second ticker ->
+per-interval msgs/sec + bytes/sec, lifetime averages, queue lags -> JSON
+payload published to a monitor MQTT topic (topic slashes replaced with
+underscores, mqtt.go:93).
+
+Spark-native: every micro-batch already carries progress (rows/sec, batch
+duration) and our ``observe()`` metrics (msg_count, bytes).  The listener
+assembles the reference's metric names from those and hands the JSON to a
+publish callback (MQTT publisher in production, list-append in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class PumpMonitorListener(StreamingQueryListener):
+    """Derives reference-named metrics from streaming query progress.
+
+    ``publish`` receives ``(topic, payload_json)`` -- wire it to an MQTT
+    client's publish for parity, or collect in a list for tests.
+    """
+
+    def __init__(
+        self,
+        publish: Callable[[str, str], None],
+        topic_root: str = "pump-monitor",
+        target: str = "pump",
+    ) -> None:
+        self._publish = publish
+        # reference replaces '/' with '_' when embedding topics in metric
+        # names (mqtt.go:93)
+        self.topic = f"{topic_root}/{target}".replace("//", "/")
+        self.started_at = time.time()
+        self.total_msgs = 0
+        self.total_bytes = 0
+
+    # -- StreamingQueryListener interface ---------------------------------
+
+    def onQueryStarted(self, event) -> None:
+        self.started_at = time.time()
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        observed = p.observedMetrics.get("pump_metrics")
+        msg_count = observed["msg_count"] if observed else p.numInputRows
+        bytes_ = (observed["bytes"] or 0) if observed else 0
+        self.total_msgs += msg_count or 0
+        self.total_bytes += bytes_ or 0
+        runtime = max(time.time() - self.started_at, 1e-9)
+        payload = {
+            # per-interval rates (monitor.go:151-173)
+            "SubMsgPerSec": p.inputRowsPerSecond,
+            "DpMsgPerSec": p.processedRowsPerSecond,
+            "SubMsgSizePerSec": None
+            if p.batchDuration is None or not bytes_
+            else bytes_ / max(p.batchDuration / 1000.0, 1e-9),
+            # lifetime averages (monitor.go:138-146)
+            "AvgPeriodSubMsgPerSec": self.total_msgs / runtime,
+            "AvgPeriodSubMsgSizePerSec": self.total_bytes / runtime,
+            # progress/lag surface (monitor.go:120-136): with checkpointed
+            # micro-batches the in-flight lag is the unprocessed source
+            # backlog; batchDuration stands in for commit latency.
+            "BatchId": p.batchId,
+            "BatchDurationMs": p.batchDuration,
+            "RunTimeSeconds": runtime,
+        }
+        self._publish(self.topic, json.dumps(payload))
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass

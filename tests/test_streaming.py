@@ -1,0 +1,132 @@
+"""Streaming pump tests: batch twin cardinality, file-source streaming with
+checkpoint restart (effectively-once), monitor listener metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from mqtt_message_pump_spark.sources.testing import file_message_stream
+from mqtt_message_pump_spark.streaming.monitor import PumpMonitorListener
+from mqtt_message_pump_spark.streaming.pump import run_batch_pump, start_stream_pump
+
+
+def test_batch_pump_cardinality(spark, sf_dir, tmp_path):
+    """1 message with k=2 records -> 1 raw row + 2 flattened rows
+    (FIXTURES.md A expected cardinality)."""
+    counts = run_batch_pump(spark, sf_dir, str(tmp_path / "out"))
+    assert counts["raw_rows"] == 1000
+    assert counts["flat_rows"] == 2000
+
+
+def _write_messages(dir_path, start: int, n: int) -> None:
+    dir_path.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for i in range(start, start + n):
+        lines.append(
+            json.dumps(
+                {
+                    "topic": f"pump/topic{i % 3}",
+                    "payload": json.dumps(
+                        {"r1": {"k": i}, "r2": {"k": i * 2}}
+                    ),
+                    "received_time": f"2024-01-01T00:00:{i % 60:02d}.000Z",
+                }
+            )
+        )
+    (dir_path / f"batch_{start}.json").write_text("\n".join(lines))
+
+
+def _run_until_complete(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_stream_pump_file_source(spark, tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    _write_messages(src, 0, 20)
+
+    messages = file_message_stream(spark, str(src))
+    q = start_stream_pump(
+        spark, messages, str(out), str(ckpt), trigger_secs=1
+    )
+    _run_until_complete(q)
+
+    raw = spark.read.parquet(str(out / "raw_message"))
+    flat = spark.read.parquet(str(out / "json_message"))
+    assert raw.count() == 20
+    assert flat.count() == 40  # 2 records per message
+    assert set(raw.columns) == {
+        "mid",
+        "topic",
+        "payload",
+        "collect_datetime",
+        "collect_date",
+    }
+    # mid: 8-char base-36 uppercase, unique (data_processor.go:24-32 parity)
+    mids = [r["mid"] for r in raw.select("mid").collect()]
+    assert all(len(m) == 8 for m in mids)
+    assert len(set(mids)) == 20
+    # flattened side carries key_id + flattened leaf k
+    assert {"key_id", "k", "mid"} <= set(flat.columns)
+
+    # restart with the same checkpoint + one new file: only the new data
+    # lands (checkpointed source offsets -> effectively-once, the upgrade
+    # over the reference's at-most-once, SURVEY.md SS2.6)
+    _write_messages(src, 100, 5)
+    q2 = start_stream_pump(
+        spark, file_message_stream(spark, str(src)), str(out), str(ckpt),
+        trigger_secs=1,
+    )
+    _run_until_complete(q2)
+    assert spark.read.parquet(str(out / "raw_message")).count() == 25
+    assert spark.read.parquet(str(out / "json_message")).count() == 50
+
+
+def test_monitor_listener(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_messages(src, 0, 10)
+    published: list[tuple[str, str]] = []
+    listener = PumpMonitorListener(
+        lambda topic, payload: published.append((topic, payload))
+    )
+    spark.streams.addListener(listener)
+    try:
+        q = start_stream_pump(
+            spark,
+            file_message_stream(spark, str(src)),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            trigger_secs=1,
+        )
+        q.processAllAvailable()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while not published and time.time() < deadline:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.streams.removeListener(listener)
+    assert published, "monitor published no metrics"
+    topic, payload = published[0]
+    assert topic == "pump-monitor/pump"
+    metrics = json.loads(payload)
+    assert {"SubMsgPerSec", "DpMsgPerSec", "AvgPeriodSubMsgPerSec",
+            "BatchId"} <= set(metrics)
+
+
+def test_mqtt_source_gated():
+    from mqtt_message_pump_spark.sources import mqtt
+
+    # module must import cleanly without paho; capability is reported
+    assert isinstance(mqtt.mqtt_available(), bool)
+    if not mqtt.mqtt_available():
+        with pytest.raises(ImportError):
+            mqtt.register_mqtt_source(None)
