@@ -51,18 +51,23 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = 8, hash32: bool = True
-) -> list[Column]:
-    """MinHash signature: for each hash function i, min over shingles of
-    ``(a_i * h(s) + b_i) mod p``.  ``hash32=True`` uses the md5-derived
-    oracle-reproducible hash; otherwise xxhash64 (faster, JVM)."""
-    # The base hash runs ONCE per shingle (one transform); the k universal-
-    # hash variants derive from that value -- k times fewer digest
-    # computations than hashing per (shingle, function) pair.
-    base = F.transform(
-        shingles, (lambda s: md5_hash32(s)) if hash32 else (lambda s: F.xxhash64(s))
+def base_hashes_col(items: Column, hash32: bool = True) -> Column:
+    """Hash every element of an array column once.  The expensive digest is
+    computed per element, not per (element, hash-function) pair."""
+    return F.transform(
+        items, (lambda s: md5_hash32(s)) if hash32 else (lambda s: F.xxhash64(s))
     )
+
+
+def minhash_signature(
+    base: Column, num_hashes: int = 8
+) -> list[Column]:
+    """MinHash signature from pre-hashed shingles: for each hash function i,
+    min over shingles of ``(a_i * h + b_i) mod p``.  Pass a *materialized
+    column* (see ``with_minhash``), not the hash expression itself: each of
+    the k signatures references ``base``, and higher-order-function subtrees
+    are not common-subexpression-eliminated, so an inline expression would
+    recompute every digest k times."""
 
     def make_affine(a: int, b: int):
         # NB: closure factory, not default-arg lambda -- PySpark counts a
@@ -85,9 +90,21 @@ def with_minhash(
     shingle_n: int = 3,
     hash32: bool = True,
 ) -> DataFrame:
-    sh = shingles_col(F.col(text_col), shingle_n)
-    return df.select(
-        "*", *minhash_signature(sh, num_hashes=num_hashes, hash32=hash32)
+    """Append ``mh_0..mh_{k-1}`` MinHash columns.
+
+    Two-projection shape on purpose: the per-shingle digest array is aliased
+    in its own projection, then the k signature mins reference that column.
+    Catalyst's CollapseProject keeps the projections separate (the alias is
+    expensive and referenced k times), so every shingle is digested exactly
+    once per row -- collapsing them would inline the digest k times.
+    """
+    cols = df.columns
+    hashed = df.withColumn(
+        "__mh_base",
+        base_hashes_col(shingles_col(F.col(text_col), shingle_n), hash32),
+    )
+    return hashed.select(
+        *cols, *minhash_signature(F.col("__mh_base"), num_hashes=num_hashes)
     )
 
 
@@ -189,14 +206,12 @@ def jaccard_pairs(
     )
 
 
-def simhash_bits(text: Column, bits: int = 16, hash32: bool = True) -> Column:
-    """SimHash signature over tokens: per bit, tokens vote +1/-1 with the
-    bit of their hash; the signature bit is 1 when the vote is positive.
-    Pure array expressions (transform + aggregate), linear in tokens."""
-    toks = tokens_col(text)
-    hashes = F.transform(
-        toks, (lambda t: md5_hash32(t)) if hash32 else (lambda t: F.xxhash64(t))
-    )
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash signature from a pre-hashed token array: per bit, tokens
+    vote +1/-1 with the bit of their hash; the signature bit is 1 when the
+    vote is positive.  Pass a materialized column (see ``with_simhash``):
+    all ``bits`` vote-aggregates reference it, and HOF subtrees are not
+    CSE'd, so an inline hash expression would digest every token per bit."""
 
     def make_vote(b: int):
         return lambda acc, h: acc + (
@@ -216,7 +231,16 @@ def simhash_bits(text: Column, bits: int = 16, hash32: bool = True) -> Column:
 def with_simhash(
     df: DataFrame, text_col: str = "text", bits: int = 16, hash32: bool = True
 ) -> DataFrame:
-    return df.withColumn("simhash", simhash_bits(F.col(text_col), bits, hash32))
+    """Append a ``simhash`` column.  Same two-projection shape as
+    ``with_minhash``: tokens are digested once into an aliased array column,
+    then the per-bit votes fold over that column."""
+    cols = df.columns
+    hashed = df.withColumn(
+        "__sh_base", base_hashes_col(tokens_col(F.col(text_col)), hash32)
+    )
+    return hashed.select(
+        *cols, simhash_from_hashes(F.col("__sh_base"), bits).alias("simhash")
+    )
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:

@@ -151,7 +151,7 @@ def _sql_minhash_cols() -> str:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over distinct 3-token shingles); the
     narrow-map half of MinHash-LSH dedup."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", split=True)
     return DD.with_minhash(
         docs, "text", num_hashes=_NH, shingle_n=_SHN, hash32=True
     ).select("doc_id", *[f"mh_{i}" for i in range(_NH)])
@@ -187,7 +187,7 @@ def _sql_band_buckets() -> str:
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (4 bands x 2 rows): the only shuffle is on the
     (band, bucket) key; the quadratic comparison never materializes."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", split=True)
     return DD.minhash_candidate_pairs(
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
     )
@@ -245,10 +245,9 @@ def _sql_simhash() -> str:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (16-bit, token bit-vote); near-dup detection is
     then Hamming distance over the signature, banded like MinHash."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        DD.simhash_bits(F.col("text"), bits=_SIM_BITS, hash32=True).alias("simhash"),
+    docs = table(spark, sf_dir, "documents", split=True)
+    return DD.with_simhash(docs, "text", bits=_SIM_BITS, hash32=True).select(
+        "doc_id", "simhash"
     )
 
 

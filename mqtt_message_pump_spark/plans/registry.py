@@ -52,9 +52,22 @@ def query(name: str, oracle: str | None = None):
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, split: bool = False
+) -> DataFrame:
     """Load one fixture table.  Pins the session time zone to UTC so naive
-    parquet timestamps mean the same instant in Spark and DuckDB."""
+    parquet timestamps mean the same instant in Spark and DuckDB.
+
+    ``split=True`` round-robin-repartitions the scan to the session's
+    default parallelism.  Use it for compute-dense per-row work (minhash /
+    simhash signatures) when the input cannot split naturally: the local
+    fixtures are one parquet file with ONE row group, so the scan yields a
+    single partition and per-row CPU work would run on one core.  The
+    repartition shuffles only the scanned bytes -- negligible next to the
+    digest work it parallelizes.  At production scale the input is many
+    files / row groups and the scan splits on its own, so callers should
+    treat this as a small-input escape hatch, not a default.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -62,4 +75,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = df.schema[c]
         if field.dataType.simpleString() == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    if split:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
