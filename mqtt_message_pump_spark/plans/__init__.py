@@ -7,6 +7,12 @@ Importing this package registers all queries.
 from mqtt_message_pump_spark.plans.registry import ORACLES, QUERIES, query, table
 
 # Import for registration side effects.
-from mqtt_message_pump_spark.plans import core, relational, metrics, llm  # noqa: E402,F401
+from mqtt_message_pump_spark.plans import (  # noqa: E402,F401
+    core,
+    llm,
+    metrics,
+    multimodal,
+    relational,
+)
 
 __all__ = ["QUERIES", "ORACLES", "query", "table"]

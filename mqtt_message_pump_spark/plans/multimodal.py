@@ -1,0 +1,97 @@
+"""Registered queries for the multimodal-column surface (SURVEY.md SS2.8).
+
+The driver fixtures carry no binary columns, so a deterministic media table
+is derived from ``documents``: content = UTF-8 bytes of the text, typed
+metadata (modality / width / duration) from doc_id arithmetic.  Both
+engines derive it identically, so the oracles stay exact.  The operators
+under test are the real ones from ``operators.multimodal`` -- the scale
+property they demonstrate:
+
+- metadata-only queries never touch the binary column (parquet column
+  pruning; verify ReadSchema in .explain);
+- frame sampling is JVM-side sequence+explode, one row per sampled frame,
+  decode deferred downstream;
+- decode itself is the Arrow-batched ``mapInPandas`` seam (stubbed feature
+  extractor -- the codec libraries are not in this container), registered
+  rows-only because a Python UDF pipeline is not SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.operators import multimodal as MM
+from mqtt_message_pump_spark.plans.registry import query, table
+
+_MODALITIES = ("image", "audio", "video")
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media table with the MEDIA_SCHEMA shape: binary
+    content + typed metadata struct, all derived deterministically."""
+    docs = table(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in _MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            modality.alias("modality"),
+            F.lit("fake").alias("format"),
+            (F.lit(32) + F.col("doc_id") % 8).cast("int").alias("width"),
+            F.lit(32).cast("int").alias("height"),
+            (F.lit(1000) * (F.col("doc_id") % 5)).cast("int").alias("duration_ms"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+_SQL_MODALITY = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+
+
+@query(
+    "q_media_meta",
+    oracle=f"""
+    SELECT {_SQL_MODALITY} AS modality,
+           COUNT(*) AS n,
+           SUM(strlen(text)) AS total_bytes,
+           SUM(32 + doc_id % 8) / COUNT(*) AS avg_width
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media aggregation (modality histogram, byte totals):
+    the plan prunes the binary column entirely -- ReadSchema is doc_id +
+    text-length metadata, never the payload bytes."""
+    return MM.metadata_stats(media_from_documents(spark, sf_dir))
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, f.frame_ms
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+             0, greatest(1000 * (doc_id % 5) - 1, 0), 500)) AS frame_ms) f
+    WHERE doc_id % 3 = 2
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one output row per (video, sampled timestamp),
+    sequence+explode JVM-side; the binary column rides along for the
+    downstream decode stage (dropped here so the oracle stays exact)."""
+    media = media_from_documents(spark, sf_dir)
+    return MM.frame_sample(media, every_ms=500).select("media_id", "frame_ms")
+
+
+@query("q_media_decode")  # rows-only: mapInPandas stage, not SQL-expressible
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode seam: binary -> fixed-dim feature vector via
+    ``mapInPandas`` (deterministic fake decoder standing in for
+    PIL/opencv/ffmpeg).  Returns (media_id, feature, decoded_ok)."""
+    media = media_from_documents(spark, sf_dir)
+    return MM.decode_features(media, fake=True)
