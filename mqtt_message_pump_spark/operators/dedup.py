@@ -256,6 +256,67 @@ def exact_dedup(
     return df.groupBy(*dedup_cols).agg(F.min(id_col).alias(id_col))
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation (the dedup-grouping
+    step: every doc in a near-dup cluster gets the cluster's minimum id).
+
+    Returns (id_col, group_id).  Pregel-style iteration: each vertex
+    starts labeled with its own id; every round, labels flow across edges
+    and each vertex keeps the minimum seen.  Converges in O(component
+    diameter) rounds -- near-dup clusters are shallow (dups of dups of one
+    original), so single-digit rounds in practice.
+
+    Scale design: per round one join (edges vs labels, both keyed on the
+    propagation key) + one min-aggregation -- all partial-aggregatable,
+    nothing driver-side except the scalar convergence check.
+    ``localCheckpoint`` truncates the lineage each round so the plan does
+    not grow with iteration count (the classic iterative-DataFrame trap).
+    """
+    both = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    both = both.localCheckpoint(eager=True)
+
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        msgs = (
+            both.join(labels, both.src == labels.vid)
+            .groupBy("dst")
+            .agg(F.min("label").alias("cand"))
+        )
+        updated = (
+            labels.join(msgs, labels.vid == msgs.dst, "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(
+            F.col("new_label") < F.col("old_label")
+        ).count()
+        labels = updated.select("vid", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("vid").alias(id_col), F.col("label").alias("group_id")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

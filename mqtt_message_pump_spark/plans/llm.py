@@ -251,6 +251,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    ), buckets AS (
+      {_sql_band_buckets()}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    )
+    SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate graph; every doc gets its cluster's min id as ``group_id``
+    (keep-one-per-group dedup = filter doc_id == group_id).  Min-label
+    propagation converges to the exact transitive closure, so it matches
+    the oracle's recursive CTE."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    pairs = DD.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
+    )
+    return DD.connected_components(docs, pairs, "doc_id", "id_a", "id_b")
+
+
 # ---------------------------------------------------------- similarity ---
 
 _TOPK = 3

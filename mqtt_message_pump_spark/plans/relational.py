@@ -281,3 +281,70 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         F.col("o_totalprice").cast(_DEC).alias("price"),
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           r.purchase_value AS purchase_value_asof
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND e.ts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference AND from Spark's built-ins):
+    each event gains the latest at-or-before purchase value for its user.
+    Sort-based composition (union + window last-non-null), one shuffle per
+    side -- see operators.joins.asof_join; oracle is DuckDB's native ASOF
+    LEFT JOIN."""
+    from mqtt_message_pump_spark.operators.joins import asof_join
+
+    events = table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts", "event_type")
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        value_cols=["purchase_value"],
+    ).select("event_id", "user_id", "event_type", "purchase_value_asof")
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT e.event_id, n.n_nationkey AS band_key
+    FROM events e
+    JOIN (SELECT n_nationkey,
+                 CAST(n_nationkey * 20 AS DOUBLE) AS lo,
+                 CAST(n_nationkey * 20 + 29.99 AS DOUBLE) AS hi
+          FROM nation) n
+      ON e.value >= n.lo AND e.value <= n.hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: events matched to overlapping value
+    bands.  A plain theta join is a broadcast-nested-loop scanning every
+    (row, interval) pair; operators.joins.range_join buckets both sides
+    (width ~ interval length) and equi-joins on the bucket, so the pair
+    space shrinks to co-bucketed candidates + a residual filter."""
+    from mqtt_message_pump_spark.operators.joins import range_join
+
+    events = table(spark, sf_dir, "events").select("event_id", "value")
+    nation = table(spark, sf_dir, "nation")
+    bands = nation.select(
+        F.col("n_nationkey").alias("band_key"),
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 29.99).alias("hi"),
+    )
+    return range_join(
+        events, bands, left_point="value", right_lo="lo", right_hi="hi",
+        bucket_width=20,
+    ).select("event_id", "band_key")

@@ -1,0 +1,79 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's only cross-record state is a set of process-global atomic
+counters feeding the monitor (``monitor.go:12-66,191-260``) -- lost on
+crash, single-process by construction.  The keyed-state upgrade: counters
+partitioned by topic, held in Spark's versioned state store, checkpointed
+with the query, and scaled horizontally (state lives with its shuffle
+partition, so 1000 executors hold 1/1000th each).
+
+``applyInPandasWithState`` is the right tool (vs built-in windowed aggs)
+exactly when the per-key logic is imperative: monotone counters, custom
+eviction, session logic.  Arrow batches in, one pandas DataFrame out per
+key per trigger.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+COUNTER_OUTPUT = T.StructType(
+    [
+        T.StructField("topic", T.StringType()),
+        T.StructField("lifetime_msgs", T.LongType()),
+        T.StructField("lifetime_bytes", T.LongType()),
+    ]
+)
+
+COUNTER_STATE = T.StructType(
+    [
+        T.StructField("n_msgs", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _update_counters(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_msgs, n_bytes = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_msgs += len(pdf)
+        n_bytes += int(pdf["msg_bytes"].sum())
+    state.update((n_msgs, n_bytes))
+    yield pd.DataFrame(
+        {
+            "topic": [key[0]],
+            "lifetime_msgs": [n_msgs],
+            "lifetime_bytes": [n_bytes],
+        }
+    )
+
+
+def keyed_lifetime_counters(messages: DataFrame) -> DataFrame:
+    """Streaming per-topic lifetime counters (msgs + bytes, the reference's
+    ``AvgPeriod*`` numerators, ``monitor.go:138-146``) as keyed state.
+
+    Input: streaming DataFrame with (topic, payload); emits one row per
+    topic per trigger with cumulative totals.  Message size follows the
+    reference's accounting: len(topic) + len(payload) + 4
+    (``pump_pipe.go:50``).
+    """
+    sized = messages.select(
+        "topic",
+        (F.length("topic") + F.length("payload") + F.lit(4)).alias("msg_bytes"),
+    )
+    return sized.groupBy("topic").applyInPandasWithState(
+        _update_counters,
+        outputStructType=COUNTER_OUTPUT,
+        stateStructType=COUNTER_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -145,3 +145,17 @@ def test_frame_sample(spark):
     assert sorted(per_id[2]) == [0, 1000]
     assert sorted(per_id[5]) == [0]
     assert sorted(per_id[8]) == [0, 1000, 2000]
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and a singleton: labels must converge to the component
+    minimum even across multi-hop paths (1-2, 2-3 => {1,2,3} -> 1)."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in DD.connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5}

@@ -9,6 +9,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from mqtt_message_pump_spark.sources.testing import file_message_stream
 from mqtt_message_pump_spark.streaming.monitor import PumpMonitorListener
 from mqtt_message_pump_spark.streaming.pump import run_batch_pump, start_stream_pump
@@ -130,3 +132,49 @@ def test_mqtt_source_gated():
     if not mqtt.mqtt_available():
         with pytest.raises(ImportError):
             mqtt.register_mqtt_source(None)
+
+
+def test_keyed_lifetime_counters(spark, tmp_path):
+    """Counters must accumulate ACROSS micro-batches (keyed state survives
+    triggers and restarts via the checkpoint)."""
+    from mqtt_message_pump_spark.streaming.stateful import (
+        keyed_lifetime_counters,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    _write_messages(src, 0, 9)  # 3 msgs per topic (i % 3)
+
+    def run_once():
+        counters = keyed_lifetime_counters(
+            file_message_stream(spark, str(src))
+        )
+        def append_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        q = (
+            counters.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_until_complete(q)
+
+    run_once()
+    first = {
+        r["topic"]: r["lifetime_msgs"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert first == {"pump/topic0": 3, "pump/topic1": 3, "pump/topic2": 3}
+
+    # second file: state picks up where the checkpoint left off
+    _write_messages(src, 100, 6)  # 2 more per topic
+    run_once()
+    latest = (
+        spark.read.parquet(str(out))
+        .groupBy("topic")
+        .agg(F.max("lifetime_msgs").alias("m"))
+    )
+    got = {r["topic"]: r["m"] for r in latest.collect()}
+    assert got == {"pump/topic0": 5, "pump/topic1": 5, "pump/topic2": 5}
