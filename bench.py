@@ -44,6 +44,12 @@ HEADLINE = [
     "q_text_stats",
     "q_quality_score",
     "q_fingerprint",
+    "q_dedup_groups",
+    "q_ngram_jaccard",
+    "q_asof_join",
+    "q_range_join",
+    "q_ann_lsh",
+    "q_media_decode",
 ]
 
 RUNS = 3

@@ -1,0 +1,169 @@
+"""CLI entry points mirroring the reference's commands (``main.go:139-176``,
+urfave/cli app with ``run`` / ``show`` / ``check``):
+
+- ``show <config.ini>``  -- echo the parsed config (``main.go:29-31``).
+- ``check <config.ini>`` -- the startup self-test (``main.go:33-63``):
+  infer the adapter schema from the configured ``jsonsample``, round-trip
+  the sample through transient tables (raw + exploded/flattened), count,
+  drop.  ClickHouse ``_check`` Memory tables become Spark temp views.
+- ``run <config.ini>``   -- start the pump.  Source selection: the MQTT
+  reader when paho is available and the config points at a broker,
+  otherwise a file-drop directory in the same wire shape (the test/dev
+  path; ``--source-dir`` overrides).
+
+Usage: ``python -m mqtt_message_pump_spark.cli <command> <config.ini>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.config import PumpConfig, load_config
+from mqtt_message_pump_spark.functions.flatten import explode_records, flatten_struct
+from mqtt_message_pump_spark.functions.inference import (
+    infer_flat_schema,
+    infer_spark_schema,
+)
+from mqtt_message_pump_spark.session import get_spark
+
+
+def cmd_show(cfg: PumpConfig) -> int:
+    print(cfg.info())
+    return 0
+
+
+def cmd_check(cfg: PumpConfig) -> int:
+    """The reference's self-check (``data_dbstore.go:200-324``): sample ->
+    inferred DDL -> insert into transient tables -> select back -> drop."""
+    sample = cfg.adapter.json_sample
+    if not sample:
+        print("check: no [adapter] jsonsample configured", file=sys.stderr)
+        return 2
+
+    cols = infer_flat_schema(sample)
+    # golden-log shape (release_20120128/readme.txt:40)
+    print("inferred adapter columns:")
+    print("  " + ", ".join(f"{n} {t}" for n, t in cols))
+
+    spark = get_spark(app_name="pump-check")
+    raw_check = f"{cfg.store.raw_table_name}_check"
+    adapter_check = f"{cfg.store.adapter_table_name}_check"
+
+    raw_df = spark.createDataFrame(
+        [("check-mid", "check/topic", sample)], ["mid", "topic", "payload"]
+    ).withColumn("collect_datetime", F.current_timestamp())
+    raw_df.createOrReplaceTempView(raw_check)
+    back = spark.table(raw_check).select("mid", "topic", "payload").collect()
+    print(f"raw check table {raw_check}: {len(back)} row(s) round-tripped")
+
+    schema = infer_spark_schema(spark, sample)
+    parsed = raw_df.select(
+        "mid",
+        "collect_datetime",
+        F.from_json("payload", schema).alias("records"),
+    )
+    flat = flatten_struct(
+        explode_records(parsed, "records"), ["record"], sort_columns=True
+    )
+    flat.createOrReplaceTempView(adapter_check)
+    total = spark.table(adapter_check).count()
+    print(f"adapter check table {adapter_check}: {total} flattened row(s)")
+    for row in spark.table(adapter_check).collect():
+        print("  " + str(row.asDict()))
+
+    spark.catalog.dropTempView(raw_check)
+    spark.catalog.dropTempView(adapter_check)
+    print("check: OK")
+    return 0
+
+
+def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
+    from mqtt_message_pump_spark.sources.mqtt import mqtt_available
+    from mqtt_message_pump_spark.streaming.monitor import PumpMonitorListener
+    from mqtt_message_pump_spark.streaming.pump import start_stream_pump
+
+    spark = get_spark(app_name="pump-run")
+    if source_dir is None and mqtt_available():
+        from mqtt_message_pump_spark.sources.mqtt import register_mqtt_source
+
+        register_mqtt_source(spark)
+        topic = cfg.topic
+        messages = (
+            spark.readStream.format("mqtt_pump")
+            .option("server", cfg.source_mqtt.server)
+            .option("topic_root", topic.topic_root)
+            .option("topic_prefix", topic.topic_prefix)
+            .option(
+                "group_num",
+                str(topic.group_num if topic.enable_group_num else 0),
+            )
+            .option("qos", str(cfg.source_mqtt.qos))
+            .load()
+        )
+    elif source_dir is not None:
+        from mqtt_message_pump_spark.sources.testing import file_message_stream
+
+        messages = file_message_stream(spark, source_dir)
+    else:
+        print(
+            "run: paho-mqtt not installed and no --source-dir given",
+            file=sys.stderr,
+        )
+        return 2
+
+    listener = PumpMonitorListener(
+        lambda topic, payload: print(f"[monitor] {topic} {payload}"),
+        topic_root=cfg.monitor.topic_root,
+        target=cfg.monitor.target,
+    )
+    spark.streams.addListener(listener)
+    sample = cfg.adapter.json_sample
+    schema = infer_spark_schema(spark, sample) if sample else None
+    query = start_stream_pump(
+        spark,
+        messages,
+        out_dir=cfg.store.path,
+        checkpoint_dir=f"{cfg.store.path}/_checkpoint",
+        map_schema=schema,
+        trigger_secs=cfg.batch.commit_interval_secs,
+        mid_length=cfg.batch.mid_length,
+    )
+    print(f"pump running; sinks under {cfg.store.path}")
+    if duration > 0:
+        time.sleep(duration)
+        query.stop()
+        query.awaitTermination(60)
+    else:  # pragma: no cover - interactive
+        query.awaitTermination()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pump", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+    for name in ("show", "check", "run"):
+        p = sub.add_parser(name)
+        p.add_argument("config")
+        if name == "run":
+            p.add_argument("--source-dir", default=None)
+            p.add_argument(
+                "--duration-secs",
+                type=float,
+                default=0,
+                help="stop after N seconds (0 = run until interrupted)",
+            )
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config)
+    if args.command == "show":
+        return cmd_show(cfg)
+    if args.command == "check":
+        return cmd_check(cfg)
+    return cmd_run(cfg, args.source_dir, args.duration_secs)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

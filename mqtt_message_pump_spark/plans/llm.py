@@ -207,7 +207,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity on candidate pairs (adjacent ids
     here as the deterministic pair generator; production uses the LSH
     candidates from q_minhash_pairs)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", split=True)
     sh = docs.select("doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
