@@ -286,9 +286,17 @@ def connected_components(
     )
     both = both.localCheckpoint(eager=True)
 
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Iterate ONLY over vertices that appear in an edge: everything else is
+    # a singleton whose label never moves.  In near-dup graphs the paired
+    # subgraph is a small fraction of the corpus, so this shrinks every
+    # round's join from |corpus| to |paired docs|; singletons rejoin once
+    # at the end.
+    labels = (
+        both.select(F.col("src").alias("vid"))
+        .distinct()
+        .select("vid", F.col("vid").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iterations):
         msgs = (
@@ -312,8 +320,12 @@ def connected_components(
         labels = updated.select("vid", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select(
+    resolved = labels.select(
         F.col("vid").alias(id_col), F.col("label").alias("group_id")
+    )
+    return vertices.select(id_col).join(resolved, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
     )
 
 

@@ -107,6 +107,89 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    round_digits: int | None = 6,
+    max_train: int = 100_000,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer (pyspark.ml
+    KMeans), corpus assigned to its nearest centroid, queries probe the
+    ``n_probe`` nearest cells; exact cosine re-ranks inside the probed
+    cells.
+
+    Scale shape: training samples at most ``max_train`` vectors (centroid
+    quality needs a sample, not the corpus); assignment is one broadcast
+    model.transform pass over the corpus; the search join shuffles on
+    centroid id only, touching ~n_probe/n_centroids of the corpus per
+    query.  The probe list is built by crossing the (tiny, broadcast)
+    query set with the (tiny, literal) centroid table -- |Q| x n_centroids
+    rows, never the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm_expr(F.col("cv")))
+
+    featurized = c.withColumn("features", array_to_vector("cv"))
+    train = featurized.select("features").limit(max_train)
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    assigned = (
+        model.transform(featurized)
+        .withColumnRenamed("prediction", "bucket")
+        .drop("features")
+    )
+
+    spark = queries.sparkSession
+    centers = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
+    ]
+    centers_df = spark.createDataFrame(
+        centers, "bucket int, centroid array<double>"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm_expr(F.col("qv")))
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("bucket"))
+    probes = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("dist", sq_dist)
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "qv", "qn", "bucket")
+    )
+
+    cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        assigned.join(F.broadcast(probes), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

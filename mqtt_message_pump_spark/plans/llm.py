@@ -342,6 +342,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_ivf")  # rows-only: recall checked in tests vs brute force
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via an IVF coarse quantizer (pyspark.ml KMeans):
+    corpus bucketed by nearest centroid, queries probe the closest cells;
+    the search join shuffles on centroid id only."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return SIM.ivf_topk(
+        queries, emb, k=_TOPK, n_centroids=8, n_probe=3
+    ).select("query_id", "cand_id", "cosine", "rank")
+
+
 @query(
     "q_embed_near_dup",
     oracle=f"""

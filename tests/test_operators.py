@@ -159,3 +159,16 @@ def test_connected_components_known_graph(spark):
         for r in DD.connected_components(vertices, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(queries, emb, k=5)
+    approx = SIM.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=3)
+    exact_pairs = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing 3 of 8 cells must recover most true neighbors (neighbors
+    # concentrate in the query's nearest cells -- that's the point of IVF)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
