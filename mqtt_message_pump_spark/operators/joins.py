@@ -78,6 +78,40 @@ def asof_join(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Inner equi-join with key salting for skew.
+
+    AQE's skew-join handles sort-merge skew by splitting oversized
+    partitions, but when the small side is too big to broadcast and one
+    key dominates the big side, salting still wins: the big side gets a
+    deterministic salt in [0, salt_buckets), the small side is replicated
+    once per salt value (explode of a literal range -- small * buckets
+    rows, no shuffle of the big side beyond the join itself), and the join
+    key becomes (key, salt), spreading the hot key over ``salt_buckets``
+    tasks.
+
+    Inner join only: salting changes per-row multiplicity bookkeeping for
+    outer joins (a big-side row must not match more than one replica --
+    guaranteed here because each big row holds exactly one salt value).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), salt_buckets)
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"), F.lit(salt_buckets - 1).cast("bigint")
+            )
+        ),
+    )
+    return big_s.join(small_s, on + ["__salt"]).drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

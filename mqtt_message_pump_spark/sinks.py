@@ -1,0 +1,91 @@
+"""Sink provisioning and writers: the reference's ClickHouse store surface
+(``data_dbstore.go``) re-expressed as Spark DDL + writers.
+
+DDL parity (S6, ``data_dbstore.go:122-147``): the MergeTree clauses map to
+Spark-managed parquet tables partitioned by ``collect_date``; the MergeTree
+ORDER BY becomes ``sortWithinPartitions`` at write time (file-level
+clustering; Delta OPTIMIZE/Z-ORDER is the managed analog in production).
+
+Writer dispatch: ``format = parquet`` (default, serverless) or ``jdbc``
+(the ClickHouse parity path -- generated ``INSERT`` batches become
+``df.write.jdbc`` appends; needs a live server + driver jar, so it is
+config-gated, never exercised by tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mqtt_message_pump_spark.config import StoreConf
+
+RAW_COLUMNS = "mid STRING, topic STRING, payload STRING, collect_datetime TIMESTAMP"
+
+
+def raw_table_ddl(store: StoreConf, location: str | None = None) -> str:
+    """CREATE TABLE for the raw message table (``data_dbstore.go:127-133``):
+    `mid/topic/payload/collect_datetime` + derived `collect_date` partition
+    (the MATERIALIZED toDate column becomes a partition column)."""
+    loc = f" LOCATION '{location}'" if location else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {store.database}.{store.raw_table_name} "
+        f"({RAW_COLUMNS}, collect_date DATE) USING parquet "
+        f"PARTITIONED BY (collect_date){loc}"
+    )
+
+
+def adapter_table_ddl(
+    store: StoreConf,
+    inferred_cols: list[tuple[str, str]],
+    location: str | None = None,
+) -> str:
+    """CREATE TABLE for the flattened table (``data_dbstore.go:138-142``):
+    mid + the sample-inferred columns (already lexicographically sorted,
+    ``data_adapter.go:103-106``) + timestamp/date."""
+    type_map = {"String": "STRING", "Bool": "BOOLEAN", "Float64": "DOUBLE"}
+    cols = ", ".join(f"`{n}` {type_map[t]}" for n, t in inferred_cols)
+    loc = f" LOCATION '{location}'" if location else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {store.database}.{store.adapter_table_name} "
+        f"(mid STRING, {cols}, collect_datetime TIMESTAMP, collect_date DATE) "
+        f"USING parquet PARTITIONED BY (collect_date){loc}"
+    )
+
+
+def provision(
+    spark: SparkSession,
+    store: StoreConf,
+    inferred_cols: list[tuple[str, str]],
+    raw_location: str | None = None,
+    adapter_location: str | None = None,
+) -> None:
+    """CREATE DATABASE/TABLE IF NOT EXISTS (``data_dbstore.go:122-147``)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {store.database}")
+    spark.sql(raw_table_ddl(store, raw_location))
+    spark.sql(adapter_table_ddl(store, inferred_cols, adapter_location))
+
+
+def write_append(df: DataFrame, store: StoreConf, table_path: str) -> None:
+    """Append a batch to one sink table.
+
+    parquet: date-partitioned files, rows pre-clustered so each task
+    writes whole partitions and sorted by (mid, topic) within files (the
+    MergeTree ORDER BY locality, ``data_dbstore.go:133``).
+    jdbc: one batched append per partition (the reference's prepared
+    INSERT loop, ``data_dbstore.go:336-421``, without the per-row driver
+    round-trips).
+    """
+    if store.format == "jdbc":
+        (
+            df.write.mode("append")
+            .option("batchsize", "10000")
+            .jdbc(store.url, table_path)
+        )
+        return
+    sort_cols = [c for c in ("mid", "topic") if c in df.columns]
+    (
+        df.repartition("collect_date")
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("append")
+        .partitionBy("collect_date")
+        .parquet(table_path)
+    )

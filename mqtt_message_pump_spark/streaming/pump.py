@@ -53,8 +53,12 @@ MESSAGE_SCHEMA = T.StructType(
 def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the events fixture into the MQTT wire shape: topic from the
     event type (the reference's per-group topics), payload = a two-record
-    JSON body (the "multi-record" format), arrival = event ts."""
-    events = table(spark, sf_dir, "events")
+    JSON body (the "multi-record" format), arrival = event ts.
+
+    The scan is split so the downstream JSON parse runs on every core (the
+    fixture is one row group = one scan partition; a real ingest has many
+    source partitions and needs no help)."""
+    events = table(spark, sf_dir, "events", split=True)
     payload = F.concat(
         F.lit('{"r1":'), F.col("props"), F.lit(',"r2":'), F.col("props"), F.lit("}")
     )
@@ -102,21 +106,67 @@ def build_dual_path(
 def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Batch-mode pump: the full dual-path dataflow over the events fixture,
     writing date-partitioned parquet.  Returns row counts per path."""
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import write_append
+
     messages = with_message_id(events_as_messages(spark, sf_dir), "mid", 8)
     raw, flat = build_dual_path(messages, payload_map_schema())
-    # Cluster rows by the partition column before writing: each task then
-    # writes whole date partitions -> one file per date instead of
-    # (tasks x dates) small files.  At 100 TB the small-files problem is
-    # the difference between a usable table and a dead one.
-    raw.repartition("collect_date").write.mode("overwrite").partitionBy(
-        "collect_date"
-    ).parquet(f"{out_dir}/raw_message")
-    flat.repartition("collect_date").write.mode("overwrite").partitionBy(
-        "collect_date"
-    ).parquet(f"{out_dir}/json_message")
+    # write_append clusters rows by the partition column (each task writes
+    # whole date partitions -> one file per date instead of tasks x dates
+    # small files; at 100 TB the small-files problem is the difference
+    # between a usable table and a dead one) and sorts (mid, topic) within
+    # files for the MergeTree ORDER BY locality.
+    store = StoreConf()
+    write_append(raw, store, f"{out_dir}/raw_message")
+    write_append(flat, store, f"{out_dir}/json_message")
     n_raw = spark.read.parquet(f"{out_dir}/raw_message").count()
     n_flat = spark.read.parquet(f"{out_dir}/json_message").count()
     return {"raw_rows": n_raw, "flat_rows": n_flat}
+
+
+def windowed_rates(
+    messages: DataFrame,
+    interval_secs: int = 5,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """The monitor's per-interval throughput (``monitor.go:151-173``,
+    msgs + bytes per 5-s tick) as an event-time tumbling window with a
+    watermark -- the upgrade the reference cannot express: its ticker is
+    processing-time only, so replayed/late data lands in the wrong
+    interval (SURVEY.md SS1.1).  Here late rows join their true window
+    until the watermark closes it, then are dropped (bounded state).
+
+    Works on both streaming and batch frames (batch ignores the
+    watermark), so the same definition serves the pump and the oracle-
+    checked q_tumbling_window.
+    """
+    sized = messages.withColumn(
+        "msg_bytes", F.length("topic") + F.length("payload") + F.lit(4)
+    )
+    if sized.isStreaming:
+        sized = sized.withWatermark("received_time", watermark)
+    return (
+        sized.groupBy(
+            F.window("received_time", f"{interval_secs} seconds").alias("w"),
+            "topic",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum("msg_bytes").alias("n_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "topic",
+            "n_msgs",
+            "n_bytes",
+            (F.col("n_msgs").cast("double") / interval_secs).alias(
+                "msgs_per_sec"
+            ),
+            (F.col("n_bytes").cast("double") / interval_secs).alias(
+                "bytes_per_sec"
+            ),
+        )
+    )
 
 
 def start_stream_pump(
@@ -142,15 +192,15 @@ def start_stream_pump(
     )
 
     def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        from mqtt_message_pump_spark.config import StoreConf
+        from mqtt_message_pump_spark.sinks import write_append
+
+        store = StoreConf()
         batch_df.persist()
         try:
             raw, flat = build_dual_path(batch_df, map_schema)
-            raw.write.mode("append").partitionBy("collect_date").parquet(
-                f"{out_dir}/raw_message"
-            )
-            flat.write.mode("append").partitionBy("collect_date").parquet(
-                f"{out_dir}/json_message"
-            )
+            write_append(raw, store, f"{out_dir}/raw_message")
+            write_append(flat, store, f"{out_dir}/json_message")
         finally:
             batch_df.unpersist()
 

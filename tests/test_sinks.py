@@ -1,0 +1,136 @@
+"""Sink DDL/writer tests + watermarked streaming rates."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.config import StoreConf
+from mqtt_message_pump_spark.functions.inference import infer_flat_schema
+from mqtt_message_pump_spark.sinks import (
+    adapter_table_ddl,
+    raw_table_ddl,
+    write_append,
+)
+from mqtt_message_pump_spark.sources.testing import file_message_stream
+from mqtt_message_pump_spark.streaming.pump import windowed_rates
+
+SAMPLE = '{"1": {"command": "c", "params": {"key": "ut", "value": 5}}}'
+
+
+def test_ddl_generation():
+    store = StoreConf(database="pumpdb")
+    raw = raw_table_ddl(store)
+    assert "pumpdb.Raw_Message" in raw
+    assert "PARTITIONED BY (collect_date)" in raw
+    cols = infer_flat_schema(SAMPLE)
+    adapter = adapter_table_ddl(store, cols)
+    assert "`params_value` DOUBLE" in adapter
+    assert "`key_id` STRING" in adapter
+    assert "pumpdb.Json_Message" in adapter
+
+
+def test_write_append_clusters_by_date(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("m1", "t/a", "p", "2024-01-01 00:00:01"),
+            ("m2", "t/b", "p", "2024-01-02 00:00:01"),
+            ("m3", "t/a", "p", "2024-01-01 09:00:01"),
+        ],
+        ["mid", "topic", "payload", "collect_datetime"],
+    ).withColumn("collect_date", F.to_date("collect_datetime"))
+    out = str(tmp_path / "raw")
+    write_append(df, StoreConf(), out)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {str(r["collect_date"]) for r in back.collect()} == {
+        "2024-01-01",
+        "2024-01-02",
+    }
+
+
+def _write_wire(dir_path, rows):
+    dir_path.mkdir(parents=True, exist_ok=True)
+    name = f"f{len(list(dir_path.iterdir()))}.json"
+    (dir_path / name).write_text(
+        "\n".join(
+            json.dumps(
+                {"topic": t, "payload": p, "received_time": ts}
+            )
+            for t, p, ts in rows
+        )
+    )
+
+
+def test_windowed_rates_batch_and_late_data(spark, tmp_path):
+    """Batch mode: windows partition by event time.  Streaming mode with a
+    watermark: a row later than the watermark bound is dropped, one inside
+    the bound still lands in its true window."""
+    src = tmp_path / "src"
+    _write_wire(
+        src,
+        [
+            ("a", "x" * 6, "2024-01-01T00:00:01.000Z"),
+            ("a", "x" * 6, "2024-01-01T00:00:02.000Z"),
+            ("a", "x" * 6, "2024-01-01T00:00:07.000Z"),
+        ],
+    )
+    batch = spark.read.schema(
+        "topic string, payload string, received_time timestamp"
+    ).json(str(src))
+    rows = {
+        (str(r["window_start"]), r["n_msgs"], r["msgs_per_sec"])
+        for r in windowed_rates(batch, interval_secs=5).collect()
+    }
+    assert rows == {
+        ("2024-01-01 00:00:00", 2, 0.4),
+        ("2024-01-01 00:00:05", 1, 0.2),
+    }
+
+    # streaming with watermark: feed a second file whose max event time
+    # advances the watermark far past the first windows, then a third file
+    # with a too-late row -> dropped from state
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    stream = windowed_rates(
+        file_message_stream(spark, str(src)),
+        interval_secs=5,
+        watermark="10 seconds",
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    _write_wire(src, [("a", "y", "2024-01-01T01:00:00.000Z")])  # advance wm
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    _write_wire(src, [("a", "z", "2024-01-01T00:00:03.000Z")])  # too late
+    before = len(out)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    late_emissions = [
+        r for r in out[before:] if str(r["window_start"]).startswith("2024-01-01 00:00:00")
+    ]
+    assert late_emissions == [], "late row beyond watermark must be dropped"
