@@ -106,11 +106,18 @@ def build_dual_path(
 def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Batch-mode pump: the full dual-path dataflow over the events fixture,
     writing date-partitioned parquet.  Returns row counts per path."""
+    from pyspark.sql import Observation
+
     from mqtt_message_pump_spark.config import StoreConf
     from mqtt_message_pump_spark.sinks import write_append
 
     messages = with_message_id(events_as_messages(spark, sf_dir), "mid", 8)
     raw, flat = build_dual_path(messages, payload_map_schema())
+    # Counters ride the write jobs via observe() (the monitor's per-stage
+    # counts, monitor.go:191-260) -- no second read of the sink.
+    obs_raw, obs_flat = Observation("raw"), Observation("flat")
+    raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
+    flat = flat.observe(obs_flat, F.count(F.lit(1)).alias("n"))
     # write_append clusters rows by the partition column (each task writes
     # whole date partitions -> one file per date instead of tasks x dates
     # small files; at 100 TB the small-files problem is the difference
@@ -119,9 +126,7 @@ def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     store = StoreConf()
     write_append(raw, store, f"{out_dir}/raw_message")
     write_append(flat, store, f"{out_dir}/json_message")
-    n_raw = spark.read.parquet(f"{out_dir}/raw_message").count()
-    n_flat = spark.read.parquet(f"{out_dir}/json_message").count()
-    return {"raw_rows": n_raw, "flat_rows": n_flat}
+    return {"raw_rows": obs_raw.get["n"], "flat_rows": obs_flat.get["n"]}
 
 
 def windowed_rates(
