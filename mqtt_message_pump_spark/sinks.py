@@ -64,6 +64,33 @@ def provision(
     spark.sql(adapter_table_ddl(store, inferred_cols, adapter_location))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Save as a bucketed managed table: rows hash-clustered into
+    ``num_buckets`` files per partition by ``bucket_cols`` (+ optional
+    in-file sort).
+
+    The 100 TB payoff: two tables bucketed the same way equi-join WITHOUT
+    a shuffle -- the join key's hash partitioning is baked into the file
+    layout, so Catalyst drops both Exchanges (verified in
+    tests/test_sinks.py by asserting the plan is exchange-free).  This is
+    the co-located-join answer for fact-fact joins where neither side
+    broadcasts; the shuffle is paid ONCE at write time, then every
+    downstream join/aggregation on the bucket key reuses it.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def write_append(df: DataFrame, store: StoreConf, table_path: str) -> None:
     """Append a batch to one sink table.
 

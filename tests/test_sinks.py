@@ -134,3 +134,41 @@ def test_windowed_rates_batch_and_late_data(spark, tmp_path):
         r for r in out[before:] if str(r["window_start"]).startswith("2024-01-01 00:00:00")
     ]
     assert late_emissions == [], "late row beyond watermark must be dropped"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key must join with ZERO shuffles:
+    the write-time bucketing pre-pays the exchange."""
+    import contextlib
+    import io
+
+    from mqtt_message_pump_spark.sinks import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        lineitem, "b_lineitem", ["l_orderkey"], num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # disable broadcast so the join strategy is the bucketed SMJ/SHJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
