@@ -129,6 +129,35 @@ def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return {"raw_rows": obs_raw.get["n"], "flat_rows": obs_flat.get["n"]}
 
 
+def dedupe_redeliveries(
+    messages: DataFrame,
+    watermark: str = "30 seconds",
+    mid_length: int = 16,
+) -> DataFrame:
+    """Effectively-once over an at-least-once source (MQTT QoS 1).
+
+    The reference's QoS-1 path re-randomizes the mid on redelivery, so
+    broker retries become silent duplicate rows (SURVEY.md SS2.6).  Here
+    the mid is CONTENT-DERIVED (topic + payload + received_time hash), so
+    a redelivered message reproduces its id, and
+    ``dropDuplicatesWithinWatermark`` removes the replay with bounded
+    state: dedup keys older than the watermark are evicted, which is
+    exactly the MQTT redelivery window.  Works on batch frames too
+    (plain dropDuplicates on the mid).
+    """
+    keyed = with_message_id(
+        messages,
+        "mid",
+        mid_length,
+        deterministic_from=["topic", "payload", "received_time"],
+    )
+    if not keyed.isStreaming:
+        return keyed.dropDuplicates(["mid"])
+    return keyed.withWatermark(
+        "received_time", watermark
+    ).dropDuplicatesWithinWatermark(["mid"])
+
+
 def windowed_rates(
     messages: DataFrame,
     interval_secs: int = 5,
@@ -182,15 +211,27 @@ def start_stream_pump(
     map_schema: T.MapType | None = None,
     trigger_secs: int = 5,
     mid_length: int = 8,
+    dedupe_watermark: str | None = None,
 ):
     """Start the streaming pump on a streaming messages DataFrame.
 
     One query, one persist per micro-batch, two partitioned sinks; the
     checkpoint makes restarts effectively-once (parquet re-writes of the
     same batch are append-idempotent per batch id via the commit log).
+
+    ``dedupe_watermark`` (e.g. ``"30 seconds"``) additionally drops
+    at-least-once source redeliveries via a content-derived mid +
+    ``dropDuplicatesWithinWatermark`` -- see :func:`dedupe_redeliveries`.
+    Without it, mids are random (reference parity).
     """
     map_schema = map_schema or payload_map_schema()
-    enriched = with_message_id(messages, "mid", mid_length).observe(
+    if dedupe_watermark is not None:
+        enriched = dedupe_redeliveries(
+            messages, dedupe_watermark, max(16, mid_length)
+        )
+    else:
+        enriched = with_message_id(messages, "mid", mid_length)
+    enriched = enriched.observe(
         "pump_metrics",
         F.count(F.lit(1)).alias("msg_count"),
         F.sum(F.length("payload") + F.length("topic") + 4).alias("bytes"),
