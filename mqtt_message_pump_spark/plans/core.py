@@ -247,3 +247,25 @@ def q_with_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     uppercase id per record, JVM-side uuid -> sha2 -> base36, no Python."""
     events = table(spark, sf_dir, "events")
     return with_message_id(events.select("event_id", "event_type"), "mid", 8)
+
+
+@query(
+    "q_with_id_det",
+    oracle="""
+    SELECT event_id,
+           upper(substring(sha256(CAST(event_id AS VARCHAR)), 1, 16)) AS mid
+    FROM events
+    """,
+)
+def q_with_id_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (content-derived) message id -- the replay/dedup mode
+    of P1 (see streaming.pump.dedupe_redeliveries): sha-256 of the record
+    key, hex-uppercase.  Unlike the random mid this IS oracle-checkable,
+    so the id derivation itself is under the correctness gate."""
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.upper(
+            F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 16)
+        ).alias("mid"),
+    )
