@@ -128,15 +128,17 @@ def range_join(
     lands in O(1) buckets and the equi-join prunes all non-overlapping
     pairs, turning the nested-loop into a hash join + residual filter.
     """
+    # floor, not cast: cast truncates toward zero, which mis-buckets
+    # negative coordinates (-0.5 must land in bucket -1, not 0)
     lb = left.withColumn(
-        "__bucket", (F.col(left_point) / bucket_width).cast("long")
+        "__bucket", F.floor(F.col(left_point) / bucket_width)
     )
     rb = right.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(right_lo) / bucket_width).cast("long"),
-                (F.col(right_hi) / bucket_width).cast("long"),
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor(F.col(right_hi) / bucket_width),
             )
         ),
     )

@@ -324,7 +324,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e
     JOIN (SELECT n_nationkey,
                  CAST(n_nationkey * 20 AS DOUBLE) AS lo,
-                 CAST(n_nationkey * 20 + 29.99 AS DOUBLE) AS hi
+                 CAST(n_nationkey * 2000 + 2999 AS DOUBLE) / 100.0 AS hi
           FROM nation) n
       ON e.value >= n.lo AND e.value <= n.hi
     """,
@@ -334,7 +334,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands.  A plain theta join is a broadcast-nested-loop scanning every
     (row, interval) pair; operators.joins.range_join buckets both sides
     (width ~ interval length) and equi-joins on the bucket, so the pair
-    space shrinks to co-bucketed candidates + a residual filter."""
+    space shrinks to co-bucketed candidates + a residual filter.
+
+    Boundary construction note: ``hi`` is integer arithmetic + ONE
+    exact-rounded double division, identical in both engines.  The naive
+    ``n * 20 + 29.99`` differs cross-engine -- DuckDB folds the literal
+    in exact DECIMAL (49.99) while Spark adds doubles
+    (49.989999999999995), so points exactly on the boundary flip."""
     from mqtt_message_pump_spark.operators.joins import range_join
 
     events = table(spark, sf_dir, "events").select("event_id", "value")
@@ -342,7 +348,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = nation.select(
         F.col("n_nationkey").alias("band_key"),
         (F.col("n_nationkey") * 20.0).alias("lo"),
-        (F.col("n_nationkey") * 20.0 + 29.99).alias("hi"),
+        (
+            (F.col("n_nationkey") * 2000 + 2999).cast("double") / 100.0
+        ).alias("hi"),
     )
     return range_join(
         events, bands, left_point="value", right_lo="lo", right_hi="hi",

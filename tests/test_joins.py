@@ -83,3 +83,28 @@ def test_salted_join_matches_plain_join(spark):
         (r["row_id"], r["name"]) for r in big.join(small, "k").collect()
     }
     assert fast == slow and len(fast) == 1000
+
+
+def test_range_join_negative_coordinates(spark):
+    """floor-based bucketing: negative points/intervals must match exactly
+    like the theta join (cast-toward-zero would mis-bucket them)."""
+    points = spark.createDataFrame(
+        [(i, float(i * 7 % 100) - 50.0) for i in range(200)], ["pid", "x"]
+    )
+    ivals = spark.createDataFrame(
+        [(j, float(j * 10) - 55.0, float(j * 10) - 40.5) for j in range(10)],
+        ["iid", "lo", "hi"],
+    )
+    fast = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, ivals, "x", "lo", "hi", bucket_width=10
+        ).collect()
+    }
+    slow = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            ivals, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi"))
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 0
