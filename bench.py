@@ -50,6 +50,7 @@ HEADLINE = [
     "q_range_join",
     "q_ann_lsh",
     "q_media_decode",
+    "q_sessionize",
 ]
 
 RUNS = 3

@@ -134,6 +134,51 @@ def q_stage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sessionize",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 5 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (absent from the reference, SS2.6: no
+    session windows): per-user sessions closed after 5 idle minutes, via
+    ``session_window`` -- one shuffle on the user key; in streaming mode
+    the same expression runs incrementally with a watermark.
+
+    Boundary semantics: Spark merges two events iff their gap-windows
+    overlap (delta < gap, half-open windows), so the oracle starts a new
+    session at delta >= gap exactly.
+    """
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "q_to_json",
     oracle="""
     SELECT event_id,
