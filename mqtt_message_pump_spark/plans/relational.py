@@ -356,3 +356,73 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, bands, left_point="value", right_lo="lo", right_hi="hi",
         bucket_width=20,
     ).select("event_id", "band_key")
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (absent from the reference, SURVEY.md SS2.7):
+    all 2^2 grouping combinations in one pass.  Spark plans this as a
+    single Expand + hash aggregate -- the fact table is scanned once, not
+    once per grouping set."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_spend
+    FROM orders
+    """,
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame (ROWS UNBOUNDED PRECEDING .. CURRENT ROW):
+    per-customer running spend.  Partition-local sort only; the frame order
+    carries the unique o_orderkey tie-break so prefix sums are
+    deterministic, and the summand is DECIMAL so partial order can't
+    change the value."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).alias("running_spend"),
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count next to the exact count.
+
+    At 100 TB this is THE distinct-count operator: the sketch is a
+    fixed-size partial state (no per-value shuffle), so the plan is a
+    map-side sketch + tiny merge instead of the expanded two-phase
+    distinct.  No oracle -- DuckDB's approx_count_distinct uses a
+    different HLL construction, so estimates differ by design; the
+    rows-only check plus tests/test_queries.py's <2% relative-error
+    assertion against the exact count cover it."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -120,3 +120,16 @@ def test_every_query_has_registry_entry():
     o = E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 25
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """q_approx_distinct has no oracle (engine-specific HLL); assert the
+    sketch lands within 2% of the exact distinct count instead."""
+    rows = QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        tol = max(1.0, 0.02 * r.exact_parts)
+        assert abs(r.approx_parts - r.exact_parts) <= tol, (
+            f"{r.l_returnflag}: approx {r.approx_parts} vs exact "
+            f"{r.exact_parts}"
+        )
