@@ -8,6 +8,7 @@ from mqtt_message_pump_spark.plans.registry import ORACLES, QUERIES, query, tabl
 
 # Import for registration side effects.
 from mqtt_message_pump_spark.plans import (  # noqa: E402,F401
+    analytic,
     core,
     llm,
     metrics,

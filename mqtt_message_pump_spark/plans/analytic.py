@@ -1,0 +1,389 @@
+"""Analytic surface, batch 2: pivot/unpivot, INTERSECT, GROUPING SETS,
+TPC-H Q3/Q6 shapes, histogram binning, deterministic hash sampling, date
+arithmetic, sliding (hopping) windows, exact percentiles, and array
+functions.
+
+All categories are absent from the reference (SURVEY.md SS2.7 -- the Go
+pump delegates every relational operation to generated ClickHouse SQL and
+never emits any of these constructs); they complete the Spark SQL surface a
+user would expect when switching the delegated queries in-engine.
+
+Cross-engine determinism follows the registry docstring rules: DECIMAL(18,2)
+sums, identical aliases both sides, unique tie-breaks in top-k, md5-derived
+hash32 for anything hash-partitioned/sampled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.operators.dedup import md5_hash32
+from mqtt_message_pump_spark.plans.registry import query, table
+
+_DEC = "decimal(18,2)"
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) set op: customers with both open and finished
+    orders.  Spark plans this as a left-semi hash join over the two
+    aggregated sides -- same shuffle count as EXCEPT (q_except)."""
+    orders = table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(done_c)
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_F,
+           SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per returnflag, quantity split by linestatus
+    into columns.  Pivot values are given explicitly so Spark skips the
+    extra distinct-values job AND the output schema is static -- both
+    mandatory at 100 TB (a discovery pass over the fact table would be a
+    full extra scan).  Plans as one hash aggregate with conditional sums,
+    exactly like the CASE-WHEN oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM w
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): aggregate metrics melted into (metric, val)
+    rows.  Spark's ``unpivot`` is an Expand node -- one pass over the input,
+    no join/union re-scan (the UNION ALL oracle would scan ``w`` twice if it
+    were a table; Expand never does)."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "val"
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n,
+           SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_bal
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((r_name),(n_name)): two independent
+    aggregations computed in ONE scan via a single Expand + hash aggregate
+    -- distinct from rollup/cube in that the sets are disjoint, not
+    hierarchical.  At 100 TB this halves fact-table scans vs running the
+    two group-bys separately."""
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined.createOrReplaceTempView("__gs_supplier")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, COUNT(*) AS n,
+               SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_bal
+        FROM __gs_supplier
+        GROUP BY GROUPING SETS ((r_name), (n_name))
+        """
+    )
+
+
+@query(
+    "q_disc_revenue",
+    oracle="""
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast revenue change.  The pure
+    filter-and-aggregate query -- every predicate reaches the parquet scan
+    as a pushed filter (verified in docs/PLANS.md), the projection prunes
+    to 4 columns, and the aggregate is a single map-side partial + one-row
+    merge.  The canonical 'scan efficiency' benchmark at 100 TB: I/O-bound,
+    zero shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * F.col("l_discount").cast(_DEC)
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_ship_priority",
+    oracle="""
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+           o_orderdate
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + top-10.  customer is the
+    small side (broadcast); orders-lineitem is the one real shuffle join on
+    orderkey; the final ORDER BY + LIMIT runs as TakeOrderedAndProject
+    (per-partition heap), never a global sort of the aggregate."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01 00:00:00"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-01-01 00:00:00"
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS lo_price,
+           MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS hi_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram / fixed-width binning: integer floor division keeps the
+    bin id exact in both engines (FLOOR over a double is exact; no
+    width_bucket needed).  One hash aggregate on a small key domain --
+    the standard profiling query at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("o_totalprice").cast(_DEC)).alias("lo_price"),
+            F.max(F.col("o_totalprice").cast(_DEC)).alias("hi_price"),
+        )
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS BIGINT) % 20 = 0
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample via content hash (md5-derived 32-bit
+    bucket, SURVEY.md registry rules).  Unlike ``df.sample`` this is
+    reproducible across engines, runs, AND partitionings -- the property a
+    training-data pipeline needs so a sampled corpus can be re-derived
+    bit-identically.  Pure map-side filter: no shuffle, scales linearly."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.filter(
+        md5_hash32(F.col("o_orderkey").cast("string")) % 20 == 0
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval scalar functions (absent from the reference beyond
+    ``toDate``, SURVEY.md SS2.5): extract year/month, interval addition,
+    day difference from a fixed origin.  All whole-stage-codegen
+    expressions; midnight-aligned fixture timestamps keep day arithmetic
+    exact across engines."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds((epoch_us(ts) // 1000000 // 300) * 300 - k.k * 300)
+               AS window_start,
+             value
+      FROM events, (SELECT 0 AS k UNION ALL SELECT 1) k
+    )
+    SELECT window_start, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total
+    FROM expanded GROUP BY window_start
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 10-minute windows every 5
+    minutes over event time -- each event lands in exactly width/slide = 2
+    windows.  Spark plans ``window(ts, '10 min', '5 min')`` as an Expand
+    (2 rows per input) + hash aggregate; the same expression runs
+    incrementally under a watermark in streaming mode.  The oracle expands
+    the two window-start candidates arithmetically (epoch // slide).
+    Events are strictly positive-epoch so integer division truncation
+    matches floor."""
+    events = table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_partkey, 0.5) AS median_part,
+           MAX(l_partkey) AS max_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile (median) per group.  Median over
+    integer keys is (a+b)/2 at worst -- exact in IEEE double on both
+    engines, so the oracle hash-matches (other quantile fractions
+    interpolate with engine-specific rounding; 0.5 is the safe
+    cross-engine probe).  Spark's ``percentile`` is a full sort-based
+    exact aggregate; at 100 TB swap in approx_percentile (t-digest
+    sketch, fixed-size partials) -- same call shape, no re-plumbing."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_partkey", 0.5).alias("median_part"),
+        F.max("l_partkey").alias("max_part"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           array_to_string(
+             list_sort(list_distinct(string_split(lower(text), ' ')))[1:5],
+             '|') AS first_tokens,
+           list_contains(string_split(lower(text), ' '), 'the') AS has_the
+    FROM documents
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function surface (absent from the reference, SURVEY.md
+    SS1.4): split, size, distinct, sort, slice, join, contains -- all
+    JVM-side codegen expressions, no UDFs.  The sorted-distinct slice is
+    deterministic (lexicographic) so the string output hash-matches
+    DuckDB's list functions."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), "|"
+        ).alias("first_tokens"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )

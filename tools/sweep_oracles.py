@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Driver-emulation oracle sweep: run every registered query AND its DuckDB
+oracle side by side at a given scale factor, compare like the grading driver
+(columns sorted by name, rows as sorted normalized tuples).
+
+Deliberately uses a PLAIN SparkSession with a non-UTC time zone (the driver
+does not apply our session defaults), so session-config bugs surface here.
+
+    python tools/sweep_oracles.py [sf_dir] [key ...]
+
+Defaults: sf_dir=/root/testdata/sf0.01, all oracle-checked keys.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(col_names, rows):
+    import datetime
+    import decimal
+
+    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
+    cols = [col_names[i] for i in order]
+
+    def norm(v):
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, (decimal.Decimal, datetime.datetime, datetime.date)):
+            return str(v)
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, bytes):
+            return v.hex()
+        if isinstance(v, list):
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return str(v)
+
+    vals = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return cols, vals
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as E
+
+    queries, oracles = E.queries(), E.oracle_sql()
+    keys = sys.argv[2:] or sorted(oracles)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-sweep")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failed = []
+    for key in keys:
+        if key not in oracles:
+            print(f"{key}: SKIP (rows-only)")
+            continue
+        try:
+            sdf = queries[key](spark, sf_dir)
+            s_cols, s_vals = _normalize(
+                sdf.columns, [tuple(r) for r in sdf.collect()]
+            )
+            res = duck.execute(oracles[key])
+            d_cols = [d[0] for d in res.description]
+            d_vals_raw = res.fetchall()
+            d_cols, d_vals = _normalize(d_cols, d_vals_raw)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{key}: ERROR {type(exc).__name__}: {exc}")
+            failed.append(key)
+            continue
+        if s_cols != d_cols:
+            print(f"{key}: FAIL cols {s_cols} vs {d_cols}")
+            failed.append(key)
+        elif len(s_vals) != len(d_vals):
+            print(f"{key}: FAIL rows {len(s_vals)} vs {len(d_vals)}")
+            failed.append(key)
+        elif s_vals != d_vals:
+            bad = [(a, b) for a, b in zip(s_vals, d_vals) if a != b][:2]
+            print(f"{key}: FAIL values, first diffs: {bad}")
+            failed.append(key)
+        else:
+            print(f"{key}: ok ({len(s_vals)} rows)")
+    print(f"\n{len(keys) - len(failed)}/{len(keys)} ok; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
