@@ -1,0 +1,103 @@
+"""Event-time streaming operators: hopping windows, stream-stream interval
+joins, watermark-bounded dedup.
+
+The reference has processing-time semantics ONLY -- the payload's event-time
+field is stored as an opaque string and never parsed
+(``mqtt.go:123`` stamps ``time.Now()``; ``release_20120128/readme.txt:40``
+shows ``params_ts String``), and its single "window" is the monitor's 5-s
+ticker (``monitor.go:111``).  These operators are the event-time upgrade:
+watermarks bound state so every operator here runs with fixed-size state per
+key/window at any scale, and the SAME expression works in batch mode (the
+batch plan simply ignores the watermark), which is how the oracle-checked
+batch twins in ``plans/analytic.py`` stay in sync with streaming behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Hopping-window counts/sums over event time.
+
+    Streaming: the watermark lets Spark emit a window once event time
+    passes window_end + delay and DROP its state -- without it, window
+    state grows forever.  Each input row expands to width/slide window
+    instances (an Expand node), then a streaming hash aggregate keyed on
+    (window, ...) holds one fixed-size state row per open window.
+    """
+    stream = df
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total")
+        )
+    out_cols = ["n"] + (["total"] if value_col is not None else [])
+    return (
+        stream.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), *out_cols)
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 10 MINUTES",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with a time-range predicate:
+    match right rows with ``left_ts - upper <= right_ts <= left_ts - lower``
+    (i.e. the right event happened up to ``upper`` before the left one).
+
+    Both sides need watermarks in streaming mode: the range condition plus
+    the watermarks bound how long each side's rows are buffered in the
+    state store, so state is O(rows within the interval), not O(stream).
+    In batch mode the same call degrades to a plain range-theta equi-join.
+    """
+    lft, rgt = left, right
+    if lft.isStreaming:
+        lft = lft.withWatermark(left_ts, watermark)
+    if rgt.isStreaming:
+        rgt = rgt.withWatermark(right_ts, watermark)
+    rgt = rgt.withColumnRenamed(key, "__rkey")
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(right_ts) >= F.expr(f"{left_ts} - {upper}"))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} - {lower}"))
+    )
+    return lft.join(rgt, cond, "inner").drop("__rkey")
+
+
+def dedupe_within_watermark(
+    df: DataFrame,
+    subset: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Drop duplicate rows whose duplicates arrive within the watermark
+    delay of each other (``dropDuplicatesWithinWatermark``): unlike plain
+    ``dropDuplicates`` on a stream, the per-key state is EVICTED once the
+    watermark passes, so long-running queries don't accumulate one state
+    row per distinct key forever.  This is the scale-safe version of the
+    pump's redelivery dedup for sources whose duplicates are time-local
+    (QoS-1 MQTT redeliveries are)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            subset
+        )
+    return df.dropDuplicates(subset)

@@ -1,0 +1,176 @@
+"""Event-time streaming operators: hopping windows under a watermark,
+stream-stream interval join, dropDuplicatesWithinWatermark.
+
+Each test runs the SAME expression as a stream (file source, availableNow)
+and as a batch query, asserting the streamed result converges to the batch
+answer -- the property that lets the oracle-checked batch twins stand in
+for streaming correctness.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mqtt_message_pump_spark.streaming.windows import (
+    dedupe_within_watermark,
+    interval_join,
+    sliding_window_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_events(dir_path, rows) -> None:
+    dir_path.mkdir(parents=True, exist_ok=True)
+    lines = [
+        json.dumps(
+            {"event_id": i, "ts": ts, "user_id": u, "value": v}
+        )
+        for (i, ts, u, v) in rows
+    ]
+    (dir_path / "events.json").write_text("\n".join(lines))
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(str(src))
+    )
+
+
+def _batch(spark, src):
+    return spark.read.schema(EVENT_SCHEMA).json(str(src))
+
+
+def _drain(df, tmp_path, name, output_mode="append"):
+    out = tmp_path / f"{name}_out"
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+ROWS = [
+    # two users, events across 3 five-minute slots
+    (1, "2024-01-01T00:01:00Z", 7, 1.0),
+    (2, "2024-01-01T00:04:00Z", 7, 2.0),
+    (3, "2024-01-01T00:07:00Z", 8, 3.0),
+    (4, "2024-01-01T00:12:00Z", 8, 4.0),
+    # late straggler well past everything, advances the watermark so all
+    # earlier windows finalize under availableNow
+    (5, "2024-01-01T02:00:00Z", 7, 5.0),
+]
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_events(src, ROWS)
+
+    streamed_out = _drain(
+        sliding_window_counts(
+            _stream(spark, src), watermark="1 minute"
+        ),
+        tmp_path,
+        "slide",
+    )
+    streamed = {
+        (str(r["window_start"]), r["n"], str(r["total"]))
+        for r in spark.read.parquet(str(streamed_out)).collect()
+    }
+    batch = {
+        (str(r["window_start"]), r["n"], str(r["total"]))
+        for r in sliding_window_counts(_batch(spark, src)).collect()
+    }
+    # append mode only emits finalized windows; the straggler's own two
+    # windows are still open when the stream ends
+    assert streamed
+    assert streamed <= batch
+    # every window that closed before the straggler-driven watermark
+    # (02:00 - 1 min delay, minus the 10-min width) must have finalized
+    finalized = {w for w in batch if w[0] < "2024-01-01 01:00:00"}
+    assert finalized <= streamed
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    src_l = tmp_path / "left"
+    src_r = tmp_path / "right"
+    _write_events(src_l, ROWS)
+    # right side: one purchase per user shortly before some left events
+    _write_events(
+        src_r,
+        [
+            (100, "2024-01-01T00:00:30Z", 7, 10.0),
+            (101, "2024-01-01T00:11:00Z", 8, 20.0),
+            (102, "2024-01-01T02:00:00Z", 7, 0.0),  # watermark mover
+        ],
+    )
+
+    def build(l_df, r_df):
+        right = (
+            r_df.select(
+                F.col("user_id"),
+                F.col("ts").alias("rts"),
+                F.col("value").alias("purchase"),
+            )
+        )
+        return interval_join(
+            l_df.select("event_id", "user_id", "ts"),
+            right,
+            key="user_id",
+            watermark="1 minute",
+        ).select("event_id", "purchase")
+
+    streamed_out = _drain(
+        build(_stream(spark, src_l), _stream(spark, src_r)),
+        tmp_path,
+        "ijoin",
+    )
+    streamed = {
+        (r["event_id"], r["purchase"])
+        for r in spark.read.parquet(str(streamed_out)).collect()
+    }
+    batch = {
+        (r["event_id"], r["purchase"])
+        for r in build(_batch(spark, src_l), _batch(spark, src_r)).collect()
+    }
+    assert streamed == batch
+    # sanity: events 1 and 2 match user 7's 00:00:30 purchase; event 4
+    # matches user 8's 00:11:00 purchase; event 3 has nothing within 10 min
+    assert (1, 10.0) in batch and (2, 10.0) in batch and (4, 20.0) in batch
+    assert all(eid != 3 for eid, _ in batch)
+
+
+def test_dedupe_within_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    dup_rows = ROWS + [
+        # exact redelivery of event 2 (same id, same ts)
+        (2, "2024-01-01T00:04:00Z", 7, 2.0),
+    ]
+    _write_events(src, dup_rows)
+
+    streamed_out = _drain(
+        dedupe_within_watermark(
+            _stream(spark, src), ["event_id"], delay="1 minute"
+        ),
+        tmp_path,
+        "dedup",
+    )
+    got = spark.read.parquet(str(streamed_out))
+    assert got.count() == 5
+    assert got.select("event_id").distinct().count() == 5
