@@ -387,3 +387,187 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_tokens"),
         F.array_contains(toks, "the").alias("has_the"),
     )
+
+
+@query(
+    "q_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile bucketing over a global order.  The unique
+    o_orderkey tie-break makes bucket boundaries deterministic.  Note the
+    empty PARTITION BY: a single global sort -- correct-but-serial, kept
+    as the semantic reference.  At 100 TB, assign buckets from
+    approx-quantile cut points instead (one pass + map-side bucketing,
+    see q_histogram) -- same output contract up to boundary rounding."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )
+
+
+@query(
+    "q_lead_lag",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(ts) OVER w AS prev_ts,
+           lead(ts) OVER w AS next_ts,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS us_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD/LAG analytic functions: per-user previous/next event time and
+    inter-event gap in microseconds (integer arithmetic -- exact cross-
+    engine, unlike double-second deltas).  Partition-local sort only."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: (F.unix_micros(c))  # noqa: E731
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (us(F.col("ts")) - us(F.lag("ts").over(w))).alias("us_since_prev"),
+    )
+
+
+@query(
+    "q_first_last",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type,
+                   concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                          lpad(CAST(event_id AS VARCHAR), 10, '0')))
+             AS first_type,
+           arg_max(event_type,
+                   concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                          lpad(CAST(event_id AS VARCHAR), 10, '0')))
+             AS last_type,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user as an AGGREGATE (min_by/max_by with a
+    composite deterministic order key), not a window -- one hash
+    aggregation with partial merge instead of a per-user sort.  The order
+    key is (ts, event_id) zero-padded into one string because DuckDB's
+    arg_min/arg_max don't accept struct keys; zero-padded digit strings
+    sort identically to the numeric tuple in both engines, and event_id
+    uniqueness keeps ties impossible."""
+    events = table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return events.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_discount > 0.05) AS discounted_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER'd aggregates (conditional aggregation): several differently-
+    filtered measures in ONE scan + one hash aggregate, the idiom that
+    replaces N filtered sub-queries at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast(_DEC),
+            )
+        ).alias("discounted_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_regexp_extract",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS prio_num,
+           regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_rush
+    FROM orders
+    """,
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/matching scalar functions (Java regex and RE2
+    agree on this anchored-digit subset; patterns here avoid
+    engine-specific syntax)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1).alias(
+            "prio_num"
+        ),
+        F.col("o_orderpriority").rlike("URGENT|HIGH").alias("is_rush"),
+    )
+
+
+# Per-language sampling rates for the training-mix query: keep half of
+# English, a quarter of German/French, a tenth of everything else.  The
+# denominator-20 buckets make every rate an exact integer threshold.
+_STRATA_RATES = {"en": 10, "de": 5, "fr": 5}  # out of 20; default 2
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 20 AS bucket
+      FROM documents)
+    WHERE bucket < (CASE lang WHEN 'en' THEN 10
+                              WHEN 'de' THEN 5
+                              WHEN 'fr' THEN 5
+                              ELSE 2 END)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling -- the training-data mixing
+    primitive: downsample each language stratum at its own rate (en 50%,
+    de/fr 25%, else 10%) in one shuffle-free map pass.  Hash-bucket
+    thresholds (not df.sampleBy) so the sampled corpus is reproducible
+    across engines, runs, and partitionings, and the mix is re-derivable
+    from the raw corpus by anyone with the recipe."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = md5_hash32(F.col("doc_id").cast("string")) % 20
+    threshold = F.when(F.col("lang") == "en", _STRATA_RATES["en"]).when(
+        F.col("lang") == "de", _STRATA_RATES["de"]
+    ).when(F.col("lang") == "fr", _STRATA_RATES["fr"]).otherwise(2)
+    return docs.filter(bucket < threshold).select("doc_id", "lang")
