@@ -51,6 +51,10 @@ HEADLINE = [
     "q_ann_lsh",
     "q_media_decode",
     "q_sessionize",
+    "q_disc_revenue",
+    "q_ship_priority",
+    "q_sliding_window",
+    "q_stratified_sample",
 ]
 
 RUNS = 3

@@ -571,3 +571,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "de", _STRATA_RATES["de"]
     ).when(F.col("lang") == "fr", _STRATA_RATES["fr"]).otherwise(2)
     return docs.filter(bucket < threshold).select("doc_id", "lang")
+
+
+@query(
+    "q_skew_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, s_name,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators.joins.salted_join): the big side gets a
+    deterministic salt, the small side is replicated per salt value, and
+    the hot key spreads over salt_buckets tasks.  The defense when AQE
+    skew-splitting can't help (one dominant key, small side too big to
+    broadcast).  Oracle is the plain inner join -- salting must be
+    semantically invisible."""
+    from mqtt_message_pump_spark.operators.joins import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "k"),
+        supp.withColumnRenamed("s_suppkey", "k"),
+        on=["k"],
+        salt_buckets=8,
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "s_name",
+        F.col("l_extendedprice").cast(_DEC).alias("price"),
+    )
+
+
+@query("q_approx_percentile")  # rows-only: sketch estimates are engine-specific
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles next to the exact ones.  At 100 TB this is
+    THE quantile operator: fixed-size sketch partials merged across
+    partitions instead of q_percentile's full sort.  No oracle -- the
+    sketch is engine-specific by design; tests/test_queries.py asserts the
+    estimate is within the requested accuracy bound of the exact value."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_partkey", 0.5, 10000).alias("approx_median"),
+        F.percentile("l_partkey", 0.5).alias("exact_median"),
+    )

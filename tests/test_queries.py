@@ -133,3 +133,20 @@ def test_approx_distinct_accuracy(spark, sf_dir):
             f"{r.l_returnflag}: approx {r.approx_parts} vs exact "
             f"{r.exact_parts}"
         )
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """q_approx_percentile has no oracle (t-digest-style sketch is
+    engine-specific); assert the estimate is within the requested accuracy
+    of the exact median's rank neighborhood (value tolerance derived from
+    the key range)."""
+    rows = QUERIES["q_approx_percentile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # accuracy=10000 -> rank error <= n/10000; fixture partkeys are
+        # roughly uniform, so a 1% value-range tolerance is generous
+        tol = max(1.0, 0.01 * r.exact_median)
+        assert abs(r.approx_median - r.exact_median) <= tol, (
+            f"{r.l_returnflag}: approx {r.approx_median} vs exact "
+            f"{r.exact_median}"
+        )
