@@ -620,3 +620,36 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_partkey", 0.5, 10000).alias("approx_median"),
         F.percentile("l_partkey", 0.5).alias("exact_median"),
     )
+
+
+@query(
+    "q_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+           date_trunc('hour', ts) AS hour_bucket,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total
+    FROM events
+    GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                    date_trunc('hour', ts))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: hourly, daily, and grand
+    totals from ONE scan via ROLLUP over truncated timestamps (Expand +
+    hash agg).  The continuous-aggregate pattern: at 100 TB, materialize
+    the hourly level partitioned by day and derive coarser grains from it
+    incrementally instead of re-scanning raw events."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.date_trunc("day", "ts").alias("day_bucket"),
+            F.date_trunc("hour", "ts").alias("hour_bucket"),
+            F.col("value"),
+        )
+        .rollup("day_bucket", "hour_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).alias("total"),
+        )
+    )
