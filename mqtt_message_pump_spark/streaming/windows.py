@@ -59,15 +59,21 @@ def interval_join(
     lower: str = "INTERVAL 0 SECONDS",
     upper: str = "INTERVAL 10 MINUTES",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` with a time-range predicate:
-    match right rows with ``left_ts - upper <= right_ts <= left_ts - lower``
+    """Stream-stream join on ``key`` with a time-range predicate: match
+    right rows with ``left_ts - upper <= right_ts <= left_ts - lower``
     (i.e. the right event happened up to ``upper`` before the left one).
 
     Both sides need watermarks in streaming mode: the range condition plus
     the watermarks bound how long each side's rows are buffered in the
     state store, so state is O(rows within the interval), not O(stream).
     In batch mode the same call degrades to a plain range-theta equi-join.
+
+    ``how='left_outer'`` emits unmatched left rows with nulls -- in
+    streaming mode Spark holds them back until the watermark proves no
+    future right row can match, so outer results trail the watermark by
+    design (the batch twin emits them immediately).
     """
     lft, rgt = left, right
     if lft.isStreaming:
@@ -80,7 +86,7 @@ def interval_join(
         & (F.col(right_ts) >= F.expr(f"{left_ts} - {upper}"))
         & (F.col(right_ts) <= F.expr(f"{left_ts} - {lower}"))
     )
-    return lft.join(rgt, cond, "inner").drop("__rkey")
+    return lft.join(rgt, cond, how).drop("__rkey")
 
 
 def dedupe_within_watermark(

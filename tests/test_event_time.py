@@ -174,3 +174,53 @@ def test_dedupe_within_watermark(spark, tmp_path):
     got = spark.read.parquet(str(streamed_out))
     assert got.count() == 5
     assert got.select("event_id").distinct().count() == 5
+
+
+def test_interval_join_left_outer(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left events surface with
+    null purchase once the watermark proves no match can arrive."""
+    src_l = tmp_path / "lo_left"
+    src_r = tmp_path / "lo_right"
+    _write_events(src_l, ROWS)
+    _write_events(
+        src_r,
+        [
+            (100, "2024-01-01T00:00:30Z", 7, 10.0),
+            (102, "2024-01-01T02:00:00Z", 9, 0.0),  # watermark mover
+        ],
+    )
+
+    def build(l_df, r_df):
+        right = r_df.select(
+            F.col("user_id"),
+            F.col("ts").alias("rts"),
+            F.col("value").alias("purchase"),
+        )
+        return interval_join(
+            l_df.select("event_id", "user_id", "ts"),
+            right,
+            key="user_id",
+            watermark="1 minute",
+            how="left_outer",
+        ).select("event_id", "purchase")
+
+    streamed_out = _drain(
+        build(_stream(spark, src_l), _stream(spark, src_r)),
+        tmp_path,
+        "lojoin",
+    )
+    streamed = {
+        (r["event_id"], r["purchase"])
+        for r in spark.read.parquet(str(streamed_out)).collect()
+    }
+    # matched rows appear as in the inner join; user-8 events and the
+    # straggler (no purchase within 10 min) appear with nulls
+    assert (1, 10.0) in streamed and (2, 10.0) in streamed
+    assert (3, None) in streamed and (4, None) in streamed
+    # batch twin emits identical matched set plus the same null rows for
+    # every unmatched event
+    batch = {
+        (r["event_id"], r["purchase"])
+        for r in build(_batch(spark, src_l), _batch(spark, src_r)).collect()
+    }
+    assert streamed <= batch
