@@ -376,3 +376,67 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= 0.0
     )
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             (least((CAST(length(text) AS DOUBLE)
+                     / {TX.SQL_TOKEN_COUNT.format(text='text')}) / 10.0, 1.0)
+              + (CAST({TX.SQL_STOPWORD_COUNT.format(text='text')} AS DOUBLE)
+                 / {TX.SQL_TOKEN_COUNT.format(text='text')}))
+               * 0.5
+               * least({TX.SQL_TOKEN_COUNT.format(text='text')} / 100.0, 1.0)
+               AS quality
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.2 AND lang IN ('en', 'de', 'fr')
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+             MIN(quality) AS quality
+      FROM filtered GROUP BY text
+    )
+    SELECT doc_id, lang, quality
+    FROM deduped
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 20
+          < (CASE lang WHEN 'en' THEN 10 ELSE 5 END)
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in ONE plan: quality scoring
+    -> quality + language gate -> exact dedup (min-id per text group) ->
+    stratified hash sampling.  The composition the extension operators
+    exist for; everything stays declarative so Catalyst fuses the scoring
+    and both filters into the scan-side stage, and the only shuffle is the
+    dedup groupBy.  At 100 TB: same plan, with the groupBy key swapped to
+    md5(text) so the shuffle carries digests, not documents.
+
+    MIN(lang)/MIN(quality) (not ANY_VALUE) keeps the group attributes
+    deterministic even if a future fixture gave identical texts different
+    langs."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= 0.2) & F.col("lang").isin("en", "de", "fr")
+    )
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("quality").alias("quality"),
+    )
+    from mqtt_message_pump_spark.operators.dedup import md5_hash32
+
+    bucket = md5_hash32(F.col("doc_id").cast("string")) % 20
+    threshold = F.when(F.col("lang") == "en", 10).otherwise(5)
+    return deduped.filter(bucket < threshold).select(
+        "doc_id", "lang", "quality"
+    )
