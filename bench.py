@@ -55,6 +55,7 @@ HEADLINE = [
     "q_ship_priority",
     "q_sliding_window",
     "q_stratified_sample",
+    "q_corpus_pipeline",
 ]
 
 RUNS = 3
