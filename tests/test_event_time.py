@@ -224,3 +224,46 @@ def test_interval_join_left_outer(spark, tmp_path):
         for r in build(_batch(spark, src_l), _batch(spark, src_r)).collect()
     }
     assert streamed <= batch
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Gap-based sessionization (the q_sessionize expression) runs
+    incrementally under a watermark: merged sessions emitted on close
+    match the batch answer for every session the watermark finalized."""
+    src = tmp_path / "sess_src"
+    _write_events(src, ROWS)
+
+    def build(df):
+        d = df
+        if d.isStreaming:
+            d = d.withWatermark("ts", "1 minute")
+        return (
+            d.groupBy(
+                F.session_window("ts", "5 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+
+    streamed_out = _drain(build(_stream(spark, src)), tmp_path, "sess")
+    streamed = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.read.parquet(str(streamed_out)).collect()
+    }
+    batch = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in build(_batch(spark, src)).collect()
+    }
+    assert streamed <= batch
+    # all sessions ending before the straggler-driven watermark finalized:
+    # user 7's two-event session, and user 8's events at 00:07 and 00:12
+    # merged into one session (the 5-minute gap boundary is inclusive --
+    # a session's window is [t, t+gap] and a touching event extends it)
+    finalized = {b for b in batch if b[1] < "2024-01-01 01:00:00"}
+    assert finalized <= streamed
+    assert (7, "2024-01-01 00:01:00", 2) in streamed
+    assert (8, "2024-01-01 00:07:00", 2) in streamed
