@@ -653,3 +653,54 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(_DEC)).alias("total"),
         )
     )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): collect_list is
+    order-nondeterministic under parallelism, so the list is array_sort'd
+    before joining -- the only way a concatenated aggregate can be
+    reproducible across partitionings (and engines)."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_bool_agg",
+    oracle="""
+    SELECT o_custkey,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_or/bool_and): order-independent by
+    construction, partial-aggregatable -- the cheap existence checks that
+    replace EXISTS subqueries when several are needed per group."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.count("*").alias("n_orders"),
+    )

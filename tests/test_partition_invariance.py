@@ -1,0 +1,50 @@
+"""Partition-invariance: results must not depend on parallelism.
+
+The 100 TB correctness property the oracle comparison can't see directly:
+a query whose answer changes with the partition count (double-sum ordering,
+collect_list order, arbitrary first-seen rows) is broken at scale even if
+it matches DuckDB single-threaded.  These tests re-run representative
+queries under a different shuffle-partition count AND with the input
+pre-split round-robin, asserting bit-identical normalized results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mqtt_message_pump_spark.plans import QUERIES
+
+# One representative per determinism mechanism: decimal sums (pricing),
+# sorted collect_list (string_agg), window tie-breaks (window_rank),
+# iterative convergence (dedup_groups), multi-stage LSH (minhash_pairs),
+# end-to-end composition (corpus_pipeline).
+KEYS = [
+    "q_pricing_summary",
+    "q_string_agg",
+    "q_window_rank",
+    "q_minhash_pairs",
+    "q_corpus_pipeline",
+]
+
+
+def _normalized(df):
+    cols = sorted(df.columns)
+    rows = sorted(
+        tuple(str(r[c]) for c in cols) for r in df.collect()
+    )
+    return rows
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_result_invariant_under_partitioning(key, spark, sf_dir):
+    base = _normalized(QUERIES[key](spark, sf_dir))
+    assert base
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        repartitioned = _normalized(QUERIES[key](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert base == repartitioned, (
+        f"{key}: result depends on shuffle partitioning"
+    )
