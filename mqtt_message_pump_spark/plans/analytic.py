@@ -704,3 +704,70 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH l AS (SELECT o_orderkey,
+                      CASE WHEN o_orderstatus = 'P' THEN NULL
+                           ELSE o_orderstatus END AS status
+               FROM orders),
+         r AS (SELECT DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                    ELSE o_orderstatus END AS status
+               FROM orders)
+    SELECT l.o_orderkey, l.status
+    FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing.  Spark hash-partitions NULL
+    like any value under eqNullSafe, so this stays a real equi-join --
+    no fallback to nested-loop."""
+    orders = table(spark, sf_dir, "orders")
+    status = F.when(F.col("o_orderstatus") == "P", None).otherwise(
+        F.col("o_orderstatus")
+    )
+    left = orders.select("o_orderkey", status.alias("status"))
+    right = left.select("status").distinct().withColumnRenamed(
+        "status", "rstatus"
+    )
+    return left.join(
+        right, left["status"].eqNullSafe(right["rstatus"])
+    ).select("o_orderkey", "status")
+
+
+@query(
+    "q_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS spend_through_date
+    FROM orders
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (vs q_running_sum's ROWS frame): all rows tied
+    on the order value share one frame, so same-day orders get the same
+    running total -- deterministic under ties WITHOUT a tie-break key,
+    which a ROWS frame cannot guarantee.  Decimal summand keeps the
+    prefix sums exact."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).alias(
+            "spend_through_date"
+        ),
+    )
