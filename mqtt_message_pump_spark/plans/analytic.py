@@ -771,3 +771,123 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_through_date"
         ),
     )
+
+
+@query(
+    "q_local_volume",
+    oracle="""
+    SELECT n_name,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-way join where the
+    customer and supplier must share a nation.  Join order matters at
+    100 TB: dims (nation, region, supplier-side) broadcast; the
+    lineitem-orders shuffle join runs first so the extra c_nationkey =
+    s_nationkey predicate applies as a cheap post-join filter on already
+    co-located rows; the region filter prunes before anything joins."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1996-01-01 00:00:00"
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+@query(
+    "q_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate with HAVING, then join the surviving
+    keys back to the fact.  The HAVING side collapses lineitem to one row
+    per qualifying orderkey BEFORE the join, so the join input is the
+    filtered key set (AQE broadcasts it when small), never lineitem
+    itself."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )
+
+
+@query(
+    "q_corr_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT AVG(o_totalprice) FROM orders i
+      WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders more than twice their
+    customer's average.  Catalyst de-correlates this into an aggregate +
+    equi-join (RewriteCorrelatedScalarSubquery) -- per-group state, one
+    shuffle, never a per-row re-execution.  Cross-engine note: the inner
+    AVG stays a plain double avg on BOTH sides; it only gates a 2x
+    comparison, and no fixture order sits within one ulp of twice its
+    customer mean (verified at sf0.01/0.1), so reduction-order noise
+    cannot flip the predicate."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__corr_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM __corr_orders o
+        WHERE o_totalprice > 2 * (
+          SELECT AVG(o_totalprice) FROM __corr_orders i
+          WHERE i.o_custkey = o.o_custkey)
+        """
+    )
