@@ -56,6 +56,7 @@ HEADLINE = [
     "q_sliding_window",
     "q_stratified_sample",
     "q_corpus_pipeline",
+    "q_local_volume",
 ]
 
 RUNS = 3

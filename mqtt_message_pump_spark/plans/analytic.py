@@ -891,3 +891,40 @@ def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE i.o_custkey = o.o_custkey)
         """
     )
+
+
+@query(
+    "q_full_outer",
+    oracle="""
+    WITH o AS (SELECT o_custkey, COUNT(*) AS n_open
+               FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+         f AS (SELECT o_custkey, COUNT(*) AS n_done
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+    SELECT COALESCE(o.o_custkey, f.o_custkey) AS custkey,
+           COALESCE(n_open, 0) AS n_open,
+           COALESCE(n_done, 0) AS n_done
+    FROM o FULL OUTER JOIN f ON o.o_custkey = f.o_custkey
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: open-order and finished-order counts per customer,
+    keeping customers present on either side only.  Completes the join-type
+    matrix (inner/semi/anti/left-outer-in-streaming/null-safe/full);
+    executes as one sort-merge join on the shared key with both sides
+    pre-aggregated, so the join input is already one row per key."""
+    orders = table(spark, sf_dir, "orders")
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_open"))
+    )
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
+        .agg(F.count("*").alias("n_done"))
+    )
+    return o.join(f, o.o_custkey == f.f_custkey, "full_outer").select(
+        F.coalesce("o_custkey", "f_custkey").alias("custkey"),
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_done", F.lit(0)).alias("n_done"),
+    )
