@@ -298,7 +298,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         msgs = (
             both.join(labels, both.src == labels.vid)
             .groupBy("dst")
@@ -314,12 +314,17 @@ def connected_components(
                 F.col("label").alias("old_label"),
             )
         ).localCheckpoint(eager=True)
-        changed = updated.filter(
-            F.col("new_label") < F.col("old_label")
-        ).count()
         labels = updated.select("vid", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
+        # Every vertex in the iterated set has an edge, so round 1 always
+        # changes labels (some vertex sees a smaller neighbor) -- skip the
+        # convergence count until a round COULD be the last one.  Each
+        # skipped check saves one Spark job per iteration.
+        if it >= 1:
+            changed = updated.filter(
+                F.col("new_label") < F.col("old_label")
+            ).count()
+            if changed == 0:
+                break
     resolved = labels.select(
         F.col("vid").alias(id_col), F.col("label").alias("group_id")
     )

@@ -58,7 +58,7 @@ def main() -> int:
     import __spark_entry__ as E
 
     queries, oracles = E.queries(), E.oracle_sql()
-    keys = sys.argv[2:] or sorted(oracles)
+    keys = sys.argv[2:] or sorted(queries)
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -77,7 +77,16 @@ def main() -> int:
     failed = []
     for key in keys:
         if key not in oracles:
-            print(f"{key}: SKIP (rows-only)")
+            # rows-only key: the driver still executes it in ITS session,
+            # so run it here (plain non-UTC session) and require rows>=0
+            # with a collectable result -- this catches session-config
+            # bugs the UTC pytest session hides.
+            try:
+                n = len(queries[key](spark, sf_dir).collect())
+                print(f"{key}: ok rows-only ({n} rows)")
+            except Exception as exc:  # noqa: BLE001
+                print(f"{key}: ERROR rows-only {type(exc).__name__}: {exc}")
+                failed.append(key)
             continue
         try:
             sdf = queries[key](spark, sf_dir)
