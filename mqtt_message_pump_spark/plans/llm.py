@@ -440,3 +440,50 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.filter(bucket < threshold).select(
         "doc_id", "lang", "quality"
     )
+
+
+@query(
+    "q_term_freq",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS n
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    )
+    SELECT doc_id, token AS top_token, n AS top_n
+    FROM (
+      SELECT doc_id, token, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY n DESC, token) AS rn
+      FROM tf)
+    WHERE rn = 1
+    """,
+)
+def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dominant term: tokenize -> explode -> (doc, token)
+    count -> window top-1 (lexicographic tie-break).  The classic text
+    fan-out shape: explode multiplies rows by tokens-per-doc, so the
+    (doc_id, token) aggregate MUST partial-aggregate map-side before the
+    shuffle -- at 100 TB the exploded stream is ~100x the corpus and
+    only the combined counts may hit the wire.  Window partitions by
+    doc_id, so the rank sort is local to each doc's token counts."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("top_token"),
+            F.col("n").alias("top_n"),
+        )
+    )
