@@ -928,3 +928,28 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_open", F.lit(0)).alias("n_open"),
         F.coalesce("n_done", F.lit(0)).alias("n_done"),
     )
+
+
+@query(
+    "q_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    """,
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted full output (no LIMIT): plans as a range-partitioned
+    exchange (sampled split points) + per-partition sort -- the scalable
+    total order, distinct from q_order_limit's TakeOrderedAndProject and
+    from q_ntile's single-partition window sort.  At 100 TB this is the
+    sorted-export/write-ordered path; AQE rebalances skewed ranges.  The
+    (o_orderdate, o_orderkey) key is unique, so the order -- and any
+    downstream row-number assignment -- is deterministic."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.orderBy("o_orderdate", "o_orderkey").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )
