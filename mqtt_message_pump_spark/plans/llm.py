@@ -487,3 +487,53 @@ def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("top_n"),
         )
     )
+
+
+@query(
+    "q_label_centroid",
+    oracle="""
+    WITH comp AS (
+      SELECT label, i.i AS dim,
+             CAST(trunc(CAST(embedding[i.i] AS DOUBLE) * 1e9) AS BIGINT) AS c
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS i) i
+    )
+    SELECT label, dim,
+           CAST(SUM(c) AS DOUBLE) / 1e9 / COUNT(*) AS centroid_c,
+           COUNT(*) AS n_vecs
+    FROM comp GROUP BY label, dim
+    """,
+)
+def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) -- the
+    distributed vector-mean primitive under IVF training / cluster
+    refinement.  posexplode fans each vector into 64 component rows, the
+    (label, dim) aggregate partial-combines map-side, and components are
+    quantized to TRUNCATED integer nano-units and summed as int64, so the
+    sum is exact and order-independent (a double sum would drift with
+    partition count).  Truncation, not rounding: a float whose binary
+    expansion has exactly 10 fractional bits ends in ...5 at decimal
+    scale 9, and the engines break that rounding tie differently
+    (HALF_UP vs half-even -- observed at sf0.1), while truncation of the
+    bit-identical IEEE product has no tie to break.  Spark's double->long
+    cast truncates; DuckDB needs explicit trunc() (its cast rounds).
+    The mean is then the same two double ops on both sides.  At 100 TB the shuffle carries
+    64 x n_labels partial sums per task -- constant-size state, like the
+    sketch aggregates."""
+    emb = table(spark, sf_dir, "embeddings", split=True)
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "comp"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        (F.col("comp").cast("double") * F.lit(1e9))
+        .cast("long")
+        .alias("c"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        (F.sum("c").cast("double") / F.lit(1e9) / F.count("*")).alias(
+            "centroid_c"
+        ),
+        F.count("*").alias("n_vecs"),
+    )
