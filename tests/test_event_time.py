@@ -267,3 +267,53 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     assert finalized <= streamed
     assert (7, "2024-01-01 00:01:00", 2) in streamed
     assert (8, "2024-01-01 00:07:00", 2) in streamed
+
+
+def test_window_state_survives_restart(spark, tmp_path):
+    """Windowed-aggregation state must recover from the checkpoint: a
+    second run over the same checkpoint sees NEW events land in
+    already-open windows and finalizes them with the combined counts."""
+    src = tmp_path / "restart_src"
+    _write_events(
+        src,
+        [
+            (1, "2024-01-01T00:01:00Z", 7, 1.0),
+            (2, "2024-01-01T00:04:00Z", 7, 2.0),
+        ],
+    )
+
+    def run_once():
+        return _drain(
+            sliding_window_counts(
+                _stream(spark, src), watermark="1 minute"
+            ),
+            tmp_path,
+            "restart",
+        )
+
+    out = run_once()
+    # first run: watermark only reached 00:03 -- nothing finalized
+    first = spark.read.parquet(str(out)).count() if out.exists() else 0
+
+    # second run, same checkpoint: one more event in the 00:00 windows
+    # plus a far-future straggler that closes everything
+    extra = [
+        {"event_id": 3, "ts": "2024-01-01T00:02:00Z", "user_id": 8,
+         "value": 4.0},
+        {"event_id": 4, "ts": "2024-01-01T03:00:00Z", "user_id": 8,
+         "value": 0.0},
+    ]
+    (src / "more.json").write_text(
+        "\n".join(json.dumps(e) for e in extra)
+    )
+    out = run_once()
+
+    got = {
+        (str(r["window_start"]), r["n"], str(r["total"]))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # the 00:00 window must combine pre-restart events 1,2 with
+    # post-restart event 3: count 3, total 7.00 -- only possible if the
+    # first run's open-window state was recovered from the checkpoint
+    assert ("2024-01-01 00:00:00", 3, "7.00") in got, got
+    assert first <= len(got)
