@@ -953,3 +953,29 @@ def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("o_totalprice").cast(_DEC).alias("price"),
     )
+
+
+@query(
+    "q_values_dim",
+    oracle="""
+    SELECT o_orderkey, v.label AS status_label
+    FROM orders
+    JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+      AS v(code, label)
+      ON o_orderstatus = v.code
+    """,
+)
+def q_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline literal dimension (enum decode): a driver-side VALUES list
+    becomes a broadcast hash join -- the right way to decode codes at any
+    scale (vs a CASE ladder: the dim is reusable/joinable, and vs a real
+    table: no scan at all).  The literal side is a LocalTableScan
+    broadcast to every executor."""
+    orders = table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")],
+        ["code", "label"],
+    )
+    return orders.join(
+        F.broadcast(dim), orders.o_orderstatus == dim.code
+    ).select("o_orderkey", F.col("label").alias("status_label"))
