@@ -979,3 +979,26 @@ def q_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(
         F.broadcast(dim), orders.o_orderstatus == dim.code
     ).select("o_orderkey", F.col("label").alias("status_label"))
+
+
+@query("q_quantile_bucket")  # rows-only: sketch cut points are engine-specific
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB replacement for q_ntile's single global sort: one
+    approx-quantile sketch pass computes the quartile cut points
+    (fixed-size partials, driver gets 3 doubles), then bucket assignment
+    is a pure map-side CASE over the cut points -- no global sort, no
+    single-partition window, scales linearly.  Rows-only (cut points are
+    sketch-derived); tests assert >=99% agreement with exact NTILE(4)."""
+    orders = table(spark, sf_dir, "orders")
+    cuts = orders.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.001)
+    bucket = (
+        F.when(F.col("o_totalprice") <= cuts[0], 1)
+        .when(F.col("o_totalprice") <= cuts[1], 2)
+        .when(F.col("o_totalprice") <= cuts[2], 3)
+        .otherwise(4)
+    )
+    return orders.select(
+        "o_orderkey",
+        bucket.alias("quartile"),
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )

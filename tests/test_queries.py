@@ -165,3 +165,20 @@ def test_survey_inventory_in_sync():
         f"missing from registry: {sorted(survey - set(QUERIES))}; "
         f"missing from SURVEY.md: {sorted(set(QUERIES) - survey)}"
     )
+
+
+def test_quantile_bucket_agrees_with_exact_ntile(spark, sf_dir):
+    """The sketch-based quartile assignment must agree with exact NTILE(4)
+    on nearly every row (disagreement only within the sketch's rank-error
+    band around each cut point)."""
+    approx = {
+        r.o_orderkey: r.quartile
+        for r in QUERIES["q_quantile_bucket"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderkey: r.quartile
+        for r in QUERIES["q_ntile"](spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    agree = sum(1 for k in approx if approx[k] == exact[k])
+    assert agree / len(approx) >= 0.99, f"{agree}/{len(approx)} agree"
