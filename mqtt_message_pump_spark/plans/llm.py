@@ -537,3 +537,49 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_vecs"),
     )
+
+
+_CHUNK = 50  # tokens per chunk
+_STRIDE = 25  # chunk start interval (50% overlap)
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s.s - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           len(toks[s.s : s.s + {_CHUNK - 1}]) AS chunk_tokens,
+           array_to_string(toks[s.s : s.s + {_CHUNK - 1}], ' ') AS chunk_text
+    FROM tok,
+         LATERAL (SELECT unnest(generate_series(1, len(toks), {_STRIDE}))
+                  AS s) s
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (context-window preparation): each
+    doc becomes ceil(n_tokens/stride) chunks of up to {chunk} tokens with
+    50% overlap.  Tokenize once, explode the chunk-start sequence, slice
+    per chunk -- all codegen array expressions, no UDF; the fan-out is
+    bounded (2x the corpus at 50% overlap) and narrow, so chunking
+    parallelizes with the scan and shuffles nothing.  At 100 TB this is
+    the map-only stage feeding the tokenizer fleet."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s"), _CHUNK)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
