@@ -583,3 +583,48 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+_SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {TX.SQL_TOKEN_COUNT.format(text='text')} AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok) / {_SEQ_BUDGET}) AS BIGINT) AS seq_id
+    FROM tok
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents assigned to fixed-token-budget
+    training sequences by running token count (a doc starts in the
+    sequence its cumulative predecessor count falls into).  Token counts
+    are integers, so the prefix sums are exact and the assignment
+    deterministic.  Written as a single global window over doc_id for the
+    oracle; at 100 TB packing is shard-local by construction (each shard
+    packs its own doc range independently -- same expression with
+    partitionBy(shard)), so the global sort never materializes."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tok.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _SEQ_BUDGET)
+        .cast("bigint")
+        .alias("seq_id"),
+    )
