@@ -628,3 +628,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seq_id"),
     )
+
+
+@query(
+    "q_doc_freq",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS df
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 100
+    """,
+)
+def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency (the IDF precursor / inverted-index
+    cardinality): distinct (doc, token) pairs -> docs-per-token counts,
+    top-100.  Counts stay integers so the ranking is exact; the idf
+    weight itself (ln(N/df)) is left to the consumer because libm
+    rounding differs across engines.  Distinct-then-count partial-
+    aggregates map-side; the top-k is TakeOrderedAndProject."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(100)
+    )
