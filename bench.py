@@ -22,7 +22,6 @@ import sys
 import tempfile
 import time
 
-from pyspark.sql import functions as F
 
 from mqtt_message_pump_spark.plans import QUERIES
 from mqtt_message_pump_spark.session import get_spark

@@ -30,7 +30,6 @@ Spark-first mapping -- and why it is STRONGER at scale:
 
 from __future__ import annotations
 
-import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
