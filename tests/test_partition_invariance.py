@@ -24,6 +24,9 @@ KEYS = [
     "q_window_rank",
     "q_minhash_pairs",
     "q_corpus_pipeline",
+    "q_label_centroid",  # int64 nano-unit sums must not drift
+    "q_pack_sequences",  # global running sum must not depend on layout
+    "q_doc_freq",  # distinct-then-count with top-k tie-break
 ]
 
 
