@@ -1002,3 +1002,72 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("quartile"),
         F.col("o_totalprice").cast(_DEC).alias("price"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+               + CAST(10 AS DECIMAL(18,2)) AS new_price
+      FROM orders
+      WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 20 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, CAST(42 AS DECIMAL(18,2))
+      FROM orders
+      WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 20 = 1
+    )
+    SELECT COALESCE(o.o_orderkey, u.o_orderkey) AS o_orderkey,
+           COALESCE(u.new_price, CAST(o.o_totalprice AS DECIMAL(18,2)))
+             AS price,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM orders o FULL OUTER JOIN updates u
+      ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics (CDC apply) without a table format: base
+    FULL OUTER JOIN changes, coalesce per column, action derived from
+    side presence.  This is the idempotent-batch pattern behind the
+    pump's foreachBatch sinks when the target is plain parquet (Delta's
+    MERGE INTO is the managed equivalent); one shuffle on the merge key,
+    and at 100 TB the changes side is small -> AQE broadcasts it and the
+    base is never rewritten beyond matched partitions.  The change set
+    here is derived deterministically from the base (hash-sampled updates
+    + shifted-key inserts) so the oracle is exact."""
+    orders = table(spark, sf_dir, "orders")
+    bucket = md5_hash32(F.col("o_orderkey").cast("string")) % 20
+    updates = (
+        orders.filter(bucket == 0)
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_totalprice").cast(_DEC)
+                + F.lit(10).cast(_DEC)
+            ).alias("new_price"),
+        )
+        .unionByName(
+            orders.filter(bucket == 1).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit(42).cast(_DEC).alias("new_price"),
+            )
+        )
+        .withColumnRenamed("o_orderkey", "u_orderkey")
+    )
+    merged = orders.join(
+        updates, orders.o_orderkey == updates.u_orderkey, "full_outer"
+    )
+    return merged.select(
+        F.coalesce("o_orderkey", "u_orderkey").alias("o_orderkey"),
+        F.coalesce(
+            F.col("new_price"), F.col("o_totalprice").cast(_DEC)
+        ).alias("price"),
+        F.when(F.col("o_orderkey").isNull(), "insert")
+        .when(F.col("u_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
