@@ -1071,3 +1071,55 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+def _morton_terms(a_col: str, b_col: str, bits: int) -> str:
+    """SQL for bit-interleaving two small ints (shared by query + oracle)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a_col} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b_col} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_MORTON_BITS = 8
+
+
+@query(
+    "q_zorder_key",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id,
+             CAST(least(floor(value / 4), 255) AS BIGINT) AS vb,
+             CAST(user_id % 256 AS BIGINT) AS ub
+      FROM events
+    )
+    SELECT event_id, vb, ub,
+           CAST({_morton_terms('vb', 'ub', _MORTON_BITS)} AS BIGINT)
+             AS zkey
+    FROM b
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleaves the bits of two
+    bucketed dimensions so rows close in BOTH dimensions sort near each
+    other -- the key you sortWithinPartitions on before writing parquet so
+    min/max page stats prune scans filtered on either dimension (the
+    open-source analog of Delta OPTIMIZE ZORDER).  Pure integer bit
+    arithmetic, identical in both engines, zero shuffle to compute."""
+    events = table(spark, sf_dir, "events")
+    b = events.select(
+        "event_id",
+        F.least(F.floor(F.col("value") / 4), F.lit(255))
+        .cast("bigint")
+        .alias("vb"),
+        (F.col("user_id") % 256).cast("bigint").alias("ub"),
+    )
+    return b.select(
+        "event_id",
+        "vb",
+        "ub",
+        F.expr(_morton_terms("vb", "ub", _MORTON_BITS))
+        .cast("bigint")
+        .alias("zkey"),
+    )
