@@ -1123,3 +1123,35 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("zkey"),
     )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           rank() OVER w AS rnk,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (rank / percent_rank / cume_dist):
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank_from_top/n are
+    single exact double divisions over integer operands, so they
+    hash-match cross-engine.  The unique o_orderkey tie-break makes every
+    rank deterministic; partition-local sort only."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
