@@ -667,3 +667,50 @@ def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(100)
     )
+
+
+@query(
+    "q_vector_math",
+    oracle="""
+    SELECT a.vec_id,
+           list_transform(generate_series(1, 64),
+                          i -> CAST(a.embedding[i] AS DOUBLE)
+                               + CAST(b.embedding[i] AS DOUBLE))[1:4]
+             AS sum_head,
+           list_dot_product(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)))
+             AS self_dot
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def q_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector arithmetic (zip_with add, first 4 components)
+    and self dot product -- the embedding-math building blocks, all
+    JVM-side higher-order functions.  Float operands are widened to
+    double BEFORE any arithmetic on both sides, so every add/multiply is
+    the same IEEE op cross-engine; the self dot product folds
+    left-to-right in both engines (F.aggregate here, list_dot_product's
+    sequential loop in DuckDB), so even the non-associative double sum
+    matches bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    joined = a.join(b, "vec_id")
+    dot = F.aggregate(
+        F.zip_with("va", "va", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select(
+        "vec_id",
+        F.slice(F.zip_with("va", "vb", lambda x, y: x + y), 1, 4).alias(
+            "sum_head"
+        ),
+        dot.alias("self_dot"),
+    )
