@@ -1155,3 +1155,87 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "q_trailing_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS trailing_hour_sum
+    FROM events
+    """,
+)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE window: per user, the sum of event values in
+    the hour ending at each event.  Expressed in Spark as rangeBetween
+    over epoch MICROseconds (event timestamps carry sub-second precision;
+    ordering by whole seconds silently widens the frame by up to a
+    second), matching DuckDB's inclusive INTERVAL RANGE bound exactly;
+    the value-based frame makes the result deterministic under timestamp
+    ties without a tie-break, and the decimal summand keeps the moving
+    sums exact.  Partition-local sort only -- the trailing-metrics shape
+    for per-entity monitoring at scale."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(_DEC)).over(w).alias(
+            "trailing_hour_sum"
+        ),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH hours AS (
+      SELECT TIMESTAMP '2024-01-01 00:00:00'
+               + to_seconds(h.h * 3600) AS hour_start
+      FROM (SELECT unnest(generate_series(0, 29 * 24 - 1)) AS h) h
+    ), counts AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT h.hour_start, t.event_type, COALESCE(c.n, 0) AS n
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.hour_start = h.hour_start AND c.event_type = t.event_type
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (resample to a dense hourly grid): the
+    spine is generated (sequence + explode, no table scan), cross-joined
+    with the type dimension, then left-joined to the sparse counts so
+    empty hours surface as zero rows -- what dashboards and
+    continuous-aggregate consumers need.  The spine is tiny (hours x
+    types), so the only real work is the counts aggregate; the left join
+    broadcasts the aggregated counts or the spine, whichever is smaller."""
+    events = table(spark, sf_dir, "events")
+    hours = spark.range(0, 29 * 24).select(
+        F.expr(
+            "timestamp_seconds(unix_seconds("
+            "TIMESTAMP '2024-01-01 00:00:00') + id * 3600)"
+        ).alias("hour_start")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    spine = hours.crossJoin(types)
+    return spine.join(counts, ["hour_start", "event_type"], "left").select(
+        "hour_start",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
