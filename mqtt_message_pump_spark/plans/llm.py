@@ -714,3 +714,27 @@ def q_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dot.alias("self_dot"),
     )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    SELECT d.doc_id, t.tok AS long_token
+    FROM documents d LEFT JOIN LATERAL (
+      SELECT unnest(list_filter(string_split(d.text, ' '),
+                                x -> length(x) > 6)) AS tok) t ON TRUE
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-preserving explode (explode_outer / LEFT JOIN LATERAL unnest):
+    documents with NO long tokens still emit one NULL row, so downstream
+    per-document aggregates keep full corpus coverage -- plain explode
+    silently drops them, the classic fan-out footgun.  Same narrow
+    codegen'd generate node as explode, just with the outer flag."""
+    docs = table(spark, sf_dir, "documents")
+    long_toks = F.filter(
+        F.split(F.col("text"), " "), lambda t: F.length(t) > 6
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(long_toks).alias("long_token")
+    )
