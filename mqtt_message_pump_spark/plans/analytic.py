@@ -1239,3 +1239,39 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce("n", F.lit(0)).alias("n"),
     )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             map(['lang', 'source'], [lang, source]) AS meta
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(map_keys(meta), ',') AS meta_keys,
+           meta['lang'][1] AS lang_val,
+           cardinality(meta) AS n_entries
+    FROM m
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar functions (construct, keys, element access, size):
+    the typed key-value column pattern for sparse per-row metadata --
+    unlike a struct, keys can vary per row without schema churn; unlike a
+    JSON string, access is a codegen expression, not a parse.  Key order
+    is construction order in both engines, so the joined key list is
+    deterministic.  (DuckDB's bracket extraction returns a one-element
+    list -- hence the [1] -- where Spark's element_at is already
+    scalar.)"""
+    docs = table(spark, sf_dir, "documents")
+    meta = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.map_keys(meta), ",").alias("meta_keys"),
+        F.element_at(meta, "lang").alias("lang_val"),
+        F.size(meta).cast("bigint").alias("n_entries"),
+    )
