@@ -1275,3 +1275,74 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(meta, "lang").alias("lang_val"),
         F.size(meta).cast("bigint").alias("n_entries"),
     )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL BY NAME
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tolerant union (unionByName allowMissingColumns=True): the
+    second branch lacks o_orderpriority and gets NULL -- how streams of
+    drifting schemas combine without positional-union corruption.  This
+    is the managed version of the reference's schema-drift problem
+    (data_adapter.go:114-124 only WARNS and keeps the first schema); the
+    by-name union lets old- and new-schema batches coexist in one plan."""
+    orders = table(spark, sf_dir, "orders")
+    wide = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+        "o_orderpriority",
+    )
+    narrow = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_totalprice").cast(_DEC).alias("price")
+    )
+    return wide.unionByName(narrow, allowMissingColumns=True)
+
+
+@query(
+    "q_json_array",
+    oracle="""
+    SELECT event_id, g.i AS rec_idx,
+           CAST(json_extract(props, '$.k') AS BIGINT) * (g.i + 1) AS k
+    FROM events, (SELECT unnest(generate_series(0, 1)) AS i) g
+    """,
+)
+def q_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-array ingestion: a payload that is an ARRAY of records parses
+    via from_json to array<struct> and posexplode yields (index, record)
+    rows -- the wire shape for batched telemetry (vs q_explode_map's
+    keyed-object shape).  The array here wraps each event's props twice
+    (k, then 2k) so the index is semantically visible and the oracle can
+    reconstruct it arithmetically."""
+    from pyspark.sql import types as T
+
+    events = table(spark, sf_dir, "events")
+    arr_payload = F.concat(
+        F.lit("["),
+        F.col("props"),
+        F.lit(',{"k":'),
+        (
+            F.get_json_object("props", "$.k").cast("long") * 2
+        ).cast("string"),
+        F.lit("}]"),
+    )
+    schema = T.ArrayType(T.StructType([T.StructField("k", T.LongType())]))
+    parsed = events.select(
+        "event_id", F.from_json(arr_payload, schema).alias("recs")
+    )
+    return parsed.select(
+        "event_id",
+        F.posexplode("recs").alias("rec_idx", "rec"),
+    ).select(
+        "event_id",
+        F.col("rec_idx").cast("bigint").alias("rec_idx"),
+        F.col("rec.k").alias("k"),
+    )
