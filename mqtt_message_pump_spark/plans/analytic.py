@@ -1346,3 +1346,80 @@ def q_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec_idx").cast("bigint").alias("rec_idx"),
         F.col("rec.k").alias("k"),
     )
+
+
+@query(
+    "q_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags on rollup output: distinguishes 'NULL because
+    this row is a subtotal' from 'NULL because the value is NULL' -- the
+    disambiguation every rollup consumer needs before NULL-valued group
+    keys exist in the data.  Compiles into the same single Expand + hash
+    aggregate; the flag is just a bit of the expand's grouping-set id."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_sliding_topk",
+    oracle="""
+    WITH expanded AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds((epoch_us(ts) // 1000000 // 300) * 300
+                            - k.k * 300) AS window_start,
+             user_id, value
+      FROM events, (SELECT 0 AS k UNION ALL SELECT 1) k
+    ), per_user AS (
+      SELECT window_start, user_id,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM expanded GROUP BY window_start, user_id
+    )
+    SELECT window_start, user_id, total
+    FROM (
+      SELECT window_start, user_id, total,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY total DESC, user_id) AS rn
+      FROM per_user)
+    WHERE rn <= 2
+    """,
+)
+def q_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per sliding window (leaderboard shape): hopping-window
+    per-user totals, then a window rank INSIDE each time window.  Two
+    composable stages -- the Expand+agg from q_sliding_window feeding the
+    rank from q_window_rank; the rank partitions by time window, so the
+    sort is local to each window's user list, never global.  Decimal
+    totals + user_id tie-break keep the top-2 deterministic."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id"
+        )
+        .agg(F.sum(F.col("value").cast(_DEC)).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"), "user_id", "total"
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("total"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("window_start", "user_id", "total")
+    )
