@@ -738,3 +738,50 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(long_toks).alias("long_token")
     )
+
+
+_JACCARD_T = 0.6
+
+
+@query(
+    "q_dedup_verified",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    ), buckets AS (
+      {_sql_band_buckets()}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {_JACCARD_T}
+    """,
+)
+def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE fuzzy-dedup flow in one plan: MinHash signatures ->
+    LSH band buckets -> candidate pairs -> exact n-gram Jaccard
+    verification -> threshold.  LSH keeps the pair space near-linear;
+    the exact verify touches only candidates, so the expensive shingle
+    comparison runs on ~0.1% of the quadratic pair space.  This is the
+    operator a training pipeline actually calls; q_minhash_pairs /
+    q_ngram_jaccard exist to oracle-check its two halves in isolation."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    pairs = DD.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
+    )
+    verified = DD.jaccard_pairs(
+        docs, pairs, "doc_id", "text", shingle_n=_SHN
+    )
+    return verified.filter(F.col("jaccard") >= _JACCARD_T).select(
+        "id_a", "id_b", "jaccard"
+    )
