@@ -33,25 +33,46 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    tolerance_secs: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains ``<value_col><suffix>``
     columns from the latest ``right`` row at-or-before its timestamp with
     equal ``on`` keys (NULL when no earlier right row exists).
 
+    ``tolerance_secs`` bounds the lookback (pandas merge_asof semantics):
+    a match older than the tolerance is discarded -- correct to apply
+    post-hoc because as-of picks the LATEST match, so if that one is too
+    old, every other candidate is older still.  The matched timestamp is
+    propagated alongside the values and compared at microsecond
+    precision.
+
     ``right`` must be unique per (on, ts_col) -- pre-aggregate if not, or
     ties make the match nondeterministic.
     """
     lcols = left.columns
+    prop_cols = list(value_cols) + (
+        ["__match_ts"] if tolerance_secs is not None else []
+    )
     tagged_l = left.select(
         *lcols, F.lit(1).alias("__side"), *[F.lit(None).cast(
             right.schema[c].dataType
-        ).alias(f"__r_{c}") for c in value_cols]
+        ).alias(f"__r_{c}") for c in value_cols],
+        *(
+            [F.lit(None).cast("long").alias("__r___match_ts")]
+            if tolerance_secs is not None
+            else []
+        ),
     )
     tagged_r = right.select(
         *[F.col(c) for c in on],
         F.col(ts_col),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *(
+            [F.unix_micros(F.col(ts_col)).alias("__r___match_ts")]
+            if tolerance_secs is not None
+            else []
+        ),
     )
     # Right rows carry NULL for left-only columns via unionByName's
     # allowMissingColumns; they are filtered back out after propagation.
@@ -70,12 +91,24 @@ def asof_join(
             F.last(f"__r_{c}", ignorenulls=True)
             .over(w)
             .alias(f"{c}{suffix}")
-            for c in value_cols
+            for c in prop_cols
         ],
     )
-    return propagated.filter(F.col("__side") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in value_cols]
-    )
+    out = propagated.filter(F.col("__side") == 1)
+    if tolerance_secs is not None:
+        in_window = (
+            F.unix_micros(F.col(ts_col)) - F.col(f"__match_ts{suffix}")
+        ) <= tolerance_secs * 1_000_000
+        out = out.select(
+            *lcols,
+            *[
+                F.when(in_window, F.col(f"{c}{suffix}"))
+                .alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+        return out
+    return out.select(*lcols, *[f"{c}{suffix}" for c in value_cols])
 
 
 def salted_join(

@@ -1423,3 +1423,38 @@ def q_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("window_start", "user_id", "total")
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.ts - r.ts <= INTERVAL 1 HOUR
+                THEN r.purchase_value END AS purchase_value_asof
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND e.ts >= r.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded lookback (pandas merge_asof `tolerance`):
+    matches older than 1 hour are discarded.  Applied post-hoc on the
+    propagated match timestamp, which is correct because as-of keeps the
+    LATEST match -- if that one exceeds the tolerance, all others do too.
+    Same one-shuffle-per-side sort-based plan as q_asof_join."""
+    from mqtt_message_pump_spark.operators.joins import asof_join
+
+    events = table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts")
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        value_cols=["purchase_value"], tolerance_secs=3600,
+    ).select("event_id", "user_id", "purchase_value_asof")
