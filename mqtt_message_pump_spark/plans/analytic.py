@@ -52,6 +52,7 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_O
     FROM lineitem GROUP BY l_returnflag
     """,
+    cast_double=["qty_F", "qty_O"],
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long -> wide): per returnflag, quantity split by linestatus
@@ -83,6 +84,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM w
     """,
+    cast_double=["val"],
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide -> long): aggregate metrics melted into (metric, val)
@@ -109,6 +111,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region ON n_regionkey = r_regionkey
     GROUP BY GROUPING SETS ((r_name), (n_name))
     """,
+    cast_double=["total_bal"],
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((r_name),(n_name)): two independent
@@ -145,6 +148,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
+    cast_double=["revenue"],
 )
 def q_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: forecast revenue change.  The pure
@@ -188,12 +192,16 @@ def q_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
+    cast_double=["revenue"],
 )
 def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + aggregate + top-10.  customer is the
-    small side (broadcast); orders-lineitem is the one real shuffle join on
-    orderkey; the final ORDER BY + LIMIT runs as TakeOrderedAndProject
-    (per-partition heap), never a global sort of the aggregate."""
+    """TPC-H Q3 shape: 3-way join + aggregate + top-10.  customer scales
+    with SF (150k rows x SF), so it gets NO broadcast hint -- AQE broadcasts
+    it at test scale and falls back to a shuffle join when it outgrows the
+    threshold at 100 TB (a forced hint would OOM the driver instead).
+    orders-lineitem is the one real shuffle join on orderkey; the final
+    ORDER BY + LIMIT runs as TakeOrderedAndProject (per-partition heap),
+    never a global sort of the aggregate."""
     cust = table(spark, sf_dir, "customer").select("c_custkey")
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1998-01-01 00:00:00"
@@ -206,7 +214,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(_DEC)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -224,6 +232,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS hi_price
     FROM orders GROUP BY 1
     """,
+    cast_double=["lo_price", "hi_price"],
 )
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram / fixed-width binning: integer floor division keeps the
@@ -252,6 +261,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
                AS BIGINT) % 20 = 0
     """,
+    cast_double=["price"],
 )
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~5% sample via content hash (md5-derived 32-bit
@@ -313,6 +323,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(value AS DECIMAL(18,2))) AS total
     FROM expanded GROUP BY window_start
     """,
+    cast_double=["total"],
 )
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) window aggregation: 10-minute windows every 5
@@ -397,6 +408,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_totalprice AS DECIMAL(18,2)) AS price
     FROM orders
     """,
+    cast_double=["price"],
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing over a global order.  The unique
@@ -496,6 +508,7 @@ def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
+    cast_double=["discounted_price"],
 )
 def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER'd aggregates (conditional aggregation): several differently-
@@ -580,6 +593,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_extendedprice AS DECIMAL(18,2)) AS price
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     """,
+    cast_double=["price"],
 )
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join (operators.joins.salted_join): the big side gets a
@@ -633,6 +647,7 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS TIMESTAMP),
                     date_trunc('hour', ts))
     """,
+    cast_double=["total"],
 )
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical time rollup: hourly, daily, and grand
@@ -748,6 +763,7 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS spend_through_date
     FROM orders
     """,
+    cast_double=["spend_through_date"],
 )
 def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (vs q_running_sum's ROWS frame): all rows tied
@@ -789,11 +805,15 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY n_name
     """,
+    cast_double=["revenue"],
 )
 def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): six-way join where the
     customer and supplier must share a nation.  Join order matters at
-    100 TB: dims (nation, region, supplier-side) broadcast; the
+    100 TB: only the FIXED-size dims (nation 25 rows, region 5 rows) carry
+    broadcast hints; customer (150k x SF) and supplier (10k x SF) scale
+    with the dataset, so they get no hint -- AQE broadcasts them while they
+    fit and switches to shuffle joins beyond the threshold.  The
     lineitem-orders shuffle join runs first so the extra c_nationkey =
     s_nationkey predicate applies as a cheap post-join filter on already
     co-located rows; the region filter prunes before anything joins."""
@@ -812,9 +832,9 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(_DEC)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -837,6 +857,7 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
     FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
     """,
+    cast_double=["price"],
 )
 def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: aggregate with HAVING, then join the surviving
@@ -869,6 +890,7 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT AVG(o_totalprice) FROM orders i
       WHERE i.o_custkey = o.o_custkey)
     """,
+    cast_double=["price"],
 )
 def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders more than twice their
@@ -938,6 +960,7 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     ORDER BY o_orderdate, o_orderkey
     """,
+    cast_double=["price"],
 )
 def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Globally-sorted full output (no LIMIT): plans as a range-partitioned
@@ -1028,6 +1051,7 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o FULL OUTER JOIN updates u
       ON o.o_orderkey = u.o_orderkey
     """,
+    cast_double=["price"],
 )
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE / upsert semantics (CDC apply) without a table format: base
@@ -1167,6 +1191,7 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS trailing_hour_sum
     FROM events
     """,
+    cast_double=["trailing_hour_sum"],
 )
 def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing time-RANGE window: per user, the sum of event values in
@@ -1287,6 +1312,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
     FROM orders WHERE o_orderstatus = 'F'
     """,
+    cast_double=["price"],
 )
 def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-tolerant union (unionByName allowMissingColumns=True): the
@@ -1395,6 +1421,7 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user)
     WHERE rn <= 2
     """,
+    cast_double=["total"],
 )
 def q_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per sliding window (leaderboard shape): hopping-window

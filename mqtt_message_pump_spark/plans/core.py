@@ -194,6 +194,7 @@ def q_topic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
            'supplier' AS side
     FROM supplier
     """,
+    cast_double=["acctbal"],
 )
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-pipe fan-in (``pump_pipe.go:42-54``, N pipes relay into one

@@ -39,6 +39,7 @@ def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(value AS DECIMAL(18,2))) AS bytes_sum
     FROM events GROUP BY event_type
     """,
+    cast_double=["bytes_sum"],
 )
 def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage counter aggregation (``monitor.go:191-260``): succeed/fail
@@ -64,6 +65,7 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY 1
     """,
+    cast_double=["sum_value"],
 )
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-second tumbling interval metrics (``monitor.go:111-189``): the

@@ -57,7 +57,7 @@ _SQL_MODALITY = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
     oracle=f"""
     SELECT {_SQL_MODALITY} AS modality,
            COUNT(*) AS n,
-           SUM(strlen(text)) AS total_bytes,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
            SUM(32 + doc_id % 8) / COUNT(*) AS avg_width
     FROM documents
     GROUP BY 1

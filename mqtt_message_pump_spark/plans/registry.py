@@ -30,16 +30,72 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def finalize_output(df: DataFrame) -> DataFrame:
+    """Cast every DECIMAL output column to DOUBLE.
+
+    Internal aggregation stays DECIMAL(18,2) (exact, order-independent —
+    that is what makes parallel partial sums reproducible), but a decimal
+    in the *output* schema is not hash-stable across engines: one side may
+    render ``Decimal('100.00')``, the other ``100.0`` after a float
+    round-trip.  The same exact decimal cast to IEEE double yields the
+    identical bits — and the identical ``repr`` — on both engines, so every
+    registered query's visible schema is decimal-free.  Oracle SQL must
+    apply the matching ``CAST(... AS DOUBLE)``.
+    """
+    from pyspark.sql.types import DecimalType
+
+    dec = {f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)}
+    if not dec:
+        return df
+    quoted = [
+        F.col("`" + c + "`").cast("double").alias(c)
+        if c in dec
+        else F.col("`" + c + "`")
+        for c in df.columns
+    ]
+    return df.select(*quoted)
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    cast_double: list[str] | None = None,
+):
     """Decorator registering a (spark, sf_dir) -> DataFrame under ``name``
-    with an optional DuckDB oracle SQL string."""
+    with an optional DuckDB oracle SQL string.
+
+    The registered callable is wrapped with :func:`finalize_output`, so no
+    query can leak a DECIMAL column into its visible schema regardless of
+    how it aggregates internally.  ``cast_double`` names the oracle's
+    decimal output columns; the oracle is wrapped so those columns are
+    ``CAST(... AS DOUBLE)`` — the exact-decimal → IEEE-double conversion is
+    deterministic and identical on both engines, so the rendered values
+    hash-match (``Decimal('100.00')`` would not).
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query key {name!r}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return finalize_output(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
-            ORACLES[name] = oracle
+            sql = oracle
+            if cast_double:
+                excl = ", ".join(f'"{c}"' for c in cast_double)
+                casts = ", ".join(
+                    f'CAST("{c}" AS DOUBLE) AS "{c}"' for c in cast_double
+                )
+                sql = (
+                    f"SELECT * EXCLUDE ({excl}), {casts} "
+                    f"FROM ({sql}) _cast_double"
+                )
+            ORACLES[name] = sql
         return fn
 
     return deco

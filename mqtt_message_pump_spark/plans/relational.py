@@ -38,6 +38,7 @@ _DEC = "decimal(18,2)"
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
+    cast_double=["sum_qty", "sum_base_price", "sum_disc_price"],
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the canonical scan->filter->partial
@@ -71,6 +72,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c_custkey
     LIMIT 10
     """,
+    cast_double=["revenue"],
 )
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + aggregate + deterministic top-k.  Aggregate orders FIRST
@@ -101,6 +103,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
     """,
+    cast_double=["total_bal"],
 )
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema dimension join chain: both dims explicitly broadcast, so
@@ -132,6 +135,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders)
     WHERE rn <= 3
     """,
+    cast_double=["price"],
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window function (absent from the reference, SURVEY.md SS2.7):
@@ -231,6 +235,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 25
     """,
+    cast_double=["price"],
 )
 def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark executes order+limit as TakeOrderedAndProject
@@ -269,6 +274,7 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_totalprice AS DECIMAL(18,2)) AS price
     FROM orders
     """,
+    cast_double=["price"],
 )
 def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional projection (CASE WHEN), generated-SQL-surface parity."""
@@ -367,6 +373,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
+    cast_double=["sum_qty"],
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (absent from the reference, SURVEY.md SS2.7):
@@ -390,6 +397,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS running_spend
     FROM orders
     """,
+    cast_double=["running_spend"],
 )
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window frame (ROWS UNBOUNDED PRECEDING .. CURRENT ROW):

@@ -27,6 +27,16 @@ TABLES = [
 ]
 
 
+class DecimalLeak(Exception):
+    """A Decimal value reached a query/oracle output.
+
+    Hard failure: decimal rendering is not hash-stable under the driver's
+    canonicalization (``Decimal('100.00')`` on one side hashes differently
+    from the float ``100.0`` the other side renders).  Every registered
+    query must cast decimal outputs to DOUBLE on BOTH engines.
+    """
+
+
 def _normalize(col_names, rows):
     import datetime
     import decimal
@@ -39,7 +49,11 @@ def _normalize(col_names, rows):
             return ""
         if isinstance(v, float):
             return repr(v)
-        if isinstance(v, (decimal.Decimal, datetime.datetime, datetime.date)):
+        if isinstance(v, decimal.Decimal):
+            raise DecimalLeak(
+                "Decimal value in output -- cast to DOUBLE on both sides"
+            )
+        if isinstance(v, (datetime.datetime, datetime.date)):
             return str(v)
         if isinstance(v, bool):
             return str(v)
@@ -82,7 +96,11 @@ def main() -> int:
             # with a collectable result -- this catches session-config
             # bugs the UTC pytest session hides.
             try:
-                n = len(queries[key](spark, sf_dir).collect())
+                rdf = queries[key](spark, sf_dir)
+                dec = [c for c, t in rdf.dtypes if "decimal" in t]
+                if dec:
+                    raise DecimalLeak(f"decimal output columns {dec}")
+                n = len(rdf.collect())
                 print(f"{key}: ok rows-only ({n} rows)")
             except Exception as exc:  # noqa: BLE001
                 print(f"{key}: ERROR rows-only {type(exc).__name__}: {exc}")
@@ -90,6 +108,9 @@ def main() -> int:
             continue
         try:
             sdf = queries[key](spark, sf_dir)
+            dec = [c for c, t in sdf.dtypes if "decimal" in t]
+            if dec:
+                raise DecimalLeak(f"decimal output columns {dec}")
             s_cols, s_vals = _normalize(
                 sdf.columns, [tuple(r) for r in sdf.collect()]
             )
