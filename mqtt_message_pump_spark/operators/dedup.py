@@ -298,6 +298,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for it in range(max_iterations):
         msgs = (
             both.join(labels, both.src == labels.vid)
@@ -324,7 +325,15 @@ def connected_components(
                 F.col("new_label") < F.col("old_label")
             ).count()
             if changed == 0:
+                converged = True
                 break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (a component has diameter above the cap); raising "
+            "rather than returning labels that look like, but are not, the "
+            "transitive closure -- retry with a higher max_iterations"
+        )
     resolved = labels.select(
         F.col("vid").alias(id_col), F.col("label").alias("group_id")
     )
@@ -340,10 +349,15 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
+    max_brute_force_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.  With ``planes`` (random
     hyperplanes) candidates are restricted to rows sharing the sign-bit
-    bucket; without, all pairs are compared (test scale only)."""
+    bucket -- the production path.  Without planes the comparison is
+    all-pairs O(n^2), so the input is counted first and anything above
+    ``max_brute_force_rows`` raises: a silent crossJoin on a production
+    corpus would be a cluster-killer, and nothing else in this module
+    stops one."""
     from mqtt_message_pump_spark.operators.similarity import cosine_expr, sign_bucket
 
     v = df.select(
@@ -355,6 +369,14 @@ def embedding_near_dup_pairs(
         b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
+        n = v.count()
+        if n > max_brute_force_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs without planes is all-pairs "
+                f"O(n^2); input has {n} rows > max_brute_force_rows="
+                f"{max_brute_force_rows}. Pass random hyperplanes (planes=) "
+                "for the LSH-bucketed path, or raise the cap explicitly."
+            )
         a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
         b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

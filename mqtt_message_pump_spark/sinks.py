@@ -91,28 +91,83 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
-def write_append(df: DataFrame, store: StoreConf, table_path: str) -> None:
-    """Append a batch to one sink table.
+def raw_table_ddl_clickhouse(store: StoreConf) -> str:
+    """ClickHouse MergeTree DDL for the raw table, passed through verbatim
+    when the sink is jdbc (``data_dbstore.go:127-134``): legacy MergeTree
+    signature = (date column, primary key tuple, index granularity)."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {store.database}.{store.raw_table_name} ("
+        "mid String, topic String, payload String, "
+        "collect_datetime DateTime, "
+        "collect_date Date MATERIALIZED toDate(collect_datetime)"
+        ") ENGINE = MergeTree(collect_date, (mid, topic, collect_date), 8192)"
+    )
 
-    parquet: date-partitioned files, rows pre-clustered so each task
-    writes whole partitions and sorted by (mid, topic) within files (the
-    MergeTree ORDER BY locality, ``data_dbstore.go:133``).
+
+def adapter_table_ddl_clickhouse(
+    store: StoreConf, inferred_cols: list[tuple[str, str]]
+) -> str:
+    """ClickHouse MergeTree DDL for the flattened table
+    (``data_dbstore.go:138-142``): mid + inferred columns (ClickHouse type
+    names, already sorted) + timestamp, date-partitioned via MATERIALIZED
+    toDate with (mid, collect_date) primary key."""
+    cols = "".join(f", `{n}` {t}" for n, t in inferred_cols)
+    return (
+        f"CREATE TABLE IF NOT EXISTS "
+        f"{store.database}.{store.adapter_table_name} ("
+        f"mid String{cols}, collect_datetime DateTime, "
+        "collect_date Date MATERIALIZED toDate(collect_datetime)"
+        ") ENGINE = MergeTree(collect_date, (mid, collect_date), 8192)"
+    )
+
+
+def jdbc_table_name(store: StoreConf, table_name: str | None) -> str:
+    """Qualified JDBC identifier for a sink table.  The parquet path
+    argument is NOT a valid JDBC name; jdbc targets resolve from config
+    (``database.table``, reference DSN + table names)."""
+    return f"{store.database}.{table_name or store.raw_table_name}"
+
+
+def write_table(
+    df: DataFrame,
+    store: StoreConf,
+    table_path: str,
+    table_name: str | None = None,
+    mode: str = "append",
+) -> None:
+    """Write a batch to one sink table.
+
+    parquet: date-partitioned files at ``table_path``, rows pre-clustered
+    so each task writes whole partitions and sorted by (mid, topic) within
+    files (the MergeTree ORDER BY locality, ``data_dbstore.go:133``).
     jdbc: one batched append per partition (the reference's prepared
     INSERT loop, ``data_dbstore.go:336-421``, without the per-row driver
-    round-trips).
+    round-trips) into ``database.table_name`` from config -- never the
+    filesystem path.
     """
     if store.format == "jdbc":
         (
-            df.write.mode("append")
+            df.write.mode(mode)
             .option("batchsize", "10000")
-            .jdbc(store.url, table_path)
+            .jdbc(store.url, jdbc_table_name(store, table_name))
         )
         return
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     (
         df.repartition("collect_date")
         .sortWithinPartitions(*sort_cols)
-        .write.mode("append")
+        .write.mode(mode)
         .partitionBy("collect_date")
         .parquet(table_path)
     )
+
+
+def write_append(
+    df: DataFrame,
+    store: StoreConf,
+    table_path: str,
+    table_name: str | None = None,
+) -> None:
+    """Append a batch to one sink table (streaming ``foreachBatch`` path --
+    appends are idempotent per batch id via the streaming commit log)."""
+    write_table(df, store, table_path, table_name, mode="append")

@@ -55,6 +55,11 @@ MQTT_SOURCE_SCHEMA = T.StructType(
         T.StructField("topic", T.StringType()),
         T.StructField("payload", T.StringType()),
         T.StructField("received_time", T.TimestampType()),
+        # Broker packet id + DUP flag: a QoS-1 redelivery reuses the packet
+        # id with dup=True, so downstream dedup can key on it (the arrival
+        # time changes on redelivery and must not be the key).
+        T.StructField("packet_id", T.LongType()),
+        T.StructField("dup", T.BooleanType()),
     ]
 )
 
@@ -63,12 +68,31 @@ def mqtt_available() -> bool:
     return _paho is not None and _DS_API
 
 
-class MqttDataSource(DataSource):  # pragma: no cover - needs a broker
+def _paho_client_factory(options):  # pragma: no cover - needs a broker
+    """Build and connect a real Paho client from source options."""
+    server = options.get("server", "tcp://127.0.0.1:1883")
+    host = server.split("://", 1)[-1].rsplit(":", 1)[0]
+    port = int(server.rsplit(":", 1)[-1])
+    client = _paho.Client()
+    if options.get("username"):
+        client.username_pw_set(
+            options.get("username"), options.get("password")
+        )
+    client.connect(host, port)
+    return client
+
+
+class MqttDataSource(DataSource):
     """``spark.readStream.format("mqtt_pump")`` source.
 
     Options: ``server`` (tcp://host:port), ``topic_root``, ``topic_prefix``,
     ``group_num`` (0 = single wildcard subscription, reference
     ``mqtt.go:72-77``), ``qos``, ``username``, ``password``.
+
+    QoS note (reference quirk): ``mqtt.go:82`` wires the MONITOR section's
+    QoS into the pipe subscriber; we subscribe with the SOURCE ``qos``
+    option, which is what a migrating user expects -- the divergence is
+    deliberate and documented.
     """
 
     @classmethod
@@ -93,17 +117,23 @@ class _GroupPartition(InputPartition):
         self.end = end
 
 
-class MqttStreamReader(DataSourceStreamReader):  # pragma: no cover
+class MqttStreamReader(DataSourceStreamReader):
     """One partition per topic group; offsets = per-group receive counts.
 
     Executors hold the subscriptions; the driver tracks counts only, so a
     1000-executor cluster fans groups out without a driver bottleneck.
+
+    ``client_factory(options) -> client`` builds the (connected) MQTT
+    client; the default is Paho.  Tests inject an in-process loopback
+    client, which exercises the full partition/offset/read/commit cycle
+    without a broker.
     """
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, client_factory=None) -> None:
         self.options = options
         self.groups = int(options.get("group_num", "0")) or 1
         self._counts = {g: 0 for g in range(self.groups)}
+        self._client_factory = client_factory or _paho_client_factory
 
     def initialOffset(self):
         return {str(g): 0 for g in range(self.groups)}
@@ -122,18 +152,20 @@ class MqttStreamReader(DataSourceStreamReader):  # pragma: no cover
     def commit(self, end) -> None:
         pass
 
+    def group_topic(self, group: int) -> str:
+        """Subscription topic for one group: ``root+prefix/<group>`` when
+        fanned out, else the single wildcard subscription
+        (reference ``mqtt.go:72-77``)."""
+        root = self.options.get("topic_root", "")
+        prefix = self.options.get("topic_prefix", "")
+        if self.groups > 1:
+            return f"{root}{prefix}/{group}"
+        return f"{root}{prefix}/#"
+
     def read(self, partition):
         opts = self.options
-        server = opts.get("server", "tcp://127.0.0.1:1883")
-        host = server.split("://", 1)[-1].rsplit(":", 1)[0]
-        port = int(server.rsplit(":", 1)[-1])
-        root = opts.get("topic_root", "")
-        prefix = opts.get("topic_prefix", "")
         qos = int(opts.get("qos", "0"))
-        if self.groups > 1:
-            topic = f"{root}{prefix}/{partition.group}"
-        else:
-            topic = f"{root}{prefix}/#"
+        topic = self.group_topic(partition.group)
 
         buffered: list[tuple] = []
         want = partition.end - partition.start
@@ -144,14 +176,13 @@ class MqttStreamReader(DataSourceStreamReader):  # pragma: no cover
                     msg.topic,
                     msg.payload.decode("utf-8", "replace"),
                     time.time(),
+                    int(getattr(msg, "mid", 0)),
+                    bool(getattr(msg, "dup", False)),
                 )
             )
 
-        client = _paho.Client()
-        if opts.get("username"):
-            client.username_pw_set(opts.get("username"), opts.get("password"))
+        client = self._client_factory(opts)
         client.on_message = on_message
-        client.connect(host, port)
         client.subscribe(topic, qos=qos)
         client.loop_start()
         deadline = time.time() + float(opts.get("poll_timeout_secs", "5"))

@@ -17,8 +17,61 @@ from __future__ import annotations
 import json
 import time
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class PumpCounters:
+    """Per-stage lifetime counters, the reference's atomic counter channels
+    (``monitor.go:191-260``) mapped onto the Spark pump's stages:
+
+    sub = source rows entering a micro-batch; dp = rows after mid
+    enrichment (data_processor); rdo = raw-path sink receive/commit;
+    da / da_pdo = adapter parse + flattened record fan-out; ado =
+    adapter-path sink receive/commit.  The pump's ``foreachBatch`` updates
+    them driver-side (it IS the driver-side commit point), so deltas
+    between stages are the reference's queue-lag surface.
+    """
+
+    sub_succeed: int = 0
+    dp_succeed: int = 0
+    rdo_receive_succeed: int = 0
+    rdo_commit_succeed: int = 0
+    da_succeed: int = 0
+    da_pdo_succeed: int = 0
+    ado_receive_succeed: int = 0
+    ado_commit_succeed: int = 0
+
+    def queue_wait_info(self) -> dict[str, int]:
+        """The seven ``WaitFor*`` stage deltas (``monitor.go:120-128``)."""
+        return {
+            "WaitForProcess": self.sub_succeed - self.dp_succeed,
+            "WaitForRawDataObjectToDB": (
+                self.dp_succeed - self.rdo_receive_succeed
+            ),
+            "WaitForRawDataObjectToDBCommit": (
+                self.rdo_receive_succeed - self.rdo_commit_succeed
+            ),
+            "WaitForAdapter": self.dp_succeed - self.da_succeed,
+            "WaitForProcessDataObject": self.da_succeed - self.da_pdo_succeed,
+            "WaitForAdapterDataObjectToDB": (
+                self.da_pdo_succeed - self.ado_receive_succeed
+            ),
+            "WaitForAdapterDataObjectToDBCommit": (
+                self.ado_receive_succeed - self.ado_commit_succeed
+            ),
+        }
+
+    def gap_info(self) -> dict[str, int]:
+        """Raw-vs-adapter path divergence (``monitor.go:133-136``)."""
+        return {
+            "GapToDB": self.rdo_receive_succeed - self.ado_receive_succeed,
+            "GapToDBCommit": (
+                self.rdo_commit_succeed - self.ado_commit_succeed
+            ),
+        }
 
 
 class PumpMonitorListener(StreamingQueryListener):
@@ -33,6 +86,7 @@ class PumpMonitorListener(StreamingQueryListener):
         publish: Callable[[str, str], None],
         topic_root: str = "pump-monitor",
         target: str = "pump",
+        counters: PumpCounters | None = None,
     ) -> None:
         self._publish = publish
         # reference replaces '/' with '_' when embedding topics in metric
@@ -41,6 +95,7 @@ class PumpMonitorListener(StreamingQueryListener):
         self.started_at = time.time()
         self.total_msgs = 0
         self.total_bytes = 0
+        self.counters = counters
 
     # -- StreamingQueryListener interface ---------------------------------
 
@@ -72,6 +127,15 @@ class PumpMonitorListener(StreamingQueryListener):
             "BatchDurationMs": p.batchDuration,
             "RunTimeSeconds": runtime,
         }
+        if self.counters is not None:
+            # per-stage queue lags + raw-vs-adapter gap (monitor.go:120-136)
+            self.counters.sub_succeed = max(
+                self.counters.sub_succeed, self.total_msgs
+            )
+            payload["PerformanceMetrics"] = {
+                "QueueWaitInfo": self.counters.queue_wait_info(),
+                "GapBetweenRawAndAdapterInfo": self.counters.gap_info(),
+            }
         self._publish(self.topic, json.dumps(payload))
 
     def onQueryIdle(self, event) -> None:

@@ -104,11 +104,18 @@ def build_dual_path(
 
 def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Batch-mode pump: the full dual-path dataflow over the events fixture,
-    writing date-partitioned parquet.  Returns row counts per path."""
+    writing date-partitioned parquet.  Returns row counts per path.
+
+    Writes OVERWRITE: this is a whole-job entry point, so re-running into
+    an existing ``out_dir`` replaces it (append would silently duplicate
+    sink rows, and the returned counts would no longer describe the sink).
+    Append semantics belong to the streaming ``foreachBatch`` path, where
+    the commit log makes them idempotent per batch.
+    """
     from pyspark.sql import Observation
 
     from mqtt_message_pump_spark.config import StoreConf
-    from mqtt_message_pump_spark.sinks import write_append
+    from mqtt_message_pump_spark.sinks import write_table
 
     messages = with_message_id(events_as_messages(spark, sf_dir), "mid", 8)
     raw, flat = build_dual_path(messages, payload_map_schema())
@@ -117,14 +124,20 @@ def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     obs_raw, obs_flat = Observation("raw"), Observation("flat")
     raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
     flat = flat.observe(obs_flat, F.count(F.lit(1)).alias("n"))
-    # write_append clusters rows by the partition column (each task writes
+    # write_table clusters rows by the partition column (each task writes
     # whole date partitions -> one file per date instead of tasks x dates
     # small files; at 100 TB the small-files problem is the difference
     # between a usable table and a dead one) and sorts (mid, topic) within
     # files for the MergeTree ORDER BY locality.
     store = StoreConf()
-    write_append(raw, store, f"{out_dir}/raw_message")
-    write_append(flat, store, f"{out_dir}/json_message")
+    write_table(
+        raw, store, f"{out_dir}/raw_message",
+        store.raw_table_name, mode="overwrite",
+    )
+    write_table(
+        flat, store, f"{out_dir}/json_message",
+        store.adapter_table_name, mode="overwrite",
+    )
     return {"raw_rows": obs_raw.get["n"], "flat_rows": obs_flat.get["n"]}
 
 
@@ -132,23 +145,38 @@ def dedupe_redeliveries(
     messages: DataFrame,
     watermark: str = "30 seconds",
     mid_length: int = 16,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Effectively-once over an at-least-once source (MQTT QoS 1).
 
     The reference's QoS-1 path re-randomizes the mid on redelivery, so
     broker retries become silent duplicate rows (SURVEY.md SS2.6).  Here
-    the mid is CONTENT-DERIVED (topic + payload + received_time hash), so
-    a redelivered message reproduces its id, and
-    ``dropDuplicatesWithinWatermark`` removes the replay with bounded
-    state: dedup keys older than the watermark are evicted, which is
-    exactly the MQTT redelivery window.  Works on batch frames too
+    the mid is CONTENT-DERIVED, so a redelivered message reproduces its
+    id, and ``dropDuplicatesWithinWatermark`` removes the replay with
+    bounded state: dedup keys older than the watermark are evicted, which
+    is exactly the MQTT redelivery window.  Works on batch frames too
     (plain dropDuplicates on the mid).
+
+    Key choice matters: the real MQTT source stamps ``received_time`` at
+    RECEIPT (``sources/mqtt.py``), so a broker redelivery arrives at a
+    different instant -- arrival time must NOT be in the key or the replay
+    gets a fresh mid and is never dropped.  The default key is therefore
+    (topic, payload) plus ``packet_id`` when the source carries one (the
+    broker reuses the packet id on a DUP redelivery).  The trade-off with
+    no packet id: two GENUINE identical publishes inside the watermark
+    collapse to one row -- QoS-1 cannot distinguish that case from a
+    redelivery without an upstream id.  Sources that embed a stable id or
+    event timestamp in the record should pass it via ``key_cols``.
     """
+    if key_cols is None:
+        key_cols = ["topic", "payload"]
+        if "packet_id" in messages.columns:
+            key_cols.append("packet_id")
     keyed = with_message_id(
         messages,
         "mid",
         mid_length,
-        deterministic_from=["topic", "payload", "received_time"],
+        deterministic_from=key_cols,
     )
     if not keyed.isStreaming:
         return keyed.dropDuplicates(["mid"])
@@ -211,6 +239,7 @@ def start_stream_pump(
     trigger_secs: int = 5,
     mid_length: int = 8,
     dedupe_watermark: str | None = None,
+    counters=None,
 ):
     """Start the streaming pump on a streaming messages DataFrame.
 
@@ -222,6 +251,11 @@ def start_stream_pump(
     at-least-once source redeliveries via a content-derived mid +
     ``dropDuplicatesWithinWatermark`` -- see :func:`dedupe_redeliveries`.
     Without it, mids are random (reference parity).
+
+    ``counters`` (a ``streaming.monitor.PumpCounters``) receives per-stage
+    lifetime counts from each micro-batch commit -- the reference's queue
+    lag / raw-vs-adapter gap surface (``monitor.go:120-136``); pass the
+    same object to ``PumpMonitorListener`` to publish the stage deltas.
     """
     map_schema = map_schema or payload_map_schema()
     if dedupe_watermark is not None:
@@ -237,6 +271,8 @@ def start_stream_pump(
     )
 
     def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         from mqtt_message_pump_spark.config import StoreConf
         from mqtt_message_pump_spark.sinks import write_append
 
@@ -244,8 +280,31 @@ def start_stream_pump(
         batch_df.persist()
         try:
             raw, flat = build_dual_path(batch_df, map_schema)
-            write_append(raw, store, f"{out_dir}/raw_message")
-            write_append(flat, store, f"{out_dir}/json_message")
+            obs_raw, obs_flat = Observation(), Observation()
+            raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
+            flat = flat.observe(obs_flat, F.count(F.lit(1)).alias("n"))
+            write_append(
+                raw, store, f"{out_dir}/raw_message", store.raw_table_name
+            )
+            raw_n = obs_raw.get["n"]
+            if counters is not None:
+                # the write returned -> raw rows are received AND committed
+                # (parquet commit protocol finishes inside the write job)
+                counters.dp_succeed += raw_n
+                counters.rdo_receive_succeed += raw_n
+                counters.rdo_commit_succeed += raw_n
+            write_append(
+                flat, store, f"{out_dir}/json_message",
+                store.adapter_table_name,
+            )
+            if counters is not None:
+                flat_n = obs_flat.get["n"]
+                # adapter stage consumed the same enriched rows; the
+                # flattened fan-out count is the PDO/ADO row volume
+                counters.da_succeed += raw_n
+                counters.da_pdo_succeed += flat_n
+                counters.ado_receive_succeed += flat_n
+                counters.ado_commit_succeed += flat_n
         finally:
             batch_df.unpersist()
 

@@ -1,0 +1,188 @@
+"""MQTT source loopback tests: drive ``MqttStreamReader`` end-to-end
+(partitions -> read -> rows -> commit) with an in-process fake client, no
+broker required.
+
+Covers the reference subscriber semantics (``mqtt.go:72-126``): topic
+construction per group vs single wildcard, payload decode, QoS wiring
+(SOURCE qos, diverging deliberately from the reference quirk that uses the
+monitor QoS at ``mqtt.go:82``), and the packet-id/dup surface QoS-1
+redelivery dedup keys on.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from mqtt_message_pump_spark.sources.mqtt import (
+    MQTT_SOURCE_SCHEMA,
+    MqttDataSource,
+    MqttStreamReader,
+    mqtt_available,
+    register_mqtt_source,
+)
+
+
+class FakeMessage:
+    def __init__(self, topic: str, payload: bytes, mid: int, dup: bool):
+        self.topic = topic
+        self.payload = payload
+        self.mid = mid
+        self.dup = dup
+
+
+class FakeClient:
+    """Loopback stand-in for ``paho.mqtt.client.Client``: delivers a
+    preloaded message feed to ``on_message`` when the loop starts."""
+
+    def __init__(self, feed: list[FakeMessage]):
+        self.feed = feed
+        self.on_message = None
+        self.subscribed: list[tuple[str, int]] = []
+        self.loop_running = False
+        self.disconnected = False
+
+    def _matches(self, flt: str, topic: str) -> bool:
+        if flt.endswith("/#"):
+            return topic.startswith(flt[:-2])
+        return flt == topic
+
+    def subscribe(self, topic: str, qos: int = 0) -> None:
+        self.subscribed.append((topic, qos))
+
+    def loop_start(self) -> None:
+        self.loop_running = True
+        for msg in self.feed:
+            if any(self._matches(f, msg.topic) for f, _ in self.subscribed):
+                self.on_message(self, None, msg)
+
+    def loop_stop(self) -> None:
+        self.loop_running = False
+
+    def disconnect(self) -> None:
+        self.disconnected = True
+
+
+def _feed(group: int, n: int, start_mid: int = 1) -> list[FakeMessage]:
+    return [
+        FakeMessage(
+            f"pump/g/{group}",
+            f'{{"k": {i}}}'.encode(),
+            start_mid + i,
+            False,
+        )
+        for i in range(n)
+    ]
+
+
+def _reader(feed, group_num="3", **extra):
+    opts = {
+        "group_num": group_num,
+        "topic_root": "pump/",
+        "topic_prefix": "g",
+        "poll_timeout_secs": "0.2",
+        **extra,
+    }
+    return MqttStreamReader(opts, client_factory=lambda o: FakeClient(feed))
+
+
+def test_reader_partition_cycle():
+    """Full DataSourceStreamReader cycle: initialOffset -> latestOffset ->
+    partitions -> read -> commit, one partition per topic group."""
+    feed = _feed(0, 4) + _feed(1, 2) + _feed(2, 1)
+    reader = _reader(feed)
+
+    start = reader.initialOffset()
+    assert start == {"0": 0, "1": 0, "2": 0}
+    end = {"0": 4, "1": 2, "2": 1}
+    parts = reader.partitions(start, end)
+    assert [(p.group, p.start, p.end) for p in parts] == [
+        (0, 0, 4), (1, 0, 2), (2, 0, 1),
+    ]
+
+    rows_by_group = {p.group: list(reader.read(p)) for p in parts}
+    assert [len(v) for v in rows_by_group.values()] == [4, 2, 1]
+    # each partition's subscription is scoped to ITS group topic
+    assert all(
+        r[0] == f"pump/g/{g}" for g, rows in rows_by_group.items() for r in rows
+    )
+    # row shape matches the source schema: payload decoded, arrival stamped,
+    # packet id + dup carried through
+    topic, payload, ts, packet_id, dup = rows_by_group[0][0]
+    assert payload == '{"k": 0}'
+    assert isinstance(ts, float)
+    assert packet_id == 1 and dup is False
+    assert len(MQTT_SOURCE_SCHEMA) == 5
+    reader.commit(end)  # no-op, must not raise
+
+
+def test_reader_want_caps_rows():
+    """read() yields exactly end-start rows even if the client buffered
+    more (late arrivals stay for the next micro-batch)."""
+    reader = _reader(_feed(0, 5))
+    [part0] = [p for p in reader.partitions({"0": 0}, {"0": 3}) if p.group == 0]
+    assert len(list(reader.read(part0))) == 3
+
+
+def test_reader_wildcard_single_group():
+    """group_num=0 -> one partition subscribing to the wildcard topic
+    (reference single-subscription mode, ``mqtt.go:72-77``)."""
+    feed = [FakeMessage("pump/g/anything", b"x", 7, True)]
+    reader = _reader(feed, group_num="0")
+    assert reader.groups == 1
+    assert reader.group_topic(0) == "pump/g/#"
+    parts = reader.partitions({"0": 0}, {"0": 1})
+    rows = list(reader.read(parts[0]))
+    assert rows[0][0] == "pump/g/anything"
+    assert rows[0][3] == 7 and rows[0][4] is True
+
+
+def test_reader_uses_source_qos():
+    """We wire the SOURCE section's qos into subscribe (the reference
+    passes the monitor QoS instead, ``mqtt.go:82`` -- documented
+    divergence)."""
+    captured = {}
+
+    def factory(opts):
+        client = FakeClient([])
+        captured["client"] = client
+        return client
+
+    reader = MqttStreamReader(
+        {"group_num": "0", "qos": "1", "poll_timeout_secs": "0.1"},
+        client_factory=factory,
+    )
+    list(reader.read(reader.partitions({"0": 0}, {"0": 0})[0]))
+    assert captured["client"].subscribed == [("/#", 1)]
+    assert captured["client"].disconnected
+
+
+def test_redelivery_dedup_on_packet_id(spark):
+    """A QoS-1 redelivery (same packet id, dup=True, LATER arrival time)
+    collapses to one sink row: the content-derived mid excludes the
+    arrival timestamp and includes the packet id."""
+    from mqtt_message_pump_spark.streaming.pump import dedupe_redeliveries
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("pump/g/0", '{"k": 1}', t0, 11, False),
+        ("pump/g/0", '{"k": 2}', t0, 12, False),
+        # redelivery of packet 11 arriving 5 seconds later
+        ("pump/g/0", '{"k": 1}', t0 + datetime.timedelta(seconds=5), 11, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "topic string, payload string, received_time timestamp, "
+        "packet_id long, dup boolean",
+    )
+    out = dedupe_redeliveries(df)
+    assert out.count() == 2
+    assert out.select("mid").distinct().count() == 2
+
+
+def test_datasource_registration_surface():
+    assert MqttDataSource.name() == "mqtt_pump"
+    assert MqttDataSource(options={}).schema() == MQTT_SOURCE_SCHEMA
+    if not mqtt_available():
+        with pytest.raises(ImportError, match="paho-mqtt"):
+            register_mqtt_source(None)

@@ -4,6 +4,7 @@ vs brute force, multimodal plumbing, dedup properties.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mqtt_message_pump_spark.operators import dedup as DD
@@ -159,6 +160,26 @@ def test_connected_components_known_graph(spark):
         for r in DD.connected_components(vertices, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5}
+
+
+def test_embedding_near_dup_brute_force_guard(spark, sf_dir):
+    """The plane-less all-pairs fallback is O(n^2) and must refuse large
+    inputs instead of silently crossJoining a production corpus."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    with pytest.raises(ValueError, match="all-pairs"):
+        DD.embedding_near_dup_pairs(emb, max_brute_force_rows=10).collect()
+
+
+def test_connected_components_unconverged_raises(spark):
+    """A chain longer than max_iterations cannot reach its component
+    minimum; returning those labels would silently masquerade as the
+    transitive closure, so the operator must raise instead."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(vertices, chain, max_iterations=2)
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):

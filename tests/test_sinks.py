@@ -10,8 +10,12 @@ from mqtt_message_pump_spark.config import StoreConf
 from mqtt_message_pump_spark.functions.inference import infer_flat_schema
 from mqtt_message_pump_spark.sinks import (
     adapter_table_ddl,
+    adapter_table_ddl_clickhouse,
+    jdbc_table_name,
     raw_table_ddl,
+    raw_table_ddl_clickhouse,
     write_append,
+    write_table,
 )
 from mqtt_message_pump_spark.sources.testing import file_message_stream
 from mqtt_message_pump_spark.streaming.pump import windowed_rates
@@ -29,6 +33,53 @@ def test_ddl_generation():
     assert "`params_value` DOUBLE" in adapter
     assert "`key_id` STRING" in adapter
     assert "pumpdb.Json_Message" in adapter
+
+
+def test_clickhouse_ddl_passthrough():
+    """jdbc targets get real MergeTree DDL (data_dbstore.go:127-142):
+    legacy engine signature (date col, primary key tuple, granularity) and
+    the MATERIALIZED toDate partition column."""
+    store = StoreConf(format="jdbc", database="pumpdb")
+    raw = raw_table_ddl_clickhouse(store)
+    assert "pumpdb.Raw_Message" in raw
+    assert (
+        "ENGINE = MergeTree(collect_date, (mid, topic, collect_date), 8192)"
+        in raw
+    )
+    assert "collect_date Date MATERIALIZED toDate(collect_datetime)" in raw
+
+    cols = [("key_id", "String"), ("params_value", "Float64")]
+    adapter = adapter_table_ddl_clickhouse(store, cols)
+    assert "pumpdb.Json_Message" in adapter
+    assert "`params_value` Float64" in adapter
+    assert "ENGINE = MergeTree(collect_date, (mid, collect_date), 8192)" in adapter
+
+
+def test_write_table_jdbc_resolves_table_from_config(spark, monkeypatch):
+    """The jdbc branch writes to database.table from StoreConf -- never the
+    filesystem path argument (which is not a valid JDBC identifier)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    calls = {}
+
+    def fake_jdbc(self, url, table, mode=None, properties=None):
+        calls["url"] = url
+        calls["table"] = table
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
+    store = StoreConf(
+        format="jdbc",
+        url="jdbc:clickhouse://ch:8123/pumpdb",
+        database="pumpdb",
+    )
+    df = spark.createDataFrame(
+        [("A1", "t/a", "p")], "mid string, topic string, payload string"
+    )
+    write_table(df, store, "/tmp/out/raw_message", store.raw_table_name)
+    assert calls["url"] == "jdbc:clickhouse://ch:8123/pumpdb"
+    assert calls["table"] == "pumpdb.Raw_Message"
+    assert jdbc_table_name(store, None) == "pumpdb.Raw_Message"
+    assert jdbc_table_name(store, "Json_Message") == "pumpdb.Json_Message"
 
 
 def test_write_append_clusters_by_date(spark, tmp_path):

@@ -124,6 +124,73 @@ def test_monitor_listener(spark, tmp_path):
             "BatchId"} <= set(metrics)
 
 
+def test_monitor_stage_deltas(spark, tmp_path):
+    """Reference stage-delta parity (monitor.go:120-136): the payload must
+    carry the seven WaitFor* queue lags and the GapToDB/GapToDBCommit
+    raw-vs-adapter divergence, computed from the dual-path counters."""
+    from mqtt_message_pump_spark.streaming.monitor import PumpCounters
+
+    src = tmp_path / "src"
+    _write_messages(src, 0, 10)
+    counters = PumpCounters()
+    published: list[tuple[str, str]] = []
+    listener = PumpMonitorListener(
+        lambda topic, payload: published.append((topic, payload)),
+        counters=counters,
+    )
+    spark.streams.addListener(listener)
+    try:
+        q = start_stream_pump(
+            spark,
+            file_message_stream(spark, str(src)),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            trigger_secs=1,
+            counters=counters,
+        )
+        q.processAllAvailable()
+        deadline = time.time() + 30
+        while not published and time.time() < deadline:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.streams.removeListener(listener)
+
+    # the foreachBatch commits updated every stage counter
+    assert counters.dp_succeed == 10
+    assert counters.rdo_commit_succeed == 10
+    assert counters.ado_commit_succeed == 20  # 2 records per message
+    # raw-vs-flat gap derives from the dual-path counts
+    assert counters.gap_info() == {"GapToDB": -10, "GapToDBCommit": -10}
+    wait = counters.queue_wait_info()
+    assert set(wait) == {
+        "WaitForProcess",
+        "WaitForRawDataObjectToDB",
+        "WaitForRawDataObjectToDBCommit",
+        "WaitForAdapter",
+        "WaitForProcessDataObject",
+        "WaitForAdapterDataObjectToDB",
+        "WaitForAdapterDataObjectToDBCommit",
+    }
+    # steady state: nothing in flight between stages on the raw path
+    assert wait["WaitForRawDataObjectToDB"] == 0
+    assert wait["WaitForRawDataObjectToDBCommit"] == 0
+    assert wait["WaitForAdapter"] == 0
+
+    # at least one published payload carries the stage-delta sections
+    payloads = [json.loads(p) for _, p in published]
+    with_perf = [p for p in payloads if "PerformanceMetrics" in p]
+    assert with_perf, "no payload carried PerformanceMetrics"
+    perf = with_perf[-1]["PerformanceMetrics"]
+    assert set(perf) == {"QueueWaitInfo", "GapBetweenRawAndAdapterInfo"}
+    assert set(perf["QueueWaitInfo"]) == set(wait)
+    assert set(perf["GapBetweenRawAndAdapterInfo"]) == {
+        "GapToDB",
+        "GapToDBCommit",
+    }
+
+
 def test_mqtt_source_gated():
     from mqtt_message_pump_spark.sources import mqtt
 
