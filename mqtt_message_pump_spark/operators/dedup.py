@@ -51,61 +51,46 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
-def base_hashes_col(items: Column, hash32: bool = True) -> Column:
-    """Hash every element of an array column once.  The expensive digest is
-    computed per element, not per (element, hash-function) pair."""
-    return F.transform(
-        items, (lambda s: md5_hash32(s)) if hash32 else (lambda s: F.xxhash64(s))
-    )
-
-
-def minhash_signature(
-    base: Column, num_hashes: int = 8
-) -> list[Column]:
-    """MinHash signature from pre-hashed shingles: for each hash function i,
-    min over shingles of ``(a_i * h + b_i) mod p``.  Pass a *materialized
-    column* (see ``with_minhash``), not the hash expression itself: each of
-    the k signatures references ``base``, and higher-order-function subtrees
-    are not common-subexpression-eliminated, so an inline expression would
-    recompute every digest k times."""
-
-    def make_affine(a: int, b: int):
-        # NB: closure factory, not default-arg lambda -- PySpark counts a
-        # lambda's default args as extra lambda parameters.
-        return lambda h: (a * h + b) % MINHASH_PRIME
-
-    sigs = []
-    for i in range(num_hashes):
-        a, b = 2 * i + 1, 1000003 * (i + 1)
-        sigs.append(
-            F.array_min(F.transform(base, make_affine(a, b))).alias(f"mh_{i}")
-        )
-    return sigs
-
-
-def with_minhash(
+def minhash_signatures(
     df: DataFrame,
+    id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
     shingle_n: int = 3,
     hash32: bool = True,
 ) -> DataFrame:
-    """Append ``mh_0..mh_{k-1}`` MinHash columns.
+    """MinHash signatures ``(id, mh_0..mh_{k-1})``: for each hash function
+    i, min over the document's distinct shingles of ``(a_i*h + b_i) mod p``.
 
-    Two-projection shape on purpose: the per-shingle digest array is aliased
-    in its own projection, then the k signature mins reference that column.
-    Catalyst's CollapseProject keeps the projections separate (the alias is
-    expensive and referenced k times), so every shingle is digested exactly
-    once per row -- collapsing them would inline the digest k times.
+    Shape: shingles are EXPLODED to rows, digested once each, then the k
+    mins are plain codegen'd MIN aggregates.  An earlier version computed
+    the mins as ``array_min(transform(...))`` higher-order functions --
+    semantically identical, but HOF lambdas are CodegenFallback (evaluated
+    interpretively per element, outside whole-stage codegen), and profiling
+    showed hundreds of CPU-seconds with run-to-run JIT deopt swings on a
+    5k-doc input.  The explode shape keeps the whole pipeline inside
+    codegen, and partial aggregation collapses each doc's shingles map-side
+    (a doc's exploded rows never leave its scan partition), so the shuffle
+    carries ONE row per document -- at 100 TB the signature stage is a
+    narrow map + per-doc combine, never a shingle-wide shuffle.
+
+    A doc with NULL text keeps one NULL-hash row (``explode_outer``), so it
+    survives with NULL signatures -- same semantics as the array version.
     """
-    cols = df.columns
-    hashed = df.withColumn(
-        "__mh_base",
-        base_hashes_col(shingles_col(F.col(text_col), shingle_n), hash32),
+    shingle = F.explode_outer(shingles_col(F.col(text_col), shingle_n))
+    hashed = df.select(F.col(id_col), shingle.alias("__sh")).select(
+        id_col,
+        (md5_hash32(F.col("__sh")) if hash32 else F.xxhash64("__sh")).alias(
+            "__h"
+        ),
     )
-    return hashed.select(
-        *cols, *minhash_signature(F.col("__mh_base"), num_hashes=num_hashes)
-    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, 1000003 * (i + 1)
+        aggs.append(
+            F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"mh_{i}")
+        )
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(
@@ -152,7 +137,9 @@ def minhash_candidate_pairs(
     plate shingles shared by thousands of docs) whose pair blowup is
     quadratic -- standard practice in web-scale dedup; None keeps all.
     """
-    sigs = with_minhash(df, text_col, num_hashes, shingle_n, hash32)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, hash32
+    )
     rows = num_hashes // bands
     band_cols = [
         F.concat_ws(
@@ -206,41 +193,59 @@ def jaccard_pairs(
     )
 
 
-def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
-    """SimHash signature from a pre-hashed token array: per bit, tokens
-    vote +1/-1 with the bit of their hash; the signature bit is 1 when the
-    vote is positive.  Pass a materialized column (see ``with_simhash``):
-    all ``bits`` vote-aggregates reference it, and HOF subtrees are not
-    CSE'd, so an inline hash expression would digest every token per bit."""
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    hash32: bool = True,
+) -> DataFrame:
+    """SimHash signatures ``(id, simhash)``: per bit, tokens vote +1/-1
+    with that bit of their hash; the signature bit is 1 when the vote sum
+    is positive.
 
-    def make_vote(b: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
-    bit_cols = []
+    Same explode + codegen'd-aggregate shape as
+    :func:`minhash_signatures` (the per-bit votes are plain SUM
+    aggregates, not HOF folds -- HOF lambdas are CodegenFallback and
+    interpreted per element).  Duplicate tokens vote repeatedly, as in the
+    classic SimHash formulation; partial aggregation collapses each doc
+    map-side, so the shuffle carries one row per document.  NULL text
+    yields NULL votes -> all ``when`` branches false -> simhash 0, same
+    as the array version.
+    """
+    token = F.explode_outer(tokens_col(F.col(text_col)))
+    hashed = df.select(F.col(id_col), token.alias("__t")).select(
+        id_col,
+        (md5_hash32(F.col("__t")) if hash32 else F.xxhash64("__t")).alias(
+            "__h"
+        ),
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0)
     for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), make_vote(b))
-        bit_cols.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return total.cast("long")
+        sig = sig + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    return votes.select(id_col, sig.cast("long").alias("simhash"))
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", bits: int = 16, hash32: bool = True
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    hash32: bool = True,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Append a ``simhash`` column.  Same two-projection shape as
-    ``with_minhash``: tokens are digested once into an aliased array column,
-    then the per-bit votes fold over that column."""
-    cols = df.columns
-    hashed = df.withColumn(
-        "__sh_base", base_hashes_col(tokens_col(F.col(text_col)), hash32)
-    )
-    return hashed.select(
-        *cols, simhash_from_hashes(F.col("__sh_base"), bits).alias("simhash")
-    )
+    """Append a ``simhash`` column to ``df`` (requires a unique ``id_col``):
+    computes :func:`simhash_signatures` and joins it back on the id."""
+    return df.join(simhash_signatures(df, id_col, text_col, bits, hash32), id_col, "left")
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:

@@ -152,9 +152,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over distinct 3-token shingles); the
     narrow-map half of MinHash-LSH dedup."""
     docs = table(spark, sf_dir, "documents", split=True)
-    return DD.with_minhash(
-        docs, "text", num_hashes=_NH, shingle_n=_SHN, hash32=True
-    ).select("doc_id", *[f"mh_{i}" for i in range(_NH)])
+    return DD.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_NH, shingle_n=_SHN, hash32=True
+    )
 
 
 def _sql_band_buckets() -> str:
@@ -246,8 +246,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (16-bit, token bit-vote); near-dup detection is
     then Hamming distance over the signature, banded like MinHash."""
     docs = table(spark, sf_dir, "documents", split=True)
-    return DD.with_simhash(docs, "text", bits=_SIM_BITS, hash32=True).select(
-        "doc_id", "simhash"
+    return DD.simhash_signatures(
+        docs, "doc_id", "text", bits=_SIM_BITS, hash32=True
     )
 
 

@@ -40,6 +40,15 @@ def get_spark(
         # local mode = driver-only JVM: all executor threads share this
         # heap, so size it like a worker, not a coordinator
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # long sessions compile hundreds of whole-stage-codegen classes;
+        # the JVM default 240m code cache fills, JIT starts flushing hot
+        # methods, and expression-heavy stages fall back to interpreted
+        # execution with 10-100x erratic slowdowns -- reserve enough that
+        # generated code stays compiled for the life of the session
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
