@@ -66,6 +66,12 @@ HEADLINE = [
     "q_stratified_sample",
     "q_corpus_pipeline",
     "q_local_volume",
+    # round-3 additions: decontamination + TF-IDF (LLM-pipeline shapes)
+    # and the two heaviest new star-join shapes
+    "q_decontam",
+    "q_tfidf_top",
+    "q_volume_shipping",
+    "q_returned_items",
 ]
 
 RUNS = 3

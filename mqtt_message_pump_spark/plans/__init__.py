@@ -10,10 +10,12 @@ from mqtt_message_pump_spark.plans.registry import ORACLES, QUERIES, query, tabl
 from mqtt_message_pump_spark.plans import (  # noqa: E402,F401
     analytic,
     core,
+    corpus,
     llm,
     metrics,
     multimodal,
     relational,
+    star,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query", "table"]

@@ -1,0 +1,293 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(SURVEY.md SS2.8 extension set, round 3): repetition scoring, PII
+redaction, benchmark decontamination, TF-IDF term ranking, C4-style
+filtering, and embedding quantization.
+
+Like the rest of the extension set these are additive over the reference
+(which has no text analytics at all -- its only transforms are JSON
+flatten + counters, `data_adapter.go:73-134`, `monitor.go:111-189`), and
+every operator is designed for the 100 TB shape first: pure codegen
+expressions where possible, explode+aggregate (map-side combined) where a
+per-token pass is needed, and never an all-pairs join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.functions import text as TX
+from mqtt_message_pump_spark.operators import dedup as DD
+from mqtt_message_pump_spark.plans.llm import _SQL_SHINGLES
+from mqtt_message_pump_spark.plans.registry import query, table
+
+# Non-distinct word bigram list (DuckDB twin of the Spark expression in
+# q_repetition_score): i = 1 .. len-1, two-token inclusive slices.
+_SQL_BIGRAMS = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')), 2)), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))"
+)
+
+
+def _bigrams_col(text: F.Column) -> F.Column:
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+
+
+@query(
+    "q_repetition_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, {_SQL_BIGRAMS} AS bg
+      FROM documents),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_cnt
+      FROM (SELECT doc_id, b, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS b FROM toks) GROUP BY doc_id, b)
+      GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(n_tok - n_dist AS DOUBLE) / n_tok AS dup_token_frac,
+           CAST(top_cnt AS DOUBLE) / GREATEST(n_tok - 1, 1) AS top_bigram_frac
+    FROM (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist
+          FROM toks) s
+    JOIN top ON s.doc_id = top.doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction and the
+    share of all bigrams taken by the single most repeated bigram.
+
+    The token-level stats are pure array expressions (zero shuffle); the
+    top-bigram count uses explode -> count -> max, which partial-aggregates
+    map-side so the shuffle carries one row per (doc, distinct bigram) --
+    bounded by document length, never corpus size.  Both fractions are one
+    double division of exact integers, so the rendered values are
+    bit-identical across engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_dist"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(_bigrams_col(F.col("text"))).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        (
+            (F.col("n_tok") - F.col("n_dist")).cast("double") / F.col("n_tok")
+        ).alias("dup_token_frac"),
+        (
+            F.col("top_cnt").cast("double")
+            / F.greatest(F.col("n_tok") - 1, F.lit(1))
+        ).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits
+    FROM events
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction shape: mask every digit run in the raw payload and
+    count the redactions (the audit column).  Stand-in pattern ``[0-9]+``
+    is deliberately in the Java-regex/RE2 common subset; a production
+    pipeline swaps in email/phone/SSN alternations the same way.  Pure
+    regexp expressions -- a zero-shuffle scan at any scale."""
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("redacted"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("bigint").alias("n_hits"),
+    )
+
+
+@query(
+    "q_decontam",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({_SQL_SHINGLES}) AS s FROM documents),
+    bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+    SELECT doc_id, COUNT(DISTINCT s) AS n_shared
+    FROM sh JOIN bench USING (s)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    """,
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 3-gram with the held-out benchmark set (source 'src0' stands in
+    for the benchmark corpus; production uses 8-13-grams the same way).
+
+    Scale shape: both sides explode to (doc, distinct-shingle) rows and
+    meet in ONE equi-join on the shingle -- at 100 TB the benchmark side
+    is tiny (eval sets, not corpora), deduplicated before the join, and
+    broadcastable by AQE; the output aggregate counts distinct shared
+    shingles per contaminated doc.  No similarity scan, no pairs blowup."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(DD.shingles_col(F.col("text"))).alias("s")
+    )
+    bench = sh.filter(F.col("source") == "src0").select("s").distinct()
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+
+
+@query(
+    "q_tfidf_top",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, tok AS top_term, score
+    FROM (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.tok
+             ) AS rn
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n) ranked
+    WHERE rn = 1
+    """,
+)
+def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document.  The idf factor is the rational form
+    ``N / df`` (one double division of exact integers) rather than
+    ``ln(N/df)`` -- log implementations differ in the last ulp across math
+    libraries, and argmax/score ordering is identical either way.
+
+    Scale shape: term frequencies partial-aggregate map-side (explode
+    never leaves its scan partition un-combined), document frequency
+    derives from the already-distinct (doc, term) frame, the corpus-size
+    scalar joins as a 1-row broadcast, and the final top-1 is a window
+    over each doc's own terms with a deterministic tie-break."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(df, "tok")
+        .join(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "score")
+    )
+
+
+@query(
+    "q_c4_filter",
+    oracle=f"""
+    SELECT doc_id,
+           n_tok < 20 AS too_short,
+           CAST(n_stop AS DOUBLE) / n_tok < 0.01 AS low_stop,
+           CAST(n_tok - n_dist AS DOUBLE) / n_tok > 0.7 AS repetitive,
+           NOT (n_tok < 20
+                OR CAST(n_stop AS DOUBLE) / n_tok < 0.01
+                OR CAST(n_tok - n_dist AS DOUBLE) / n_tok > 0.7) AS keep
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dist,
+             {TX.SQL_STOPWORD_COUNT.format(text='text')} AS n_stop
+      FROM documents)
+    """,
+)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate with an audit trail: per-document boolean
+    flags (too short / no stopwords / highly repetitive) plus the final
+    keep decision, so downstream can report WHY documents were dropped --
+    the pattern behind every production corpus filter.  Single-pass array
+    + regex expressions, zero shuffle at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_dist"),
+        TX.stopword_count(F.col("text")).alias("n_stop"),
+    )
+    too_short = F.col("n_tok") < 20
+    low_stop = F.col("n_stop").cast("double") / F.col("n_tok") < 0.01
+    repetitive = (
+        (F.col("n_tok") - F.col("n_dist")).cast("double") / F.col("n_tok")
+        > 0.7
+    )
+    return base.select(
+        "doc_id",
+        too_short.alias("too_short"),
+        low_stop.alias("low_stop"),
+        repetitive.alias("repetitive"),
+        (~(too_short | low_stop | repetitive)).alias("keep"),
+    )
+
+
+@query(
+    "q_vector_quantize",
+    oracle="""
+    SELECT vec_id, scale,
+           list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS q
+    FROM (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> ABS(CAST(x AS DOUBLE)))) / 127.0
+               AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    WHERE scale > 0
+    """,
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (the storage/bandwidth
+    optimization every vector store applies before ANN): per-vector scale
+    = max|x| / 127, elements rounded to the nearest step.  4x smaller
+    vectors change the economics of the 100 TB similarity path; the exact
+    reconstruction-error bound is asserted in tests.
+
+    Every arithmetic step is per-element (divide, +0.5, floor) with fixed
+    order, so Spark and DuckDB produce identical doubles -> identical
+    int codes.  Zero-vectors (scale 0) are excluded rather than special-
+    cased -- both engines would otherwise divide by zero differently."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scaled = emb.select(
+        "vec_id",
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("scale"),
+        v.alias("v"),
+    ).filter(F.col("scale") > 0)
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ).alias("q"),
+    )

@@ -101,10 +101,16 @@ def query(
     return deco
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects
-# outright; we read them as raw nanos (legacy conf) and rebuild the
-# timestamp with integer division -- truncation toward zero matches
-# DuckDB's TIMESTAMP_NS -> TIMESTAMP cast for positive epochs.
+# Columns that have been observed as parquet TIMESTAMP(NANOS) in some
+# driver-generated fixture sets; Spark's reader rejects nanos outright, so
+# we read them as raw nanos (legacy conf) and rebuild the timestamp with
+# integer division -- truncation toward zero matches DuckDB's
+# TIMESTAMP_NS -> TIMESTAMP cast for positive epochs.  Other fixture
+# generations write TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+# would infer as TIMESTAMP_NTZ; ``table()`` disables that inference so the
+# column lands as plain TIMESTAMP in the pinned-UTC session (identical
+# wall-clock semantics to DuckDB's naive read) and every downstream
+# ``unix_micros`` / window expression sees one stable type either way.
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
@@ -126,6 +132,7 @@ def table(
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, []):
         field = df.schema[c]
