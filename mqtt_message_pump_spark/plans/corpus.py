@@ -130,21 +130,37 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     word 3-gram with the held-out benchmark set (source 'src0' stands in
     for the benchmark corpus; production uses 8-13-grams the same way).
 
-    Scale shape: both sides explode to (doc, distinct-shingle) rows and
-    meet in ONE equi-join on the shingle -- at 100 TB the benchmark side
-    is tiny (eval sets, not corpora), deduplicated before the join, and
-    broadcastable by AQE; the output aggregate counts distinct shared
-    shingles per contaminated doc.  No similarity scan, no pairs blowup."""
+    Scale shape: one corpus pass, grouped by shingle -- at 100 TB the
+    benchmark side is tiny (eval sets, not corpora) so almost every
+    shingle group is benchmark-negative and collapses map-side; the
+    output aggregate counts shared shingles per contaminated doc.  No
+    similarity scan, no pairs blowup.  Known skew point: a boilerplate
+    shingle present in a large fraction of training docs makes one hot
+    (shingle -> doc-list) group; production decontam drops shingles above
+    a document-frequency cap as stop-shingles (the q_minhash_pairs
+    ``max_bucket_size`` treatment) -- kept exact here for the oracle."""
     docs = table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", "source", F.explode(DD.shingles_col(F.col("text"))).alias("s")
     )
-    bench = sh.filter(F.col("source") == "src0").select("s").distinct()
+    # Single-scan shape: rather than materializing the benchmark shingle
+    # set and joining (which re-computes the shingle explode for each
+    # side), group by shingle ONCE, remembering whether the benchmark saw
+    # it and which training docs carry it.  (doc, shingle) pairs are
+    # unique (shingles_col is per-doc distinct), so the per-doc count is a
+    # plain COUNT(*) after the explode-back.  Two shuffles total (shingle,
+    # then doc), one pass over the corpus.
+    per_shingle = sh.groupBy("s").agg(
+        F.max(F.col("source") == "src0").alias("in_bench"),
+        F.collect_set(
+            F.when(F.col("source") != "src0", F.col("doc_id"))
+        ).alias("train_ids"),
+    )
     return (
-        sh.filter(F.col("source") != "src0")
-        .join(bench, "s")
+        per_shingle.filter(F.col("in_bench"))
+        .select(F.explode("train_ids").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(F.count_distinct("s").alias("n_shared"))
+        .agg(F.count("*").alias("n_shared"))
     )
 
 

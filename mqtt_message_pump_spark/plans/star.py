@@ -84,7 +84,7 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+      WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
         AND n1.n_nationkey <> n2.n_nationkey
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
@@ -104,13 +104,18 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    nation = table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3)
-    n1 = F.broadcast(nation.select(
+    # nation is a fixed-size dim (25 rows at any SF) and falls well under
+    # the broadcast threshold, so the planner broadcasts it without a
+    # hint; hinting BOTH aliases of the same filtered frame trips a
+    # broadcast-block cleanup race under rebuilt plans (observed on
+    # pyspark 4.1.2: "Block broadcast_N does not exist").
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    n1 = nation.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    ))
-    n2 = F.broadcast(nation.select(
+    )
+    n2 = nation.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    ))
+    )
     joined = (
         li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(n1, F.col("s_nationkey") == F.col("s_nk"))
@@ -336,4 +341,156 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.join(revenue, sup.s_suppkey == F.col("supplier_no"))
         .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_market_share",
+    oracle=f"""
+    SELECT l_year,
+           CAST(CAST(nat_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS DOUBLE)
+             AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             SUM(CASE WHEN sn.n_name = 'NATION_1' THEN {_REV}
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat_rev,
+             SUM({_REV}) AS tot_rev
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'AFRICA'
+      GROUP BY 1
+    ) yearly
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's import
+    revenue by year.  Same one-scan conditional-aggregation trick as
+    q_promo_share (numerator and denominator in a single shuffle), on top
+    of a seven-way star; nation/region legs are fixed-size dims the
+    planner broadcasts on its own, SF-proportional sides stay with AQE.
+    The share is one double division of two exact decimal sums."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _rev_col()
+    yearly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("c_nk"))
+        .join(region, F.col("c_rk") == F.col("r_regionkey"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                    F.lit(0).cast(_DEC)
+                )
+            ).alias("nat_rev"),
+            F.sum(rev).alias("tot_rev"),
+        )
+    )
+    return yearly.select(
+        "l_year",
+        (
+            F.col("nat_rev").cast("double") / F.col("tot_rev").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "q_bracket_predicates",
+    oracle=f"""
+    SELECT SUM({_REV}) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+    """,
+    cast_double=["revenue"],
+)
+def q_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under bracketed OR-of-AND
+    predicates spanning both join sides.  Catalyst splits the disjunction:
+    the single-table conjuncts (l_quantity ranges, p_brand/p_size ranges)
+    are pushed below the join as partial filters on each scan, and the
+    cross-table residual is evaluated inside the join -- the canonical
+    test that predicate decomposition works.  One join, one scalar
+    aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    bracket1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    bracket2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(bracket1 | bracket2)
+        .agg(
+            F.sum(_rev_col()).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT COUNT(*) AS cnt,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, COUNT(*) AS n_custs,
+           SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    cast_double=["total_bal"],
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers who never ordered, grouped
+    by nation.  NOT EXISTS is a LEFT ANTI join on custkey; the
+    above-average-balance filter compares in exact cross-multiplied form
+    (``bal * count > sum`` over DECIMAL, the q_small_qty_revenue
+    treatment) so no engine-specific double rounding of the average can
+    flip boundary customers.  The (count, sum) scalar joins as a 1-row
+    broadcast; orders is only scanned for its custkey column."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).alias("total"),
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast(_DEC) * F.col("cnt") > F.col("total"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).alias("total_bal"),
+        )
     )

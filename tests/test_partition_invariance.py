@@ -27,6 +27,13 @@ KEYS = [
     "q_label_centroid",  # int64 nano-unit sums must not drift
     "q_pack_sequences",  # global running sum must not depend on layout
     "q_doc_freq",  # distinct-then-count with top-k tie-break
+    # round-3 additions
+    "q_volume_shipping",  # multi-join decimal sums across 6 tables
+    "q_small_qty_revenue",  # exact cross-multiplied threshold filter
+    "q_returned_items",  # top-20 with revenue/custkey tie-break
+    "q_top_supplier",  # argmax equality on exact decimal revenue
+    "q_tfidf_top",  # per-doc argmax with score/term tie-break
+    "q_decontam",  # group-by-shingle composition
 ]
 
 
