@@ -143,3 +143,58 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(ts).alias("frame_ms"),
         "content",
     )
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 16, height: int = 16, fake: bool = True
+) -> DataFrame:
+    """Image resize via ``mapInPandas`` (Arrow batches): the standard
+    pre-training normalization step (decode -> resample to a fixed
+    resolution -> re-encode).  Only image rows are selected, and only the
+    columns the resampler needs are shipped through Arrow -- metadata
+    stays JVM-side.
+
+    With ``fake=True`` the "resample" is a deterministic byte resample
+    (nearest-neighbor over the payload, giving exactly width*height
+    output bytes) so the plumbing -- schema, batch iteration, column
+    pruning, output sizing -- is real and testable without PIL/opencv;
+    ``fake=False`` is the production seam where a real decoder drops in.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resizing requires PIL/opencv, "
+                    "not available in this environment"
+                )
+            out = []
+            n_out = width * height
+            for b in batch["content"]:
+                raw = bytes(b)
+                # nearest-neighbor byte resample: index i of the output
+                # maps to byte floor(i * len/n_out) of the input
+                step = len(raw) / n_out
+                out.append(bytes(raw[int(i * step)] for i in range(n_out)))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "content": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    images = df.filter(F.col("meta.modality") == "image")
+    return images.select("media_id", "content").mapInPandas(
+        resize, RESIZED_SCHEMA
+    )

@@ -49,8 +49,14 @@ def q_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     a payload whose top level maps record-id -> record becomes one row per
     record with the id captured as ``key_id``.  Built here by wrapping each
     event's ``props`` into a two-record payload, then
-    ``from_json -> MapType -> explode``."""
-    events = table(spark, sf_dir, "events")
+    ``from_json -> MapType -> explode``.
+
+    ``split=True``: the local fixture is a single row group, so without a
+    repartition the JSON parse -- the only CPU-dense step here -- runs on
+    one core (profiled ~1 s of the bench; parse itself, not the explode).
+    At production scale the scan splits naturally and the repartition is
+    a no-op-sized shuffle of the raw payload bytes."""
+    events = table(spark, sf_dir, "events", split=True)
     payload = F.concat(
         F.lit('{"r1":'), F.col("props"), F.lit(',"r2":'), F.col("props"), F.lit("}")
     )

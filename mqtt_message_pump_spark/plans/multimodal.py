@@ -95,3 +95,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIL/opencv/ffmpeg).  Returns (media_id, feature, decoded_ok)."""
     media = media_from_documents(spark, sf_dir)
     return MM.decode_features(media, fake=True)
+
+
+@query("q_media_resize")  # rows-only: mapInPandas stage, not SQL-expressible
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize seam: image rows -> fixed-resolution payloads via
+    Arrow-batched ``mapInPandas`` (deterministic nearest-neighbor byte
+    resample standing in for PIL/opencv).  Returns
+    (media_id, content, width, height); output size is exactly
+    width*height bytes per row -- asserted in tests."""
+    media = media_from_documents(spark, sf_dir)
+    return MM.resize_images(media, width=16, height=16, fake=True)

@@ -107,3 +107,24 @@ def dedupe_within_watermark(
             subset
         )
     return df.dropDuplicates(subset)
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a (possibly streaming)
+    fact against a static dim table.
+
+    Stream-static joins are stateless in Structured Streaming -- each
+    micro-batch joins against the current dim snapshot, no watermark and
+    no state store -- so this is the cheapest join class at any scale.
+    The dim is broadcast-hinted: dimension tables are the fixed-size side
+    by construction (the SF-proportional side is the stream), and the
+    broadcast saves re-shuffling every micro-batch.  Inner and left joins
+    are supported by Spark for stream-static; right/full would need the
+    static side to act as the stream and are rejected by the planner.
+    """
+    return stream.join(F.broadcast(dim), on, how)

@@ -317,3 +317,33 @@ def test_window_state_survives_restart(spark, tmp_path):
     # first run's open-window state was recovered from the checkpoint
     assert ("2024-01-01 00:00:00", 3, "7.00") in got, got
     assert first <= len(got)
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static dim join: every micro-batch row is enriched from the
+    static dim, stream-vs-batch results identical (stateless join class,
+    no watermark required)."""
+    from mqtt_message_pump_spark.streaming.windows import enrich_with_dim
+
+    src = tmp_path / "src"
+    _write_events(src, ROWS)
+    dim = spark.createDataFrame(
+        [(7, "gold"), (99, "silver")], ["user_id", "tier"]
+    )
+
+    enriched_out = _drain(
+        enrich_with_dim(_stream(spark, src), dim, "user_id"),
+        tmp_path,
+        "enrich",
+    )
+    streamed = {
+        (r["user_id"], str(r["ts"]), r["tier"])
+        for r in spark.read.parquet(str(enriched_out)).collect()
+    }
+    batch = {
+        (r["user_id"], str(r["ts"]), r["tier"])
+        for r in enrich_with_dim(_batch(spark, src), dim, "user_id").collect()
+    }
+    assert streamed == batch
+    assert any(t[2] is not None for t in streamed)  # joined tiers present
+    assert any(t[2] is None for t in streamed)  # left join keeps unmatched

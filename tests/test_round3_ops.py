@@ -114,3 +114,17 @@ def test_tfidf_top_is_unique_per_doc(spark, sf_dir):
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
     assert all(r.score > 0 for r in rows)
+
+
+def test_media_resize_output_shape(spark, sf_dir):
+    """Every resized image payload must be exactly width*height bytes,
+    deterministic across runs, and cover exactly the image-modality rows."""
+    out = {r.media_id: r for r in QUERIES["q_media_resize"](spark, sf_dir).collect()}
+    again = {r.media_id: r for r in QUERIES["q_media_resize"](spark, sf_dir).collect()}
+    assert out
+    for mid, r in out.items():
+        assert r.width == 16 and r.height == 16
+        assert len(r.content) == 16 * 16
+        assert bytes(r.content) == bytes(again[mid].content)
+    # image modality = doc_id % 3 == 0 (element_at index 1)
+    assert all(mid % 3 == 0 for mid in out)
