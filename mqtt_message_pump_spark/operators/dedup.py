@@ -236,6 +236,71 @@ def simhash_signatures(
     return votes.select(id_col, sig.cast("long").alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash32: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All near-dup pairs within ``max_hamming`` SimHash bits, via banded
+    LSH -- never an all-pairs join.
+
+    The signature is split into ``bands`` equal bit-bands; docs sharing
+    any band's value meet in one (band, bucket) group, pairs are generated
+    inside groups only, then verified against the FULL signature.  By
+    pigeonhole, ``max_hamming < bands`` differing bits leave at least one
+    band untouched, so banding finds EVERY pair within the radius: the
+    output equals brute force exactly while the shuffle key stays
+    (band, bucket).  Signatures ride along in each group's struct list, so
+    verification needs no join back to the corpus.  ``max_bucket_size``
+    optionally drops degenerate buckets (boilerplate-dominated signature
+    regions) at a documented recall cost; ``None`` keeps exactness.
+    ``hash32=False`` switches the token hash to xxhash64 for production
+    64-bit signatures (no DuckDB twin).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "exact recall requires max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    sigs = simhash_signatures(df, id_col, text_col, bits, hash32)
+    band_vals = [
+        F.shiftright(F.col("simhash"), b * rows).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.struct(F.col(id_col).alias("id"), F.col("simhash")).alias("ds"),
+        F.posexplode(F.array(*band_vals)).alias("band", "bucket"),
+    )
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list("ds").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ds") <= max_bucket_size)
+    return (
+        grouped.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",

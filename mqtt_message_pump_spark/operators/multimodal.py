@@ -181,6 +181,12 @@ def resize_images(
             n_out = width * height
             for b in batch["content"]:
                 raw = bytes(b)
+                if not raw:
+                    # zero-length payload: nothing to sample from -- emit a
+                    # zero frame of the contracted size rather than letting
+                    # one corrupt row fail the whole Arrow batch task
+                    out.append(b"\x00" * n_out)
+                    continue
                 # nearest-neighbor byte resample: index i of the output
                 # maps to byte floor(i * len/n_out) of the input
                 step = len(raw) / n_out

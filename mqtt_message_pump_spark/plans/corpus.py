@@ -113,6 +113,61 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAM_MAX_DF = 10_000  # stop-shingle training-doc-frequency cap
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_source: str = "src0",
+    max_df: int | None = _DECONTAM_MAX_DF,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag training docs sharing a word n-gram with the benchmark set.
+
+    Scale shape (bounded state everywhere):
+
+    1. Explode per-doc-distinct shingles, group by shingle with two
+       CONSTANT-SIZE aggregates -- seen-in-benchmark (bool OR) and
+       training document frequency (count).  Partial aggregation
+       collapses hot shingles map-side; no per-shingle doc list is ever
+       collected (the ``collect_set`` formulation concentrates a
+       boilerplate shingle's entire doc list in one aggregation buffer --
+       OOM at corpus scale).
+    2. Keep benchmark-positive shingles at-or-under ``max_df``: a shingle
+       in more than ``max_df`` training docs is boilerplate (a stop-
+       shingle), not benchmark leakage -- the ``max_bucket_size``
+       treatment from ``minhash_candidate_pairs``.  ``None`` disables the
+       cap (exact mode).
+    3. Re-explode the training side and broadcast-join the kept set:
+       bounded because benchmark corpora are eval sets, orders of
+       magnitude smaller than the training corpus, and further clipped by
+       the cap -- the join therefore ships no training data, and the
+       per-doc count partial-aggregates map-side.
+
+    (doc, shingle) pairs are distinct (``shingles_col`` dedups per doc),
+    so ``n_shared`` is the exact count of distinct shared shingles.
+    """
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(DD.shingles_col(F.col("text"), shingle_n)).alias("s"),
+    )
+    is_train = F.col("source") != bench_source
+    per_shingle = sh.groupBy("s").agg(
+        F.max(F.col("source") == bench_source).alias("in_bench"),
+        F.count(F.when(is_train, 1)).alias("train_df"),
+    )
+    keep = per_shingle.filter(F.col("in_bench"))
+    if max_df is not None:
+        keep = keep.filter(F.col("train_df") <= max_df)
+    return (
+        sh.filter(is_train)
+        .join(F.broadcast(keep.select("s")), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 @query(
     "q_decontam",
     oracle=f"""
@@ -126,42 +181,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training documents sharing any
-    word 3-gram with the held-out benchmark set (source 'src0' stands in
-    for the benchmark corpus; production uses 8-13-grams the same way).
-
-    Scale shape: one corpus pass, grouped by shingle -- at 100 TB the
-    benchmark side is tiny (eval sets, not corpora) so almost every
-    shingle group is benchmark-negative and collapses map-side; the
-    output aggregate counts shared shingles per contaminated doc.  No
-    similarity scan, no pairs blowup.  Known skew point: a boilerplate
-    shingle present in a large fraction of training docs makes one hot
-    (shingle -> doc-list) group; production decontam drops shingles above
-    a document-frequency cap as stop-shingles (the q_minhash_pairs
-    ``max_bucket_size`` treatment) -- kept exact here for the oracle."""
+    """Benchmark decontamination (see :func:`decontaminate`): flag
+    training documents sharing any word 3-gram with the held-out
+    benchmark set (source 'src0' stands in for the benchmark corpus;
+    production uses 8-13-grams the same way).  The stop-shingle cap
+    defaults ON; fixture document frequencies are far below it, so the
+    oracle (uncapped SQL) stays exact at fixture scale."""
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", F.explode(DD.shingles_col(F.col("text"))).alias("s")
-    )
-    # Single-scan shape: rather than materializing the benchmark shingle
-    # set and joining (which re-computes the shingle explode for each
-    # side), group by shingle ONCE, remembering whether the benchmark saw
-    # it and which training docs carry it.  (doc, shingle) pairs are
-    # unique (shingles_col is per-doc distinct), so the per-doc count is a
-    # plain COUNT(*) after the explode-back.  Two shuffles total (shingle,
-    # then doc), one pass over the corpus.
-    per_shingle = sh.groupBy("s").agg(
-        F.max(F.col("source") == "src0").alias("in_bench"),
-        F.collect_set(
-            F.when(F.col("source") != "src0", F.col("doc_id"))
-        ).alias("train_ids"),
-    )
-    return (
-        per_shingle.filter(F.col("in_bench"))
-        .select(F.explode("train_ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    return decontaminate(docs)
 
 
 @query(

@@ -220,9 +220,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_BITS = 16
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(bits: int = _SIM_BITS) -> str:
     votes = []
-    for b in range(_SIM_BITS):
+    for b in range(bits):
         votes.append(
             "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
             f"list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)), "
@@ -248,6 +248,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", split=True)
     return DD.simhash_signatures(
         docs, "doc_id", "text", bits=_SIM_BITS, hash32=True
+    )
+
+
+_SIMP_BITS = 32  # banded-pairs signature width (md5-hash32 bounded)
+_SIMP_HAMMING = 3
+_SIMP_BANDS = 4
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, CAST({_sql_simhash(_SIMP_BITS)} AS BIGINT) AS simhash
+      FROM (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              s -> {_SQL_HASH32.format(s='s')}) AS hs
+        FROM documents))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMP_HAMMING}
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs: every pair within Hamming distance
+    {3} of the 32-bit signature.  The Spark plan is banded LSH
+    (:func:`DD.simhash_candidate_pairs` -- bucket on 8-bit signature
+    bands, verify inside buckets, never all-pairs); the oracle is the
+    brute-force all-pairs SQL.  Their equality under the driver's hash
+    compare IS the 100% recall proof: max_hamming < bands guarantees by
+    pigeonhole that no within-radius pair escapes banding."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    return DD.simhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bits=_SIMP_BITS,
+        bands=_SIMP_BANDS,
+        max_hamming=_SIMP_HAMMING,
     )
 
 
@@ -586,48 +626,72 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEQ_BUDGET = 512  # tokens per packed training sequence
+_PACK_SHARDS = 8  # parallel packing shards (cluster: ~partitions)
+
+
+def pack_sequences(tok: DataFrame, budget: int, n_shards: int) -> DataFrame:
+    """Greedy sequence packing over ``(doc_id, n_tok)``: each doc joins the
+    training sequence its cumulative predecessor token count falls into.
+
+    Packing is SHARD-LOCAL: docs are split into ``n_shards`` independent
+    shards by a stable function of ``doc_id`` and each shard runs its own
+    running sum, so the window is ``partitionBy(shard)`` -- ``n_shards``
+    concurrent partition-local sorts, never one global sort.  At 100 TB
+    set ``n_shards`` ~ the write parallelism; packing quality is
+    unaffected (sequences never span shards by construction, exactly as
+    production packers shard by input file).  Token counts are integers,
+    so prefix sums are exact and the assignment deterministic.
+    ``n_shards=1`` degenerates to the classic single-order formulation
+    (the oracle twin at fixture scale).  Output sequence ids are globally
+    unique via (shard, local_seq) -> shard-major numbering.
+    """
+    from pyspark.sql import Window
+
+    sharded = tok.withColumn(
+        "shard", (F.col("doc_id") % n_shards).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sharded.select(
+        "doc_id",
+        "n_tok",
+        "shard",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget)
+        .cast("bigint")
+        .alias("seq_id"),
+    )
 
 
 @query(
     "q_pack_sequences",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, {TX.SQL_TOKEN_COUNT.format(text='text')} AS n_tok
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             {TX.SQL_TOKEN_COUNT.format(text='text')} AS n_tok
       FROM documents
     )
-    SELECT doc_id, n_tok,
-           CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+    SELECT doc_id, n_tok, shard,
+           CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        - n_tok) / {_SEQ_BUDGET}) AS BIGINT) AS seq_id
     FROM tok
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: documents assigned to fixed-token-budget
-    training sequences by running token count (a doc starts in the
-    sequence its cumulative predecessor count falls into).  Token counts
-    are integers, so the prefix sums are exact and the assignment
-    deterministic.  Written as a single global window over doc_id for the
-    oracle; at 100 TB packing is shard-local by construction (each shard
-    packs its own doc range independently -- same expression with
-    partitionBy(shard)), so the global sort never materializes."""
-    from pyspark.sql import Window
-
+    """Shard-local greedy sequence packing (see :func:`pack_sequences`):
+    the registered plan partitions the running-sum window by a stable
+    doc_id shard, so the sort is partition-local and the plan executes at
+    any scale -- no empty-``partitionBy`` window over a growing input.
+    The single-global-order formulation is the ``n_shards=1`` degenerate
+    case, kept under test as the semantic twin at fixture scale."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", TX.token_count(F.col("text")).cast("bigint").alias("n_tok")
     )
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return tok.select(
-        "doc_id",
-        "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _SEQ_BUDGET)
-        .cast("bigint")
-        .alias("seq_id"),
-    )
+    return pack_sequences(tok, _SEQ_BUDGET, _PACK_SHARDS)
 
 
 @query(

@@ -49,6 +49,13 @@ def test_decontam_flags_only_real_overlaps(spark, sf_dir):
         assert doc.source != "src0"
         shared = set(doc.sh) & bench
         assert len(shared) == r.n_shared
+    # completeness: every training doc with a benchmark overlap is flagged
+    expected = {
+        r.doc_id
+        for r in sh
+        if r.source != "src0" and set(r.sh) & bench
+    }
+    assert {r.doc_id for r in flagged} == expected
 
 
 def test_c4_filter_keep_is_negation_of_flags(spark, sf_dir):
@@ -70,26 +77,37 @@ def test_repetition_score_ranges(spark, sf_dir):
 
 def test_small_qty_matches_avg_formulation(spark, sf_dir):
     """The exact cross-multiplied threshold (2*cnt*qty < sum_qty) must
-    select the same lines as the textbook qty < 0.5*AVG(qty) form."""
+    agree per-row with the textbook qty < 0.5*AVG(qty) form on every
+    non-boundary line.  Exact ties (2*cnt*qty == sum_qty) are excluded:
+    double rounding of the AVG may legitimately land them on either side,
+    which is exactly why the registered query cross-multiplies."""
     import pyspark.sql.functions as F
     from mqtt_message_pump_spark.plans.registry import table
 
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
     per_part = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
-        F.avg("l_quantity").alias("avg_qty")
+        F.sum(qty_dec).alias("sum_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.count("*").alias("cnt"),
     )
-    textbook = (
+    joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, F.col("agg_pk") == li.l_partkey)
-        .filter(
-            (F.col("p_brand") == "Brand#1")
-            & (F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        )
-        .count()
+        .filter(F.col("p_brand") == "Brand#1")
     )
+    lhs = qty_dec * 2 * F.col("cnt")
+    exact = lhs < F.col("sum_qty")
+    textbook = F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    disagreements = (
+        joined.filter(lhs != F.col("sum_qty")).filter(exact != textbook).count()
+    )
+    assert disagreements == 0
+    # and the registered query's line count equals the exact form's
+    n_exact = joined.filter(exact).count()
     got = QUERIES["q_small_qty_revenue"](spark, sf_dir).collect()[0]
-    assert got.n_lines == textbook
+    assert got.n_lines == n_exact
 
 
 def test_top_supplier_is_argmax(spark, sf_dir):

@@ -1,0 +1,150 @@
+"""Semantic tests for the round-4 scale-hardening work: shard-local
+sequence packing, the decontamination stop-shingle cap, banded SimHash
+candidates, and the resize seam's corrupt-row guard.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mqtt_message_pump_spark.plans import QUERIES
+from mqtt_message_pump_spark.plans.registry import table
+
+
+def _tok(spark, sf_dir):
+    from mqtt_message_pump_spark.functions import text as TX
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+
+
+def test_pack_sequences_single_shard_is_classic_packing(spark, sf_dir):
+    """n_shards=1 degenerates to the textbook single-global-order greedy
+    packing (verified against a driver-side prefix-sum replay)."""
+    from mqtt_message_pump_spark.plans.llm import _SEQ_BUDGET, pack_sequences
+
+    tok = _tok(spark, sf_dir)
+    got = {r.doc_id: r.seq_id for r in pack_sequences(tok, _SEQ_BUDGET, 1).collect()}
+    run = 0
+    for r in sorted(tok.collect(), key=lambda r: r.doc_id):
+        assert got[r.doc_id] == run // _SEQ_BUDGET
+        run += r.n_tok
+
+
+def test_pack_sequences_shards_pack_independently(spark, sf_dir):
+    """The registered shard-local form must assign each doc the seq_id it
+    gets when its shard is packed in isolation -- the property that lets
+    1000 executors pack 1000 shards with zero coordination."""
+    from mqtt_message_pump_spark.plans.llm import (
+        _PACK_SHARDS,
+        _SEQ_BUDGET,
+        pack_sequences,
+    )
+
+    out = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    assert out
+    by_shard: dict[int, dict[int, int]] = {}
+    for r in out:
+        assert r.shard == r.doc_id % _PACK_SHARDS
+        by_shard.setdefault(r.shard, {})[r.doc_id] = r.seq_id
+    tok = _tok(spark, sf_dir)
+    for shard, want in by_shard.items():
+        alone = pack_sequences(
+            tok.filter(F.col("doc_id") % _PACK_SHARDS == shard),
+            _SEQ_BUDGET,
+            1,
+        ).collect()
+        assert {r.doc_id: r.seq_id for r in alone} == want
+
+
+def test_decontam_stop_shingle_cap(spark):
+    """A boilerplate shingle above max_df training docs is dropped as a
+    stop-shingle; genuine low-frequency leakage is still flagged."""
+    from mqtt_message_pump_spark.plans.corpus import decontaminate
+
+    rows = [(0, "a b c x y z", "src0")]
+    rows += [
+        (i, f"a b c filler{i} pad{i} tail{i}", "src1") for i in range(1, 12)
+    ]
+    rows.append((100, "x y z more words here", "src1"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    capped = {r.doc_id: r.n_shared for r in decontaminate(docs, max_df=5).collect()}
+    assert capped == {100: 1}
+    uncapped = {
+        r.doc_id: r.n_shared for r in decontaminate(docs, max_df=None).collect()
+    }
+    assert uncapped[100] == 1
+    assert set(uncapped) == {100, *range(1, 12)}
+
+
+def test_simhash_pairs_equal_brute_force(spark, sf_dir):
+    """Banded candidates with max_hamming < bands must find EXACTLY the
+    brute-force all-pairs result (pigeonhole recall guarantee)."""
+    from mqtt_message_pump_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_candidate_pairs(
+            docs, bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    sigs = simhash_signatures(docs, "doc_id", "text", bits=32)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert banded  # fixture must exercise the operator
+
+
+def test_simhash_pairs_bucket_cap_and_param_guard(spark):
+    from mqtt_message_pump_spark.operators.dedup import simhash_candidate_pairs
+    import pytest
+
+    # identical docs -> one degenerate bucket per band; the cap drops it
+    docs = spark.createDataFrame(
+        [(i, "same words in every doc") for i in range(8)],
+        "doc_id long, text string",
+    )
+    assert simhash_candidate_pairs(docs, max_bucket_size=4).count() == 0
+    assert simhash_candidate_pairs(docs).count() == 8 * 7 // 2
+    with pytest.raises(ValueError):
+        simhash_candidate_pairs(docs, bands=4, max_hamming=4)
+
+
+def test_resize_images_empty_payload_yields_zero_frame(spark):
+    """A zero-length content row must not fail the Arrow batch: it emits
+    a zero frame of the contracted output size."""
+    from mqtt_message_pump_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [
+            (1, b"", ("image",)),
+            (2, bytes(range(64)), ("image",)),
+            (3, b"xyz", ("audio",)),
+        ],
+        "media_id long, content binary, meta struct<modality:string>",
+    )
+    out = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+    assert set(out) == {1, 2}
+    assert bytes(out[1].content) == b"\x00" * 16
+    assert len(out[2].content) == 16
