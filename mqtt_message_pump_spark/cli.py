@@ -102,6 +102,10 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
                 str(topic.group_num if topic.enable_group_num else 0),
             )
             .option("qos", str(cfg.source_mqtt.qos))
+            .option("clean_session", str(cfg.source_mqtt.clean_session))
+            .option("client_name", cfg.source_mqtt.client_name)
+            .option("username", cfg.source_mqtt.username)
+            .option("password", cfg.source_mqtt.password)
             .load()
         )
     elif source_dir is not None:

@@ -68,12 +68,28 @@ def mqtt_available() -> bool:
     return _paho is not None and _DS_API
 
 
+def clean_session_flag(options) -> bool:
+    """Parse the ``clean_session`` reader option (string-typed, as all
+    DataSource options are).  Default True, matching ``MqttConf``."""
+    return str(options.get("clean_session", "true")).strip().lower() in (
+        "1", "true", "yes", "on",
+    )
+
+
 def _paho_client_factory(options):  # pragma: no cover - needs a broker
-    """Build and connect a real Paho client from source options."""
+    """Build and connect a real Paho client from source options.
+
+    ``clean_session`` maps to the MQTT clean-session flag (reference
+    ``mqtt.go:60``): False + QoS>=1 makes the broker queue messages for a
+    reconnecting subscriber -- the at-least-once window our checkpointed
+    dedup then collapses (SURVEY.md SS2.6)."""
     server = options.get("server", "tcp://127.0.0.1:1883")
     host = server.split("://", 1)[-1].rsplit(":", 1)[0]
     port = int(server.rsplit(":", 1)[-1])
-    client = _paho.Client()
+    client = _paho.Client(
+        client_id=options.get("client_name", ""),
+        clean_session=clean_session_flag(options),
+    )
     if options.get("username"):
         client.username_pw_set(
             options.get("username"), options.get("password")
@@ -127,13 +143,20 @@ class MqttStreamReader(DataSourceStreamReader):
     client; the default is Paho.  Tests inject an in-process loopback
     client, which exercises the full partition/offset/read/commit cycle
     without a broker.
+
+    ``pipe_signal(up: bool)`` is the reference's ``PipeChan`` analog
+    (``mqtt.go:128-150``): called True after a successful subscribe,
+    False on teardown or failure.  Tests wire it to
+    ``PumpCounters.pipe_signal`` (in-process loopback); a cluster
+    deployment routes executor-side signals through a collecting channel.
     """
 
-    def __init__(self, options, client_factory=None) -> None:
+    def __init__(self, options, client_factory=None, pipe_signal=None) -> None:
         self.options = options
         self.groups = int(options.get("group_num", "0")) or 1
         self._counts = {g: 0 for g in range(self.groups)}
         self._client_factory = client_factory or _paho_client_factory
+        self._pipe_signal = pipe_signal or (lambda up: None)
 
     def initialOffset(self):
         return {str(g): 0 for g in range(self.groups)}
@@ -183,13 +206,24 @@ class MqttStreamReader(DataSourceStreamReader):
 
         client = self._client_factory(opts)
         client.on_message = on_message
-        client.subscribe(topic, qos=qos)
-        client.loop_start()
-        deadline = time.time() + float(opts.get("poll_timeout_secs", "5"))
-        while len(buffered) < want and time.time() < deadline:
-            time.sleep(0.05)
-        client.loop_stop()
-        client.disconnect()
+        try:
+            client.subscribe(topic, qos=qos)
+        except Exception:
+            # subscribe failure = dead pipe (mqtt.go:131-134)
+            self._pipe_signal(False)
+            raise
+        self._pipe_signal(True)
+        try:
+            client.loop_start()
+            deadline = time.time() + float(opts.get("poll_timeout_secs", "5"))
+            while len(buffered) < want and time.time() < deadline:
+                time.sleep(0.05)
+            client.loop_stop()
+        finally:
+            client.disconnect()
+            # per-micro-batch clients tear down after the read
+            # (mqtt.go:144-150 Disconnect signals pipe-down)
+            self._pipe_signal(False)
         for row in buffered[:want] if want else buffered:
             yield row
 

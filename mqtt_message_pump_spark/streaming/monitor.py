@@ -43,6 +43,27 @@ class PumpCounters:
     da_pdo_succeed: int = 0
     ado_receive_succeed: int = 0
     ado_commit_succeed: int = 0
+    # pipe up/down events (the reference's bool PipeChan, mqtt.go:128-150:
+    # subscribe success -> true, subscribe failure / connection lost /
+    # disconnect -> false; monitor.go:250-255 nets them into PipeNum)
+    pipe_up_events: int = 0
+    pipe_down_events: int = 0
+
+    def pipe_signal(self, up: bool) -> None:
+        """The ``PipeChan`` analog: one bool event per pipe transition.
+        Wire it as the MQTT reader's ``pipe_signal`` callback (loopback /
+        single-process); on a cluster, route executor-side signals through
+        a collecting channel before they reach this driver-side object."""
+        if up:
+            self.pipe_up_events += 1
+        else:
+            self.pipe_down_events += 1
+
+    @property
+    def pipe_num(self) -> int:
+        """Net live pipes (``monitor.go:19`` PipeNum: +1 per up, -1 per
+        down)."""
+        return self.pipe_up_events - self.pipe_down_events
 
     def queue_wait_info(self) -> dict[str, int]:
         """The seven ``WaitFor*`` stage deltas (``monitor.go:120-128``)."""
@@ -96,6 +117,10 @@ class PumpMonitorListener(StreamingQueryListener):
         self.total_msgs = 0
         self.total_bytes = 0
         self.counters = counters
+        # monitor publish outcome counters (monitor.go:148-149
+        # MonPubSucceed / MonPubFailed)
+        self.pub_succeed = 0
+        self.pub_failed = 0
 
     # -- StreamingQueryListener interface ---------------------------------
 
@@ -126,6 +151,10 @@ class PumpMonitorListener(StreamingQueryListener):
             "BatchId": p.batchId,
             "BatchDurationMs": p.batchDuration,
             "RunTimeSeconds": runtime,
+            # monitor self-status (monitor.go:148-149: RunTime/PipeNum/
+            # MonPubSucceed/MonPubFailed in one StatusInfo line)
+            "MonPubSucceed": self.pub_succeed,
+            "MonPubFailed": self.pub_failed,
         }
         if self.counters is not None:
             # per-stage queue lags + raw-vs-adapter gap (monitor.go:120-136)
@@ -136,7 +165,20 @@ class PumpMonitorListener(StreamingQueryListener):
                 "QueueWaitInfo": self.counters.queue_wait_info(),
                 "GapBetweenRawAndAdapterInfo": self.counters.gap_info(),
             }
-        self._publish(self.topic, json.dumps(payload))
+            # live/dead pipe surface (monitor.go:250-255 net count; the
+            # up/down event totals expose flapping the net count hides)
+            payload["PipeStatusInfo"] = {
+                "PipeNum": self.counters.pipe_num,
+                "PipeUpEvents": self.counters.pipe_up_events,
+                "PipeDownEvents": self.counters.pipe_down_events,
+            }
+        try:
+            self._publish(self.topic, json.dumps(payload))
+            self.pub_succeed += 1
+        except Exception:
+            # reference counts failed publishes and keeps ticking
+            # (monitor.go:100-106); next payload carries the failure count
+            self.pub_failed += 1
 
     def onQueryIdle(self, event) -> None:
         pass

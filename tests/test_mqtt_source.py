@@ -158,6 +158,58 @@ def test_reader_uses_source_qos():
     assert captured["client"].disconnected
 
 
+def test_clean_session_option_parse():
+    """[source-mqtt] clean_session flows config -> reader option -> client
+    flag (string-typed at the DataSource boundary)."""
+    from mqtt_message_pump_spark.config import MqttConf
+    from mqtt_message_pump_spark.sources.mqtt import clean_session_flag
+
+    assert clean_session_flag({}) is True
+    assert clean_session_flag({"clean_session": "False"}) is False
+    assert clean_session_flag({"clean_session": "1"}) is True
+    # the config default round-trips through str() the way cli.py passes it
+    assert clean_session_flag({"clean_session": str(MqttConf().clean_session)})
+
+
+def test_reader_pipe_signals():
+    """Each partition read signals pipe-up after subscribe and pipe-down
+    on teardown (the reference PipeChan, ``mqtt.go:128-150``); a
+    subscribe failure signals pipe-down only (``mqtt.go:131-134``)."""
+    from mqtt_message_pump_spark.streaming.monitor import PumpCounters
+
+    counters = PumpCounters()
+    feed = _feed(0, 2) + _feed(1, 1) + _feed(2, 1)
+    reader = MqttStreamReader(
+        {
+            "group_num": "3",
+            "topic_root": "pump/",
+            "topic_prefix": "g",
+            "poll_timeout_secs": "0.2",
+        },
+        client_factory=lambda o: FakeClient(feed),
+        pipe_signal=counters.pipe_signal,
+    )
+    for p in reader.partitions({"0": 0, "1": 0, "2": 0}, {"0": 2, "1": 1, "2": 1}):
+        list(reader.read(p))
+    assert counters.pipe_up_events == 3
+    assert counters.pipe_down_events == 3
+    assert counters.pipe_num == 0  # per-batch clients: none live between reads
+
+    class BrokenClient(FakeClient):
+        def subscribe(self, topic, qos=0):
+            raise ConnectionError("broker refused subscription")
+
+    broken = MqttStreamReader(
+        {"group_num": "0", "poll_timeout_secs": "0.1"},
+        client_factory=lambda o: BrokenClient([]),
+        pipe_signal=counters.pipe_signal,
+    )
+    with pytest.raises(ConnectionError):
+        list(broken.read(broken.partitions({"0": 0}, {"0": 0})[0]))
+    assert counters.pipe_down_events == 4
+    assert counters.pipe_up_events == 3
+
+
 def test_redelivery_dedup_on_packet_id(spark):
     """A QoS-1 redelivery (same packet id, dup=True, LATER arrival time)
     collapses to one sink row: the content-derived mid excludes the

@@ -130,9 +130,36 @@ def test_monitor_stage_deltas(spark, tmp_path):
     raw-vs-adapter divergence, computed from the dual-path counters."""
     from mqtt_message_pump_spark.streaming.monitor import PumpCounters
 
+    from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
     src = tmp_path / "src"
     _write_messages(src, 0, 10)
     counters = PumpCounters()
+    # pipe status is driven by the SOURCE: loopback reads signal up on
+    # subscribe and down on teardown (mqtt.go:128-150 -> PipeChan)
+    class _LoopClient:
+        on_message = None
+
+        def subscribe(self, topic, qos=0):
+            pass
+
+        def loop_start(self):
+            pass
+
+        def loop_stop(self):
+            pass
+
+        def disconnect(self):
+            pass
+
+    reader = MqttStreamReader(
+        {"group_num": "2", "poll_timeout_secs": "0.05"},
+        client_factory=lambda o: _LoopClient(),
+        pipe_signal=counters.pipe_signal,
+    )
+    for p in reader.partitions({"0": 0, "1": 0}, {"0": 0, "1": 0}):
+        list(reader.read(p))
+    assert counters.pipe_up_events == 2 and counters.pipe_down_events == 2
     published: list[tuple[str, str]] = []
     listener = PumpMonitorListener(
         lambda topic, payload: published.append((topic, payload)),
@@ -189,6 +216,15 @@ def test_monitor_stage_deltas(spark, tmp_path):
         "GapToDB",
         "GapToDBCommit",
     }
+    # pipe up/down counts from the source reach the payload
+    # (monitor.go:148-149,250-255 PipeNum surface)
+    pipe = with_perf[-1]["PipeStatusInfo"]
+    assert pipe == {"PipeNum": 0, "PipeUpEvents": 2, "PipeDownEvents": 2}
+    # monitor self-status counters are present and consistent with the
+    # publish log (reference MonPubSucceed/MonPubFailed)
+    last = payloads[-1]
+    assert last["MonPubFailed"] == 0
+    assert last["MonPubSucceed"] == len(payloads) - 1
 
 
 def test_mqtt_source_gated():
