@@ -72,6 +72,14 @@ HEADLINE = [
     "q_tfidf_top",
     "q_volume_shipping",
     "q_returned_items",
+    # round-4 additions.  q_quantile_bucket is the SCALE representative of
+    # quantile bucketing (sketch cut points + map-side CASE); q_ntile
+    # stays registered as the semantic oracle but its global sort is no
+    # longer part of the headline/scale story.  q_pack_sequences is the
+    # shard-local packing plan; q_simhash_pairs the banded-LSH pair path.
+    "q_quantile_bucket",
+    "q_pack_sequences",
+    "q_simhash_pairs",
 ]
 
 RUNS = 3

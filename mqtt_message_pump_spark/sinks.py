@@ -134,6 +134,7 @@ def write_table(
     table_path: str,
     table_name: str | None = None,
     mode: str = "append",
+    cluster: bool = True,
 ) -> None:
     """Write a batch to one sink table.
 
@@ -144,6 +145,11 @@ def write_table(
     INSERT loop, ``data_dbstore.go:336-421``, without the per-row driver
     round-trips) into ``database.table_name`` from config -- never the
     filesystem path.
+
+    ``cluster=False`` skips the clustering shuffle for callers that have
+    ALREADY date-partitioned the batch (the pump shuffles the enriched
+    batch once and fans both sink writes off it -- one exchange instead of
+    one per sink).
     """
     if store.format == "jdbc":
         (
@@ -153,9 +159,10 @@ def write_table(
         )
         return
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
+    if cluster:
+        df = df.repartition("collect_date")
     (
-        df.repartition("collect_date")
-        .sortWithinPartitions(*sort_cols)
+        df.sortWithinPartitions(*sort_cols)
         .write.mode(mode)
         .partitionBy("collect_date")
         .parquet(table_path)
@@ -167,7 +174,8 @@ def write_append(
     store: StoreConf,
     table_path: str,
     table_name: str | None = None,
+    cluster: bool = True,
 ) -> None:
     """Append a batch to one sink table (streaming ``foreachBatch`` path --
     appends are idempotent per batch id via the streaming commit log)."""
-    write_table(df, store, table_path, table_name, mode="append")
+    write_table(df, store, table_path, table_name, mode="append", cluster=cluster)

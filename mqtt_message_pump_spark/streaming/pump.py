@@ -118,27 +118,37 @@ def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     from mqtt_message_pump_spark.sinks import write_table
 
     messages = with_message_id(events_as_messages(spark, sf_dir), "mid", 8)
-    raw, flat = build_dual_path(messages, payload_map_schema())
-    # Counters ride the write jobs via observe() (the monitor's per-stage
-    # counts, monitor.go:191-260) -- no second read of the sink.
-    obs_raw, obs_flat = Observation("raw"), Observation("flat")
-    raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
-    flat = flat.observe(obs_flat, F.count(F.lit(1)).alias("n"))
-    # write_table clusters rows by the partition column (each task writes
-    # whole date partitions -> one file per date instead of tasks x dates
+    # ONE clustering shuffle for both sinks: repartition the enriched
+    # batch by its sink partition key (arrival date) up front, persist,
+    # and fan both paths off it with cluster=False -- each task then
+    # writes whole date partitions (one file per date, not tasks x dates
     # small files; at 100 TB the small-files problem is the difference
-    # between a usable table and a dead one) and sorts (mid, topic) within
-    # files for the MergeTree ORDER BY locality.
-    store = StoreConf()
-    write_table(
-        raw, store, f"{out_dir}/raw_message",
-        store.raw_table_name, mode="overwrite",
-    )
-    write_table(
-        flat, store, f"{out_dir}/json_message",
-        store.adapter_table_name, mode="overwrite",
-    )
-    return {"raw_rows": obs_raw.get["n"], "flat_rows": obs_flat.get["n"]}
+    # between a usable table and a dead one).  Shuffling before the JSON
+    # parse also means the parse runs once per row instead of once per
+    # sink job, and the (random) mids are materialized once, so both
+    # sinks agree -- exactly the streaming foreachBatch contract.
+    messages = messages.repartition(F.to_date("received_time")).persist()
+    try:
+        raw, flat = build_dual_path(messages, payload_map_schema())
+        # Counters ride the write jobs via observe() (the monitor's
+        # per-stage counts, monitor.go:191-260) -- no second sink read.
+        obs_raw, obs_flat = Observation("raw"), Observation("flat")
+        raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
+        flat = flat.observe(obs_flat, F.count(F.lit(1)).alias("n"))
+        # rows arrive pre-clustered; files stay sorted (mid, topic) for
+        # the MergeTree ORDER BY locality
+        store = StoreConf()
+        write_table(
+            raw, store, f"{out_dir}/raw_message",
+            store.raw_table_name, mode="overwrite", cluster=False,
+        )
+        write_table(
+            flat, store, f"{out_dir}/json_message",
+            store.adapter_table_name, mode="overwrite", cluster=False,
+        )
+        return {"raw_rows": obs_raw.get["n"], "flat_rows": obs_flat.get["n"]}
+    finally:
+        messages.unpersist()
 
 
 def dedupe_redeliveries(
@@ -277,6 +287,8 @@ def start_stream_pump(
         from mqtt_message_pump_spark.sinks import write_append
 
         store = StoreConf()
+        # one clustering shuffle for both sink writes (see run_batch_pump)
+        batch_df = batch_df.repartition(F.to_date("received_time"))
         batch_df.persist()
         try:
             raw, flat = build_dual_path(batch_df, map_schema)
@@ -284,7 +296,8 @@ def start_stream_pump(
             raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
             flat = flat.observe(obs_flat, F.count(F.lit(1)).alias("n"))
             write_append(
-                raw, store, f"{out_dir}/raw_message", store.raw_table_name
+                raw, store, f"{out_dir}/raw_message", store.raw_table_name,
+                cluster=False,
             )
             raw_n = obs_raw.get["n"]
             if counters is not None:
@@ -295,7 +308,7 @@ def start_stream_pump(
                 counters.rdo_commit_succeed += raw_n
             write_append(
                 flat, store, f"{out_dir}/json_message",
-                store.adapter_table_name,
+                store.adapter_table_name, cluster=False,
             )
             if counters is not None:
                 flat_n = obs_flat.get["n"]
