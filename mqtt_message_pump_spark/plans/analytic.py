@@ -1485,3 +1485,49 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on=["user_id"], ts_col="ts",
         value_cols=["purchase_value"], tolerance_secs=3600,
     ).select("event_id", "user_id", "purchase_value_asof")
+
+
+@query(
+    "q_iqr_clip",
+    oracle="""
+    WITH pct AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
+           GREATEST(q1 - 1.5 * (q3 - q1),
+                    LEAST(q3 + 1.5 * (q3 - q1), l_quantity)) AS clipped_qty,
+           l_quantity < q1 - 1.5 * (q3 - q1)
+             OR l_quantity > q3 + 1.5 * (q3 - q1) AS is_outlier
+    FROM lineitem l JOIN pct USING (l_returnflag)
+    """,
+)
+def q_iqr_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group IQR outlier clipping (winsorize to [Q1-1.5*IQR,
+    Q3+1.5*IQR]): the standard numeric-cleaning step before a column
+    feeds training.  Two-phase shape: exact quartiles per group (3 rows),
+    broadcast back, clip map-side -- the row pass never shuffles.  Cross-
+    engine determinism: quartile fractions 0.25/0.75 are exact binary
+    fractions and l_quantity is integer-valued, so the interpolated
+    quantile, the 1.5*IQR arithmetic, and the clip comparisons are all
+    exact doubles on both engines (arbitrary fractions would interpolate
+    with engine-specific rounding -- see q_percentile).  At 100 TB swap
+    percentile for approx_percentile exactly as q_percentile documents."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q1"),
+        F.percentile("l_quantity", 0.75).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return li.join(F.broadcast(pct), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.greatest(lo, F.least(hi, F.col("l_quantity"))).alias("clipped_qty"),
+        ((F.col("l_quantity") < lo) | (F.col("l_quantity") > hi)).alias(
+            "is_outlier"
+        ),
+    )

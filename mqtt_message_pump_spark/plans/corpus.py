@@ -334,3 +334,195 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
         ).alias("q"),
     )
+
+
+# ------------------------------------------------------------- round 4 ---
+
+
+@query(
+    "q_ngram_counts",
+    oracle=f"""
+    SELECT bg, COUNT(*) AS c
+    FROM (SELECT unnest({_SQL_BIGRAMS}) AS bg FROM documents)
+    GROUP BY bg
+    ORDER BY c DESC, bg
+    LIMIT 100
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word bigrams: the classic n-gram count job
+    (boilerplate detection, stop-shingle candidate lists for q_decontam's
+    ``max_df``, LM smoothing tables).  Explode -> count partial-aggregates
+    map-side, so the shuffle carries one row per distinct bigram; the
+    top-k is TakeOrderedAndProject with the bigram itself as tie-break.
+    Reuses the exact bigram builder from q_repetition_score so the DuckDB
+    twin stays shared."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    return (
+        docs.select(F.explode(_bigrams_col(F.col("text"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "bg")
+        .limit(100)
+    )
+
+
+@query(
+    "q_cross_dedup",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             source || '|' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS pk
+      FROM documents)
+    SELECT doc_id, source,
+           COUNT(*) OVER (PARTITION BY fp) AS group_size,
+           pk = MIN(pk) OVER (PARTITION BY fp) AS keep
+    FROM keyed
+    """,
+)
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup: exact-duplicate groups (md5 of text)
+    keep ONE canonical copy, chosen by source priority then doc id -- the
+    curated-over-crawled rule every multi-source training mix applies.
+    The priority key is a zero-padded string so lexicographic MIN is the
+    (source, doc_id) argmin on both engines.  One shuffle on the content
+    fingerprint; group sizes are duplicate-cluster sizes (bounded), so the
+    per-partition window state is bounded regardless of corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        F.concat(
+            F.col("source"),
+            F.lit("|"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        ).alias("pk"),
+    )
+    w = Window.partitionBy("fp")
+    return keyed.select(
+        "doc_id",
+        "source",
+        F.count("*").over(w).alias("group_size"),
+        (F.col("pk") == F.min("pk").over(w)).alias("keep"),
+    )
+
+
+@query(
+    "q_token_budget",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM({TX.SQL_TOKEN_COUNT.format(text='text')}) AS n_tokens
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
+           CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / SUM(n_tokens) OVER () AS cum_share
+    FROM per_src
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per source: doc/token totals, corpus
+    share, and cumulative share in descending token order -- the table a
+    data-mixing decision starts from.  The global windows here run over
+    the ALREADY-AGGREGATED frame (one row per source, dimension
+    cardinality, never SF-proportional), so the empty partitionBy is
+    bounded by construction.  Integer token sums divide once into double,
+    identically on both engines."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w_tot = W.partitionBy()
+    w_cum = (
+        W.orderBy(F.col("n_tokens").desc(), "source")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    total = F.sum("n_tokens").over(w_tot)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("share"),
+        (F.sum("n_tokens").over(w_cum).cast("double") / total).alias(
+            "cum_share"
+        ),
+    )
+
+
+_MIX_RES = 10_000  # hash-sampling resolution (0.01%)
+
+
+@query(
+    "q_corpus_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             {TX.SQL_TOKEN_COUNT.format(text='text')} AS n_tok
+      FROM documents),
+    per_src AS (
+      SELECT source, SUM(n_tok) AS src_tokens FROM tok GROUP BY source),
+    tot AS (
+      SELECT SUM(src_tokens) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM per_src)
+    SELECT doc_id, t.source,
+           LEAST(1.0, CAST(total AS DOUBLE) / (2.0 * n_src) / src_tokens)
+             AS rate
+    FROM tok t
+    JOIN per_src p ON t.source = p.source
+    CROSS JOIN tot
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % {_MIX_RES} * (2 * n_src * src_tokens)
+          < {_MIX_RES} * total
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: rebalance a multi-source corpus to a
+    token budget of HALF the corpus, allocated equally across sources --
+    over-represented sources are down-sampled (rate = budget_s /
+    src_tokens), small sources kept whole (rate capped at 1).  Doc
+    selection is the md5-hash-uniform draw from q_sample_hash, so the mix
+    is reproducible across engines, runs, and partitionings.  The keep
+    decision is evaluated as one integer cross-multiplication (hash *
+    2 * n_src * src_tokens < RES * total): no double rounding at the
+    acceptance boundary (int64-safe to ~1e13 tokens/source at RES=1e4;
+    swap to DECIMAL(38,0) beyond).  Per-source token totals are
+    dimension-cardinality and broadcast back; the filter itself is
+    map-side."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    per_src = tok.groupBy("source").agg(
+        F.sum("n_tok").alias("src_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total"),
+        F.count("*").cast("bigint").alias("n_src"),
+    )
+    joined = tok.join(F.broadcast(per_src), "source").crossJoin(
+        F.broadcast(tot)
+    )
+    h = DD.md5_hash32(F.col("doc_id").cast("string")) % _MIX_RES
+    keep = (
+        h * (2 * F.col("n_src") * F.col("src_tokens"))
+        < F.lit(_MIX_RES) * F.col("total")
+    )
+    return joined.filter(keep).select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("total").cast("double")
+            / (2.0 * F.col("n_src"))
+            / F.col("src_tokens"),
+        ).alias("rate"),
+    )

@@ -34,6 +34,11 @@ KEYS = [
     "q_top_supplier",  # argmax equality on exact decimal revenue
     "q_tfidf_top",  # per-doc argmax with score/term tie-break
     "q_decontam",  # group-by-shingle composition
+    # round-4 additions
+    "q_simhash_pairs",  # banded LSH + in-bucket Hamming verify
+    "q_cross_dedup",  # fingerprint-window argmin keep rule
+    "q_corpus_mix",  # hash-draw vs broadcast per-source rates
+    "q_token_budget",  # double shares from windowed integer sums
 ]
 
 

@@ -148,3 +148,105 @@ def test_resize_images_empty_payload_yields_zero_frame(spark):
     assert set(out) == {1, 2}
     assert bytes(out[1].content) == b"\x00" * 16
     assert len(out[2].content) == 16
+
+
+def test_cross_dedup_one_keeper_per_group(spark, sf_dir):
+    """Exactly one kept doc per duplicate group, and it is the
+    (source, doc_id) argmin -- the source-priority rule."""
+    rows = QUERIES["q_cross_dedup"](spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(docs[r.doc_id], []).append(r)
+    for members in groups.values():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        best = min((r.source, r.doc_id) for r in members)
+        assert (keepers[0].source, keepers[0].doc_id) == best
+        assert all(r.group_size == len(members) for r in members)
+
+
+def test_token_budget_shares(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_token_budget"](spark, sf_dir).collect(),
+        key=lambda r: (-r.n_tokens, r.source),
+    )
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert abs(rows[-1].cum_share - 1.0) < 1e-12
+    cums = [r.cum_share for r in rows]
+    assert cums == sorted(cums)
+
+
+def test_corpus_mix_rates_and_determinism(spark, sf_dir):
+    """Down-sampling rates derive from the equal-allocation budget; small
+    sources (rate 1) keep every doc; the draw is hash-deterministic."""
+    out = QUERIES["q_corpus_mix"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    again = QUERIES["q_corpus_mix"](spark, sf_dir).collect()
+    assert sorted((r.doc_id, r.rate) for r in rows) == sorted(
+        (r.doc_id, r.rate) for r in again
+    )
+    from mqtt_message_pump_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = {
+        r.source: r.t
+        for r in docs.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("t"))
+        .collect()
+    }
+    total, n_src = sum(per_src.values()), len(per_src)
+    budget = total / (2.0 * n_src)
+    n_docs_by_src = {
+        r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept_by_src: dict[str, int] = {}
+    for r in rows:
+        assert 0.0 < r.rate <= 1.0
+        expect = min(1.0, budget / per_src[r.source])
+        assert abs(r.rate - expect) < 1e-12
+        kept_by_src[r.source] = kept_by_src.get(r.source, 0) + 1
+    for src, rate_tokens in per_src.items():
+        if budget / rate_tokens >= 1.0 and src in kept_by_src:
+            assert kept_by_src[src] == n_docs_by_src[src]
+
+
+def test_ngram_counts_topk(spark, sf_dir):
+    rows = QUERIES["q_ngram_counts"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    counts = [r.c for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_iqr_clip_bounds(spark, sf_dir):
+    """Row-wise clip consistency plus driver-side quartile replay (the
+    output carries the original quantity -- fixture (orderkey, linenumber)
+    is not unique, so no join key exists)."""
+    import numpy as np
+
+    rows = QUERIES["q_iqr_clip"](spark, sf_dir).collect()
+    assert rows
+    by_flag: dict[str, list[float]] = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r.l_quantity)
+    bounds = {}
+    for flag, vals in by_flag.items():
+        q1, q3 = np.quantile(np.array(vals), [0.25, 0.75])
+        bounds[flag] = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    outliers = 0
+    for r in rows:
+        lo, hi = bounds[r.l_returnflag]
+        if r.is_outlier:
+            outliers += 1
+            assert r.l_quantity < lo or r.l_quantity > hi
+            assert r.clipped_qty in (lo, hi)
+        else:
+            assert r.clipped_qty == r.l_quantity
+            assert lo <= r.l_quantity <= hi
+    assert outliers < len(rows)  # clipping must not dominate
