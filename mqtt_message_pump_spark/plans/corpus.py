@@ -121,51 +121,62 @@ def decontaminate(
     bench_source: str = "src0",
     max_df: int | None = _DECONTAM_MAX_DF,
     shingle_n: int = 3,
+    two_pass: bool = False,
 ) -> DataFrame:
     """Flag training docs sharing a word n-gram with the benchmark set.
 
-    Scale shape (bounded state everywhere):
+    Scale shape -- the training corpus is NEVER shuffled by shingle:
 
-    1. Explode per-doc-distinct shingles, group by shingle with two
-       CONSTANT-SIZE aggregates -- seen-in-benchmark (bool OR) and
-       training document frequency (count).  Partial aggregation
-       collapses hot shingles map-side; no per-shingle doc list is ever
-       collected (the ``collect_set`` formulation concentrates a
-       boilerplate shingle's entire doc list in one aggregation buffer --
-       OOM at corpus scale).
-    2. Keep benchmark-positive shingles at-or-under ``max_df``: a shingle
-       in more than ``max_df`` training docs is boilerplate (a stop-
-       shingle), not benchmark leakage -- the ``max_bucket_size``
-       treatment from ``minhash_candidate_pairs``.  ``None`` disables the
-       cap (exact mode).
-    3. Re-explode the training side and broadcast-join the kept set:
-       bounded because benchmark corpora are eval sets, orders of
-       magnitude smaller than the training corpus, and further clipped by
-       the cap -- the join therefore ships no training data, and the
-       per-doc count partial-aggregates map-side.
+    1. The benchmark shingle set (eval sets: orders of magnitude smaller
+       than the corpus) is built from a source-pruned scan and BROADCAST.
+    2. One explode over the training side, map-side broadcast-joined
+       against it: only matching (doc, shingle) ``hits`` survive --
+       normally a sliver of the corpus.  No full-corpus group-by-shingle,
+       no per-shingle doc list (a ``collect_set`` formulation
+       concentrates a boilerplate shingle's whole doc list in one
+       in-memory aggregation buffer -- OOM at corpus scale).
+    3. ``max_df`` drops stop-shingles -- benchmark shingles carried by
+       more than ``max_df`` training docs are boilerplate, not leakage
+       (the ``max_bucket_size`` treatment from
+       ``minhash_candidate_pairs``).  Default mode counts them with ONE
+       window over ``hits`` keyed by shingle: a single extra shuffle of
+       the (small) hit set, spill-safe for hot shingles.  ``two_pass=
+       True`` instead pre-aggregates the frequencies (constant-size
+       partial counts) and re-explodes the training side against the
+       refined broadcast -- no hit-set shuffle at all, at the price of a
+       second corpus scan: prefer it when boilerplate contamination is
+       expected to be a large corpus fraction.  ``max_df=None`` disables
+       the cap (exact mode, single pass, zero shuffle before the final
+       per-doc count).
 
     (doc, shingle) pairs are distinct (``shingles_col`` dedups per doc),
-    so ``n_shared`` is the exact count of distinct shared shingles.
+    so ``n_shared`` is the exact count of distinct shared shingles, and
+    the final per-doc count partial-aggregates map-side.
     """
-    sh = docs.select(
+    bench_sh = (
+        docs.filter(F.col("source") == bench_source)
+        .select(F.explode(DD.shingles_col(F.col("text"), shingle_n)).alias("s"))
+        .distinct()
+    )
+    train_sh = docs.filter(F.col("source") != bench_source).select(
         "doc_id",
-        "source",
         F.explode(DD.shingles_col(F.col("text"), shingle_n)).alias("s"),
     )
-    is_train = F.col("source") != bench_source
-    per_shingle = sh.groupBy("s").agg(
-        F.max(F.col("source") == bench_source).alias("in_bench"),
-        F.count(F.when(is_train, 1)).alias("train_df"),
-    )
-    keep = per_shingle.filter(F.col("in_bench"))
+    hits = train_sh.join(F.broadcast(bench_sh), "s")
     if max_df is not None:
-        keep = keep.filter(F.col("train_df") <= max_df)
-    return (
-        sh.filter(is_train)
-        .join(F.broadcast(keep.select("s")), "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
+        if two_pass:
+            keep = (
+                hits.groupBy("s")
+                .agg(F.count("*").alias("train_df"))
+                .filter(F.col("train_df") <= max_df)
+                .select("s")
+            )
+            hits = train_sh.join(F.broadcast(keep), "s")
+        else:
+            hits = hits.withColumn(
+                "train_df", F.count("*").over(Window.partitionBy("s"))
+            ).filter(F.col("train_df") <= max_df)
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_shared"))
 
 
 @query(

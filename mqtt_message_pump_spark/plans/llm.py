@@ -331,6 +331,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------- similarity ---
 
+
+
 _TOPK = 3
 _NQ = 5  # query vectors: vec_id < 5
 
@@ -368,6 +370,167 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _NQ)
     return SIM.brute_force_topk(queries, emb, k=_TOPK).select(
         "query_id", "cand_id", "cosine", "rank"
+    )
+
+
+_KNN = 5
+
+
+@query(
+    "q_centroid_assign",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_SQL_VD} AS vd FROM embeddings),
+    cent AS (
+      SELECT label, list(c ORDER BY dim) AS cd FROM (
+        SELECT label, i.i AS dim,
+               CAST(SUM(CAST(trunc(CAST(embedding[i.i] AS DOUBLE) * 1e9)
+                             AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+        GROUP BY label, i.i)
+      GROUP BY label),
+    scored AS (
+      SELECT v.vec_id, v.label AS true_label, cent.label AS cand_label,
+             round(list_dot_product(v.vd, cent.cd), 6) AS score
+      FROM v CROSS JOIN cent)
+    SELECT vec_id, true_label, cand_label AS assigned_label, score FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, cand_label) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment: every embedding classified to the
+    label centroid maximizing the dot product -- the IVF coarse-quantizer
+    assignment step / centroid classifier.  Two-phase: exact centroids
+    (the q_label_centroid integer nano-unit aggregate, so both engines
+    hold bit-identical centroid doubles), assembled into ordered arrays
+    and BROADCAST (label-cardinality rows); the scan side then scores
+    with the deterministic left-to-right dot fold and keeps the argmax
+    via round-6 + label tie-break (the q_cosine_topk idiom).  Per-row
+    work only on the big side -- no shuffle of the corpus beyond the
+    argmax window keyed by vec_id, which row_number prunes to 1."""
+    emb = table(spark, sf_dir, "embeddings", split=True)
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "comp"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        (F.col("comp").cast("double") * F.lit(1e9)).cast("long").alias("c"),
+    )
+    cent = (
+        comp.groupBy("label", "dim")
+        .agg(
+            (F.sum("c").cast("double") / F.lit(1e9) / F.count("*")).alias(
+                "centroid_c"
+            )
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid_c"))),
+                lambda x: x["centroid_c"],
+            ).alias("cd")
+        )
+        .select(F.col("label").alias("cand_label"), "cd")
+    )
+    v = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.col("embedding").cast("array<double>").alias("vd"),
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "true_label",
+        "cand_label",
+        F.round(SIM.dot_expr(F.col("vd"), F.col("cd")), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("cand_label")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("cand_label").alias("assigned_label"),
+            "score",
+        )
+    )
+
+
+@query(
+    "q_knn_label",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_SQL_VD} AS vd FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.label AS cand_label, c.vec_id AS cand_id,
+             round({_sql_cosine('q.vd', 'c.vd')}, 6) AS cosine
+      FROM v q JOIN v c ON q.vec_id < {_NQ} AND c.vec_id <> q.vec_id),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored)
+      WHERE rank <= {_KNN}),
+    votes AS (
+      SELECT query_id, true_label, cand_label, COUNT(*) AS votes
+      FROM knn GROUP BY query_id, true_label, cand_label)
+    SELECT query_id, true_label, cand_label AS predicted_label, votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, cand_label) AS rn
+      FROM votes)
+    WHERE rn = 1
+    """,
+)
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label vote: classify each query vector by the majority label
+    of its k nearest neighbors (cosine), ties broken by label --
+    the eval-time classifier over an embedded corpus.  Composes the
+    broadcast brute-force top-k (q_cosine_topk's exact path; swap the IVF
+    or LSH candidate generator at 100 TB, same downstream vote) with a
+    label lookup: the k x |Q| neighbor list is BROADCAST back against the
+    corpus for its labels, so the big side is never shuffled; the vote
+    itself aggregates k rows per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    knn = SIM.brute_force_topk(queries, emb, k=_KNN).select(
+        "query_id", "cand_id"
+    )
+    labeled = (
+        labels.join(
+            F.broadcast(knn), labels.vec_id == F.col("cand_id")
+        ).select("query_id", F.col("label").alias("cand_label"))
+    )
+    true_lab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    ).filter(F.col("query_id") < _NQ)
+    votes = (
+        labeled.groupBy("query_id", "cand_label")
+        .agg(F.count("*").alias("votes"))
+        .join(F.broadcast(true_lab), "query_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("cand_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cand_label").alias("predicted_label"),
+            "votes",
+        )
     )
 
 

@@ -74,6 +74,12 @@ def test_decontam_stop_shingle_cap(spark):
     )
     capped = {r.doc_id: r.n_shared for r in decontaminate(docs, max_df=5).collect()}
     assert capped == {100: 1}
+    # the two-pass (re-scan) cap mode is result-identical
+    twop = {
+        r.doc_id: r.n_shared
+        for r in decontaminate(docs, max_df=5, two_pass=True).collect()
+    }
+    assert twop == capped
     uncapped = {
         r.doc_id: r.n_shared for r in decontaminate(docs, max_df=None).collect()
     }
@@ -250,3 +256,55 @@ def test_iqr_clip_bounds(spark, sf_dir):
             assert r.clipped_qty == r.l_quantity
             assert lo <= r.l_quantity <= hi
     assert outliers < len(rows)  # clipping must not dominate
+
+
+def test_centroid_assign_covers_all_vectors(spark, sf_dir):
+    """One assignment per embedding; the assigned centroid's score must
+    be the max over all labels (replayed driver-side)."""
+    import numpy as np
+
+    rows = QUERIES["q_centroid_assign"](spark, sf_dir).collect()
+    emb = table(spark, sf_dir, "embeddings").collect()
+    assert len(rows) == len(emb)
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    cents = {
+        lab: np.mean([np.trunc(v * 1e9) / 1e9 for v in vs], axis=0)
+        for lab, vs in by_label.items()
+    }
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    for r in rows[:50]:
+        scores = {
+            lab: round(float(np.dot(vecs[r.vec_id], c)), 6)
+            for lab, c in cents.items()
+        }
+        best = max(scores.values())
+        assert abs(r.score - best) < 2e-6
+        assert scores[r.assigned_label] >= best - 2e-6
+
+
+def test_knn_label_vote_majority(spark, sf_dir):
+    """The predicted label must carry the plurality of the k neighbor
+    labels (replayed from the exact top-k operator)."""
+    from mqtt_message_pump_spark.operators.similarity import brute_force_topk
+    from mqtt_message_pump_spark.plans.llm import _KNN, _NQ
+
+    emb = table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    knn = brute_force_topk(
+        emb.filter(F.col("vec_id") < _NQ), emb, k=_KNN
+    ).collect()
+    votes: dict[int, dict[int, int]] = {}
+    for r in knn:
+        votes.setdefault(r.query_id, {})[labels[r.cand_id]] = (
+            votes.setdefault(r.query_id, {}).get(labels[r.cand_id], 0) + 1
+        )
+    out = {r.query_id: r for r in QUERIES["q_knn_label"](spark, sf_dir).collect()}
+    assert set(out) == set(votes)
+    for qid, v in votes.items():
+        top = max(v.values())
+        winner = min(lab for lab, n in v.items() if n == top)
+        assert out[qid].predicted_label == winner
+        assert out[qid].votes == top
+        assert out[qid].true_label == labels[qid]
