@@ -197,3 +197,61 @@ def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.to_json(F.struct("event_type", "user_id")).alias("metrics_json"),
     )
+
+
+@query(
+    "q_ewma_smooth",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    r AS (
+      SELECT user_id, rn, event_id, value AS ewma FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.rn, t.event_id, 0.5 * r.ewma + 0.5 * t.value
+      FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+    SELECT user_id, event_id, ewma FROM r
+    """,
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event value
+    (alpha = 0.5), the smoothed-rate signal the reference's monitor can
+    only approximate with lifetime averages (``monitor.go:138-146``).
+
+    EWMA is a sequential fold -- not expressible with Spark window
+    frames (each row depends on the previous OUTPUT, not previous
+    inputs) -- so this is the canonical ``applyInPandas`` custom
+    stateful operator: one Arrow batch per user, ordered locally,
+    O(1) state per key, only (user_id, event_id, ts, value) crossing to
+    Python.  Grouping keys shuffle once; group size is per-user event
+    count (activity-bounded, the q_lead_lag assumption), never corpus
+    size.  Cross-engine exactness: alpha 0.5 halves are exact IEEE ops
+    and the DuckDB oracle's recursive CTE replays the identical fold
+    order, so the doubles match bit-for-bit -- a Pandas-UDF operator
+    under the full value-hash gate, not a rows-only concession."""
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        state = None
+        out = []
+        for v in pdf["value"]:
+            state = v if state is None else 0.5 * state + 0.5 * v
+            out.append(state)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma": out,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        ewma, "user_id bigint, event_id bigint, ewma double"
+    )

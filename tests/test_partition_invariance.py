@@ -39,6 +39,7 @@ KEYS = [
     "q_cross_dedup",  # fingerprint-window argmin keep rule
     "q_corpus_mix",  # hash-draw vs broadcast per-source rates
     "q_token_budget",  # double shares from windowed integer sums
+    "q_ewma_smooth",  # applyInPandas sequential fold per key
 ]
 
 

@@ -308,3 +308,23 @@ def test_knn_label_vote_majority(spark, sf_dir):
         assert out[qid].predicted_label == winner
         assert out[qid].votes == top
         assert out[qid].true_label == labels[qid]
+
+
+def test_ewma_matches_driver_fold(spark, sf_dir):
+    """The applyInPandas EWMA must equal a driver-side replay of the
+    same fold (alpha=0.5, order (ts, event_id))."""
+    rows = {r.event_id: r.ewma for r in QUERIES["q_ewma_smooth"](spark, sf_dir).collect()}
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append(r)
+    n = 0
+    for rs in by_user.values():
+        state = None
+        for r in sorted(rs, key=lambda x: (x.ts, x.event_id)):
+            state = r.value if state is None else 0.5 * state + 0.5 * r.value
+            assert rows[r.event_id] == state  # bit-exact fold
+            n += 1
+    assert n == len(rows)
