@@ -77,3 +77,54 @@ def keyed_lifetime_counters(messages: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+EWMA_STATE = T.StructType(
+    [
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    ewma, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            ewma = float(v) if n == 0 else 0.5 * ewma + 0.5 * float(v)
+            n += 1
+    state.update((ewma, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "ewma": [ewma], "n_events": [n]}
+    )
+
+
+def keyed_ewma(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_ewma_smooth``: per-user EWMA (alpha 0.5)
+    carried in keyed state across micro-batches.  Each trigger sorts its
+    own slice by (ts, event_id) and folds it into the checkpointed
+    (ewma, n) pair -- O(1) state per key, identical arithmetic to the
+    batch operator, so in-order delivery reproduces the batch fold
+    bit-for-bit (asserted in tests).  Out-of-order arrivals fold in
+    arrival order, the documented streaming semantics (an event-time-
+    exact variant would buffer per key behind a watermark)."""
+    return events.select(
+        "user_id", "event_id", "ts", "value"
+    ).groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

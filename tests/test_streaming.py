@@ -311,3 +311,63 @@ def test_dedupe_redeliveries(spark, tmp_path):
     raw = spark.read.parquet(str(out / "raw_message"))
     assert raw.count() == 10, "redelivered duplicates must be dropped"
     assert raw.select("mid").distinct().count() == 10
+
+
+def test_keyed_ewma_stream_matches_batch_fold(spark, tmp_path):
+    """Streaming EWMA across two checkpointed runs must equal the batch
+    applyInPandas fold over the full ordered history."""
+    import json as _json
+
+    from mqtt_message_pump_spark.streaming.stateful import keyed_ewma
+
+    src = tmp_path / "esrc"
+    out = tmp_path / "eout"
+    src.mkdir()
+    rows = [
+        {"user_id": u, "event_id": 10 * b + i, "ts": f"2024-01-01 00:0{b}:{i:02d}", "value": float(u + b + i) / 3.0}
+        for b in range(2)
+        for u in (1, 2, 3)
+        for i in range(3)
+    ]
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    def run_batch_files(batch_rows, name):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in batch_rows)
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            keyed_ewma(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(tmp_path / "eckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_until_complete(q)
+
+    early = [r for r in rows if r["event_id"] < 10]
+    late = [r for r in rows if r["event_id"] >= 10]
+    run_batch_files(early, "b0.json")
+    run_batch_files(late, "b1.json")
+
+    final = {
+        r.user_id: (r.ewma, r.n_events)
+        for r in spark.read.parquet(str(out))
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "ewma")).alias("s"))
+        .select("user_id", "s.ewma", "s.n_events")
+        .collect()
+    }
+    # driver replay of the full ordered fold
+    for u in (1, 2, 3):
+        state, n = None, 0
+        for r in sorted(
+            (r for r in rows if r["user_id"] == u),
+            key=lambda r: (r["ts"], r["event_id"]),
+        ):
+            state = r["value"] if state is None else 0.5 * state + 0.5 * r["value"]
+            n += 1
+        assert final[u] == (state, n)
