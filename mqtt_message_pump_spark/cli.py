@@ -119,6 +119,10 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
         )
         return 2
 
+    from mqtt_message_pump_spark.streaming.monitor import capacity_report
+
+    # startup capacity line (metrics.go:28-36 / main.go:123 parity)
+    print(capacity_report(spark, cfg), file=sys.stderr)
     listener = PumpMonitorListener(
         lambda topic, payload: print(f"[monitor] {topic} {payload}"),
         topic_root=cfg.monitor.topic_root,

@@ -185,3 +185,22 @@ class PumpMonitorListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         pass
+
+
+def capacity_report(spark, cfg, title: str = "Metrics Information") -> str:
+    """Startup capacity report -- the reference's channel-buffer-size
+    metrics line (``metrics.go:28-36``, logged at ``main.go:123``),
+    re-expressed for the pull-based engine: where the reference tuned
+    five bounded channel buffers, the Spark pump's capacity knobs are the
+    micro-batch trigger, shuffle partition count, scheduler parallelism,
+    and the sink batch size.  One formatted line, logged once at start.
+    """
+    trigger = getattr(cfg.batch, "commit_interval_secs", None)
+    return (
+        f"{title} ... Capacity Metrics ... \n"
+        f"TriggerSecs:[{trigger}], "
+        f"ShufflePartitions:[{spark.conf.get('spark.sql.shuffle.partitions')}], "
+        f"DefaultParallelism:[{spark.sparkContext.defaultParallelism}], "
+        f"MaxBatchItems:[{cfg.batch.max_items}], "
+        f"MonitorIntervalSecs:[{cfg.monitor.publish_interval_secs}] \n"
+    )

@@ -371,3 +371,21 @@ def test_keyed_ewma_stream_matches_batch_fold(spark, tmp_path):
             state = r["value"] if state is None else 0.5 * state + 0.5 * r["value"]
             n += 1
         assert final[u] == (state, n)
+
+
+def test_capacity_report_format(spark):
+    """Startup capacity line (metrics.go:28-36 parity): one formatted
+    report carrying the pump's capacity knobs."""
+    from mqtt_message_pump_spark.config import PumpConfig
+    from mqtt_message_pump_spark.streaming.monitor import capacity_report
+
+    line = capacity_report(spark, PumpConfig())
+    assert "Capacity Metrics" in line
+    for knob in (
+        "TriggerSecs:[5]",
+        "MaxBatchItems:[64]",
+        "MonitorIntervalSecs:[5]",
+        "ShufflePartitions:[",
+        "DefaultParallelism:[",
+    ):
+        assert knob in line
