@@ -1531,3 +1531,36 @@ def q_iqr_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "q_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / latest-state snapshot: one row per key, the most
+    recent by (ts, event_id) -- how an append-only change stream collapses
+    to current state (the MERGE-free alternative to q_merge_upsert).
+    Partition-local window keyed by user_id: one shuffle on the key,
+    row_number prunes to a single buffered winner per key via the
+    TopK/window pushdown, state bounded by per-key row count.  The unique
+    event_id tie-break makes the winner deterministic under equal
+    timestamps."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
