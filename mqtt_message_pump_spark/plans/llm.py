@@ -1012,3 +1012,71 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= _JACCARD_T).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    ), buckets AS (
+      {_sql_band_buckets()}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    ), groups AS (
+      SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+    ), q AS (
+      SELECT doc_id, {TX.SQL_QUALITY_SCORE.format(text='text')} AS quality
+      FROM (
+        SELECT doc_id,
+               CAST({TX.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) AS n_tok,
+               CAST({TX.SQL_STOPWORD_COUNT.format(text='text')} AS DOUBLE) AS n_stop,
+               text
+        FROM documents)
+    )
+    SELECT g.doc_id, g.group_id, q.quality,
+           ROW_NUMBER() OVER (
+             PARTITION BY group_id ORDER BY quality DESC, g.doc_id) = 1
+             AS keep
+    FROM groups g JOIN q USING (doc_id)
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production fuzzy-dedup DECISION, end-to-end: MinHash-LSH
+    candidates -> connected components -> keep the highest-QUALITY doc
+    per near-dup cluster (quality desc, doc_id tie-break) instead of the
+    arbitrary min-id -- curators keep the best copy, not the first one.
+    Composes q_minhash_pairs, q_dedup_groups, and q_quality_score into
+    one plan; the keep argmax is a window over clusters (bounded by
+    near-dup group size), so the added cost over clustering alone is one
+    bounded-partition window and a quality expression scan."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    pairs = DD.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
+    )
+    groups = DD.connected_components(docs, pairs, "doc_id", "id_a", "id_b")
+    quality = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    joined = groups.join(quality, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "group_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

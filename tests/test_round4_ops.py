@@ -328,3 +328,20 @@ def test_ewma_matches_driver_fold(spark, sf_dir):
             assert rows[r.event_id] == state  # bit-exact fold
             n += 1
     assert n == len(rows)
+
+
+def test_dedup_keep_best_one_per_cluster(spark, sf_dir):
+    """Exactly one kept doc per near-dup cluster, and it is the quality
+    argmax (doc_id tie-break); cluster ids match q_dedup_groups."""
+    rows = QUERIES["q_dedup_keep_best"](spark, sf_dir).collect()
+    assert rows
+    groups = {r.doc_id: r.group_id for r in QUERIES["q_dedup_groups"](spark, sf_dir).collect()}
+    assert {r.doc_id: r.group_id for r in rows} == groups
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    for members in by_group.values():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r.quality, -r.doc_id))
+        assert keepers[0].doc_id == best.doc_id
