@@ -179,3 +179,43 @@ def write_append(
     """Append a batch to one sink table (streaming ``foreachBatch`` path --
     appends are idempotent per batch id via the streaming commit log)."""
     write_table(df, store, table_path, table_name, mode="append", cluster=cluster)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Write a packed training corpus: shard-local greedy sequence packing
+    (:func:`plans.llm.pack_sequences`) materialized as one directory per
+    shard, rows sorted by (seq_id, doc id) within files so a sequential
+    reader streams whole training sequences.
+
+    Scale shape: packing is an n_shards-way partition-local window (never
+    a global sort); the write clusters on the same shard key the pack
+    produced, so no second shuffle -- each task writes whole shards, and
+    at 100 TB n_shards tracks the write parallelism.
+    """
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.functions.text import token_count
+    from mqtt_message_pump_spark.plans.llm import pack_sequences
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    packed = pack_sequences(
+        tok.select("doc_id", "n_tok"), budget, n_shards
+    ).join(tok.select("doc_id", "text"), "doc_id")
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("seq_id", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

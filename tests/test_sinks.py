@@ -223,3 +223,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """Packed corpus lands as one directory per shard; within a shard,
+    sequences are contiguous and every doc keeps its packed seq_id."""
+    import pyspark.sql.functions as F
+
+    from mqtt_message_pump_spark.plans import QUERIES
+    from mqtt_message_pump_spark.plans.registry import table
+    from mqtt_message_pump_spark.sinks import write_training_shards
+
+    out = str(tmp_path / "shards")
+    docs = table(spark, sf_dir, "documents")
+    write_training_shards(docs, out)
+
+    written = spark.read.parquet(out)
+    assert set(written.columns) >= {"doc_id", "seq_id", "n_tok", "text", "shard"}
+    expected = {
+        (r.doc_id, r.shard, r.seq_id)
+        for r in QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    }
+    got = {
+        (r.doc_id, r.shard, r.seq_id)
+        for r in written.select("doc_id", "shard", "seq_id").collect()
+    }
+    assert got == expected
+    # physical layout: hive-partitioned by shard
+    shards = {r.shard for r in written.select("shard").distinct().collect()}
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert dirs == {f"shard={s}" for s in shards}
