@@ -537,3 +537,92 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("src_tokens"),
         ).alias("rate"),
     )
+
+
+_BM25_TERMS = ("window", "column", "value")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+@query(
+    "q_bm25_top",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST({TX.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE)
+               AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok IN ('window', 'column', 'value')
+      GROUP BY doc_id, tok),
+    idf AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+    SELECT doc_id, score FROM (
+      SELECT tf.doc_id,
+             round(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN idf USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def q_bm25_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a fixed query -- the
+    retrieval scorer behind query-targeted data selection (pull the
+    training docs most relevant to an eval domain).  k1=1.2, b=0.75.
+
+    Scale shape: the explode is filtered to query terms map-side, so tf
+    carries at most |Q| rows per doc; document frequencies and the
+    (n_docs, avgdl) scalars are dimension-sized broadcasts; the per-doc
+    score sums <=|Q| weighted terms and the top-k is
+    TakeOrderedAndProject.  Cross-engine determinism: ln differs in the
+    last ulp between libm implementations, so the score rounds to 6
+    digits before ranking with a doc_id tie-break (the q_cosine_topk
+    idiom); every other input to the sum is an exact double."""
+    docs = table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    idf = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    weight = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(weight), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPK)

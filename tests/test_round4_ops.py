@@ -345,3 +345,20 @@ def test_dedup_keep_best_one_per_cluster(spark, sf_dir):
         assert len(keepers) == 1
         best = max(members, key=lambda r: (r.quality, -r.doc_id))
         assert keepers[0].doc_id == best.doc_id
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_dir):
+    """Top-k BM25: scores positive, strictly rank-ordered with doc_id
+    tie-break, and every returned doc contains a query term."""
+    from mqtt_message_pump_spark.plans.corpus import _BM25_TERMS, _BM25_TOPK
+
+    rows = QUERIES["q_bm25_top"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= _BM25_TOPK
+    keys = [(-r.score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    docs = {
+        r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert r.score > 0
+        assert any(t in docs[r.doc_id].split(" ") for t in _BM25_TERMS)
