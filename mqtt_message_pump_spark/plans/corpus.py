@@ -626,3 +626,69 @@ def q_bm25_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(weight), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPK)
+
+
+@query(
+    "q_lm_score",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, bg FROM (
+        SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM documents)),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    bgc AS (
+      SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2 FROM bg GROUP BY bg)
+    SELECT doc_id,
+           CAST(SUM(CAST(floor(ln(c2 / c1) * 1e6) AS BIGINT)) AS DOUBLE)
+             / 1e6 / COUNT(*) AS avg_logprob,
+           COUNT(*) AS n_bigrams
+    FROM bg
+    JOIN bgc USING (bg)
+    JOIN uni ON uni.tok = string_split(bg, ' ')[1]
+    GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics language-model scoring (the kenlm-perplexity
+    quality filter, self-trained): per-doc mean bigram conditional
+    log-probability ln(C(w1w2)/C(w1)) under the corpus's own counts --
+    low scorers are gibberish/boilerplate outliers.
+
+    Scale shape: bigram and unigram count tables partial-aggregate
+    map-side (one row per distinct n-gram); the probability lookup is the
+    classic inverted-index equi-join on the n-gram key -- SF-proportional
+    both sides, shuffle-joined, AQE-handled.  Determinism: C2/C1 is one
+    exact-int division (identical IEEE result), ln is floor-quantized to
+    integer micro-units so the per-doc SUM is exact and order-independent
+    (the q_label_centroid treatment), and the final mean is two double
+    ops.  At 100 TB the count tables prune to top-V vocabulary with an
+    OOV floor -- same plan, one extra filter."""
+    docs = table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(_bigrams_col(F.col("text"))).alias("bg")
+    )
+    uni = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c1"))
+    )
+    bgc = bg.groupBy("bg").agg(F.count("*").cast("double").alias("c2"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    scored = (
+        bg.join(bgc, "bg")
+        .join(uni, w1 == F.col("tok"))
+        .select(
+            "doc_id",
+            F.floor(F.log(F.col("c2") / F.col("c1")) * 1e6)
+            .cast("long")
+            .alias("lp_u"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        (F.sum("lp_u").cast("double") / 1e6 / F.count("*")).alias(
+            "avg_logprob"
+        ),
+        F.count("*").alias("n_bigrams"),
+    )

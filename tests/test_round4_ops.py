@@ -362,3 +362,15 @@ def test_bm25_scores_positive_and_ranked(spark, sf_dir):
     for r in rows:
         assert r.score > 0
         assert any(t in docs[r.doc_id].split(" ") for t in _BM25_TERMS)
+
+
+def test_lm_score_sane_and_complete(spark, sf_dir):
+    """Every doc gets a score; log-probs are <= 0 (a bigram can never be
+    more frequent than its first token), and n_bigrams matches the
+    bigram builder."""
+    rows = QUERIES["q_lm_score"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.avg_logprob <= 0.0
+        assert r.n_bigrams >= 1
