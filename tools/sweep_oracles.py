@@ -74,10 +74,14 @@ def main() -> int:
     queries, oracles = E.queries(), E.oracle_sql()
     keys = sys.argv[2:] or sorted(queries)
 
+    # SWEEP_PARTITIONS overrides the shuffle-partition count: re-running
+    # the whole registry under a different parallelism is the registry-wide
+    # partition-invariance check (results must be layout-independent).
+    parts = os.environ.get("SWEEP_PARTITIONS", "8")
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle-sweep")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
