@@ -80,6 +80,13 @@ HEADLINE = [
     "q_quantile_bucket",
     "q_pack_sequences",
     "q_simhash_pairs",
+    # second round-4 batch: retrieval/scoring/CDC representatives
+    # (q_dedup_keep_best ~= q_dedup_groups + 0.8s and q_ewma_smooth ~=
+    # the Python-seam cost class of q_media_decode; both measured in
+    # BASELINE.md rather than benched to keep slot growth bounded)
+    "q_bm25_top",
+    "q_lm_score",
+    "q_latest_snapshot",
 ]
 
 RUNS = 3

@@ -675,17 +675,17 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("c1"))
     )
     bgc = bg.groupBy("bg").agg(F.count("*").cast("double").alias("c2"))
+    # weight table is VOCAB-sized: fold the unigram join and the log
+    # quantization into it once, so the corpus-sized bg stream joins a
+    # single precomputed (bg -> weight) table instead of two count tables
     w1 = F.split(F.col("bg"), " ").getItem(0)
-    scored = (
-        bg.join(bgc, "bg")
-        .join(uni, w1 == F.col("tok"))
-        .select(
-            "doc_id",
-            F.floor(F.log(F.col("c2") / F.col("c1")) * 1e6)
-            .cast("long")
-            .alias("lp_u"),
-        )
+    weights = bgc.join(uni, w1 == F.col("tok")).select(
+        "bg",
+        F.floor(F.log(F.col("c2") / F.col("c1")) * 1e6)
+        .cast("long")
+        .alias("lp_u"),
     )
+    scored = bg.join(weights, "bg").select("doc_id", "lp_u")
     return scored.groupBy("doc_id").agg(
         (F.sum("lp_u").cast("double") / 1e6 / F.count("*")).alias(
             "avg_logprob"
