@@ -116,6 +116,29 @@ def lsh_band_buckets(
     return res
 
 
+def _cap_buckets(
+    buckets: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket_size`` BEFORE
+    any ``collect_list`` touches them.
+
+    Filtering on ``size(ids)`` after the collect would materialize the
+    hot bucket's full id list in one aggregation buffer first -- the OOM
+    the cap exists to prevent.  Counting is a constant-state partial
+    aggregate, and the survivor join shares the (band, bucket) shuffle
+    key with the downstream group-by, so the cap costs one bounded count
+    pass, not a second corpus shuffle key."""
+    if max_bucket_size is None:
+        return buckets
+    ok = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    return buckets.join(ok, ["band", "bucket"])
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -151,13 +174,12 @@ def minhash_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
+    buckets = _cap_buckets(buckets, max_bucket_size)
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (
         grouped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
@@ -278,13 +300,12 @@ def simhash_candidate_pairs(
         F.struct(F.col(id_col).alias("id"), F.col("simhash")).alias("ds"),
         F.posexplode(F.array(*band_vals)).alias("band", "bucket"),
     )
+    buckets = _cap_buckets(buckets, max_bucket_size)
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.collect_list("ds").alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("ds") <= max_bucket_size)
     return (
         grouped.select(F.explode("ds").alias("a"), "ds")
         .select("a", F.explode("ds").alias("b"))

@@ -180,11 +180,11 @@ def resize_images(
             out = []
             n_out = width * height
             for b in batch["content"]:
-                raw = bytes(b)
+                raw = b"" if b is None else bytes(b)
                 if not raw:
-                    # zero-length payload: nothing to sample from -- emit a
-                    # zero frame of the contracted size rather than letting
-                    # one corrupt row fail the whole Arrow batch task
+                    # NULL or zero-length payload: nothing to sample from --
+                    # emit a zero frame of the contracted size rather than
+                    # letting one corrupt row fail the whole Arrow batch task
                     out.append(b"\x00" * n_out)
                     continue
                 # nearest-neighbor byte resample: index i of the output

@@ -274,7 +274,7 @@ _SIMP_BANDS = 4
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup pairs: every pair within Hamming distance
-    {3} of the 32-bit signature.  The Spark plan is banded LSH
+    3 of the 32-bit signature.  The Spark plan is banded LSH
     (:func:`DD.simhash_candidate_pairs` -- bucket on 8-bit signature
     bands, verify inside buckets, never all-pairs); the oracle is the
     brute-force all-pairs SQL.  Their equality under the driver's hash
@@ -792,7 +792,12 @@ _SEQ_BUDGET = 512  # tokens per packed training sequence
 _PACK_SHARDS = 8  # parallel packing shards (cluster: ~partitions)
 
 
-def pack_sequences(tok: DataFrame, budget: int, n_shards: int) -> DataFrame:
+def pack_sequences(
+    tok: DataFrame,
+    budget: int,
+    n_shards: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Greedy sequence packing over ``(doc_id, n_tok)``: each doc joins the
     training sequence its cumulative predecessor token count falls into.
 
@@ -805,8 +810,11 @@ def pack_sequences(tok: DataFrame, budget: int, n_shards: int) -> DataFrame:
     production packers shard by input file).  Token counts are integers,
     so prefix sums are exact and the assignment deterministic.
     ``n_shards=1`` degenerates to the classic single-order formulation
-    (the oracle twin at fixture scale).  Output sequence ids are globally
-    unique via (shard, local_seq) -> shard-major numbering.
+    (the oracle twin at fixture scale).  ``seq_id`` is SHARD-LOCAL (every
+    shard numbers from 0): the unique sequence key is the (shard, seq_id)
+    PAIR, never seq_id alone.  ``carry`` names extra ``tok`` columns to
+    pass through the window unchanged (e.g. the text payload for a
+    writer), so downstream consumers need no join back.
     """
     from pyspark.sql import Window
 
@@ -821,6 +829,7 @@ def pack_sequences(tok: DataFrame, budget: int, n_shards: int) -> DataFrame:
     return sharded.select(
         "doc_id",
         "n_tok",
+        *carry,
         "shard",
         F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget)
         .cast("bigint")

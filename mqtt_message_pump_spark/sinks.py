@@ -195,9 +195,11 @@ def write_training_shards(
     reader streams whole training sequences.
 
     Scale shape: packing is an n_shards-way partition-local window (never
-    a global sort); the write clusters on the same shard key the pack
-    produced, so no second shuffle -- each task writes whole shards, and
-    at 100 TB n_shards tracks the write parallelism.
+    a global sort) and the text payload rides THROUGH the pack via its
+    ``carry`` columns, so the job has exactly ONE shuffle -- the pack
+    window's shard exchange -- after which rows are already clustered and
+    ordered per shard; the write adds no repartition and each task writes
+    whole shards.  At 100 TB n_shards tracks the write parallelism.
     """
     from pyspark.sql import functions as F
 
@@ -209,12 +211,12 @@ def write_training_shards(
         F.col(text_col).alias("text"),
         token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
     )
-    packed = pack_sequences(
-        tok.select("doc_id", "n_tok"), budget, n_shards
-    ).join(tok.select("doc_id", "text"), "doc_id")
+    packed = pack_sequences(tok, budget, n_shards, carry=("text",))
+    # shard leads the sort so the dynamic-partition writer's required
+    # ordering is already satisfied (it would otherwise insert its own
+    # sort on the partition column and scramble the sequence order)
     (
-        packed.repartition("shard")
-        .sortWithinPartitions("seq_id", "doc_id")
+        packed.sortWithinPartitions("shard", "seq_id", "doc_id")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)

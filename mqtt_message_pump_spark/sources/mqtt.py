@@ -209,8 +209,13 @@ class MqttStreamReader(DataSourceStreamReader):
         try:
             client.subscribe(topic, qos=qos)
         except Exception:
-            # subscribe failure = dead pipe (mqtt.go:131-134)
-            self._pipe_signal(False)
+            # subscribe failure = dead pipe (mqtt.go:131-134); tear the
+            # connected client down too or every failed partition read
+            # leaks a live broker session
+            try:
+                client.disconnect()
+            finally:
+                self._pipe_signal(False)
             raise
         self._pipe_signal(True)
         try:

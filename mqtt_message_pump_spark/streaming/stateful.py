@@ -99,9 +99,14 @@ def _update_ewma(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     ewma, n = state.get if state.exists else (0.0, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
+    # A key's trigger slice can arrive as SEVERAL Arrow chunks (rows >
+    # arrow.maxRecordsPerBatch); sorting each chunk alone would fold
+    # across chunk boundaries out of order -- concatenate, then sort.
+    chunks = list(pdfs)
+    full = pd.concat(chunks) if chunks else pd.DataFrame()
+    if len(full):
+        full = full.sort_values(["ts", "event_id"])
+        for v in full["value"]:
             ewma = float(v) if n == 0 else 0.5 * ewma + 0.5 * float(v)
             n += 1
     state.update((ewma, n))
