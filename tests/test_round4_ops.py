@@ -147,12 +147,14 @@ def test_resize_images_empty_payload_yields_zero_frame(spark):
             (1, b"", ("image",)),
             (2, bytes(range(64)), ("image",)),
             (3, b"xyz", ("audio",)),
+            (4, None, ("image",)),
         ],
         "media_id long, content binary, meta struct<modality:string>",
     )
     out = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
-    assert set(out) == {1, 2}
+    assert set(out) == {1, 2, 4}
     assert bytes(out[1].content) == b"\x00" * 16
+    assert bytes(out[4].content) == b"\x00" * 16
     assert len(out[2].content) == 16
 
 

@@ -389,3 +389,46 @@ def test_capacity_report_format(spark):
         "DefaultParallelism:[",
     ):
         assert knob in line
+
+
+def test_keyed_ewma_multi_chunk_order(spark, tmp_path):
+    """A key whose trigger slice spans multiple Arrow chunks must still
+    fold in (ts, event_id) order (chunks are concatenated before the
+    sort, not sorted independently)."""
+    import json as _json
+
+    from mqtt_message_pump_spark.streaming.stateful import keyed_ewma
+
+    src = tmp_path / "msrc"
+    out = tmp_path / "mout"
+    src.mkdir()
+    vals = [float(v) for v in (9, 1, 7, 3, 5, 2, 8, 4)]
+    rows = [
+        {"user_id": 1, "event_id": i, "ts": f"2024-01-01 00:00:{i:02d}", "value": v}
+        for i, v in enumerate(vals)
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    orig = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        ).json(str(src))
+        q = (
+            keyed_ewma(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(tmp_path / "mckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_until_complete(q)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", orig)
+    state = vals[0]
+    for v in vals[1:]:
+        state = 0.5 * state + 0.5 * v
+    [row] = spark.read.parquet(str(out)).collect()
+    assert (row.user_id, row.n_events, row.ewma) == (1, len(vals), state)
