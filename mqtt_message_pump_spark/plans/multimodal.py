@@ -106,3 +106,53 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     width*height bytes per row -- asserted in tests."""
     media = media_from_documents(spark, sf_dir)
     return MM.resize_images(media, width=16, height=16, fake=True)
+
+
+_FRAME = 50  # samples per analysis frame
+
+
+@query(
+    "q_audio_energy",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, cs, unnest(range(1, len(cs) + 1)) AS i
+      FROM (SELECT doc_id, string_split(text, '') AS cs
+            FROM documents WHERE doc_id % 3 = 1)
+    )
+    SELECT doc_id AS media_id,
+           CAST((i - 1) // {_FRAME} AS BIGINT) AS frame,
+           SUM(CAST(ascii(cs[i]) * ascii(cs[i]) AS BIGINT)) AS energy,
+           COUNT(*) AS n_samples
+    FROM chars
+    GROUP BY doc_id, (i - 1) // {_FRAME}
+    """,
+)
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over the byte stream: the first real audio
+    feature every pipeline extracts (silence trimming, VAD gating,
+    loudness normalization).  The deterministic fake-PCM convention reads
+    each payload byte as an unsigned 8-bit sample ({_FRAME}-sample
+    non-overlapping frames); a production build swaps the byte decode for
+    a real codec behind the q_media_decode seam and keeps this exact
+    frame/aggregate plumbing.
+
+    Scale shape: explode -> (media, frame) aggregate partial-combines
+    map-side, so the shuffle carries one row per frame, bounded by media
+    duration, never corpus size.  Energy is an integer sum of squares --
+    exact, order-independent, hash-stable cross-engine (an RMS consumer
+    applies sqrt downstream; libm sqrt would differ in the last ulp)."""
+    audio = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    samples = audio.select(
+        F.col("doc_id").alias("media_id"),
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch"),
+    ).select(
+        "media_id",
+        F.floor(F.col("pos") / _FRAME).cast("bigint").alias("frame"),
+        F.ascii("ch").cast("bigint").alias("code"),
+    )
+    return samples.groupBy("media_id", "frame").agg(
+        F.sum(F.col("code") * F.col("code")).alias("energy"),
+        F.count("*").alias("n_samples"),
+    )

@@ -376,3 +376,27 @@ def test_lm_score_sane_and_complete(spark, sf_dir):
     for r in rows:
         assert r.avg_logprob <= 0.0
         assert r.n_bigrams >= 1
+
+
+def test_audio_energy_frames(spark, sf_dir):
+    """Frames tile the payload exactly: per media, n_samples sums to the
+    text length, every full frame has 50 samples, and energy matches a
+    driver-side replay for a sample of rows."""
+    rows = QUERIES["q_audio_energy"](spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").collect()
+        if r.doc_id % 3 == 1
+    }
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(docs)
+    for mid, frames in list(by_media.items())[:25]:
+        text = docs[mid]
+        assert sum(f.n_samples for f in frames) == len(text)
+        for f in sorted(frames, key=lambda f: f.frame):
+            chunk = text[f.frame * 50 : f.frame * 50 + 50]
+            assert f.n_samples == len(chunk)
+            assert f.energy == sum(ord(c) ** 2 for c in chunk)
