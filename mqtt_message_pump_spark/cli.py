@@ -84,7 +84,10 @@ def cmd_check(cfg: PumpConfig) -> int:
 def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     from mqtt_message_pump_spark.sources.mqtt import mqtt_available
     from mqtt_message_pump_spark.streaming.monitor import PumpMonitorListener
-    from mqtt_message_pump_spark.streaming.pump import start_stream_pump
+    from mqtt_message_pump_spark.streaming.pump import (
+        drain_and_stop,
+        start_stream_pump,
+    )
 
     spark = get_spark(app_name="pump-run")
     if source_dir is None and mqtt_available():
@@ -143,7 +146,9 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     print(f"pump running; sinks under {cfg.store.path}")
     if duration > 0:
         time.sleep(duration)
-        query.stop()
+        # drain the in-flight trigger before stopping -- an abrupt stop()
+        # cancels a mid-batch sink write (see drain_and_stop)
+        drain_and_stop(query, timeout_secs=120)
         query.awaitTermination(60)
     else:  # pragma: no cover - interactive
         query.awaitTermination()

@@ -30,6 +30,7 @@ Spark-first mapping -- and why it is STRONGER at scale:
 
 from __future__ import annotations
 
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -327,3 +328,26 @@ def start_stream_pump(
         .trigger(processingTime=f"{trigger_secs} seconds")
         .start()
     )
+
+
+def drain_and_stop(query, timeout_secs: float = 60.0) -> None:
+    """Stop a streaming query without cancelling an in-flight trigger.
+
+    ``query.stop()`` interrupts the stream-execution thread and cancels its
+    active jobs; if a ``foreachBatch`` sink write is mid-flight, that kills
+    the write half-way (observed failure mode: the cancelled append's file
+    listing resolves empty and the writer dies with UNABLE_TO_INFER_SCHEMA
+    on a loaded host).  For timed runs, first wait -- bounded -- until the
+    query reports no active trigger and no unprocessed data, then stop.
+    ``processAllAvailable()`` is not used because on a live (MQTT) source it
+    can block forever; status polling drains without that hazard.
+    """
+    deadline = time.monotonic() + timeout_secs
+    while query.isActive and time.monotonic() < deadline:
+        status = query.status
+        if not status.get("isTriggerActive") and not status.get(
+            "isDataAvailable"
+        ):
+            break
+        time.sleep(0.3)
+    query.stop()
