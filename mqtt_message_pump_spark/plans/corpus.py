@@ -692,3 +692,226 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_bigrams"),
     )
+
+
+_SQL_QUALITY_SUBQ = f"""
+      SELECT doc_id, source, {TX.SQL_QUALITY_SCORE.format(text='text')} AS quality
+      FROM (
+        SELECT doc_id, source,
+               CAST({TX.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) AS n_tok,
+               CAST({TX.SQL_STOPWORD_COUNT.format(text='text')} AS DOUBLE) AS n_stop,
+               text
+        FROM documents)
+"""
+
+
+@query(
+    "q_quality_ecdf",
+    oracle=f"""
+    WITH q AS ({_SQL_QUALITY_SUBQ}),
+    d AS (
+      SELECT source, quality, COUNT(*) AS c FROM q GROUP BY source, quality),
+    e AS (
+      SELECT source, quality,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY quality)
+                  AS DOUBLE)
+               / SUM(c) OVER (PARTITION BY source) AS ecdf
+      FROM d)
+    SELECT q.doc_id, q.source, q.quality, e.ecdf
+    FROM q JOIN e USING (source, quality)
+    """,
+)
+def q_quality_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: each doc's quality mapped to
+    its empirical CDF position WITHIN its source -- the cross-domain
+    normalization step before a single keep-threshold can be applied to a
+    multi-source mix (a raw score cut keeps different fractions of web
+    crawl vs curated text; the ECDF cut keeps the same fraction of each).
+
+    Scale shape: deliberately NOT a per-source ``percent_rank`` over the
+    raw rows (that is the q_ntile single-task trap, one fat partition per
+    source).  Instead the plan aggregates to one row per DISTINCT
+    (source, quality) first -- map-side combined, duplicate-factor
+    smaller -- runs the cumulative window over that compacted table, and
+    broadcast-joins the resulting step function back to the doc stream.
+    Ties share one ECDF value (a true right-continuous CDF), so no row
+    tie-break is needed and the output is deterministic.  At 100 TB the
+    production variant swaps the exact distinct-value table for fixed
+    quantile cut points (the q_quantile_bucket sketch path) -- same join
+    shape, constant-size calibration table."""
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    d = q.groupBy("source", "quality").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("source").orderBy("quality")
+    w_all = Window.partitionBy("source")
+    e = d.select(
+        "source",
+        "quality",
+        (
+            F.sum("c").over(w_cum).cast("double") / F.sum("c").over(w_all)
+        ).alias("ecdf"),
+    )
+    return q.join(F.broadcast(e), ["source", "quality"]).select(
+        "doc_id", "source", "quality", "ecdf"
+    )
+
+
+@query(
+    "q_entropy_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    s AS (
+      SELECT doc_id,
+             SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6)
+                      AS BIGINT)) AS s_int,
+             SUM(c) AS n,
+             COUNT(*) AS n_distinct
+      FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           (CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+              / 1e6
+            - CAST(s_int AS DOUBLE) / 1e6 / n) / 0.6931471805599453
+             AS entropy_bits,
+           n_distinct
+    FROM s
+    """,
+)
+def q_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-unigram Shannon entropy per document (bits) -- the lexical
+    diversity gate: near-zero entropy is repeated boilerplate, unusually
+    high entropy is random-token noise; both tails get dropped from
+    training mixes.  H = log2(n) - (1/n) * sum(c * ln c) / ln 2 over the
+    per-doc token counts.
+
+    Scale shape: explode -> (doc, token) counts partial-aggregate
+    map-side, then a second (doc)-keyed aggregate -- per-doc state is one
+    int64 accumulator, never a token list.  Determinism: each c*ln(c)
+    term is floor-quantized to integer micro-units before the SUM (the
+    q_lm_score treatment), so the sum is exact and order-independent;
+    ln(n) is quantized the same way and the remaining double ops are
+    written identically on both engines."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.floor(cd * F.log(cd) * F.lit(1e6)).cast("long")).alias(
+            "s_int"
+        ),
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+    )
+    ln_n = F.floor(F.log(F.col("n").cast("double")) * F.lit(1e6)).cast(
+        "long"
+    )
+    return per_doc.select(
+        "doc_id",
+        (
+            (
+                ln_n.cast("double") / F.lit(1e6)
+                - F.col("s_int").cast("double") / F.lit(1e6) / F.col("n")
+            )
+            / F.lit(0.6931471805599453)
+        ).alias("entropy_bits"),
+        "n_distinct",
+    )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 2),
+    p AS (
+      SELECT substr(w, CAST(i.i AS INTEGER), 2) AS pair
+      FROM w, LATERAL (SELECT unnest(generate_series(1, length(w) - 1))
+                       AS i) i)
+    SELECT pair, COUNT(*) AS c
+    FROM p GROUP BY pair ORDER BY c DESC, pair LIMIT 100
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner step: corpus-wide counts of
+    adjacent symbol pairs within words (symbols = characters here, i.e.
+    the first merge round), top-100 by frequency -- the statistic a BPE
+    trainer computes to pick each merge.
+
+    Scale shape: two explodes (words, then in-word positions) feed ONE
+    hash aggregate whose map-side partials carry a row per distinct pair
+    (bounded by charset^2), so the shuffle is alphabet-sized regardless
+    of corpus size; the top-k is TakeOrderedAndProject with the pair as
+    tie-break.  Iterating merges re-runs this plan on re-segmented
+    symbols -- each round is the same alphabet-bounded shuffle."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(100)
+    )
+
+
+_LEXICON: tuple[str, ...] = ("join", "scan", "merge", "filter", "vector")
+
+
+@query(
+    "q_lexicon_hits",
+    oracle=f"""
+    WITH lex(term) AS (
+      VALUES {", ".join(f"('{t}')" for t in _LEXICON)}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+    SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT term) AS n_terms
+    FROM tok JOIN lex USING (term) GROUP BY doc_id
+    """,
+)
+def q_lexicon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist / lexicon hit counting via a broadcast token join: total
+    hits and distinct terms hit per document -- the safety-filter shape
+    (profanity/spam lexicons) for term lists far too large for the regex
+    alternation that q_text_stats uses (a codegen'd alternation stops
+    scaling around hundreds of terms; a broadcast hash join handles
+    100k-term blocklists at scan speed).  Docs with zero hits are absent
+    from the output by construction (inner join) -- the caller left-joins
+    back if it needs explicit zeros.
+
+    Scale shape: explode -> broadcast semi-shaped join on the token ->
+    per-doc count agg, map-side combined; the lexicon is dimension-sized
+    and never shuffles the corpus."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    lex = spark.createDataFrame([(t,) for t in _LEXICON], "term string")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return (
+        toks.join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+    )

@@ -1089,3 +1089,67 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+@query(
+    "q_embed_standardize",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, i.i AS dim,
+             CAST(trunc(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT) AS c
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS i) i),
+    st AS (
+      SELECT dim,
+             CAST(SUM(c) AS DOUBLE) / 1e6 / COUNT(*) AS mean,
+             sqrt(CAST(SUM(c * c) AS DOUBLE) / 1e12 / COUNT(*)
+                  - (CAST(SUM(c) AS DOUBLE) / 1e6 / COUNT(*))
+                    * (CAST(SUM(c) AS DOUBLE) / 1e6 / COUNT(*))) AS std
+      FROM comp GROUP BY dim)
+    SELECT comp.vec_id, comp.dim,
+           (CAST(c AS DOUBLE) / 1e6 - mean) / std AS z
+    FROM comp JOIN st USING (dim)
+    """,
+)
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding standardization (z-score feature scaling):
+    the whitening step before distance-based retrieval / clustering when
+    dimensions have wildly different variances.  Two-pass: per-dim
+    (mean, std) from exact sums, then a broadcast join back onto the
+    component stream.
+
+    Determinism: components quantize to TRUNCATED integer micro-units
+    (the q_label_centroid treatment) so SUM(c) and SUM(c*c) are exact
+    int64 and order-independent; mean/variance are then the identical
+    double-op sequence on both engines, and sqrt is IEEE
+    correctly-rounded, so z matches bit-for-bit.  Scale shape: the stats
+    aggregate carries 64 constant-size partials per task, the stats table
+    is dimension-sized (broadcast), and the z projection is a narrow map
+    -- at 100 TB swap the int64 sums for DECIMAL(38,0) to keep SUM(c*c)
+    overflow-safe past ~1e18."""
+    emb = table(spark, sf_dir, "embeddings", split=True)
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        (F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("c"),
+    )
+    stats = comp.groupBy("dim").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.lit(1e6) / F.col("n")
+    std = F.sqrt(
+        F.col("ss").cast("double") / F.lit(1e12) / F.col("n") - mean * mean
+    )
+    st = stats.select("dim", mean.alias("mean"), std.alias("std"))
+    return comp.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        (
+            (F.col("c").cast("double") / F.lit(1e6) - F.col("mean"))
+            / F.col("std")
+        ).alias("z"),
+    )

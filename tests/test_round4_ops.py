@@ -400,3 +400,88 @@ def test_audio_energy_frames(spark, sf_dir):
             chunk = text[f.frame * 50 : f.frame * 50 + 50]
             assert f.n_samples == len(chunk)
             assert f.energy == sum(ord(c) ** 2 for c in chunk)
+
+
+def test_quality_ecdf_is_per_source_cdf(spark, sf_dir):
+    """ecdf(doc) must equal (# docs in its source with quality <= its
+    quality) / n_source -- driver-side replay; ties share one value."""
+    rows = QUERIES["q_quality_ecdf"](spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        n = len(docs)
+        qs = sorted(d.quality for d in docs)
+        for d in docs:
+            want = sum(1 for q in qs if q <= d.quality) / n
+            assert abs(d.ecdf - want) < 1e-12
+        assert max(d.ecdf for d in docs) == 1.0
+
+
+def test_entropy_score_matches_float_entropy(spark, sf_dir):
+    """Quantized entropy must track the plain float Shannon entropy to
+    within the 1e-6 quantization step (x token count)."""
+    import math
+    from collections import Counter
+
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    got = {r.doc_id: r.entropy_bits for r in QUERIES["q_entropy_score"](spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        counts = Counter(text.split(" "))
+        n = sum(counts.values())
+        h = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        assert abs(got[doc_id] - h) < 1e-4
+        assert got[doc_id] >= -1e-9
+
+
+def test_bpe_pairs_match_python_counts(spark, sf_dir):
+    from collections import Counter
+
+    texts = [r.text for r in table(spark, sf_dir, "documents").collect()]
+    counts: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = [(r.pair, r.c) for r in QUERIES["q_bpe_pairs"](spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_lexicon_hits_match_python(spark, sf_dir):
+    from collections import Counter
+
+    from mqtt_message_pump_spark.plans.corpus import _LEXICON
+
+    lex = set(_LEXICON)
+    want = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        hits = [t for t in r.text.split(" ") if t in lex]
+        if hits:
+            want[r.doc_id] = (len(hits), len(set(hits)))
+    got = {
+        r.doc_id: (r.n_hits, r.n_terms)
+        for r in QUERIES["q_lexicon_hits"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_embed_standardize_unit_stats(spark, sf_dir):
+    """Standardized components must have per-dim mean ~0 and std ~1, and
+    cover every (vector, dim) cell exactly once."""
+    import math
+
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    rows = QUERIES["q_embed_standardize"](spark, sf_dir).collect()
+    assert len(rows) == 64 * n_vecs
+    by_dim: dict[int, list[float]] = {}
+    for r in rows:
+        by_dim.setdefault(r.dim, []).append(r.z)
+    assert set(by_dim) == set(range(1, 65))
+    for dim, zs in by_dim.items():
+        m = sum(zs) / len(zs)
+        v = sum(z * z for z in zs) / len(zs) - m * m
+        assert abs(m) < 1e-6
+        assert abs(math.sqrt(v) - 1.0) < 1e-6
