@@ -915,3 +915,116 @@ def q_lexicon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("term").alias("n_terms"),
         )
     )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS b
+      FROM documents)
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) from a content
+    hash of the document id -- the split every training pipeline needs to
+    be reproducible across engines, runs, AND repartitionings (a
+    ``randomSplit`` is none of those).  Pure map-side projection, zero
+    shuffle; held-out membership can be re-derived bit-identically by any
+    engine that can compute md5."""
+    from mqtt_message_pump_spark.operators.dedup import md5_hash32
+
+    docs = table(spark, sf_dir, "documents")
+    b = md5_hash32(F.col("doc_id").cast("string")) % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+@query(
+    "q_bigram_pmi",
+    oracle=f"""
+    WITH bg AS (
+      SELECT unnest({_SQL_BIGRAMS}) AS bg FROM documents),
+    uni AS (
+      SELECT tok, COUNT(*) AS c1
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    bgc AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    n1 AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1 FROM uni),
+    n2 AS (SELECT CAST(SUM(c2) AS DOUBLE) AS n2 FROM bgc)
+    SELECT bg, c2,
+           CAST(CAST(floor(ln(
+                 (CAST(c2 AS DOUBLE) / n2)
+                 / ((CAST(a.c1 AS DOUBLE) / n1)
+                    * (CAST(b.c1 AS DOUBLE) / n1))) * 1e6) AS BIGINT)
+                AS DOUBLE) / 1e6 AS pmi
+    FROM bgc
+    JOIN uni a ON a.tok = string_split(bg, ' ')[1]
+    JOIN uni b ON b.tok = string_split(bg, ' ')[2]
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE c2 >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bg LIMIT {_PMI_TOPK}
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top bigrams by pointwise mutual
+    information, PMI = ln(P(ab) / (P(a)P(b))), with a min-count floor --
+    the phrase-mining pass that finds multi-word units worth treating as
+    single tokens.
+
+    Scale shape: unigram and bigram count tables partial-aggregate
+    map-side (one row per distinct n-gram); the vocab-sized unigram table
+    broadcasts onto the bigram counts twice (left and right word), the
+    corpus totals are 1-row broadcasts, and the top-k is
+    TakeOrderedAndProject.  Determinism: probabilities are computed as an
+    identical double-op sequence on both engines (ratio-of-ratios, no
+    int64 product overflow at any SF), ln is floor-quantized to
+    micro-units (the q_lm_score treatment), and the rank tie-breaks on
+    the bigram."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    bg = docs.select(F.explode(_bigrams_col(F.col("text"))).alias("bg"))
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    n1 = uni.agg(F.sum("c1").cast("double").alias("n1"))
+    n2 = bgc.agg(F.sum("c2").cast("double").alias("n2"))
+    a = uni.select(F.col("tok").alias("tok_a"), F.col("c1").alias("c1a"))
+    b = uni.select(F.col("tok").alias("tok_b"), F.col("c1").alias("c1b"))
+    ratio = (F.col("c2").cast("double") / F.col("n2")) / (
+        (F.col("c1a").cast("double") / F.col("n1"))
+        * (F.col("c1b").cast("double") / F.col("n1"))
+    )
+    pmi = F.floor(F.log(ratio) * F.lit(1e6)).cast("long").cast(
+        "double"
+    ) / F.lit(1e6)
+    return (
+        bgc.filter(F.col("c2") >= _PMI_MIN_COUNT)
+        .join(
+            F.broadcast(a),
+            F.split(F.col("bg"), " ").getItem(0) == F.col("tok_a"),
+        )
+        .join(
+            F.broadcast(b),
+            F.split(F.col("bg"), " ").getItem(1) == F.col("tok_b"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("bg", "c2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "bg")
+        .limit(_PMI_TOPK)
+    )

@@ -485,3 +485,68 @@ def test_embed_standardize_unit_stats(spark, sf_dir):
         v = sum(z * z for z in zs) / len(zs) - m * m
         assert abs(m) < 1e-6
         assert abs(math.sqrt(v) - 1.0) < 1e-6
+
+
+def test_train_split_deterministic_and_complete(spark, sf_dir):
+    """Every doc gets exactly one split label; repartitioning must not
+    change any assignment (the reproducibility contract)."""
+    rows = QUERIES["q_train_split"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    first = {r.doc_id: r.split for r in rows}
+    docs = table(spark, sf_dir, "documents").repartition(7)
+    from mqtt_message_pump_spark.operators.dedup import md5_hash32
+
+    b = md5_hash32(F.col("doc_id").cast("string")) % 100
+    again = {
+        r.doc_id: r.split
+        for r in docs.select(
+            "doc_id",
+            F.when(b < 90, "train")
+            .when(b < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        ).collect()
+    }
+    assert again == first
+
+
+def test_bigram_pmi_matches_python(spark, sf_dir):
+    """PMI values and ranking must match a driver-side replay of the
+    same quantized formula."""
+    import math
+    from collections import Counter
+
+    from mqtt_message_pump_spark.plans.corpus import (
+        _PMI_MIN_COUNT,
+        _PMI_TOPK,
+    )
+
+    texts = [r.text for r in table(spark, sf_dir, "documents").collect()]
+    uni: Counter = Counter()
+    bgc: Counter = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        uni.update(toks)
+        if len(toks) == 1:
+            bgc[toks[0]] += 1
+        else:
+            for i in range(len(toks) - 1):
+                bgc[toks[i] + " " + toks[i + 1]] += 1
+    n1 = float(sum(uni.values()))
+    n2 = float(sum(bgc.values()))
+    want = []
+    for bg, c2 in bgc.items():
+        parts = bg.split(" ")
+        if len(parts) != 2 or c2 < _PMI_MIN_COUNT:
+            continue
+        ratio = (c2 / n2) / ((uni[parts[0]] / n1) * (uni[parts[1]] / n1))
+        pmi = math.floor(math.log(ratio) * 1e6) / 1e6
+        want.append((bg, c2, pmi))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    got = [
+        (r.bg, r.c2, r.pmi)
+        for r in QUERIES["q_bigram_pmi"](spark, sf_dir).collect()
+    ]
+    assert got == want[:_PMI_TOPK]
