@@ -494,3 +494,100 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(_DEC)).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_waiting_orders",
+    oracle="""
+    WITH part AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM part p1
+    JOIN supplier ON s_suppkey = p1.l_suppkey
+    WHERE p1.late = 1
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.l_orderkey = p1.l_orderkey
+          AND p2.l_suppkey <> p1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM part p3
+        WHERE p3.l_orderkey = p1.l_orderkey
+          AND p3.l_suppkey <> p1.l_suppkey
+          AND p3.late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finished orders -- the canonical double-correlated
+    EXISTS + NOT EXISTS pattern (same table, opposite-polarity
+    correlations with a <> residual).  The fixture lineitem has no
+    receipt/commit dates, so "late" is adapted to l_shipdate more than
+    60 days after o_orderdate; the correlation structure is Q21's.
+
+    Scale shape: lineitems first compact to one row per (order, supplier)
+    with an any-late flag -- a map-side-combined aggregate that bounds
+    both correlated probes -- then EXISTS becomes a LEFT SEMI and NOT
+    EXISTS a LEFT ANTI join, both hash-keyed on l_orderkey with the <>
+    as a join residual, so the participation table shuffles once and is
+    probed twice with no row fan-out.  The supplier name join is
+    dimension-sized (broadcast) and the top-k is
+    TakeOrderedAndProject."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    part = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .cast("int")
+            .alias("late_item"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late_item").alias("late"))
+    )
+    p1 = part.filter(F.col("late") == 1).alias("p1")
+    p2 = part.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    p3 = part.filter(F.col("late") == 1).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = (
+        p1.join(
+            p2,
+            (F.col("p1.l_orderkey") == F.col("o2"))
+            & (F.col("p1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            p3,
+            (F.col("p1.l_orderkey") == F.col("o3"))
+            & (F.col("p1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    supplier = table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(
+            F.broadcast(supplier),
+            F.col("p1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -550,3 +550,47 @@ def test_bigram_pmi_matches_python(spark, sf_dir):
         for r in QUERIES["q_bigram_pmi"](spark, sf_dir).collect()
     ]
     assert got == want[:_PMI_TOPK]
+
+
+def test_waiting_orders_sole_late_supplier(spark, sf_dir):
+    """Driver-side replay of the Q21-shape correlation: a supplier is
+    counted once per finished multi-supplier order where it is the ONLY
+    late shipper."""
+    import datetime
+    from collections import Counter
+
+    orders = {
+        r.o_orderkey: r.o_orderdate
+        for r in table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .collect()
+    }
+    part: dict[tuple, int] = {}
+    for r in table(spark, sf_dir, "lineitem").collect():
+        if r.l_orderkey not in orders:
+            continue
+        late = int(
+            r.l_shipdate > orders[r.l_orderkey] + datetime.timedelta(days=60)
+        )
+        key = (r.l_orderkey, r.l_suppkey)
+        part[key] = max(part.get(key, 0), late)
+    by_order: dict[int, list] = {}
+    for (ok, sk), late in part.items():
+        by_order.setdefault(ok, []).append((sk, late))
+    names = {
+        r.s_suppkey: r.s_name
+        for r in table(spark, sf_dir, "supplier").collect()
+    }
+    counts: Counter = Counter()
+    for ok, supps in by_order.items():
+        if len(supps) < 2:
+            continue
+        late_supps = [sk for sk, late in supps if late]
+        if len(late_supps) == 1:
+            counts[names[late_supps[0]]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.s_name, r.numwait)
+        for r in QUERIES["q_waiting_orders"](spark, sf_dir).collect()
+    ]
+    assert got == want
