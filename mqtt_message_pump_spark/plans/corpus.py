@@ -900,20 +900,24 @@ def q_lexicon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     back if it needs explicit zeros.
 
     Scale shape: explode -> broadcast semi-shaped join on the token ->
-    per-doc count agg, map-side combined; the lexicon is dimension-sized
-    and never shuffles the corpus."""
+    (doc, term) counts -> per-doc rollup.  Two sequential hash aggs
+    (both map-side combined, the second bounded by lexicon size per doc)
+    instead of one count-distinct agg -- COUNT(DISTINCT) plans an Expand
+    that doubles the exploded token stream, the dominant cost at corpus
+    scale.  The lexicon is dimension-sized and never shuffles the
+    corpus."""
     docs = table(spark, sf_dir, "documents", split=True)
     lex = spark.createDataFrame([(t,) for t in _LEXICON], "term string")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    return (
+    per_term = (
         toks.join(F.broadcast(lex), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_hits"),
-            F.countDistinct("term").alias("n_terms"),
-        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.sum("c").alias("n_hits"), F.count("*").alias("n_terms")
     )
 
 
