@@ -1564,3 +1564,155 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "q_window_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, ts, event_type FROM events),
+    t1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM ev GROUP BY user_id),
+    t2 AS (
+      SELECT ev.user_id, MIN(ts) AS t2
+      FROM ev JOIN t1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1.t1
+        AND ts <= t1.t1 + INTERVAL 7 DAY
+      GROUP BY ev.user_id),
+    t3 AS (
+      SELECT ev.user_id, MIN(ts) AS t3
+      FROM ev JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2.t2
+        AND ts <= t1.t1 + INTERVAL 7 DAY
+      GROUP BY ev.user_id)
+    SELECT t1.user_id,
+           CASE WHEN t3.t3 IS NOT NULL THEN 3
+                WHEN t2.t2 IS NOT NULL THEN 2
+                WHEN t1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level,
+           t1.t1 AS first_view
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (the ClickHouse ``windowFunnel`` shape): per
+    user, the deepest view -> click -> purchase chain where each stage
+    strictly follows the previous and the whole chain fits in 7 days
+    from the first view.  This variant anchors on the FIRST view (each
+    stage then takes its earliest qualifying event), which keeps every
+    stage a conditional MIN -- no per-user event list, no state machine.
+
+    Scale shape: three conditional-MIN aggregates, all hash-keyed on
+    user_id (one shuffle key throughout, AQE-planned joins between
+    stage tables whose size never exceeds the user dimension);
+    per-group state is one timestamp per stage.  Users with events but
+    no view stay at level 0 via the left joins."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    win_end = F.col("t1") + F.expr("INTERVAL 7 DAYS")
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= win_end)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t1, "user_id")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= win_end)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_level"),
+            F.col("t1").alias("first_view"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id, date_trunc('week', ts) AS week
+      FROM events GROUP BY user_id, date_trunc('week', ts)),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM cohort GROUP BY cohort_week),
+    act AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, w.week) / 7 AS BIGINT)
+               AS week_offset,
+             COUNT(*) AS n_active
+      FROM weeks w JOIN cohort c USING (user_id)
+      GROUP BY c.cohort_week, week_offset)
+    SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM act a JOIN sizes s USING (cohort_week)
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week, then
+    the fraction of each cohort active again N weeks later -- the
+    product-analytics rollup every engagement dashboard runs.
+
+    Scale shape: (user, week) activity first compacts to distinct pairs
+    (map-side combined, bounded by users x weeks), cohorts derive from a
+    second user-keyed MIN -- the same shuffle key, so no extra exchange
+    -- and the final matrix groups by (cohort_week, offset), a
+    dimension-sized result.  Offsets divide an exact day count by 7
+    (week-truncated timestamps are always whole weeks apart, so the
+    division is exact on both engines)."""
+    ev = table(spark, sf_dir, "events")
+    # cast to DATE: DuckDB's date_trunc('week', ts) yields DATE while
+    # Spark's yields TIMESTAMP; week buckets are calendar days anyway
+    weeks = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    act = (
+        weeks.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

@@ -594,3 +594,84 @@ def test_waiting_orders_sole_late_supplier(spark, sf_dir):
         for r in QUERIES["q_waiting_orders"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_window_funnel_levels(spark, sf_dir):
+    """Driver-side replay of the first-anchored funnel: level reflects
+    the earliest qualifying stage chain inside the 7-day window."""
+    import datetime
+
+    ev: dict[int, list] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        ev.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    want = {}
+    for uid, rows in ev.items():
+        t1 = min((t for t, et in rows if et == "view"), default=None)
+        lvl, t2 = 0, None
+        if t1 is not None:
+            lvl = 1
+            end = t1 + datetime.timedelta(days=7)
+            t2 = min(
+                (t for t, et in rows if et == "click" and t1 < t <= end),
+                default=None,
+            )
+            if t2 is not None:
+                lvl = 2
+                t3 = min(
+                    (
+                        t
+                        for t, et in rows
+                        if et == "purchase" and t2 < t <= end
+                    ),
+                    default=None,
+                )
+                if t3 is not None:
+                    lvl = 3
+        want[uid] = (lvl, t1)
+    got = {
+        r.user_id: (r.funnel_level, r.first_view)
+        for r in QUERIES["q_window_funnel"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_retention_cohort_matrix(spark, sf_dir):
+    """Offset-0 retention is 1.0 for every cohort; active counts never
+    exceed cohort size; driver-side replay of the full matrix."""
+    def week_of(ts):
+        d = ts.date()
+        monday = d - __import__("datetime").timedelta(days=d.weekday())
+        return monday
+
+    weeks: set = set()
+    for r in table(spark, sf_dir, "events").collect():
+        weeks.add((r.user_id, week_of(r.ts)))
+    cohort = {}
+    for uid, wk in weeks:
+        if uid not in cohort or wk < cohort[uid]:
+            cohort[uid] = wk
+    sizes: dict = {}
+    for uid, cw in cohort.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    act: dict = {}
+    for uid, wk in weeks:
+        cw = cohort[uid]
+        off = (wk - cw).days // 7
+        act[(cw, off)] = act.get((cw, off), 0) + 1
+    got = {
+        (r.cohort_week, r.week_offset): (
+            r.n_active,
+            r.cohort_size,
+            r.retention,
+        )
+        for r in QUERIES["q_retention_cohort"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(act)
+    for (cw, off), n in act.items():
+        na, cs, ret = got[(cw, off)]
+        assert na == n and cs == sizes[cw]
+        assert abs(ret - n / sizes[cw]) < 1e-12
+        assert na <= cs
+    for (cw, off), (na, cs, ret) in got.items():
+        if off == 0:
+            assert ret == 1.0
