@@ -1716,3 +1716,51 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS prob
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    counts and row-normalized probabilities of each event_type ->
+    next_type step -- the behavioral-modeling statistic under journey
+    analysis and synthetic-session generation.
+
+    Scale shape: the LEAD window partitions by user (state bounded by a
+    user's own events, millions of independent partitions -- never a
+    global sort), the transition count aggregate map-side combines to at
+    most |types|^2 rows, and the probability normalization windows over
+    that dimension-sized result.  Ordering ties break on event_id so the
+    sequence -- and therefore every count -- is deterministic."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    counts = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_row = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_row)).alias("prob"),
+    )

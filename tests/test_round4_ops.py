@@ -675,3 +675,26 @@ def test_retention_cohort_matrix(spark, sf_dir):
     for (cw, off), (na, cs, ret) in got.items():
         if off == 0:
             assert ret == 1.0
+
+
+def test_event_transitions_matrix(spark, sf_dir):
+    """Counts must replay from per-user time-ordered sequences; each
+    row's probabilities must sum to 1."""
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want: Counter = Counter()
+    for uid, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    rows = QUERIES["q_event_transitions"](spark, sf_dir).collect()
+    got = {(r.event_type, r.next_type): r.n for r in rows}
+    assert got == dict(want)
+    by_src = defaultdict(float)
+    for r in rows:
+        by_src[r.event_type] += r.prob
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-9
