@@ -40,6 +40,14 @@ KEYS = [
     "q_corpus_mix",  # hash-draw vs broadcast per-source rates
     "q_token_budget",  # double shares from windowed integer sums
     "q_ewma_smooth",  # applyInPandas sequential fold per key
+    # round-4 second/third batches
+    "q_quality_ecdf",  # cumulative window over compacted distinct values
+    "q_entropy_score",  # quantized-ln integer sums across two agg levels
+    "q_bigram_pmi",  # three corpus explodes + quantized-ln rank
+    "q_embed_standardize",  # int64 micro-unit sums -> broadcast stats
+    "q_waiting_orders",  # semi+anti correlated probes on one shuffle key
+    "q_window_funnel",  # three conditional-MIN stages on user hash
+    "q_event_transitions",  # user-partitioned LEAD with (ts, id) ties
 ]
 
 
