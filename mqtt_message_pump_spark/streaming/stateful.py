@@ -133,3 +133,58 @@ def keyed_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUTPUT = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+TRANSITION_STATE = T.StructType([T.StructField("last", T.StringType())])
+
+
+def _update_transitions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    chunks = list(pdfs)
+    full = pd.concat(chunks) if chunks else pd.DataFrame()
+    counts: dict[tuple[str, str], int] = {}
+    if len(full):
+        full = full.sort_values(["ts", "event_id"])
+        for t in full["event_type"]:
+            if last is not None:
+                pair = (last, t)
+                counts[pair] = counts.get(pair, 0) + 1
+            last = t
+    state.update((last,))
+    if counts:
+        srcs, dsts, ns = zip(*((s, d, n) for (s, d), n in counts.items()))
+        yield pd.DataFrame({"src": srcs, "dst": dsts, "n": ns})
+
+
+def keyed_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_event_transitions``: per-user Markov
+    transition INCREMENTS carried across micro-batches with one string
+    of keyed state (the user's last event type), so a transition that
+    straddles a trigger -- or a restart -- is still counted exactly once.
+    Each trigger sorts its own slice by (ts, event_id) and emits
+    (src, dst, n) increment rows; the sink aggregates increments into
+    the lifetime matrix (sum by (src, dst)), which converges to the
+    batch operator's counts under in-order delivery.  O(1) state per
+    key; out-of-order arrivals fold in arrival order, the documented
+    streaming semantics (q_ewma_smooth's contract)."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANSITION_OUTPUT,
+            stateStructType=TRANSITION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -432,3 +432,65 @@ def test_keyed_ewma_multi_chunk_order(spark, tmp_path):
         state = 0.5 * state + 0.5 * v
     [row] = spark.read.parquet(str(out)).collect()
     assert (row.user_id, row.n_events, row.ewma) == (1, len(vals), state)
+
+
+def test_keyed_transitions_stream_matches_batch(spark, tmp_path):
+    """Transition increments summed across two checkpointed runs must
+    equal the batch matrix over the full per-user ordered history --
+    including the transitions that straddle the restart boundary."""
+    import json as _json
+    from collections import Counter, defaultdict
+
+    from mqtt_message_pump_spark.streaming.stateful import keyed_transitions
+
+    src = tmp_path / "tsrc"
+    out = tmp_path / "tout"
+    src.mkdir()
+    types = ["view", "click", "purchase", "view", "click", "error"]
+    rows = [
+        {
+            "user_id": u,
+            "event_id": 10 * b + i,
+            "ts": f"2024-01-01 00:0{b}:{i:02d}",
+            "event_type": types[(u + b + i) % len(types)],
+        }
+        for b in range(2)
+        for u in (1, 2, 3)
+        for i in range(3)
+    ]
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def run_files(batch_rows, name):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in batch_rows)
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            keyed_transitions(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(tmp_path / "tckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_until_complete(q)
+
+    run_files([r for r in rows if r["event_id"] < 10], "b0.json")
+    run_files([r for r in rows if r["event_id"] >= 10], "b1.json")
+
+    got: Counter = Counter()
+    for r in spark.read.parquet(str(out)).collect():
+        got[(r.src, r.dst)] += r.n
+
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r["user_id"]].append((r["event_id"], r["event_type"]))
+    want: Counter = Counter()
+    for evs in seqs.values():
+        evs.sort()
+        for (_, a), (_, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    assert got == want
+    assert sum(want.values()) == 3 * 5  # 6 events/user -> 5 transitions
