@@ -591,3 +591,319 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      JOIN (SELECT s_suppkey FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE') eu ON eu.s_suppkey = l_suppkey
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+      GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+      FROM cost)
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_type,
+           unit_cost
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE unit_cost = best_cost
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier -- the correlated
+    groupwise-min subquery (``ps_supplycost = (SELECT MIN ...)``).  The
+    fixture has no partsupp table, so supply cost is adapted to the
+    minimum observed unit sale price MIN(l_extendedprice / l_quantity)
+    per (part, supplier); the correlation structure (per-part min over a
+    region-restricted supplier set, then equality back-join) is Q2's.
+
+    Scale shape: the region/nation dims broadcast into the supplier
+    filter; lineitem aggregates to one row per (part, supplier) with
+    map-side partial MINs; the correlated min is a window partitioned by
+    l_partkey over that compacted frame (one shuffle, partition per
+    part -- never a global sort); dimension name joins come last, after
+    the frame has shrunk to the qualifying pairs.  Unit cost is a single
+    IEEE division and MIN is order-independent, so the double compares
+    exactly across engines.  Top-100 is TakeOrderedAndProject with
+    (s_name, p_partkey) as the unique tie-break."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    eu_sup = sup.join(
+        F.broadcast(eu_nat), sup.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    small = part.filter(F.col("p_size") < 10).select("p_partkey", "p_type")
+    cost = (
+        li.join(
+            eu_sup.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey")
+        )
+        .join(small.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("best_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best_cost")
+    )
+    return (
+        best.join(eu_sup, best.l_suppkey == eu_sup.s_suppkey)
+        .join(small, best.l_partkey == small.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_type",
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_profit_by_nation",
+    oracle=f"""
+    SELECT nation, o_year, SUM(amount) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+             {_REV} - CAST(p_retailprice * 0.5 AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    cast_double=["sum_profit"],
+)
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year.  The
+    fixture has no partsupp, so the cost leg ``ps_supplycost *
+    l_quantity`` is adapted to ``0.5 * p_retailprice * l_quantity``; the
+    substring part filter, the 4-way star join, and the (nation, year)
+    rollup are Q9's.
+
+    Scale shape: the LIKE filter prunes part before the join (pushed to
+    the scan); nation broadcasts; lineitem shuffles once per hash-join
+    key.  Profit stays exact: revenue and cost both quantize to
+    DECIMAL(18,2) cents before multiplying (one double halving of
+    p_retailprice is a single IEEE op), so the subtraction and the
+    parallel partial SUMs are order-independent and engine-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    amount = _rev_col() - (F.col("p_retailprice") * F.lit(0.5)).cast(
+        _DEC
+    ) * F.col("l_quantity").cast(_DEC)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("sum_profit"))
+    )
+
+
+@query(
+    "q_important_parts",
+    oracle=f"""
+    WITH value AS (
+      SELECT l_partkey, SUM({_REV}) AS part_value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 3
+      GROUP BY l_partkey),
+    tot AS (SELECT COUNT(*) AS n_parts, SUM(part_value) AS total
+            FROM value)
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM value, tot
+    WHERE part_value * n_parts > total * 2
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock identification -- a per-group
+    aggregate kept only if it exceeds a fraction of the global total
+    (HAVING SUM(...) > (SELECT SUM(...) * fraction)).  Without partsupp,
+    "stock value" is adapted to revenue routed through nation-3
+    suppliers; the threshold is 2x the mean part value (value * n_parts
+    > total * 2 in exact decimal x integer cross-multiplied form), which
+    keeps the selectivity scale-invariant -- the classic 0.0001/SF
+    constant would empty out as SF grows.
+
+    Scale shape: one shuffle to (partkey) partials; the global (count,
+    sum) scalar is a 1-row broadcast joined back, never collected; the
+    comparison is exact decimal arithmetic so no engine's double
+    rounding can flip a boundary part."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    value = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_col()).alias("part_value"))
+    )
+    tot = value.agg(
+        F.count("*").alias("n_parts"), F.sum("part_value").alias("total")
+    )
+    return (
+        value.join(F.broadcast(tot))
+        .filter(
+            F.col("part_value") * F.col("n_parts") > F.col("total") * 2
+        )
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: parts/supplier relationship -- COUNT(DISTINCT
+    supplier) per part attribute bucket with a NOT IN exclusion
+    subquery.  The part-supplier relation is lineitem (no partsupp in
+    the fixture); "customer complaints" becomes negative account
+    balance.  NOT IN over a provably non-NULL key column is planned as a
+    LEFT ANTI join (the NULL-semantics trap documented at
+    q_anti_join applies only when the subquery side can be NULL).
+
+    Scale shape: the excluded-supplier set is tiny (broadcast anti
+    join); part filters push to the scan; the distinct-count first
+    compacts to one row per (brand, type, size, suppkey) -- a map-side
+    combined dedup -- then counts, so no giant Expand node and the final
+    groups are bounded by the attribute cross product."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+      GROUP BY l_partkey, l_suppkey),
+    dominant AS (
+      SELECT DISTINCT l_suppkey
+      FROM (SELECT l_suppkey, qty,
+                   SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty
+            FROM shipped) s
+      WHERE qty * 10 > part_qty * 3)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+      AND s_nationkey < 13
+    ORDER BY s_name
+    """,
+)
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: potential part promotion -- the doubly nested
+    IN subquery (suppliers IN (pairs whose shipped qty exceeds a
+    fraction of an aggregate)).  Without partsupp availqty, the
+    threshold is adapted to market dominance: a supplier qualifies if it
+    shipped >30% of some blue part's 1996 volume (qty * 10 > part_qty *
+    3 -- l_quantity is integral so double sums and the cross-multiplied
+    comparison are exact on both engines).
+
+    Scale shape: date + part-name filters push to the scan; lineitem
+    compacts to (part, supplier) partials map-side; the per-part total
+    is a window partitioned by l_partkey over the compacted frame; both
+    IN subqueries become LEFT SEMI joins (no fan-out, no duplicates);
+    the final supplier probe is dimension-sized."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    blue = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(blue, li.l_partkey == blue.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") * 10 > F.col("part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    return (
+        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -48,6 +48,10 @@ KEYS = [
     "q_waiting_orders",  # semi+anti correlated probes on one shuffle key
     "q_window_funnel",  # three conditional-MIN stages on user hash
     "q_event_transitions",  # user-partitioned LEAD with (ts, id) ties
+    # round-4 fourth batch (adapted TPC-H Q2/Q9/Q20)
+    "q_min_cost_supplier",  # double-min equality join per part window
+    "q_profit_by_nation",  # 4-way star with decimal profit subtraction
+    "q_excess_suppliers",  # integral-double share window + dual semi join
 ]
 
 
