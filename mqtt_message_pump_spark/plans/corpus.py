@@ -1032,3 +1032,214 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bg")
         .limit(_PMI_TOPK)
     )
+
+
+@query(
+    "q_boiler_strip",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    seg AS (
+      SELECT doc_id, CAST((s.s - 1) / 3 AS BIGINT) AS idx,
+             array_to_string(t[s.s : s.s + 2], ' ') AS seg
+      FROM tok,
+           LATERAL (SELECT unnest(generate_series(1, len(t), 3)) AS s) s),
+    boiler AS (
+      SELECT seg
+      FROM (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+      WHERE df >= 3),
+    clean AS (
+      SELECT doc_id, COUNT(*) AS n_clean,
+             string_agg(seg, ' ' ORDER BY idx) AS clean_text
+      FROM seg WHERE seg NOT IN (SELECT seg FROM boiler)
+      GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM seg GROUP BY doc_id)
+    SELECT t.doc_id, t.n_seg,
+           t.n_seg - COALESCE(c.n_clean, 0) AS n_boiler,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN clean c ON t.doc_id = c.doc_id
+    """,
+)
+def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb cleaning
+    step, re-expressed over token segments since the fixture text has no
+    newlines): split each doc into consecutive 3-token segments, count
+    each distinct segment's document frequency across the corpus, drop
+    every occurrence of segments shared by >= 3 docs (site templates,
+    navigation chrome), and re-assemble the cleaned text in original
+    segment order.
+
+    Scale shape: segmentation is pure codegen array expressions; the df
+    count shuffles one row per (segment) with map-side partial combines;
+    the boilerplate set (high-df segments only) is far smaller than the
+    corpus, so the removal anti-join broadcasts under AQE; re-assembly
+    sorts a per-doc struct array whose size is bounded by the doc itself.
+    No unbounded state anywhere -- the exact segment-df treatment of the
+    decontam/`max_df` family."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    seg = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t"), F.lit(3))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 3).cast("bigint").alias("idx"),
+            F.array_join(F.slice(F.col("t"), F.col("s"), 3), " ").alias(
+                "seg"
+            ),
+        )
+    )
+    boiler = (
+        seg.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("seg")
+    )
+    clean = (
+        seg.join(boiler, "seg", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_clean"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    tot = seg.groupBy("doc_id").agg(F.count("*").alias("n_seg"))
+    return tot.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_seg",
+        (F.col("n_seg") - F.coalesce(F.col("n_clean"), F.lit(0))).alias(
+            "n_boiler"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+@query(
+    "q_name_matches",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+    e AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok
+          FROM names),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM e a JOIN e b ON a.tok = b.tok AND a.p_name < b.p_name)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+           na.n_parts AS parts_a, nb.n_parts AS parts_b
+    FROM cand
+    JOIN names na ON na.p_name = name_a
+    JOIN names nb ON nb.p_name = name_b
+    WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def q_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance similarity join (entity resolution /
+    near-duplicate attribute matching): find part-name pairs within
+    Levenshtein distance 2, generating candidates by shared-token
+    blocking -- the standard record-linkage trick that replaces the
+    quadratic all-pairs comparison with per-block joins.
+
+    Scale shape: names first compact to DISTINCT values with counts (the
+    attribute vocabulary is orders of magnitude smaller than the row
+    count and bounded by language, not SF -- the same dedup-before-
+    compare move as q_cross_dedup); blocking keys explode from the tiny
+    distinct frame; the pair join runs per token block, never across the
+    corpus; levenshtein evaluates only on candidates.  Both engines
+    implement classic Levenshtein, so the integer distance compares
+    exactly."""
+    part = table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    e = names.select(
+        "p_name", F.explode(F.split("p_name", " ")).alias("tok")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    na = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("parts_a")
+    )
+    nb = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("parts_b")
+    )
+    return (
+        cand.filter(F.levenshtein("name_a", "name_b") <= 2)
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .join(na, "name_a")
+        .join(nb, "name_b")
+        .select("name_a", "name_b", "dist", "parts_a", "parts_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) / n_chars AS priority
+      FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY source ORDER BY priority, doc_id) AS rn
+          FROM pri)
+    SELECT doc_id, source, n_chars, priority
+    FROM r WHERE rn <= 10
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (sequential
+    Poisson sampling, Ohlsson 1998): per source, keep the k=10 docs with
+    the smallest priority u/w, where u is the md5-derived 32-bit content
+    hash (the q_sample_hash uniform) and the weight w is document length
+    -- longer docs draw proportionally more often, the standard
+    length-weighted corpus subsampling step.
+
+    Scale shape: priority is one IEEE division per row (hash/int ->
+    double, bit-identical across engines); the per-source top-k is a
+    rank-filtered window that Spark 4 rewrites to WindowGroupLimit --
+    each partition keeps only its k best rows before the shuffle, so the
+    exchange carries k rows per (source, input partition), never the
+    corpus.  No transcendental functions: the classic exp(ln(u)/w) key
+    would differ across libm implementations; u/w preserves the same
+    inclusion ordering for integer weights with none of that risk."""
+    docs = table(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            DD.md5_hash32(F.col("doc_id").cast("string")).cast("double")
+            / F.col("n_chars")
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", "n_chars", "priority")
+    )

@@ -52,6 +52,8 @@ KEYS = [
     "q_min_cost_supplier",  # double-min equality join per part window
     "q_profit_by_nation",  # 4-way star with decimal profit subtraction
     "q_excess_suppliers",  # integral-double share window + dual semi join
+    "q_boiler_strip",  # idx-sorted struct reassembly after anti join
+    "q_weighted_sample",  # per-source rank over hash/length priorities
 ]
 
 
