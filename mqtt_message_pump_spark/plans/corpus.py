@@ -1114,7 +1114,11 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
-    tot = seg.groupBy("doc_id").agg(F.count("*").alias("n_seg"))
+    # totals come map-only from the token count (ceil(n/3) segments per
+    # doc) -- no third re-segmentation/explode branch of the corpus
+    tot = toks.select(
+        "doc_id", F.ceil(F.size("t") / 3).cast("bigint").alias("n_seg")
+    )
     return tot.join(clean, "doc_id", "left").select(
         "doc_id",
         "n_seg",

@@ -774,6 +774,12 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_rev_col()).alias("part_value"))
     )
+    # Catalyst has no common-subplan reuse: without this, the scalar
+    # branch below would re-scan and re-join lineitem a second time.
+    # Materializing the (part, value) frame -- part-cardinality, tiny
+    # next to the fact table -- makes the global (count, sum) a second
+    # pass over the cached aggregate instead (dedup_groups precedent).
+    value = value.localCheckpoint(eager=False)
     tot = value.agg(
         F.count("*").alias("n_parts"), F.sum("part_value").alias("total")
     )
