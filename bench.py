@@ -87,6 +87,10 @@ HEADLINE = [
     "q_bm25_top",
     "q_lm_score",
     "q_latest_snapshot",
+    # fourth round-4 batch: corpus cleaning + the heaviest adapted
+    # partsupp-free TPC-H shape (others are within existing cost classes)
+    "q_boiler_strip",
+    "q_profit_by_nation",
 ]
 
 RUNS = 3

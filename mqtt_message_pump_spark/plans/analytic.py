@@ -1764,3 +1764,59 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w_row)).alias("prob"),
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    iv AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM chg)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval build: collapse an append-only change log into
+    validity intervals -- per user, keep only rows where the tracked
+    attribute (event_type) actually changed, then close each interval at
+    the next change's timestamp (NULL valid_to = current row).  The
+    standard warehouse pattern for deriving a history dimension from CDC
+    events, the interval-producing complement of q_latest_snapshot.
+
+    Scale shape: both window passes share one (user_id) hash partition
+    and one (ts, event_id) sort -- Catalyst reuses the exchange and the
+    sort for the LAG and the post-filter LEAD, so the log shuffles once;
+    per-row state is a single previous value, never a collected history.
+    The (ts, event_id) tie-break makes interval boundaries deterministic
+    under equal timestamps."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn(
+        "prev", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return (
+        chg.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -1247,3 +1247,94 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "source", "n_chars", "priority")
     )
+
+
+@query(
+    "q_source_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    cst AS (
+      SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    ct AS (SELECT tok, SUM(c) AS ct FROM cst GROUP BY tok),
+    per AS (
+      SELECT source,
+             SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                            * 1e6) AS BIGINT)) AS a_int,
+             SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(ct AS DOUBLE))
+                            * 1e6) AS BIGINT)) AS b_int,
+             SUM(c) AS n_s
+      FROM cst JOIN ct USING (tok) GROUP BY source),
+    tot AS (SELECT SUM(n_s) AS n FROM per)
+    SELECT source, n_s AS n_tokens,
+           ((CAST(a_int AS DOUBLE) - CAST(b_int AS DOUBLE)) / 1e6 / n_s
+            - CAST(CAST(floor(ln(CAST(n_s AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS DOUBLE) / 1e6
+            + CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS DOUBLE) / 1e6)
+           / 0.6931471805599453 AS kl_bits
+    FROM per, tot
+    """,
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of token distributions vs the whole
+    corpus (bits) -- the distribution-drift monitor for training mixes: a
+    source whose unigram distribution diverges sharply from the corpus
+    signals contamination, a scraper gone wrong, or a domain shift worth
+    rebalancing.  KL(P_s || P) decomposes into exact integer-weighted
+    sums: (1/n_s) * [sum c*ln(c) - sum c*ln(c_t)] - ln(n_s) + ln(n).
+
+    Scale shape: one corpus explode -> (source, token) counts with
+    map-side combine; corpus token totals derive from that compacted
+    vocabulary-sized frame (localCheckpoint, no second corpus scan);
+    the per-token join is vocabulary-sized (AQE broadcasts); per-source
+    state is two int64 accumulators.  Determinism: every c*ln term is
+    floor-quantized to integer micro-units before summing (the
+    q_entropy_score treatment), the scalar ln's likewise, and the final
+    double expression is written identically on both engines."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    cst = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ct = cst.groupBy("tok").agg(F.sum("c").alias("ct"))
+    cd = F.col("c").cast("double")
+    per = (
+        cst.join(ct, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.floor(cd * F.log(cd) * F.lit(1e6)).cast("long")
+            ).alias("a_int"),
+            F.sum(
+                F.floor(
+                    cd * F.log(F.col("ct").cast("double")) * F.lit(1e6)
+                ).cast("long")
+            ).alias("b_int"),
+            F.sum("c").alias("n_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(F.sum("n_s").alias("n"))
+    qln = lambda col: F.floor(
+        F.log(col.cast("double")) * F.lit(1e6)
+    ).cast("long").cast("double") / F.lit(1e6)
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        (
+            (
+                (F.col("a_int").cast("double") - F.col("b_int").cast("double"))
+                / F.lit(1e6)
+                / F.col("n_s")
+                - qln(F.col("n_s"))
+                + qln(F.col("n"))
+            )
+            / F.lit(0.6931471805599453)
+        ).alias("kl_bits"),
+    )

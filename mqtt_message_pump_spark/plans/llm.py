@@ -1153,3 +1153,65 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("std")
         ).alias("z"),
     )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_SQL_VD} AS vd FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             round({_sql_cosine('q.vd', 'c.vd')}, 6) AS cosine
+      FROM v q JOIN v c ON q.vec_id < {_NQ} AND c.label <> q.label)
+    SELECT query_id, query_label, cand_id, cand_label, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)
+    WHERE rank <= {_TOPK}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most similar vectors carrying a DIFFERENT label --
+    the pairs that teach an embedding model the most (easy negatives are
+    already far away).
+
+    Scale shape: same skeleton as q_cosine_topk -- the query set
+    broadcasts, per-row norms are precomputed so only the dot product
+    runs in the pair loop, the label-mismatch filter drops same-label
+    pairs before ranking, and the per-query top-k is a rank-limited
+    window (WindowGroupLimit).  At 100 TB the brute-force candidate
+    generator swaps for the LSH/IVF bucketed path exactly as documented
+    for q_knn_label; the mining filter and ranking are unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn("qn", SIM.norm_expr(F.col("qv")))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn("cn", SIM.norm_expr(F.col("cv")))
+    cos = F.round(
+        SIM.dot_expr(F.col("qv"), F.col("cv"))
+        / (F.col("qn") * F.col("cn")),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_label") != F.col("cand_label"))
+        .select(
+            "query_id", "query_label", "cand_id", "cand_label",
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+    )

@@ -1,0 +1,114 @@
+"""Semantic tests for hard-negative mining, SCD2 interval build, and
+per-source KL drift scoring (round-4 fifth batch)."""
+
+from __future__ import annotations
+
+import math
+
+from mqtt_message_pump_spark.plans import QUERIES
+from mqtt_message_pump_spark.plans.registry import table
+
+
+def test_hard_negatives_are_top_cross_label_neighbors(spark, sf_dir):
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    out = QUERIES["q_hard_negatives"](spark, sf_dir).collect()
+    assert out
+    by_query: dict = {}
+    for r in out:
+        assert emb[r["cand_id"]][1] != emb[r["query_id"]][1]
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        qv, qlabel = emb[qid]
+        scored = sorted(
+            (
+                (-cos(qv, v), cid)
+                for cid, (v, lab) in emb.items()
+                if lab != qlabel
+            ),
+        )[:3]
+        expected = [cid for _, cid in scored]
+        got = [r["cand_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got == expected
+
+
+def test_scd2_intervals_replay(spark, sf_dir):
+    events = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in table(spark, sf_dir, "events").collect()
+        ),
+    )
+    expected = set()
+    by_user: dict = {}
+    for uid, ts, eid, etype in events:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    for uid, evs in by_user.items():
+        evs.sort()
+        changes = []
+        prev = None
+        for ts, eid, etype in evs:
+            if prev is None or etype != prev:
+                changes.append((ts, etype))
+            prev = etype
+        for i, (ts, etype) in enumerate(changes):
+            valid_to = changes[i + 1][0] if i + 1 < len(changes) else None
+            expected.add((uid, etype, ts, valid_to, valid_to is None))
+    got = {
+        (
+            r["user_id"],
+            r["event_type"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in QUERIES["q_scd2_intervals"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # intervals per user tile: exactly one open interval each
+    open_per_user: dict = {}
+    for uid, _, _, vt, cur in got:
+        if cur:
+            open_per_user[uid] = open_per_user.get(uid, 0) + 1
+    assert all(v == 1 for v in open_per_user.values())
+
+
+def test_source_kl_close_to_float_recompute(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").collect()
+    cst: dict = {}
+    for r in docs:
+        for t in r["text"].split(" "):
+            k = (r["source"], t)
+            cst[k] = cst.get(k, 0) + 1
+    ct: dict = {}
+    for (s, t), c in cst.items():
+        ct[t] = ct.get(t, 0) + c
+    n = sum(ct.values())
+    n_s: dict = {}
+    for (s, t), c in cst.items():
+        n_s[s] = n_s.get(s, 0) + c
+    expected = {}
+    for s in n_s:
+        kl = sum(
+            (c / n_s[s]) * math.log((c / n_s[s]) / (ct[t] / n))
+            for (src, t), c in cst.items()
+            if src == s
+        )
+        expected[s] = kl / math.log(2)
+    out = {r["source"]: (r["kl_bits"], r["n_tokens"]) for r in
+           QUERIES["q_source_kl"](spark, sf_dir).collect()}
+    assert set(out) == set(n_s)
+    for s, (kl_bits, n_tokens) in out.items():
+        assert n_tokens == n_s[s]
+        # micro-unit ln quantization bounds the error far below 1e-3 bits
+        assert abs(kl_bits - expected[s]) < 1e-3
+        assert kl_bits > -1e-3  # KL is non-negative up to quantization
