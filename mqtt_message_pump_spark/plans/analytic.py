@@ -1820,3 +1820,94 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+@query(
+    "q_dq_report",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name, 'orders' AS table_name,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_partkey_fk', 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'customer_custkey_unique', 'customer',
+           (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'lineitem_qty_range', 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'documents_nchars_consistent', 'documents',
+           (SELECT COUNT(*) FROM documents WHERE length(text) <> n_chars)
+    UNION ALL
+    SELECT 'events_ts_not_null', 'events',
+           (SELECT COUNT(*) FROM events WHERE ts IS NULL)
+    """,
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations report (the dbt-test /
+    Great-Expectations shape): each constraint -- referential integrity,
+    key uniqueness, value ranges, derived-column consistency, not-null --
+    evaluates to a violation count, and the report is the union of the
+    1-row results.  A training-data pipeline runs this gate before every
+    ingest promotion.
+
+    Scale shape: every check is an independent scan-aggregate with
+    constant-size state (the FK probes are broadcast anti joins against
+    dimension key sets; the uniqueness check is count minus
+    count-distinct, partial-aggregated); the final union concatenates
+    six 1-row frames, so the report costs the scans and nothing else.
+    Checks over the same table share a scan only if Catalyst caches --
+    at 100 TB you group same-table checks into one conditional-count
+    pass per table (q_filtered_agg pattern); kept separate here so each
+    check stays independently registrable."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    docs = table(spark, sf_dir, "documents")
+    events = table(spark, sf_dir, "events")
+
+    def report(name: str, tbl: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.lit(tbl).alias("table_name"),
+            F.col("n").alias("n_violations"),
+        )
+
+    fk_orders = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n"))
+    fk_li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n"))
+    uniq = cust.agg(
+        (F.count("*") - F.countDistinct("c_custkey")).alias("n")
+    )
+    qty = li.filter(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    ).agg(F.count("*").alias("n"))
+    nchars = docs.filter(F.length("text") != F.col("n_chars")).agg(
+        F.count("*").alias("n")
+    )
+    ts_null = events.filter(F.col("ts").isNull()).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        report("orders_custkey_fk", "orders", fk_orders)
+        .unionAll(report("lineitem_partkey_fk", "lineitem", fk_li))
+        .unionAll(report("customer_custkey_unique", "customer", uniq))
+        .unionAll(report("lineitem_qty_range", "lineitem", qty))
+        .unionAll(
+            report("documents_nchars_consistent", "documents", nchars)
+        )
+        .unionAll(report("events_ts_not_null", "events", ts_null))
+    )
