@@ -54,6 +54,10 @@ KEYS = [
     "q_excess_suppliers",  # integral-double share window + dual semi join
     "q_boiler_strip",  # idx-sorted struct reassembly after anti join
     "q_weighted_sample",  # per-source rank over hash/length priorities
+    "q_scd2_intervals",  # change filter + interval close on one sort
+    "q_source_kl",  # quantized-ln int sums through a checkpoint
+    "q_name_matches",  # token-blocked candidate pairs + distance filter
+    "q_dq_report",  # six unioned scan-aggs, anti-join FK probes
 ]
 
 
