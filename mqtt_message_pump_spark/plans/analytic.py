@@ -1911,3 +1911,67 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(report("events_ts_not_null", "events", ts_null))
     )
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(l_quantity) AS c1, COUNT(DISTINCT l_quantity) AS d1,
+             MIN(l_quantity) AS mn1, MAX(l_quantity) AS mx1,
+             COUNT(l_extendedprice) AS c2,
+             COUNT(DISTINCT l_extendedprice) AS d2,
+             MIN(l_extendedprice) AS mn2, MAX(l_extendedprice) AS mx2,
+             COUNT(l_discount) AS c3, COUNT(DISTINCT l_discount) AS d3,
+             MIN(l_discount) AS mn3, MAX(l_discount) AS mx3
+      FROM lineitem)
+    SELECT 'l_quantity' AS column_name, n AS n_rows, n - c1 AS n_null,
+           d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+    UNION ALL
+    SELECT 'l_extendedprice', n, n - c2, d2, mn2, mx2 FROM a
+    UNION ALL
+    SELECT 'l_discount', n, n - c3, d3, mn3, mx3 FROM a
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling stage (ANALYZE TABLE / ingest data-card shape):
+    row count, null count, exact distinct count, and min/max per profiled
+    column, computed in ONE scan whose single aggregate row is then
+    unpivoted to the long (column_name, stats...) report.  The profiling
+    complement of q_dq_report: expectations check known constraints,
+    profiling discovers what the data looks like before constraints
+    exist.
+
+    Scale shape: one pass over the fact table; the multi-count-distinct
+    aggregate plans as an Expand (x3 here -- bounded by the profiled
+    column count, chosen per run, never the schema width); min/max/count
+    partials are constant-size.  At 100 TB swap exact distinct for
+    approx_count_distinct per column exactly as q_approx_distinct
+    documents, collapsing the Expand to plain partials.  The unpivot is
+    a stack() over one row -- free."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count("*").alias("n")]
+    for i, c in enumerate(cols, 1):
+        aggs += [
+            F.count(c).alias(f"c{i}"),
+            F.countDistinct(c).alias(f"d{i}"),
+            F.min(c).alias(f"mn{i}"),
+            F.max(c).alias(f"mx{i}"),
+        ]
+    a = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n - c{i}, d{i}, mn{i}, mx{i}"
+        for i, c in enumerate(cols, 1)
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_val, max_val)"
+        ),
+        F.col("n").alias("n_rows"),
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_val", "max_val",
+    )

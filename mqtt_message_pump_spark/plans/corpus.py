@@ -1189,10 +1189,10 @@ def q_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"), F.col("n_parts").alias("parts_b")
     )
     return (
-        cand.filter(F.levenshtein("name_a", "name_b") <= 2)
-        .withColumn(
+        cand.withColumn(
             "dist", F.levenshtein("name_a", "name_b").cast("bigint")
         )
+        .filter(F.col("dist") <= 2)
         .join(na, "name_a")
         .join(nb, "name_b")
         .select("name_a", "name_b", "dist", "parts_a", "parts_b")

@@ -61,3 +61,19 @@ def test_dq_report_counts_injected_corruptions(spark, sf_dir, tmp_path):
         "documents_nchars_consistent": 1,
         "events_ts_not_null": 1,
     }
+
+
+def test_table_profile_matches_python_recompute(spark, sf_dir):
+    rows = table(spark, sf_dir, "lineitem").collect()
+    out = {r["column_name"]: r for r in
+           QUERIES["q_table_profile"](spark, sf_dir).collect()}
+    assert set(out) == {"l_quantity", "l_extendedprice", "l_discount"}
+    for col in out:
+        vals = [r[col] for r in rows]
+        nonnull = [v for v in vals if v is not None]
+        p = out[col]
+        assert p["n_rows"] == len(vals)
+        assert p["n_null"] == len(vals) - len(nonnull)
+        assert p["n_distinct"] == len(set(nonnull))
+        assert p["min_val"] == min(nonnull)
+        assert p["max_val"] == max(nonnull)
