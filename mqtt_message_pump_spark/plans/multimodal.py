@@ -156,3 +156,45 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("code") * F.col("code")).alias("energy"),
         F.count("*").alias("n_samples"),
     )
+
+
+@query(
+    "q_media_dedup",
+    oracle="""
+    SELECT md5(text) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable binary dedup (the blob-store / CAS index): one
+    row per distinct media payload, keyed by the md5 of the raw bytes,
+    keeping the lowest media_id as the canonical copy and accounting the
+    duplicate bytes.  The storage-level dedup step that runs before any
+    perceptual/embedding near-dup pass -- at multimodal-corpus scale,
+    exact payload duplicates (mirrors, reposts) are the cheapest
+    petabytes to reclaim.
+
+    Scale shape: the digest is computed per row at scan time, and the
+    aggregation shuffles one (16-byte hash, constant-size partials) row
+    per distinct payload with map-side combine -- the q_dedup hash-group
+    pattern applied to the binary column.  The fixture media table
+    derives content = UTF-8(text), so the DuckDB oracle hashes the text
+    directly: identical bytes, identical digests."""
+    media = media_from_documents(spark, sf_dir)
+    return (
+        media.select(
+            F.md5(F.col("content")).alias("fp"),
+            "media_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("media_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

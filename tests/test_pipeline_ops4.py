@@ -112,3 +112,15 @@ def test_source_kl_close_to_float_recompute(spark, sf_dir):
         # micro-unit ln quantization bounds the error far below 1e-3 bits
         assert abs(kl_bits - expected[s]) < 1e-3
         assert kl_bits > -1e-3  # KL is non-negative up to quantization
+
+
+def test_media_dedup_collapses_exact_payloads(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").collect()
+    by_text: dict = {}
+    for r in docs:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    out = QUERIES["q_media_dedup"](spark, sf_dir).collect()
+    assert len(out) == len(by_text)
+    assert sum(r["n_copies"] for r in out) == len(docs)
+    keepers = {r["keeper_id"] for r in out}
+    assert keepers == {min(ids) for ids in by_text.values()}

@@ -110,6 +110,7 @@ HEADLINE = [
     "q_source_kl",
     "q_dq_report",
     "q_table_profile",
+    "q_media_dedup",
 ]
 
 
