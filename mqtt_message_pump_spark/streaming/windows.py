@@ -128,3 +128,52 @@ def enrich_with_dim(
     static side to act as the stream and are rejected by the planner.
     """
     return stream.join(F.broadcast(dim), on, how)
+
+
+def windowed_key_totals(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping-window per-key totals -- the aggregation stage of the
+    trending/leaderboard operator (batch twin: the first stage of
+    ``q_sliding_topk``).  Streaming state is one fixed-size row per open
+    (window, key); the watermark finalizes and evicts each window."""
+    stream = df
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    return (
+        stream.groupBy(F.window(ts_col, width, slide).alias("w"), key_col)
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total"))
+        .select(F.col("w.start").alias("window_start"), key_col, "total")
+    )
+
+
+def rank_topk_per_window(
+    df: DataFrame, k: int = 2, key_col: str = "user_id"
+) -> DataFrame:
+    """Rank stage of the trending operator: top-k keys inside each time
+    window (decimal totals + key tie-break = deterministic).
+
+    In streaming this runs INSIDE ``foreachBatch``: with append-mode
+    emission under a watermark, every row of a finalized window arrives
+    in the same micro-batch (the window's state is held until the
+    watermark passes, then emitted whole), so per-batch ranking is
+    per-window complete -- the standard way to get windowed top-k out of
+    Structured Streaming, which does not support ranking windows on an
+    unaggregated stream.  The sort is local to each time window's key
+    list, never global."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("total"), F.asc(key_col)
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

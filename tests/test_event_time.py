@@ -347,3 +347,54 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert streamed == batch
     assert any(t[2] is not None for t in streamed)  # joined tiers present
     assert any(t[2] is None for t in streamed)  # left join keeps unmatched
+
+
+def test_trending_topk_stream_matches_batch(spark, tmp_path):
+    """Windowed top-k leaderboard: streaming agg (append under watermark)
+    + per-batch ranking in foreachBatch must equal the batch twin -- the
+    q_sliding_topk composition run incrementally."""
+    from mqtt_message_pump_spark.streaming.windows import (
+        rank_topk_per_window,
+        windowed_key_totals,
+    )
+
+    src = tmp_path / "trend_src"
+    rows = ROWS + [
+        (6, "2024-01-01T00:02:00Z", 9, 9.0),
+        (7, "2024-01-01T00:06:00Z", 9, 0.5),
+    ]
+    _write_events(src, rows)
+    out = tmp_path / "trend_out"
+    out.mkdir()
+
+    def sink(batch_df, batch_id):
+        rank_topk_per_window(batch_df, k=2).write.mode("append").parquet(
+            str(out / "data")
+        )
+
+    q = (
+        windowed_key_totals(_stream(spark, src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "trend_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["user_id"], str(r["total"]))
+        for r in spark.read.parquet(str(out / "data")).collect()
+    }
+    batch = {
+        (str(r["window_start"]), r["user_id"], str(r["total"]))
+        for r in rank_topk_per_window(
+            windowed_key_totals(_batch(spark, src)), k=2
+        ).collect()
+    }
+    # append mode only emits finalized windows; the straggler's own two
+    # windows are still open when the stream ends -- but for every window
+    # that DID finalize, the streamed top-k must equal the batch top-k
+    assert got and got <= batch
+    finalized_windows = {w for (w, _, _) in got}
+    assert {t for t in batch if t[0] in finalized_windows} == got
+    assert {w for w in batch if w[0] < "2024-01-01 01:00:00"} <= got
