@@ -1975,3 +1975,83 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_null", "n_distinct",
         "min_val", "max_val",
     )
+
+
+@query(
+    "q_cooccurrence",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type),
+    base AS (SELECT event_type, COUNT(*) AS n_users FROM ut
+             GROUP BY event_type)
+    SELECT type_a, type_b, COUNT(*) AS n_both,
+           CAST(COUNT(*) AS DOUBLE) / na.n_users AS support_a,
+           CAST(COUNT(*) AS DOUBLE) / nb.n_users AS support_b
+    FROM pairs
+    JOIN base na ON na.event_type = type_a
+    JOIN base nb ON nb.event_type = type_b
+    GROUP BY type_a, type_b, na.n_users, nb.n_users
+    ORDER BY type_a, type_b
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence matrix (the collaborative-filtering /
+    market-basket building block): for each pair of event types, the
+    number of distinct users engaging with both, plus conditional
+    supports (lift's numerators).  The ``a < b`` ordering emits each
+    unordered pair once.
+
+    Scale shape: the raw log first compacts to DISTINCT (user, item) --
+    map-side combined, one row per engagement pair -- and the self-join
+    runs per user over that compacted frame, so the fan-out is bounded
+    by each user's item count (catalog-bounded, never corpus-bounded:
+    |items|^2 output cells).  For catalogs where per-user item lists are
+    huge, the standard cap is per-user item sampling before the join --
+    the max_bucket_size treatment.  Counts are exact integers; supports
+    are one double division each."""
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select(
+        F.col("user_id").alias("ua"), F.col("event_type").alias("type_a")
+    )
+    b = ut.select(
+        F.col("user_id").alias("ub"), F.col("event_type").alias("type_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & (F.col("type_a") < F.col("type_b")),
+    )
+    base = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    na = base.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_users").alias("n_a"),
+    )
+    nb = base.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_users").alias("n_b"),
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+        .join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_a")).alias(
+                "support_a"
+            ),
+            (F.col("n_both").cast("double") / F.col("n_b")).alias(
+                "support_b"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

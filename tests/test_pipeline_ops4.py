@@ -124,3 +124,28 @@ def test_media_dedup_collapses_exact_payloads(spark, sf_dir):
     assert sum(r["n_copies"] for r in out) == len(docs)
     keepers = {r["keeper_id"] for r in out}
     assert keepers == {min(ids) for ids in by_text.values()}
+
+
+def test_cooccurrence_matches_python_sets(spark, sf_dir):
+    rows = table(spark, sf_dir, "events").collect()
+    users_by_type: dict = {}
+    for r in rows:
+        users_by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(users_by_type)
+    expected = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            both = len(users_by_type[ta] & users_by_type[tb])
+            if both:
+                expected[(ta, tb)] = (
+                    both,
+                    both / len(users_by_type[ta]),
+                    both / len(users_by_type[tb]),
+                )
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_both"], r["support_a"], r["support_b"]
+        )
+        for r in QUERIES["q_cooccurrence"](spark, sf_dir).collect()
+    }
+    assert got == expected and got

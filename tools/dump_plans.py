@@ -111,6 +111,7 @@ HEADLINE = [
     "q_dq_report",
     "q_table_profile",
     "q_media_dedup",
+    "q_cooccurrence",
 ]
 
 
