@@ -2016,7 +2016,14 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: F401  (module convention)
 
     ev = table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # The compacted engagement frame feeds BOTH self-join sides and the
+    # per-item base counts; without materialization Catalyst re-scans and
+    # re-distincts the log once per consumer (no common-subplan reuse --
+    # the q_important_parts note).  A production pipeline reads an
+    # already-materialized engagement table here.
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )
     a = ut.select(
         F.col("user_id").alias("ua"), F.col("event_type").alias("type_a")
     )
@@ -2028,7 +2035,11 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ua") == F.col("ub"))
         & (F.col("type_a") < F.col("type_b")),
     )
-    base = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    base = (
+        ut.groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .localCheckpoint(eager=False)
+    )
     na = base.select(
         F.col("event_type").alias("type_a"),
         F.col("n_users").alias("n_a"),

@@ -58,6 +58,9 @@ KEYS = [
     "q_source_kl",  # quantized-ln int sums through a checkpoint
     "q_name_matches",  # token-blocked candidate pairs + distance filter
     "q_dq_report",  # six unioned scan-aggs, anti-join FK probes
+    "q_media_dedup",  # binary-hash group with min-id keeper
+    "q_table_profile",  # multi-distinct Expand + stack unpivot
+    "q_cooccurrence",  # distinct-compact self-join + broadcast supports
 ]
 
 
