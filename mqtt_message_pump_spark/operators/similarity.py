@@ -69,12 +69,20 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    carry_col: str | None = None,
+    exclude: str = "id",
 ) -> DataFrame:
     """Exact cosine top-k: returns (query_id, cand_id, cosine, rank).
 
     The query side is explicitly broadcast; ranking rounds the cosine (to
     make rank deterministic across float summation orders) and tie-breaks
     on candidate id.
+
+    ``carry_col`` carries an extra column through both sides as
+    ``query_<carry_col>`` / ``cand_<carry_col>``.  ``exclude`` picks the
+    pair filter: ``"id"`` drops self-pairs (nearest-neighbor search);
+    ``"carry"`` keeps only pairs whose carried values DIFFER
+    (hard-negative mining -- requires ``carry_col``).
     """
     # Norms are precomputed per ROW, not per pair: higher-order array
     # expressions run interpreted (outside codegen), so the naive
@@ -82,21 +90,36 @@ def brute_force_topk(
     # per-row norms only the dot product remains in the pair loop -- 3x
     # fewer lambda evaluations, same exact arithmetic (identical folds, so
     # the DuckDB oracle still matches bit-for-bit before rounding).
-    q = queries.select(
+    q_cols = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qn", norm_expr(F.col("qv")))
-    c = candidates.select(
+    ]
+    c_cols = [
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", norm_expr(F.col("cv")))
+    ]
+    carried: list[str] = []
+    if carry_col is not None:
+        q_cols.append(F.col(carry_col).alias(f"query_{carry_col}"))
+        c_cols.append(F.col(carry_col).alias(f"cand_{carry_col}"))
+        carried = [f"query_{carry_col}", f"cand_{carry_col}"]
+    q = queries.select(*q_cols).withColumn("qn", norm_expr(F.col("qv")))
+    c = candidates.select(*c_cols).withColumn("cn", norm_expr(F.col("cv")))
     cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
+    if exclude == "carry":
+        if carry_col is None:
+            raise ValueError("exclude='carry' requires carry_col")
+        pair_filter = F.col(f"query_{carry_col}") != F.col(
+            f"cand_{carry_col}"
+        )
+    else:
+        pair_filter = F.col("query_id") != F.col("cand_id")
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cos.alias("cosine"))
+        .filter(pair_filter)
+        .select("query_id", "cand_id", *carried, cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")

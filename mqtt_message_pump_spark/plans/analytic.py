@@ -1827,12 +1827,14 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'orders_custkey_fk' AS check_name, 'orders' AS table_name,
            (SELECT COUNT(*) FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            WHERE o_custkey IS NULL
+               OR o_custkey NOT IN (SELECT c_custkey FROM customer))
              AS n_violations
     UNION ALL
     SELECT 'lineitem_partkey_fk', 'lineitem',
            (SELECT COUNT(*) FROM lineitem
-            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+            WHERE l_partkey IS NULL
+               OR l_partkey NOT IN (SELECT p_partkey FROM part))
     UNION ALL
     SELECT 'customer_custkey_unique', 'customer',
            (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
@@ -1864,7 +1866,10 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Checks over the same table share a scan only if Catalyst caches --
     at 100 TB you group same-table checks into one conditional-count
     pass per table (q_filtered_agg pattern); kept separate here so each
-    check stays independently registrable."""
+    check stays independently registrable.  A NULL foreign key counts as
+    a violation on BOTH engines: the anti join keeps NULL-keyed probe
+    rows, and the oracle spells the matching ``IS NULL OR ... NOT IN``
+    (bare NOT IN would silently skip NULLs -- the q_anti_join trap)."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -2013,8 +2018,6 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge, the standard cap is per-user item sampling before the join --
     the max_bucket_size treatment.  Counts are exact integers; supports
     are one double division each."""
-    from pyspark.sql import Window  # noqa: F401  (module convention)
-
     ev = table(spark, sf_dir, "events")
     # The compacted engagement frame feeds BOTH self-join sides and the
     # per-item base counts; without materialization Catalyst re-scans and

@@ -1185,33 +1185,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator swaps for the LSH/IVF bucketed path exactly as documented
     for q_knn_label; the mining filter and ranking are unchanged."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("query_label"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-    ).withColumn("qn", SIM.norm_expr(F.col("qv")))
-    c = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("cand_label"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", SIM.norm_expr(F.col("cv")))
-    cos = F.round(
-        SIM.dot_expr(F.col("qv"), F.col("cv"))
-        / (F.col("qn") * F.col("cn")),
-        6,
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_label") != F.col("cand_label"))
-        .select(
-            "query_id", "query_label", "cand_id", "cand_label",
-            cos.alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOPK)
+    return SIM.brute_force_topk(
+        emb.filter(F.col("vec_id") < _NQ),
+        emb,
+        k=_TOPK,
+        carry_col="label",
+        exclude="carry",
+    ).select(
+        "query_id", "query_label", "cand_id", "cand_label",
+        "cosine", "rank",
     )

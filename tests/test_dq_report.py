@@ -33,7 +33,12 @@ def test_dq_report_counts_injected_corruptions(spark, sf_dir, tmp_path):
             bogus = df.limit(1).withColumn(
                 "o_custkey", F.lit(-999).cast("bigint")
             )
-            df = df.unionAll(bogus)
+            # NULL FK must also count as a violation (the realistic CDC
+            # corruption; bare NOT IN oracles silently skip it)
+            null_fk = df.limit(1).withColumn(
+                "o_custkey", F.lit(None).cast("bigint")
+            )
+            df = df.unionAll(bogus).unionAll(null_fk)
         elif name == "lineitem":
             bad_part = df.limit(1).withColumn(
                 "l_partkey", F.lit(-1).cast("bigint")
@@ -54,7 +59,7 @@ def test_dq_report_counts_injected_corruptions(spark, sf_dir, tmp_path):
     got = {r["check_name"]: r["n_violations"] for r in
            QUERIES["q_dq_report"](spark, corrupt).collect()}
     assert got == {
-        "orders_custkey_fk": 1,
+        "orders_custkey_fk": 2,
         "lineitem_partkey_fk": 1,
         "customer_custkey_unique": 2,
         "lineitem_qty_range": 1,
