@@ -2069,3 +2069,67 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             MAX(CASE WHEN event_type IN ('click', 'view')
+                      THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events)
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN touch_ts IS NOT NULL
+                 AND ts - touch_ts <= INTERVAL 7 DAY
+                THEN touch_ts END AS attributed_ts,
+           (touch_ts IS NOT NULL
+             AND ts - touch_ts <= INTERVAL 7 DAY) AS attributed
+    FROM ordered
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is attributed to
+    the user's most recent preceding click/view within a 7-day lookback
+    window (NULL if none) -- the conversion-credit operator behind every
+    ads/growth pipeline, and the windowed complement of the as-of join
+    (same semantics, single self-ordered stream instead of two tables).
+
+    Scale shape: one (user_id) shuffle + one (ts, event_id) sort; the
+    running MAX of touch timestamps carries O(1) state per row (ROWS
+    UNBOUNDED PRECEDING .. 1 PRECEDING excludes self-attribution when a
+    purchase IS the touch type's timestamp peer); the purchase filter
+    prunes after the window, so no second scan.  Timestamp comparisons
+    are exact; the (ts, event_id) tie-break pins concurrent events."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.max(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("ts")
+        )
+    ).over(w)
+    within = F.col("touch_ts").isNotNull() & (
+        F.col("ts")
+        <= F.col("touch_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        ev.withColumn("touch_ts", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(within, F.col("touch_ts")).alias("attributed_ts"),
+            within.alias("attributed"),
+        )
+    )

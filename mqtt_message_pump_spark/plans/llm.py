@@ -1195,3 +1195,45 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "query_label", "cand_id", "cand_label",
         "cosine", "rank",
     )
+
+
+@query(
+    "q_ngram_containment",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+             AS containment_a,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+             AS containment_b
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment C(A,B) = |A∩B| / |A| on candidate
+    pairs -- the dedup verifier that catches doc-in-doc duplication
+    (quotations, article + commentary, re-posts with boilerplate added)
+    which symmetric Jaccard misses: a short doc fully contained in a
+    long one scores near-zero Jaccard but containment 1.0.  Broder's
+    containment measure, the second verify metric alongside
+    q_ngram_jaccard.
+
+    Scale shape: identical to q_ngram_jaccard -- shingle arrays join to
+    the candidate list only (adjacent ids as the deterministic fixture
+    generator; production uses q_minhash_pairs candidates), per-pair
+    array intersection is bounded by doc length, and each containment is
+    a single double division of exact integers."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    sh = docs.select(
+        "doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    joined = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter / F.size("sa")).alias("containment_a"),
+        (inter / F.size("sb")).alias("containment_b"),
+    )

@@ -149,3 +149,54 @@ def test_cooccurrence_matches_python_sets(spark, sf_dir):
         for r in QUERIES["q_cooccurrence"](spark, sf_dir).collect()
     }
     assert got == expected and got
+
+
+def test_containment_matches_python_and_bounds_jaccard(spark, sf_dir):
+    docs = {r["doc_id"]: r["text"] for r in
+            table(spark, sf_dir, "documents").collect()}
+
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))}
+
+    out = QUERIES["q_ngram_containment"](spark, sf_dir).collect()
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           QUERIES["q_ngram_jaccard"](spark, sf_dir).collect()}
+    assert out
+    for r in out:
+        sa, sb = shingles(docs[r["id_a"]]), shingles(docs[r["id_b"]])
+        inter = len(sa & sb)
+        assert r["containment_a"] == inter / len(sa)
+        assert r["containment_b"] == inter / len(sb)
+        # containment >= jaccard always (|A∩B|/|A| >= |A∩B|/|A∪B|)
+        assert r["containment_a"] >= jac[(r["id_a"], r["id_b"])] - 1e-12
+
+
+def test_attribution_replay(spark, sf_dir):
+    rows = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in table(spark, sf_dir, "events").collect()
+        ),
+    )
+    import datetime
+
+    week = datetime.timedelta(days=7)
+    expected = {}
+    last_touch: dict = {}
+    for uid, ts, eid, etype in rows:
+        if etype == "purchase":
+            touch = last_touch.get(uid)
+            ok = touch is not None and ts - touch <= week
+            expected[eid] = (uid, ts, touch if ok else None, ok)
+        if etype in ("click", "view"):
+            last_touch[uid] = ts
+    got = {
+        r["purchase_id"]: (
+            r["user_id"], r["purchase_ts"], r["attributed_ts"],
+            r["attributed"],
+        )
+        for r in QUERIES["q_attribution"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[3] for v in got.values())

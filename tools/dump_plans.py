@@ -112,6 +112,8 @@ HEADLINE = [
     "q_table_profile",
     "q_media_dedup",
     "q_cooccurrence",
+    "q_ngram_containment",
+    "q_attribution",
 ]
 
 
