@@ -61,6 +61,8 @@ KEYS = [
     "q_media_dedup",  # binary-hash group with min-id keeper
     "q_table_profile",  # multi-distinct Expand + stack unpivot
     "q_cooccurrence",  # distinct-compact self-join + broadcast supports
+    "q_attribution",  # running conditional MAX with 1-PRECEDING frame
+    "q_ngram_containment",  # candidate-pair array intersections
 ]
 
 
