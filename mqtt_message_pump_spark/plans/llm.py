@@ -193,25 +193,39 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared candidate-pair skeleton for the dedup verifiers: shingle arrays
+# joined to the deterministic adjacent-id pair generator (production
+# swaps in the q_minhash_pairs candidate list; the verify metric is
+# unchanged).  The SQL twin mirrors the same CTE.
+_SQL_PAIR_FROM = (
+    f"WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)"
+    "\n    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb"
+    "\n    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"
+)
+
+
+def _shingle_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", split=True)
+    sh = docs.select("doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return a.join(b, F.col("id_b") == F.col("id_a") + 1)
+
+
 @query(
     "q_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa, sb))) AS jaccard
+    FROM ({_SQL_PAIR_FROM})
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity on candidate pairs (adjacent ids
     here as the deterministic pair generator; production uses the LSH
     candidates from q_minhash_pairs)."""
-    docs = table(spark, sf_dir, "documents", split=True)
-    sh = docs.select("doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    joined = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    joined = _shingle_candidate_pairs(spark, sf_dir)
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_union("sa", "sb")).cast("double")
     return joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
@@ -1200,13 +1214,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ngram_containment",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(sa)
              AS containment_a,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+           CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(sb)
              AS containment_b
-    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    FROM ({_SQL_PAIR_FROM})
     """,
 )
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,13 +1236,7 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator; production uses q_minhash_pairs candidates), per-pair
     array intersection is bounded by doc length, and each containment is
     a single double division of exact integers."""
-    docs = table(spark, sf_dir, "documents", split=True)
-    sh = docs.select(
-        "doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s")
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    joined = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    joined = _shingle_candidate_pairs(spark, sf_dir)
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     return joined.select(
         "id_a",
