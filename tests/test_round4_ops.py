@@ -698,3 +698,19 @@ def test_event_transitions_matrix(spark, sf_dir):
         by_src[r.event_type] += r.prob
     for src, total in by_src.items():
         assert abs(total - 1.0) < 1e-9
+
+
+def test_minhash_pairs_bucket_cap(spark):
+    """The MinHash LSH hot-bucket cap mirrors the SimHash one: a
+    degenerate bucket of exact copies (the dup-heavy crawl case from the
+    5x scaling probe) is dropped before the quadratic pair expansion."""
+    from mqtt_message_pump_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same words in every doc here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    assert minhash_candidate_pairs(docs, max_bucket_size=6).count() == 0
+    assert minhash_candidate_pairs(docs).count() == 12 * 11 // 2
