@@ -1244,3 +1244,43 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (inter / F.size("sa")).alias("containment_a"),
         (inter / F.size("sb")).alias("containment_b"),
     )
+
+
+_PAIR_CAP = 3  # fixture cap; binds (largest sf0.01 bucket is 4)
+
+
+@query(
+    "q_minhash_pairs_capped",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    ), buckets AS (
+      {_sql_band_buckets()}
+    ), kept AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT doc_id, band, bucket,
+               COUNT(*) OVER (PARTITION BY band, bucket) AS n
+        FROM buckets)
+      WHERE n <= {_PAIR_CAP})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM kept a JOIN kept b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of LSH candidate generation: identical to
+    q_minhash_pairs but with the hot-bucket cap ENGAGED -- (band, bucket)
+    groups above the cap are boilerplate collisions (shared templates,
+    exact-copy floods like the 5x scaling probe's dup-heavy corpus)
+    whose pair expansion is quadratic; dropping them bounds every
+    bucket's output at cap^2 while exact duplicates still pair through
+    q_dedup/q_media_dedup.  The fixture cap of {cap} binds (the sf0.01
+    corpus has buckets of 4), so this key oracle-checks the cap
+    semantics themselves, not just the uncapped path."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    return DD.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS,
+        shingle_n=_SHN, max_bucket_size=_PAIR_CAP,
+    )

