@@ -114,6 +114,7 @@ HEADLINE = [
     "q_cooccurrence",
     "q_ngram_containment",
     "q_attribution",
+    "q_minhash_pairs_capped",
 ]
 
 
