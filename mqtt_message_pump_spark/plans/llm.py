@@ -1276,7 +1276,7 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-copy floods like the 5x scaling probe's dup-heavy corpus)
     whose pair expansion is quadratic; dropping them bounds every
     bucket's output at cap^2 while exact duplicates still pair through
-    q_dedup/q_media_dedup.  The fixture cap of {cap} binds (the sf0.01
+    q_dedup/q_media_dedup.  The fixture cap of 3 binds (the sf0.01
     corpus has buckets of 4), so this key oracle-checks the cap
     semantics themselves, not just the uncapped path."""
     docs = table(spark, sf_dir, "documents", split=True)
