@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: build an N-times-derived dataset (exact-copy
+unions with offset ids -- deliberately dup-heavy, like crawl data) and
+compare per-operator wall time against the base scale factor.
+
+The numbers land in docs/SCALE.md SS8; rerun after changing any heavy
+plan:
+
+    python tools/scale_probe.py [base_sf_dir] [multiplier]
+
+Defaults: base=/root/testdata/sf0.1, multiplier=5, derived data under
+/tmp/scale_probe_<mult>x.  Ratios near 1.0 at this scale mean fixed job
+overhead still dominates (the data-dependent cost is small); ratios
+should stay at-or-below the multiplier for linear operators.  Expected
+exceptions are pair-emitting candidate generators (output grows with
+duplicate multiplicity squared -- bounded in production by
+max_bucket_size) and iterative clustering over the enlarged duplicate
+components.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.plans import QUERIES
+from mqtt_message_pump_spark.session import get_spark
+
+PROBE_KEYS = [
+    "q_boiler_strip",
+    "q_decontam",
+    "q_minhash_pairs",
+    "q_minhash_pairs_capped",
+    "q_dedup_groups",
+    "q_pack_sequences",
+    "q_source_kl",
+    "q_scd2_intervals",
+    "q_attribution",
+    "q_pricing_summary",
+    "q_min_cost_supplier",
+    "q_dedup",
+    "q_media_dedup",
+]
+
+SCALED = {
+    "documents": ("doc_id", 10_000_000),
+    "events": ("event_id", 100_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
+}
+COPIED = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "embeddings",
+]
+
+
+def build(spark, src: str, dst: str, mult: int) -> None:
+    for name, (id_col, offset) in SCALED.items():
+        base = spark.read.parquet(f"{src}/{name}.parquet")
+        out = None
+        for i in range(mult):
+            cols = {id_col: F.col(id_col) + F.lit(i * offset)}
+            if name == "events":
+                cols["user_id"] = F.col("user_id") + F.lit(i * 10_000_000)
+            part = base.withColumns(cols)
+            out = part if out is None else out.unionAll(part)
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+    for name in COPIED:
+        spark.read.parquet(f"{src}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{name}.parquet")
+
+
+def timed(key: str, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    spark = get_spark(app_name="scale-probe")
+    for _ in range(runs):
+        t0 = time.time()
+        df = QUERIES[key](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    dst = f"/tmp/scale_probe_{mult}x"
+    spark = get_spark(app_name="scale-probe")
+    if not os.path.isdir(f"{dst}/documents.parquet"):
+        print(f"building {dst} ({mult}x of {base}) ...", flush=True)
+        build(spark, base, dst, mult)
+    # warm-up
+    for k in PROBE_KEYS:
+        QUERIES[k](spark, base).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    print(f"{'key':26} {'base':>7} {f'{mult}x':>7} {'ratio':>6}")
+    for k in PROBE_KEYS:
+        a = timed(k, base)
+        b = timed(k, dst)
+        print(f"{k:26} {a:7.2f} {b:7.2f} {b / a:6.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
