@@ -139,6 +139,35 @@ def _cap_buckets(
     return buckets.join(ok, ["band", "bucket"])
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash32: bool = True,
+) -> DataFrame:
+    """(id, band, bucket) rows of the MinHash-LSH banding: signatures in
+    one scan, one row per (doc, band).  Shared by the all-pairs generator
+    (`minhash_candidate_pairs`) and the incremental probe (new batch vs
+    existing index), so both sides of any dedup flow band identically."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, hash32
+    )
+    rows = num_hashes // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -160,21 +189,12 @@ def minhash_candidate_pairs(
     plate shingles shared by thousands of docs) whose pair blowup is
     quadratic -- standard practice in web-scale dedup; None keeps all.
     """
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n, hash32
+    buckets = _cap_buckets(
+        minhash_band_buckets(
+            df, id_col, text_col, num_hashes, bands, shingle_n, hash32
+        ),
+        max_bucket_size,
     )
-    rows = num_hashes // bands
-    band_cols = [
-        F.concat_ws(
-            "_",
-            *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
-    )
-    buckets = _cap_buckets(buckets, max_bucket_size)
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("ids"))

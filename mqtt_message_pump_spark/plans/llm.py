@@ -1284,3 +1284,123 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS,
         shingle_n=_SHN, max_bucket_size=_PAIR_CAP,
     )
+
+
+_INCOMING = "src8"  # incoming-batch source for the incremental probe
+
+
+def _sql_band_buckets_src() -> str:
+    rows = _NH // _BANDS
+    selects = []
+    for b in range(_BANDS):
+        cols = [f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)]
+        selects.append(
+            f"SELECT doc_id, source, {b} AS band, "
+            f"concat_ws('_', {', '.join(cols)}) AS bucket FROM sigs"
+        )
+    return "\n      UNION ALL\n      ".join(selects)
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, source,
+             {_sql_minhash_cols()}
+      FROM (SELECT doc_id, source, {_SQL_SHINGLES} AS sh FROM documents)
+    ), buckets AS (
+      {_sql_band_buckets_src()}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS matched_id
+      FROM (SELECT * FROM buckets WHERE source = '{_INCOMING}') n
+      JOIN (SELECT * FROM buckets WHERE source <> '{_INCOMING}') i
+        ON n.band = i.band AND n.bucket = i.bucket),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
+    scored AS (
+      SELECT new_id, matched_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM cand
+      JOIN sh a ON a.doc_id = new_id
+      JOIN sh b ON b.doc_id = matched_id)
+    SELECT new_id, matched_id, jaccard, jaccard >= 0.5 AS is_dup FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY new_id ORDER BY jaccard DESC, matched_id) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe an INCOMING batch against the EXISTING
+    corpus index -- the steady-state production shape (corpus-vs-itself
+    LSH is only the bootstrap).  Each new doc bands with the same
+    MinHash parameters as the index, candidates come from shared
+    (band, bucket) cells, the exact Jaccard verifies them, and each new
+    doc reports its best match plus an is_dup decision at 0.5.
+
+    Scale shape: the index side is banded once (in production the
+    (band, bucket) table is PERSISTED and only appended -- re-banding
+    100 TB per incoming batch would be absurd, and this plan's index
+    branch is exactly what that materialized table contains); the
+    incoming batch is small by definition, so its buckets BROADCAST
+    into the probe join -- the index is never shuffled.  Verification
+    joins shingles only to the candidate list.  Ranking is per new doc
+    (rank-limited window, WindowGroupLimit)."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    incoming = docs.filter(F.col("source") == _INCOMING)
+    index = docs.filter(F.col("source") != _INCOMING)
+    newb = DD.minhash_band_buckets(
+        incoming, "doc_id", "text", _NH, _BANDS, _SHN
+    ).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    idxb = DD.minhash_band_buckets(
+        index, "doc_id", "text", _NH, _BANDS, _SHN
+    ).select(
+        F.col("doc_id").alias("matched_id"), "band", "bucket"
+    )
+    cand = (
+        idxb.join(F.broadcast(newb), ["band", "bucket"])
+        .select("new_id", "matched_id")
+        .distinct()
+    )
+    sh = docs.select(
+        "doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s")
+    )
+    scored = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("new_id"), F.col("s").alias("sa")
+            ),
+            "new_id",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("matched_id"),
+                F.col("s").alias("sb"),
+            ),
+            "matched_id",
+        )
+        .select(
+            "new_id",
+            "matched_id",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("matched_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_id",
+            "matched_id",
+            "jaccard",
+            (F.col("jaccard") >= 0.5).alias("is_dup"),
+        )
+    )

@@ -63,6 +63,7 @@ KEYS = [
     "q_cooccurrence",  # distinct-compact self-join + broadcast supports
     "q_attribution",  # running conditional MAX with 1-PRECEDING frame
     "q_ngram_containment",  # candidate-pair array intersections
+    "q_incremental_dedup",  # broadcast probe join + best-match rank
 ]
 
 

@@ -200,3 +200,42 @@ def test_attribution_replay(spark, sf_dir):
     }
     assert got == expected
     assert any(v[3] for v in got.values())
+
+
+def test_incremental_dedup_matches_pairwise_recompute(spark, sf_dir):
+    """The incremental probe must equal the all-pairs generator
+    restricted to the (incoming, index) split, with the best match per
+    incoming doc chosen by exact python-side Jaccard."""
+    docs = {r["doc_id"]: (r["text"], r["source"]) for r in
+            table(spark, sf_dir, "documents").collect()}
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             QUERIES["q_minhash_pairs"](spark, sf_dir).collect()}
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))}
+
+    cands: dict = {}
+    for a, b in pairs:
+        sa, sb = docs[a][1], docs[b][1]
+        if sa == "src8" and sb != "src8":
+            cands.setdefault(a, set()).add(b)
+        elif sb == "src8" and sa != "src8":
+            cands.setdefault(b, set()).add(a)
+    expected = {}
+    for new_id, idxs in cands.items():
+        scored = sorted(
+            (
+                -len(sh(docs[new_id][0]) & sh(docs[i][0]))
+                / len(sh(docs[new_id][0]) | sh(docs[i][0])),
+                i,
+            )
+            for i in idxs
+        )
+        best_jac, best_id = -scored[0][0], scored[0][1]
+        expected[new_id] = (best_id, best_jac, best_jac >= 0.5)
+    got = {
+        r["new_id"]: (r["matched_id"], r["jaccard"], r["is_dup"])
+        for r in QUERIES["q_incremental_dedup"](spark, sf_dir).collect()
+    }
+    assert got == expected and got

@@ -115,6 +115,7 @@ HEADLINE = [
     "q_ngram_containment",
     "q_attribution",
     "q_minhash_pairs_capped",
+    "q_incremental_dedup",
 ]
 
 
