@@ -160,6 +160,12 @@ def main() -> None:
     medians["pump_batch"] = round(statistics.median(times), 3)
 
     total = round(sum(results.values()), 3)
+    # Medians go to stderr: the driver captures a bounded stdout TAIL and
+    # json-parses the last line, so the stdout JSON must stay well under
+    # that buffer (r4's line with queries_median inline exceeded it and
+    # parsed as null).  Contract fields only on stdout, nothing after.
+    print(f"# queries_median: {json.dumps(medians)}", file=sys.stderr)
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -167,11 +173,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
-                "queries_median": medians,
                 "sf": sf,
             }
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

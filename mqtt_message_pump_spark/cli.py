@@ -126,10 +126,15 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
 
     # startup capacity line (metrics.go:28-36 / main.go:123 parity)
     print(capacity_report(spark, cfg), file=sys.stderr)
+    # reference parity (mqtt.go:93): the monitor target is DERIVED from
+    # the source topic root + prefix (the listener applies the '/'->'_'
+    # flattening); cfg.monitor.target is only the fallback when no source
+    # topic is configured.
+    derived = f"{cfg.topic.topic_root}{cfg.topic.topic_prefix}"
     listener = PumpMonitorListener(
         lambda topic, payload: print(f"[monitor] {topic} {payload}"),
         topic_root=cfg.monitor.topic_root,
-        target=cfg.monitor.target,
+        target=derived or cfg.monitor.target,
     )
     spark.streams.addListener(listener)
     sample = cfg.adapter.json_sample

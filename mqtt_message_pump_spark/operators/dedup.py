@@ -99,6 +99,12 @@ def lsh_band_buckets(
     """Assign each row to `bands` LSH buckets (rows-per-band =
     num_hashes/bands).  Returns (id, band, bucket) -- the shuffle key for
     candidate generation is (band, bucket), never the document."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); trailing hash columns would be silently dropped, "
+            "weakening the banding guarantee"
+        )
     rows = num_hashes // bands
     out = []
     for b in range(bands):
@@ -152,6 +158,12 @@ def minhash_band_buckets(
     one scan, one row per (doc, band).  Shared by the all-pairs generator
     (`minhash_candidate_pairs`) and the incremental probe (new batch vs
     existing index), so both sides of any dedup flow band identically."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); trailing hash columns would be silently dropped, "
+            "weakening the banding guarantee"
+        )
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, hash32
     )

@@ -108,6 +108,10 @@ def brute_force_topk(
     cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
+    if exclude not in ("id", "carry"):
+        raise ValueError(
+            f"exclude must be 'id' or 'carry', got {exclude!r}"
+        )
     if exclude == "carry":
         if carry_col is None:
             raise ValueError("exclude='carry' requires carry_col")

@@ -411,19 +411,26 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast_double=["price"],
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quantile bucketing over a global order.  The unique
-    o_orderkey tie-break makes bucket boundaries deterministic.  Note the
-    empty PARTITION BY: a single global sort -- correct-but-serial, kept
-    as the semantic reference.  At 100 TB, assign buckets from
-    approx-quantile cut points instead (one pass + map-side bucketing,
-    see q_histogram) -- same output contract up to boundary rounding."""
-    from pyspark.sql import Window
+    """Exact NTILE quantile bucketing over a global order -- WITHOUT the
+    single-partition global-sort window.  ``with_global_ntile``
+    range-repartitions on the sort key, ranks partition-locally, and
+    adds broadcast per-partition offsets (the TeraSort ranking shape),
+    reproducing ``NTILE(4) OVER (ORDER BY ...)`` bit-for-bit while every
+    stage stays shuffle-parallel.  The unique o_orderkey tie-break makes
+    bucket boundaries deterministic (and boundary-placement independent).
+    ``q_quantile_bucket`` (sketch cut points + map-side CASE) remains the
+    cheaper one-pass alternative when approximate buckets suffice."""
+    from mqtt_message_pump_spark.operators.ranking import with_global_ntile
 
     orders = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    return with_global_ntile(
+        orders,
+        4,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        bucket_col="quartile",
+    ).select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.col("quartile").cast("int").alias("quartile"),
         F.col("o_totalprice").cast(_DEC).alias("price"),
     )
 

@@ -308,14 +308,16 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_vector_quantize",
     oracle="""
     SELECT vec_id, scale,
-           list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS q
+           CAST(i - 1 AS INTEGER) AS pos,
+           CAST(FLOOR(v[i] / scale + 0.5) AS INTEGER) AS code
     FROM (
       SELECT vec_id,
              list_max(list_transform(embedding,
                                      x -> ABS(CAST(x AS DOUBLE)))) / 127.0
                AS scale,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings)
+      FROM embeddings),
+      LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
     WHERE scale > 0
     """,
 )
@@ -329,7 +331,12 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every arithmetic step is per-element (divide, +0.5, floor) with fixed
     order, so Spark and DuckDB produce identical doubles -> identical
     int codes.  Zero-vectors (scale 0) are excluded rather than special-
-    cased -- both engines would otherwise divide by zero differently."""
+    cased -- both engines would otherwise divide by zero differently.
+
+    Registered output is the LONG form (vec_id, scale, pos, code), one
+    row per vector element: the driver canonicalizes through pandas,
+    which cannot sort/hash array cells, so the packed array<int> form
+    (posexplode inverse) stays an internal representation."""
     emb = table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scaled = emb.select(
@@ -340,10 +347,14 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         "scale",
-        F.transform(
-            F.col("v"),
-            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
-        ).alias("q"),
+        F.posexplode(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast(
+                    "int"
+                ),
+            )
+        ).alias("pos", "code"),
     )
 
 
@@ -426,7 +437,7 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, COUNT(*) AS n_docs,
              SUM({TX.SQL_TOKEN_COUNT.format(text='text')}) AS n_tokens
       FROM documents GROUP BY source)
-    SELECT source, n_docs, n_tokens,
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
            CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1267,7 +1278,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(c) AS n_s
       FROM cst JOIN ct USING (tok) GROUP BY source),
     tot AS (SELECT SUM(n_s) AS n FROM per)
-    SELECT source, n_s AS n_tokens,
+    SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
            ((CAST(a_int AS DOUBLE) - CAST(b_int AS DOUBLE)) / 1e6 / n_s
             - CAST(CAST(floor(ln(CAST(n_s AS DOUBLE)) * 1e6) AS BIGINT)
                    AS DOUBLE) / 1e6
@@ -1292,7 +1303,16 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is two int64 accumulators.  Determinism: every c*ln term is
     floor-quantized to integer micro-units before summing (the
     q_entropy_score treatment), the scalar ln's likewise, and the final
-    double expression is written identically on both engines."""
+    double expression is written identically on both engines.
+
+    Residual cross-engine risk (documented, accepted): Spark's Math.log
+    and DuckDB's libm ln may differ by 1 ulp, so when some
+    c*ln(c)*1e6 lands within an ulp of an integer the floor could flip
+    between engines for that term.  No fixture value sits on such a
+    boundary (both-SF sweeps pass), and a flip would shift kl_bits by
+    1e-6/n_s -- far below any consumer's tolerance -- but the hash-match
+    oracle would see it; if that ever fires at a new SF, coarsen the
+    quantum (1e4) and add a guard band rather than chasing libm."""
     docs = table(spark, sf_dir, "documents", split=True)
     cst = (
         docs.select(

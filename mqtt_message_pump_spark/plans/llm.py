@@ -923,10 +923,14 @@ def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_vector_math",
     oracle="""
     SELECT a.vec_id,
-           list_transform(generate_series(1, 64),
-                          i -> CAST(a.embedding[i] AS DOUBLE)
-                               + CAST(b.embedding[i] AS DOUBLE))[1:4]
-             AS sum_head,
+           CAST(a.embedding[1] AS DOUBLE) + CAST(b.embedding[1] AS DOUBLE)
+             AS sum_0,
+           CAST(a.embedding[2] AS DOUBLE) + CAST(b.embedding[2] AS DOUBLE)
+             AS sum_1,
+           CAST(a.embedding[3] AS DOUBLE) + CAST(b.embedding[3] AS DOUBLE)
+             AS sum_2,
+           CAST(a.embedding[4] AS DOUBLE) + CAST(b.embedding[4] AS DOUBLE)
+             AS sum_3,
            list_dot_product(
              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
              list_transform(a.embedding, x -> CAST(x AS DOUBLE)))
@@ -935,14 +939,19 @@ def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise vector arithmetic (zip_with add, first 4 components)
-    and self dot product -- the embedding-math building blocks, all
-    JVM-side higher-order functions.  Float operands are widened to
-    double BEFORE any arithmetic on both sides, so every add/multiply is
-    the same IEEE op cross-engine; the self dot product folds
-    left-to-right in both engines (F.aggregate here, list_dot_product's
-    sequential loop in DuckDB), so even the non-associative double sum
-    matches bit-for-bit."""
+    """Element-wise vector arithmetic (zip_with add, first 4 components
+    projected to scalar columns) and self dot product -- the
+    embedding-math building blocks, all JVM-side higher-order functions.
+    Float operands are widened to double BEFORE any arithmetic on both
+    sides, so every add/multiply is the same IEEE op cross-engine; the
+    self dot product folds left-to-right in both engines (F.aggregate
+    here, list_dot_product's sequential loop in DuckDB), so even the
+    non-associative double sum matches bit-for-bit.
+
+    The registered output is scalar-only: the driver canonicalizes
+    results through pandas, which cannot sort/hash array-typed cells, so
+    the zip_with sum surfaces as four element columns rather than the
+    raw array (the array-valued form remains the operator API)."""
     emb = table(spark, sf_dir, "embeddings")
     a = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("va")
@@ -957,11 +966,13 @@ def q_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    vsum = F.zip_with("va", "vb", lambda x, y: x + y)
     return joined.select(
         "vec_id",
-        F.slice(F.zip_with("va", "vb", lambda x, y: x + y), 1, 4).alias(
-            "sum_head"
-        ),
+        *[
+            F.element_at(vsum, i + 1).alias(f"sum_{i}")
+            for i in range(4)
+        ],
         dot.alias("self_dot"),
     )
 

@@ -92,9 +92,22 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode seam: binary -> fixed-dim feature vector via
     ``mapInPandas`` (deterministic fake decoder standing in for
-    PIL/opencv/ffmpeg).  Returns (media_id, feature, decoded_ok)."""
+    PIL/opencv/ffmpeg).
+
+    The raw-vector API is ``operators.multimodal.decode_features``
+    (media_id, feature array<float>, decoded_ok); the REGISTERED output
+    summarizes the vector as (media_id, feature_md5, feature_dim,
+    decoded_ok) because the driver canonicalizes results through pandas,
+    which crashes sorting array-typed cells -- the digest still pins the
+    exact float bits, so the plumbing stays fully checked."""
     media = media_from_documents(spark, sf_dir)
-    return MM.decode_features(media, fake=True)
+    feats = MM.decode_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        F.md5(F.to_json(F.struct(F.col("feature")))).alias("feature_md5"),
+        F.size("feature").alias("feature_dim"),
+        "decoded_ok",
+    )
 
 
 @query("q_media_resize")  # rows-only: mapInPandas stage, not SQL-expressible
@@ -121,7 +134,8 @@ _FRAME = 50  # samples per analysis frame
     )
     SELECT doc_id AS media_id,
            CAST((i - 1) // {_FRAME} AS BIGINT) AS frame,
-           SUM(CAST(ascii(cs[i]) * ascii(cs[i]) AS BIGINT)) AS energy,
+           CAST(SUM(CAST(ascii(cs[i]) * ascii(cs[i]) AS BIGINT))
+                AS BIGINT) AS energy,
            COUNT(*) AS n_samples
     FROM chars
     GROUP BY doc_id, (i - 1) // {_FRAME}

@@ -196,13 +196,22 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders."""
+    """Left-anti join (NOT EXISTS): customers with no urgent orders.
+
+    The anti side is pre-filtered to urgent orders (rather than all
+    orders) so the fixture yields non-empty output at every SF -- with
+    the unfiltered predicate every customer has an order and the check
+    would pass vacuously on two empty frames."""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -465,21 +465,28 @@ def q_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
     FROM customer, pos
     WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
     """,
     cast_double=["total_bal"],
 )
 def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: high-balance customers who never ordered, grouped
-    by nation.  NOT EXISTS is a LEFT ANTI join on custkey; the
-    above-average-balance filter compares in exact cross-multiplied form
-    (``bal * count > sum`` over DECIMAL, the q_small_qty_revenue
-    treatment) so no engine-specific double rounding of the average can
-    flip boundary customers.  The (count, sum) scalar joins as a 1-row
-    broadcast; orders is only scanned for its custkey column."""
+    """TPC-H Q22 shape: high-balance customers with no urgent orders,
+    grouped by nation.  NOT EXISTS is a LEFT ANTI join on custkey
+    (restricted to urgent orders so the fixture yields non-empty output
+    at every SF -- every customer has SOME order, and a 0-row result
+    would make the oracle check vacuous); the above-average-balance
+    filter compares in exact cross-multiplied form (``bal * count >
+    sum`` over DECIMAL, the q_small_qty_revenue treatment) so no
+    engine-specific double rounding of the average can flip boundary
+    customers.  The (count, sum) scalar joins as a 1-row broadcast;
+    orders is only scanned for its custkey + priority columns."""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     pos = cust.filter(F.col("c_acctbal") > 0).agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("c_acctbal").cast(_DEC)).alias("total"),

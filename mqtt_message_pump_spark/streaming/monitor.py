@@ -110,9 +110,12 @@ class PumpMonitorListener(StreamingQueryListener):
         counters: PumpCounters | None = None,
     ) -> None:
         self._publish = publish
-        # reference replaces '/' with '_' when embedding topics in metric
-        # names (mqtt.go:93)
-        self.topic = f"{topic_root}/{target}".replace("//", "/")
+        # reference parity (mqtt.go:93-94): the target segment -- itself
+        # derived from the source topic root + prefix -- has EVERY '/'
+        # replaced with '_' before being joined under the monitor topic
+        # root, so a slashed source topic publishes to ONE monitor topic
+        # level, not a nested hierarchy.
+        self.topic = f"{topic_root}/{target.replace('/', '_')}"
         self.started_at = time.time()
         self.total_msgs = 0
         self.total_bytes = 0

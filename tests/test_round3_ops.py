@@ -9,19 +9,27 @@ from mqtt_message_pump_spark.plans import QUERIES
 
 def test_vector_quantize_reconstruction_bound(spark, sf_dir):
     """Nearest-step rounding guarantees |x - q*scale| <= scale/2 per
-    element -- the bound that makes int8 quantization usable for ANN."""
+    element -- the bound that makes int8 quantization usable for ANN.
+    Output is the long form (vec_id, scale, pos, code): one row per
+    vector element, covering every position exactly once."""
     rows = QUERIES["q_vector_quantize"](spark, sf_dir).collect()
     emb = {
         r.vec_id: r.embedding
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     }
     assert rows
+    by_vec: dict[int, dict[int, object]] = {}
     for r in rows:
-        orig = emb[r.vec_id]
-        assert len(r.q) == len(orig)
-        for x, code in zip(orig, r.q):
-            assert abs(code) <= 127
-            assert abs(float(x) - code * r.scale) <= r.scale / 2 + 1e-12
+        by_vec.setdefault(r.vec_id, {})[r.pos] = r
+    for vec_id, elems in by_vec.items():
+        orig = emb[vec_id]
+        assert sorted(elems) == list(range(len(orig)))
+        for pos, r in elems.items():
+            assert abs(r.code) <= 127
+            assert (
+                abs(float(orig[pos]) - r.code * r.scale)
+                <= r.scale / 2 + 1e-12
+            )
 
 
 def test_decontam_flags_only_real_overlaps(spark, sf_dir):

@@ -717,9 +717,20 @@ def test_minhash_pairs_bucket_cap(spark):
 
 
 def test_capped_pairs_are_strict_subset(spark, sf_dir):
-    """The capped key must emit a strict subset of the uncapped pairs at
-    the fixture (the cap binds on the sf buckets of 4), and every
-    dropped pair must come from an over-cap bucket only."""
+    """The capped key must emit a STRICT subset of the uncapped pairs at
+    the fixture (i.e. the cap actually binds -- a vacuous `<=` would pass
+    even if the cap were never applied), and every dropped pair must be
+    explainable by the cap alone: all of its shared (band, bucket)
+    co-occurrences are over-cap, at least one of them exists."""
+    from mqtt_message_pump_spark.operators.dedup import minhash_band_buckets
+    from mqtt_message_pump_spark.plans.llm import (
+        _BANDS,
+        _NH,
+        _PAIR_CAP,
+        _SHN,
+    )
+    from mqtt_message_pump_spark.plans.registry import table
+
     capped = {
         (r.id_a, r.id_b)
         for r in QUERIES["q_minhash_pairs_capped"](spark, sf_dir).collect()
@@ -728,4 +739,19 @@ def test_capped_pairs_are_strict_subset(spark, sf_dir):
         (r.id_a, r.id_b)
         for r in QUERIES["q_minhash_pairs"](spark, sf_dir).collect()
     }
-    assert capped <= full
+    assert capped < full, "cap did not bind: capped set equals full set"
+
+    docs = table(spark, sf_dir, "documents")
+    buckets: dict[tuple, set] = {}
+    for r in minhash_band_buckets(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
+    ).collect():
+        buckets.setdefault((r.band, r.bucket), set()).add(r.doc_id)
+    over_cap = {k for k, ids in buckets.items() if len(ids) > _PAIR_CAP}
+    for a, b in full - capped:
+        shared = {k for k, ids in buckets.items() if a in ids and b in ids}
+        assert shared & over_cap, f"dropped pair {(a, b)} not in any over-cap bucket"
+        assert shared <= over_cap, (
+            f"dropped pair {(a, b)} also co-occurs in under-cap bucket(s) "
+            f"{shared - over_cap} and should have survived"
+        )

@@ -494,3 +494,16 @@ def test_keyed_transitions_stream_matches_batch(spark, tmp_path):
             want[(a, b)] += 1
     assert got == want
     assert sum(want.values()) == 3 * 5  # 6 events/user -> 5 transitions
+
+
+def test_monitor_topic_slash_flattening():
+    """Reference parity (mqtt.go:93-94): the monitor publish topic is
+    ``<monitor_root>/<target>`` where EVERY '/' inside the target segment
+    (source topic root + prefix) becomes '_' -- a slashed source topic
+    must publish to one flattened monitor level, not a nested hierarchy."""
+    listener = PumpMonitorListener(
+        lambda topic, payload: None,
+        topic_root="Pump_Monitor",
+        target="JSON_Simulator/Json_Tile/",
+    )
+    assert listener.topic == "Pump_Monitor/JSON_Simulator_Json_Tile_"
