@@ -91,6 +91,11 @@ HEADLINE = [
     # partsupp-free TPC-H shape (others are within existing cost classes)
     "q_boiler_strip",
     "q_profit_by_nation",
+    # round-5: q_ntile is now the distributed exact NTILE (range
+    # repartition + local ranks + broadcast offsets) -- benchable as a
+    # scale-true plan; q_global_rank is the same shape for ROW_NUMBER
+    "q_ntile",
+    "q_global_rank",
 ]
 
 RUNS = 3

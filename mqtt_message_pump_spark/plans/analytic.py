@@ -972,17 +972,44 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Globally-sorted full output (no LIMIT): plans as a range-partitioned
     exchange (sampled split points) + per-partition sort -- the scalable
-    total order, distinct from q_order_limit's TakeOrderedAndProject and
-    from q_ntile's single-partition window sort.  At 100 TB this is the
-    sorted-export/write-ordered path; AQE rebalances skewed ranges.  The
-    (o_orderdate, o_orderkey) key is unique, so the order -- and any
-    downstream row-number assignment -- is deterministic."""
+    total order, distinct from q_order_limit's TakeOrderedAndProject.
+    At 100 TB this is the sorted-export/write-ordered path; AQE
+    rebalances skewed ranges.  The (o_orderdate, o_orderkey) key is
+    unique, so the order -- and any downstream row-number assignment
+    (see q_global_rank) -- is deterministic."""
     orders = table(spark, sf_dir, "orders")
     return orders.orderBy("o_orderdate", "o_orderkey").select(
         "o_orderkey",
         "o_orderdate",
         F.col("o_totalprice").cast(_DEC).alias("price"),
     )
+
+
+@query(
+    "q_global_rank",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS global_rn
+    FROM orders
+    """,
+)
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row number over a total order -- the distributed
+    ranking shape (TeraSort step): range-repartition on the sort key,
+    rank partition-locally, add broadcast per-partition offsets
+    (``operators/ranking.py``).  Bit-identical to ``ROW_NUMBER() OVER
+    (ORDER BY ...)`` but with no single-partition window anywhere in the
+    plan -- every stage is shuffle-parallel, so the same plan ranks
+    100 TB.  The (o_orderdate, o_orderkey) tie-break is unique, making
+    the rank independent of sampled range-boundary placement."""
+    from mqtt_message_pump_spark.operators.ranking import (
+        with_global_row_number,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return with_global_row_number(
+        orders, [F.col("o_orderdate"), F.col("o_orderkey")]
+    ).select("o_orderkey", "global_rn")
 
 
 @query(

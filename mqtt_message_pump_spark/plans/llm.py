@@ -778,7 +778,7 @@ _STRIDE = 25  # chunk start interval (50% overlap)
 )
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping document chunking (context-window preparation): each
-    doc becomes ceil(n_tokens/stride) chunks of up to {chunk} tokens with
+    doc becomes ceil(n_tokens/stride) chunks of up to _CHUNK tokens with
     50% overlap.  Tokenize once, explode the chunk-start sequence, slice
     per chunk -- all codegen array expressions, no UDF; the fan-out is
     bounded (2x the corpus at 50% overlap) and narrow, so chunking

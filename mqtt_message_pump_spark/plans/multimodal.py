@@ -145,7 +145,7 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio energy over the byte stream: the first real audio
     feature every pipeline extracts (silence trimming, VAD gating,
     loudness normalization).  The deterministic fake-PCM convention reads
-    each payload byte as an unsigned 8-bit sample ({_FRAME}-sample
+    each payload byte as an unsigned 8-bit sample (_FRAME=50-sample
     non-overlapping frames); a production build swaps the byte decode for
     a real codec behind the q_media_decode seam and keeps this exact
     frame/aggregate plumbing.

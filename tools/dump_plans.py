@@ -116,6 +116,9 @@ HEADLINE = [
     "q_attribution",
     "q_minhash_pairs_capped",
     "q_incremental_dedup",
+    # round-5 additions: distributed exact ranking (no serial window)
+    "q_ntile",
+    "q_global_rank",
 ]
 
 
