@@ -64,6 +64,9 @@ KEYS = [
     "q_attribution",  # running conditional MAX with 1-PRECEDING frame
     "q_ngram_containment",  # candidate-pair array intersections
     "q_incremental_dedup",  # broadcast probe join + best-match rank
+    # round-5 additions
+    "q_ntile",  # distributed NTILE: rank must not depend on range splits
+    "q_global_rank",  # distributed ROW_NUMBER, same mechanism
 ]
 
 

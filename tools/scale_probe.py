@@ -45,16 +45,22 @@ PROBE_KEYS = [
     "q_min_cost_supplier",
     "q_dedup",
     "q_media_dedup",
+    # round-5: distributed exact ranking over the scaled orders table --
+    # should scale linearly (range shuffle + local sorts), unlike the
+    # serial empty-partitionBy window it replaced
+    "q_ntile",
+    "q_global_rank",
 ]
 
 SCALED = {
     "documents": ("doc_id", 10_000_000),
     "events": ("event_id", 100_000_000),
     "lineitem": ("l_orderkey", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
 }
 COPIED = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "embeddings",
+    "embeddings",
 ]
 
 
