@@ -571,6 +571,36 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "cand_id", "cosine", "rank")
 
 
+@query("q_pq_codes")  # rows-only: k-means codebooks not SQL-expressible
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each embedding becomes m=8 4-bit
+    codes (one row per (vec_id, sub_id) -- the long form keeps the
+    registered output scalar-only), codebooks trained per subspace on a
+    bounded sample.  At 4 bits/subvector the encoded corpus is ~64x
+    smaller than float32 -- the memory side of a 100 TB ANN index; the
+    distortion and coverage properties are asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train_codebooks(emb, "embedding", m=8, nbits=4)
+    return SIM.pq_encode(emb, books, "vec_id", "embedding", m=8)
+
+
+@query("q_ann_pq")  # rows-only: recall checked in tests vs brute force
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via PQ asymmetric distance + exact re-rank: the
+    corpus lives as m=8 4-bit codes at search time; each query
+    broadcasts its per-centroid distance table, a candidate's ADC
+    distance is m table lookups summed, and only the k*8 shortlist has
+    its float vectors fetched for the exact final ordering.  The encode
+    pass is the only corpus-proportional stage; search is a broadcast
+    join on (sub_id, code) + a keyed sum with map-side combine + a
+    broadcast-shortlist re-rank pass."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return SIM.pq_topk(
+        queries, emb, k=_TOPK, m=8, nbits=4, rerank=8
+    ).select("query_id", "cand_id", "pq_dist", "rank")
+
+
 @query(
     "q_embed_near_dup",
     oracle=f"""

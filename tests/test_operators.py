@@ -193,3 +193,86 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     # probing 3 of 8 cells must recover most true neighbors (neighbors
     # concentrate in the query's nearest cells -- that's the point of IVF)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def _exact_l2_topk(spark, queries, corpus, k):
+    """Exact Euclidean top-k pairs (test-side reference for PQ, whose ADC
+    distance approximates L2 -- comparing vs cosine would conflate metric
+    mismatch with quantization error)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def test_pq_topk_recall_vs_exact_l2(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _exact_l2_topk(spark, queries, emb, k=5)
+    approx = SIM.pq_topk(queries, emb, k=5, m=8, nbits=4, rerank=8)
+    exact_pairs = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 8 subspaces x 16 centroids over 64 dims, ADC shortlist of k*8
+    # exact-reranked: a true neighbor is only lost when quantization
+    # pushes it off the 40-deep shortlist (the standard PQ+rerank regime)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+
+    # re-ranked distances are EXACT L2 for the pairs both sides found
+    exact_d = {
+        (r["query_id"], r["cand_id"]): r["d2"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_d:
+            assert abs(r["pq_dist"] - round(exact_d[key], 6)) < 1e-9
+
+
+def test_pq_codes_cover_and_bound(spark, sf_dir):
+    """Every vector gets exactly one code per subspace, codes lie in
+    [0, 2^nbits), and encoding is deterministic across runs (seeded
+    k-means + deterministic argmin tie-break)."""
+    emb = table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train_codebooks(emb, "embedding", m=8, nbits=4)
+    codes = SIM.pq_encode(emb, books, "vec_id", "embedding", m=8).collect()
+    n_vecs = emb.count()
+    assert len(codes) == n_vecs * 8
+    seen = {}
+    for r in codes:
+        assert 0 <= r["code"] < 16
+        assert 0 <= r["sub_id"] < 8
+        key = (r["vec_id"], r["sub_id"])
+        assert key not in seen, f"duplicate code row {key}"
+        seen[key] = r["code"]
+    again = {
+        (r["vec_id"], r["sub_id"]): r["code"]
+        for r in SIM.pq_encode(
+            emb, books, "vec_id", "embedding", m=8
+        ).collect()
+    }
+    assert seen == again
+
+
+def test_pq_train_rejects_indivisible_dim(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="divide evenly"):
+        SIM.pq_train_codebooks(emb, "embedding", m=7, nbits=2)
