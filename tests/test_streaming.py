@@ -507,3 +507,63 @@ def test_monitor_topic_slash_flattening():
         target="JSON_Simulator/Json_Tile/",
     )
     assert listener.topic == "Pump_Monitor/JSON_Simulator_Json_Tile_"
+
+
+def test_incremental_pq_encode_matches_batch(spark, tmp_path):
+    """Streaming PQ encoding with a frozen codebook must produce exactly
+    the codes the batch encoder assigns to the same vectors -- the
+    invariant that makes incrementally-appended codes unionable with the
+    existing index (same codebook => same code space)."""
+    import json as _json
+
+    from mqtt_message_pump_spark.operators import similarity as SIM
+    from mqtt_message_pump_spark.plans.registry import table
+    from mqtt_message_pump_spark.streaming.vectors import (
+        start_pq_encode_stream,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = SIM.pq_train_codebooks(emb, "embedding", m=8, nbits=4)
+    incoming = emb.filter(F.col("vec_id") < 40)
+
+    # serve the "new" vectors as two JSON file batches
+    src = tmp_path / "vecs"
+    src.mkdir()
+    rows = incoming.collect()
+    for name, chunk in (("b0.json", rows[:20]), ("b1.json", rows[20:])):
+        with open(src / name, "w") as fh:
+            for r in chunk:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = tmp_path / "codes"
+    q = start_pq_encode_stream(
+        stream, books, str(out), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    got = {
+        (r["vec_id"], r["sub_id"]): r["code"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        (r["vec_id"], r["sub_id"]): r["code"]
+        for r in SIM.pq_encode(
+            incoming, books, "vec_id", "embedding", m=8
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 40 * 8
