@@ -578,9 +578,13 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered output scalar-only), codebooks trained per subspace on a
     bounded sample.  At 4 bits/subvector the encoded corpus is ~64x
     smaller than float32 -- the memory side of a 100 TB ANN index; the
-    distortion and coverage properties are asserted in tests."""
+    distortion and coverage properties are asserted in tests.  Training
+    is sample/iteration-bounded (10k vectors, 10 k-means iterations) so
+    the codebook cost is corpus-size-independent."""
     emb = table(spark, sf_dir, "embeddings")
-    books = SIM.pq_train_codebooks(emb, "embedding", m=8, nbits=4)
+    books = SIM.pq_train_codebooks(
+        emb, "embedding", m=8, nbits=4, max_train=10_000, max_iter=10
+    )
     return SIM.pq_encode(emb, books, "vec_id", "embedding", m=8)
 
 
@@ -597,7 +601,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _NQ)
     return SIM.pq_topk(
-        queries, emb, k=_TOPK, m=8, nbits=4, rerank=8
+        queries, emb, k=_TOPK, m=8, nbits=4, rerank=8,
+        max_train=10_000, max_iter=10,
     ).select("query_id", "cand_id", "pq_dist", "rank")
 
 
