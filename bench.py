@@ -93,9 +93,13 @@ HEADLINE = [
     "q_profit_by_nation",
     # round-5: q_ntile is now the distributed exact NTILE (range
     # repartition + local ranks + broadcast offsets) -- benchable as a
-    # scale-true plan; q_global_rank is the same shape for ROW_NUMBER
+    # scale-true plan; q_global_rank is the same shape for ROW_NUMBER;
+    # q_pq_codes is the PQ encode pass (numpy codebooks + Arrow kernel,
+    # the vector-index build path; q_ann_pq search stays un-benched --
+    # its cost class is the per-query ADC join, measured in BASELINE.md)
     "q_ntile",
     "q_global_rank",
+    "q_pq_codes",
 ]
 
 RUNS = 3

@@ -116,9 +116,12 @@ HEADLINE = [
     "q_attribution",
     "q_minhash_pairs_capped",
     "q_incremental_dedup",
-    # round-5 additions: distributed exact ranking (no serial window)
+    # round-5 additions: distributed exact ranking (no serial window),
+    # product quantization (Arrow encode kernel + ADC search)
     "q_ntile",
     "q_global_rank",
+    "q_pq_codes",
+    "q_ann_pq",
 ]
 
 
