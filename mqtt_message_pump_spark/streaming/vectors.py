@@ -41,12 +41,20 @@ def start_pq_encode_stream(
     ``codebooks`` must be a STATIC frame from ``pq_train_codebooks`` --
     the frozen-codebook invariant is what keeps incremental codes
     compatible with the existing index.
+
+    Each micro-batch OVERWRITES its own ``batch=<id>`` subdirectory, so a
+    batch replayed after a crash-before-checkpoint-commit lands in the
+    same place instead of appending duplicates -- idempotent under
+    replay by construction (stronger than a flat append, whose
+    exactly-once depends on the write and the checkpoint commit being
+    atomic together).  Readers see one partitioned dataset:
+    ``spark.read.parquet(out_dir)`` with a ``batch`` provenance column.
     """
     codebooks = codebooks.cache()
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
         codes = pq_encode(batch_df, codebooks, id_col, vec_col, m=m)
-        codes.write.mode("append").parquet(out_dir)
+        codes.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return (
         vectors.writeStream.foreachBatch(encode_batch)

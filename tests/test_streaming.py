@@ -567,3 +567,54 @@ def test_incremental_pq_encode_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 40 * 8
+
+
+def test_incremental_pq_encode_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same micro-batches into the same output (checkpoint
+    lost, stream restarted from scratch) must not duplicate codes: each
+    batch overwrites its own batch=<id> directory."""
+    import json as _json
+    import shutil
+
+    from mqtt_message_pump_spark.operators import similarity as SIM
+    from mqtt_message_pump_spark.plans.registry import table
+    from mqtt_message_pump_spark.streaming.vectors import (
+        start_pq_encode_stream,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = SIM.pq_train_codebooks(emb, "embedding", m=8, nbits=4)
+    src = tmp_path / "vecs"
+    src.mkdir()
+    with open(src / "b0.json", "w") as fh:
+        for r in emb.filter(F.col("vec_id") < 20).collect():
+            fh.write(
+                _json.dumps(
+                    {
+                        "vec_id": r["vec_id"],
+                        "embedding": [float(x) for x in r["embedding"]],
+                    }
+                )
+                + "\n"
+            )
+    out = tmp_path / "codes"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = start_pq_encode_stream(
+            stream, books, str(out), str(tmp_path / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    run_once()
+    # lose the checkpoint -> a restart replays batch 0 into the same dir
+    shutil.rmtree(tmp_path / "ckpt")
+    run_once()
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 20 * 8, "replayed batch duplicated codes"
