@@ -299,38 +299,50 @@ def pq_train_codebooks(
     seeded init (distinct sample rows), fixed iteration count, empty
     clusters keep their previous centroid.
     """
-    import numpy as np
-
     k = 1 << nbits
-    sample_rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .limit(max_train)
-        .collect()  # bounded by max_train -- the training-sample contract
-    )
-    X = np.array([r["v"] for r in sample_rows])
+    X = _collect_sample(df, vec_col, max_train)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim ({dim}) must divide evenly into m ({m})")
     sub = dim // m
     rows = []
     for j in range(m):
-        Xj = X[:, j * sub : (j + 1) * sub]
-        rng = np.random.default_rng(seed + j)
-        centers = Xj[
-            rng.choice(len(Xj), size=min(k, len(Xj)), replace=False)
-        ].copy()
-        for _ in range(max_iter):
-            d = ((Xj[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-            assign = d.argmin(1)
-            for c in range(len(centers)):
-                members = Xj[assign == c]
-                if len(members):
-                    centers[c] = members.mean(0)
+        centers = _lloyd(X[:, j * sub : (j + 1) * sub], k, seed + j, max_iter)
         for code, ctr in enumerate(centers):
             rows.append((j, code, [float(x) for x in ctr]))
     return df.sparkSession.createDataFrame(
         rows, "sub_id int, code int, centroid array<double>"
     )
+
+
+def _collect_sample(df: DataFrame, vec_col: str, max_train: int):
+    """Bounded training sample as a numpy matrix (the training-sample
+    contract: at most ``max_train`` rows reach the driver)."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(max_train)
+        .collect()
+    )
+    return np.array([r["v"] for r in rows])
+
+
+def _lloyd(X, k: int, seed: int, iters: int):
+    """Seeded vectorized Lloyd's k-means (deterministic: distinct-row
+    init, fixed iteration count, empty clusters keep their centroid)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(centers)):
+            members = X[assign == c]
+            if len(members):
+                centers[c] = members.mean(0)
+    return centers
 
 
 def pq_encode(
@@ -500,6 +512,209 @@ def pq_topk(
         dist = (
             cv.join(F.broadcast(shortlist), "cand_id")
             .join(F.broadcast(qv), "query_id")
+            .select("query_id", "cand_id", exact_d2.alias("pq_dist"))
+        )
+    if round_digits is not None:
+        dist = dist.withColumn("pq_dist", F.round("pq_dist", round_digits))
+    return dist.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse_centers,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused IVF-PQ index build: one Arrow pass assigns each vector to
+    its nearest coarse cell AND PQ-encodes the RESIDUAL (vector minus
+    cell center) -- the faiss IVF-PQ layout, where residual quantization
+    spends the codebook's resolution on the within-cell remainder
+    instead of re-describing the cell position.
+
+    Returns long-form (id, cell, sub_id, code).  MAP-ONLY: both the
+    coarse centers (``n_centroids x dim`` numpy array) and the residual
+    codebooks (m * 2**nbits rows) are driver-bounded and shipped into
+    the kernel; no join, no shuffle -- the index build parallelizes with
+    the scan and runs per micro-batch in a streaming twin unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in codebooks.collect():  # bounded: m * 2**nbits rows
+        books.setdefault(r["sub_id"], {})[r["code"]] = [
+            float(x) for x in r["centroid"]
+        ]
+    pq_centers = np.array(
+        [[books[j][c] for c in sorted(books[j])] for j in sorted(books)]
+    )  # (m, k, sub)
+    coarse = np.asarray(coarse_centers, dtype=np.float64)
+    n_sub, _, sub_len = pq_centers.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cell_d = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+            cells = cell_d.argmin(1)
+            resid = X - coarse[cells]
+            Rs = resid.reshape(len(pdf), n_sub, sub_len)
+            d = ((Rs[:, :, None, :] - pq_centers[None, :, :, :]) ** 2).sum(-1)
+            codes = d.argmin(2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_sub),
+                    "cell": cells.astype("int32").repeat(n_sub),
+                    "sub_id": np.tile(
+                        np.arange(n_sub, dtype="int32"), len(pdf)
+                    ),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(
+        encode, f"{id_col} {id_type}, cell int, sub_id int, code int"
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    round_digits: int | None = 6,
+    max_train: int = 100_000,
+    max_iter: int = 20,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors -- the production ANN stack
+    (faiss IndexIVFPQ): a coarse quantizer prunes the corpus to the
+    query's ``n_probe`` nearest cells, residual-PQ ADC scores only those
+    candidates, and (optionally) the ``k*rerank`` shortlist is re-ranked
+    with exact L2.
+
+    Where ``pq_topk`` scores EVERY candidate (linear ADC), this touches
+    ~``n_probe/n_centroids`` of the corpus per query -- the sub-linear
+    search that makes ANN viable at 100 TB.  Scale shape: index build is
+    the one corpus pass (``ivfpq_encode``, map-only Arrow kernel); the
+    query-side ADC tables are driver-computed (queries are the SMALL
+    side by contract -- the same bounded-collect posture as the
+    broadcast query set in ``brute_force_topk``) over (query, probed
+    cell, sub, code): |Q| * n_probe * m * 2**nbits rows, broadcast; the
+    search join matches codes on (cell, sub_id, code) so unprobed cells
+    never join, then one keyed sum with map-side combine.
+    """
+    import numpy as np
+
+    X = _collect_sample(candidates, vec_col, max_train)
+    coarse = _lloyd(X, n_centroids, seed - 1, max_iter)
+    cells_of_sample = (
+        ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
+    )
+    resid_sample = X - coarse[cells_of_sample]
+
+    # residual PQ codebooks trained on the sample's residuals
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must divide evenly into m ({m})")
+    sub = dim // m
+    kk = 1 << nbits
+    book_rows = []
+    for j in range(m):
+        centers = _lloyd(
+            resid_sample[:, j * sub : (j + 1) * sub], kk, seed + j, max_iter
+        )
+        for code, ctr in enumerate(centers):
+            book_rows.append((j, code, [float(x) for x in ctr]))
+    spark = queries.sparkSession
+    codebooks = spark.createDataFrame(
+        book_rows, "sub_id int, code int, centroid array<double>"
+    )
+    pq_centers = np.array(
+        [
+            [r[2] for r in book_rows if r[0] == j]
+            for j in range(m)
+        ]
+    )
+
+    codes = ivfpq_encode(candidates, coarse, codebooks, id_col, vec_col)
+
+    # query side: probe lists + per-(query, cell) residual ADC tables,
+    # all driver-side numpy over the bounded query set
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()  # bounded: the query set is the small side by contract
+    adc_rows = []
+    for r in q_rows:
+        qv = np.array(r["qv"], dtype=np.float64)
+        cell_d = ((coarse - qv[None, :]) ** 2).sum(-1)
+        probed = np.argsort(cell_d, kind="stable")[:n_probe]
+        for cell in probed:
+            resid = qv - coarse[cell]
+            Rs = resid.reshape(m, sub)
+            d = ((Rs[:, None, :] - pq_centers) ** 2).sum(-1)  # (m, k)
+            for j in range(m):
+                for code in range(kk):
+                    adc_rows.append(
+                        (
+                            r["query_id"],
+                            int(cell),
+                            j,
+                            code,
+                            float(d[j, code]),
+                        )
+                    )
+    adc = spark.createDataFrame(
+        adc_rows,
+        "query_id long, cell int, sub_id int, code int, d2 double",
+    )
+
+    dist = (
+        codes.withColumnRenamed(id_col, "cand_id")
+        .join(F.broadcast(adc), ["cell", "sub_id", "code"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2").alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("cand_id")
+    )
+    if rerank is not None:
+        shortlist = (
+            dist.withColumn("adc_rank", F.row_number().over(w))
+            .filter(F.col("adc_rank") <= k * rerank)
+            .select("query_id", "cand_id")
+        )
+        cv = candidates.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        qv_df = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        exact_d2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist = (
+            cv.join(F.broadcast(shortlist), "cand_id")
+            .join(F.broadcast(qv_df), "query_id")
             .select("query_id", "cand_id", exact_d2.alias("pq_dist"))
         )
     if round_digits is not None:

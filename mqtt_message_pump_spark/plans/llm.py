@@ -606,6 +606,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "cand_id", "pq_dist", "rank")
 
 
+@query("q_ann_ivfpq")  # rows-only: recall checked in tests vs exact L2
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate NN (the faiss-style production stack): a
+    coarse quantizer prunes the corpus to each query's 3 nearest cells,
+    residual-PQ ADC scores ONLY those candidates (~n_probe/n_centroids
+    of the corpus -- sub-linear where q_ann_pq's flat ADC is linear),
+    and the k*8 shortlist re-ranks with exact L2.  Index build is one
+    map-only Arrow pass (fused cell-assign + residual encode)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    return SIM.ivfpq_topk(
+        queries, emb, k=_TOPK, n_centroids=16, n_probe=3, m=8, nbits=4,
+        rerank=8, max_train=10_000, max_iter=10,
+    ).select("query_id", "cand_id", "pq_dist", "rank")
+
+
 @query(
     "q_embed_near_dup",
     oracle=f"""

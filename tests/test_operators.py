@@ -276,3 +276,64 @@ def test_pq_train_rejects_indivisible_dim(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="divide evenly"):
         SIM.pq_train_codebooks(emb, "embedding", m=7, nbits=2)
+
+
+def test_ivfpq_topk_recall_and_cell_pruning(spark, sf_dir):
+    """IVF-PQ with exact re-rank must recover a solid share of true L2
+    neighbors, and every returned candidate must come from one of its
+    query's probed coarse cells (the sub-linear pruning contract)."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _exact_l2_topk(spark, queries, emb, k=5)
+    approx = SIM.ivfpq_topk(
+        queries, emb, k=5, n_centroids=16, n_probe=3, m=8, nbits=4,
+        rerank=8,
+    )
+    exact_pairs = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    approx_pairs = {(r["query_id"], r["cand_id"]) for r in approx_rows}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+
+    # pruning contract: rebuild the same coarse quantizer and check every
+    # returned candidate sits in one of its query's 3 probed cells
+    X = SIM._collect_sample(emb, "embedding", 100_000)
+    coarse = SIM._lloyd(X, 16, 42 - 1, 20)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cell_of(v):
+        return int(((coarse - v[None, :]) ** 2).sum(-1).argmin())
+
+    for r in approx_rows:
+        qv = vecs[r["query_id"]]
+        probed = set(
+            np.argsort(((coarse - qv[None, :]) ** 2).sum(-1), kind="stable")[
+                :3
+            ].tolist()
+        )
+        assert cell_of(vecs[r["cand_id"]]) in probed
+
+
+def test_ivfpq_encode_covers_every_vector(spark, sf_dir):
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    X = SIM._collect_sample(emb, "embedding", 100_000)
+    coarse = SIM._lloyd(X, 16, 41, 10)
+    books = SIM.pq_train_codebooks(emb, "embedding", m=8, nbits=4)
+    rows = SIM.ivfpq_encode(emb, coarse, books).collect()
+    n = emb.count()
+    assert len(rows) == n * 8
+    for r in rows:
+        assert 0 <= r["cell"] < 16
+        assert 0 <= r["code"] < 16
+    # one cell per vector, consistent across its 8 sub rows
+    cells = {}
+    for r in rows:
+        cells.setdefault(r["vec_id"], set()).add(r["cell"])
+    assert all(len(s) == 1 for s in cells.values())
