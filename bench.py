@@ -95,11 +95,13 @@ HEADLINE = [
     # repartition + local ranks + broadcast offsets) -- benchable as a
     # scale-true plan; q_global_rank is the same shape for ROW_NUMBER;
     # q_pq_codes is the PQ encode pass (numpy codebooks + Arrow kernel,
-    # the vector-index build path; q_ann_pq search stays un-benched --
-    # its cost class is the per-query ADC join, measured in BASELINE.md)
+    # the vector-index build path); q_ann_ivfpq is the end-to-end ANN
+    # stack (coarse prune + residual ADC + re-rank).  q_ann_pq stays
+    # un-benched: its flat ADC is the same cost class without pruning.
     "q_ntile",
     "q_global_rank",
     "q_pq_codes",
+    "q_ann_ivfpq",
 ]
 
 RUNS = 3

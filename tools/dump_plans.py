@@ -122,6 +122,7 @@ HEADLINE = [
     "q_global_rank",
     "q_pq_codes",
     "q_ann_pq",
+    "q_ann_ivfpq",
 ]
 
 
