@@ -75,11 +75,20 @@ def main() -> int:
     queries, oracles = E.queries(), E.oracle_sql()
     keys = sys.argv[2:] or sorted(queries)
 
+    # AUDIT_ARROW=1 flips toPandas to the Arrow path: the driver's
+    # spark-side conversion settings are unknown, and Arrow changes some
+    # pandas dtypes (e.g. date -> datetime64 vs object) -- running the
+    # audit both ways proves the greens don't depend on the conversion.
+    arrow = os.environ.get("AUDIT_ARROW", "0")
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("canon-audit")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "America/New_York")
+        .config(
+            "spark.sql.execution.arrow.pyspark.enabled",
+            "true" if arrow == "1" else "false",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
