@@ -55,8 +55,14 @@ def _with_rn_and_total(
     w_local = Window.partitionBy(_PID).orderBy(*order_by)
     local = parts.withColumn(_LOCAL_RN, F.row_number().over(w_local))
 
-    # one row per partition -- bounded by the partition count, so the
-    # empty-partitionBy cumulative window below is NOT data-proportional
+    # The counts branch re-derives the range shuffle (Catalyst has no
+    # common-subplan reuse, docs/SCALE.md SS5b) but NOT the sort: column
+    # pruning drops the unused window.  Measured here, recomputing the
+    # scan+shuffle beats materializing (localCheckpoint benched 2x
+    # slower at sf0.1); at 100 TB, where a second scan is the dominant
+    # cost, persist/checkpoint `local` before ranking instead.
+    # One row per partition -- bounded by the partition count, so the
+    # empty-partitionBy cumulative window below is NOT data-proportional.
     counts = local.groupBy(_PID).agg(F.count("*").alias("_n"))
     w_cum = (
         Window.orderBy(_PID)
