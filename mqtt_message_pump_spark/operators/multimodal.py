@@ -80,11 +80,25 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _fake_feature(content: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real decode->embed: seed an RNG from
-    the content digest.  Replace with PIL/torchvision in production."""
-    digest = hashlib.sha256(content).digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
-    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+    """Deterministic stand-in for a real decode->embed: feature[j] is the
+    sum of the payload bytes at positions p with p % FEATURE_DIM == j
+    (a striped byte histogram).  Replace with PIL/torchvision in
+    production.
+
+    Deliberately plain integer arithmetic rather than a seeded RNG: the
+    stripe sums are expressible in ANSI SQL over the same bytes, so the
+    registered decode query carries a full DuckDB oracle -- the seam's
+    output is value-checked end to end, not just row-counted.  The sums
+    stay exact in float32 for payloads up to ~128 KiB (255 * len / 16 <
+    2^24); larger payloads belong to a real codec anyway."""
+    arr = np.frombuffer(content, dtype=np.uint8)
+    pad = (-len(arr)) % FEATURE_DIM
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+    return (
+        arr.reshape(-1, FEATURE_DIM).sum(axis=0, dtype=np.int64)
+        .astype(np.float32)
+    )
 
 
 def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:

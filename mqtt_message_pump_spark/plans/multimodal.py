@@ -88,37 +88,89 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample(media, every_ms=500).select("media_id", "frame_ms")
 
 
-@query("q_media_decode")  # rows-only: mapInPandas stage, not SQL-expressible
+_DIM = MM.FEATURE_DIM
+
+
+@query(
+    "q_media_decode",
+    oracle=f"""
+    WITH dims AS (SELECT CAST(unnest(range(0, {_DIM})) AS INT) AS dim),
+    chars AS (
+      SELECT doc_id, cs, unnest(range(1, len(cs) + 1)) AS i
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+    ),
+    stripes AS (
+      SELECT doc_id, CAST((i - 1) % {_DIM} AS INT) AS dim,
+             CAST(SUM(ascii(cs[i])) AS BIGINT) AS val
+      FROM chars GROUP BY doc_id, (i - 1) % {_DIM}
+    )
+    SELECT d.doc_id AS media_id, dims.dim AS dim,
+           COALESCE(s.val, CAST(0 AS BIGINT)) AS val,
+           TRUE AS decoded_ok
+    FROM documents d CROSS JOIN dims
+    LEFT JOIN stripes s ON s.doc_id = d.doc_id AND s.dim = dims.dim
+    """,
+)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode seam: binary -> fixed-dim feature vector via
     ``mapInPandas`` (deterministic fake decoder standing in for
-    PIL/opencv/ffmpeg).
+    PIL/opencv/ffmpeg; see ``operators.multimodal.decode_media`` for the
+    import-gated real-codec path).
 
     The raw-vector API is ``operators.multimodal.decode_features``
     (media_id, feature array<float>, decoded_ok); the REGISTERED output
-    summarizes the vector as (media_id, feature_md5, feature_dim,
-    decoded_ok) because the driver canonicalizes results through pandas,
-    which crashes sorting array-typed cells -- the digest still pins the
-    exact float bits, so the plumbing stays fully checked."""
+    is the long form (media_id, dim, val, decoded_ok) -- one row per
+    feature component, exact integers -- because (a) the driver
+    canonicalizes results through pandas, which cannot sort array cells,
+    and (b) the fake decoder's stripe sums are plain byte arithmetic, so
+    the long form carries a full DuckDB oracle over the same text bytes:
+    every float bit of the seam's output is value-checked cross-engine,
+    not just row-counted."""
     media = media_from_documents(spark, sf_dir)
     feats = MM.decode_features(media, fake=True)
     return feats.select(
+        "media_id", "decoded_ok", F.posexplode("feature").alias("dim", "v")
+    ).select(
         "media_id",
-        F.md5(F.to_json(F.struct(F.col("feature")))).alias("feature_md5"),
-        F.size("feature").alias("feature_dim"),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("v").cast("bigint").alias("val"),
         "decoded_ok",
     )
 
 
-@query("q_media_resize")  # rows-only: mapInPandas stage, not SQL-expressible
+@query(
+    "q_media_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           md5(string_agg(
+               text[CAST(FLOOR(i * (len(text) / 256.0)) AS INT) + 1],
+               '' ORDER BY i)) AS content_md5,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height
+    FROM (SELECT doc_id, text, unnest(range(0, 256)) AS i
+          FROM documents WHERE doc_id % 3 = 0)
+    GROUP BY doc_id, text
+    """,
+)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize seam: image rows -> fixed-resolution payloads via
     Arrow-batched ``mapInPandas`` (deterministic nearest-neighbor byte
-    resample standing in for PIL/opencv).  Returns
-    (media_id, content, width, height); output size is exactly
-    width*height bytes per row -- asserted in tests."""
+    resample standing in for PIL/opencv).  The operator returns the
+    resized binary itself (exactly width*height bytes per row -- asserted
+    in tests); the REGISTERED output digests it to
+    (media_id, content_md5, width, height) so the key carries a DuckDB
+    oracle: the fixture payload is the UTF-8 bytes of ASCII text, so the
+    oracle rebuilds the identical nearest-neighbor resample with string
+    indexing (out[i] = byte floor(i * len/256) -- the same one-rounding
+    IEEE double expression both engines evaluate identically) and md5s
+    the same bytes."""
     media = media_from_documents(spark, sf_dir)
-    return MM.resize_images(media, width=16, height=16, fake=True)
+    resized = MM.resize_images(media, width=16, height=16, fake=True)
+    return resized.select(
+        "media_id",
+        F.md5("content").alias("content_md5"),
+        "width",
+        "height",
+    )
 
 
 _FRAME = 50  # samples per analysis frame

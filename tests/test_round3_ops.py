@@ -144,13 +144,29 @@ def test_tfidf_top_is_unique_per_doc(spark, sf_dir):
 
 def test_media_resize_output_shape(spark, sf_dir):
     """Every resized image payload must be exactly width*height bytes,
-    deterministic across runs, and cover exactly the image-modality rows."""
-    out = {r.media_id: r for r in QUERIES["q_media_resize"](spark, sf_dir).collect()}
-    again = {r.media_id: r for r in QUERIES["q_media_resize"](spark, sf_dir).collect()}
+    deterministic across runs, and cover exactly the image-modality rows.
+    The REGISTERED key digests the payload (md5) so it can carry a DuckDB
+    oracle; the raw-bytes contract is asserted here on the operator, and
+    the digest key must match the operator's bytes."""
+    import hashlib
+
+    from mqtt_message_pump_spark.operators.multimodal import resize_images
+    from mqtt_message_pump_spark.plans.multimodal import media_from_documents
+
+    media = media_from_documents(spark, sf_dir)
+    out = {r.media_id: r for r in resize_images(media, 16, 16).collect()}
+    again = {r.media_id: r for r in resize_images(media, 16, 16).collect()}
     assert out
     for mid, r in out.items():
-        assert r.width == 16 and r.height == 16
         assert len(r.content) == 16 * 16
         assert bytes(r.content) == bytes(again[mid].content)
     # image modality = doc_id % 3 == 0 (element_at index 1)
     assert all(mid % 3 == 0 for mid in out)
+    reg = {
+        r.media_id: r
+        for r in QUERIES["q_media_resize"](spark, sf_dir).collect()
+    }
+    assert set(reg) == set(out)
+    for mid, r in reg.items():
+        assert r.width == 16 and r.height == 16
+        assert r.content_md5 == hashlib.md5(bytes(out[mid].content)).hexdigest()
