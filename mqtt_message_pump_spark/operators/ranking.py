@@ -44,23 +44,47 @@ def _with_rn_and_total(
     order_by: list[str | Column],
     rn_col: str,
     num_partitions: int | None,
+    materialize: bool = False,
 ) -> DataFrame:
     n_parts = (
         num_partitions
         or df.sparkSession.sparkContext.defaultParallelism
     )
-    parts = df.repartitionByRange(n_parts, *order_by).withColumn(
-        _PID, F.spark_partition_id()
+    # Local row numbers WITHOUT a window: a partitionBy(_PID) window
+    # would force a second full-data hash exchange on _PID (Catalyst
+    # cannot know the range partitions already group by partition id).
+    # Instead, sortWithinPartitions (partition-local, no exchange) then
+    # monotonically_increasing_id, whose layout is documented as
+    # partition_id * 2^33 + row-position-within-partition: subtracting
+    # the pid base yields the exact local row number, all narrow ops.
+    # Deterministic because the ordering is total (caller contract).
+    mid = F.monotonically_increasing_id()
+    local = (
+        df.repartitionByRange(n_parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn(
+            _LOCAL_RN,
+            mid - F.shiftleft(F.col(_PID).cast("long"), 33) + 1,
+        )
     )
-    w_local = Window.partitionBy(_PID).orderBy(*order_by)
-    local = parts.withColumn(_LOCAL_RN, F.row_number().over(w_local))
+    if materialize:
+        # One-pass contract for 100 TB inputs: cut the lineage so the
+        # counts branch below reads the materialized partitions instead
+        # of re-running the scan+shuffle.  Benched 2x slower than the
+        # recompute at sf0.1 (materialization I/O dominates tiny
+        # inputs), which is why it is opt-in rather than the default.
+        local = local.localCheckpoint(eager=True)
 
-    # The counts branch re-derives the range shuffle (Catalyst has no
-    # common-subplan reuse, docs/SCALE.md SS5b) but NOT the sort: column
-    # pruning drops the unused window.  Measured here, recomputing the
-    # scan+shuffle beats materializing (localCheckpoint benched 2x
-    # slower at sf0.1); at 100 TB, where a second scan is the dominant
-    # cost, persist/checkpoint `local` before ranking instead.
+    # Without materialize, the counts branch re-derives the range
+    # exchange PLAN; physically Spark's ReuseExchange rule (on by
+    # default, also under AQE) deduplicates the two identical exchanges,
+    # so both branches read the SAME shuffled bytes and the sampled
+    # range boundaries cannot diverge between them.  That reuse is the
+    # correctness invariant -- asserted structurally in
+    # tests/test_ranking.py (exactly one executed range exchange, one
+    # ReusedExchange) so a planner regression fails loudly instead of
+    # silently mis-joining counts against different boundaries.
     # One row per partition -- bounded by the partition count, so the
     # empty-partitionBy cumulative window below is NOT data-proportional.
     counts = local.groupBy(_PID).agg(F.count("*").alias("_n"))
@@ -88,6 +112,7 @@ def with_global_row_number(
     order_by: list[str | Column],
     rn_col: str = "global_rn",
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Append the exact 1-based global row number under ``order_by``.
 
@@ -95,10 +120,16 @@ def with_global_row_number(
     last column) -- with ties the split across range-partition boundaries
     would be nondeterministic.  One range shuffle + partition-local
     sorts; no global single-task sort anywhere in the plan.
+
+    ``materialize=True`` localCheckpoints the ranged data before the
+    per-partition counts branch, trading materialization I/O for a
+    single input pass -- the right trade once a second scan of the
+    input dominates (at 100 TB it always does); measured crossover in
+    ``tools/scale_probe.py``.
     """
-    return _with_rn_and_total(df, order_by, rn_col, num_partitions).drop(
-        _TOTAL
-    )
+    return _with_rn_and_total(
+        df, order_by, rn_col, num_partitions, materialize
+    ).drop(_TOTAL)
 
 
 def with_global_ntile(
@@ -107,6 +138,7 @@ def with_global_ntile(
     order_by: list[str | Column],
     bucket_col: str = "bucket",
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Append the exact NTILE(n_buckets) bucket under ``order_by``.
 
@@ -117,7 +149,7 @@ def with_global_ntile(
     stays shuffle-parallel (see :func:`with_global_row_number`).
     """
     ranked = _with_rn_and_total(
-        df, order_by, "__rank_rn", num_partitions
+        df, order_by, "__rank_rn", num_partitions, materialize
     )
     k = F.lit(n_buckets).cast("long")
     n = F.col(_TOTAL)

@@ -65,3 +65,59 @@ def test_global_ntile_is_partition_count_invariant(spark):
     assert sorted(map(tuple, a.select("k", "bucket").collect())) == sorted(
         map(tuple, b.select("k", "bucket").collect())
     )
+
+
+@pytest.mark.parametrize("materialize", [False, True])
+def test_global_row_number_materialize_paths_agree(spark, materialize):
+    """Both the recompute path and the localCheckpoint path must match
+    the serial window exactly."""
+    df = _sample(spark, 997)
+    order = [F.col("v"), F.col("k")]
+    serial = df.select(
+        "k", F.row_number().over(Window.orderBy(*order)).alias("rn")
+    )
+    dist = with_global_row_number(
+        df, order, rn_col="rn", num_partitions=8, materialize=materialize
+    ).select("k", "rn")
+    assert sorted(map(tuple, dist.collect())) == sorted(
+        map(tuple, serial.collect())
+    )
+
+
+def test_range_exchange_is_reused_not_recomputed(spark):
+    """The non-materialized plan's correctness invariant: the counts
+    branch must read the SAME range exchange as the local branch (a
+    re-sampled second exchange could pick different partition
+    boundaries, silently mis-aligning counts with local row numbers).
+    Assert the executed plan contains exactly one executed range
+    exchange plus a ReusedExchange pointing at it, and NO second
+    full-data exchange of any kind (the window-free local row number
+    must not reintroduce a hashpartitioning shuffle of the data)."""
+    df = _sample(spark, 2000)
+    ranked = with_global_row_number(
+        df, [F.col("v"), F.col("k")], rn_col="rn", num_partitions=8
+    )
+    ranked.collect()
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints the final plan followed by the initial plan;
+    # keep only the final ("== Initial Plan ==" separator)
+    final = plan.split("== Initial Plan ==")[0]
+    lines = final.splitlines()
+    executed_range = [
+        line
+        for line in lines
+        if "Exchange rangepartitioning" in line
+        and "ReusedExchange" not in line
+    ]
+    reused = [line for line in lines if "ReusedExchange" in line]
+    assert len(executed_range) == 1, final
+    assert len(reused) == 1 and "rangepartitioning" in reused[0], final
+    # the only other exchanges allowed are partition-count-bounded
+    # (counts aggregation + SinglePartition over one row per partition)
+    # or broadcast -- never a second shuffle keyed on the data itself
+    data_hash_exchanges = [
+        line
+        for line in final.splitlines()
+        if "Exchange hashpartitioning" in line and "__rank_pid" not in line
+    ]
+    assert not data_hash_exchanges, data_hash_exchanges

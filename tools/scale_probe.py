@@ -16,6 +16,13 @@ exceptions are pair-emitting candidate generators (output grows with
 duplicate multiplicity squared -- bounded in production by
 max_bucket_size) and iterative clustering over the enlarged duplicate
 components.
+
+Extra args select a key subset (for focused probes, e.g. the 25x
+pair-family run): ``python tools/scale_probe.py /root/testdata/sf0.1 25
+q_minhash_pairs_capped q_simhash_pairs``.  Besides registered keys, the
+probe defines variant pseudo-keys (``q_global_rank_mat``,
+``q_ntile_mat``) running the materialize=True ranking path so the
+recompute-vs-checkpoint crossover is measurable side by side.
 """
 
 from __future__ import annotations
@@ -50,7 +57,37 @@ PROBE_KEYS = [
     # serial empty-partitionBy window it replaced
     "q_ntile",
     "q_global_rank",
+    # round-6: the materialize=True (localCheckpoint) ranking variant,
+    # probed against the recompute default to locate the crossover
+    "q_global_rank_mat",
 ]
+
+
+def _ranking_variant(ntile: bool):
+    def run(spark, sf_dir):
+        from mqtt_message_pump_spark.operators.ranking import (
+            with_global_ntile,
+            with_global_row_number,
+        )
+        from mqtt_message_pump_spark.plans.registry import table
+
+        orders = table(spark, sf_dir, "orders")
+        order = [F.col("o_orderdate"), F.col("o_orderkey")]
+        if ntile:
+            return with_global_ntile(
+                orders, 4, order, bucket_col="quartile", materialize=True
+            ).select("o_orderkey", "quartile")
+        return with_global_row_number(
+            orders, order, materialize=True
+        ).select("o_orderkey", "global_rn")
+
+    return run
+
+
+EXTRA_KEYS = {
+    "q_global_rank_mat": _ranking_variant(ntile=False),
+    "q_ntile_mat": _ranking_variant(ntile=True),
+}
 
 SCALED = {
     "documents": ("doc_id", 10_000_000),
@@ -81,12 +118,16 @@ def build(spark, src: str, dst: str, mult: int) -> None:
         ).parquet(f"{dst}/{name}.parquet")
 
 
+def _fn(key: str):
+    return EXTRA_KEYS.get(key) or QUERIES[key]
+
+
 def timed(key: str, sf_dir: str, runs: int = 2) -> float:
     best = float("inf")
     spark = get_spark(app_name="scale-probe")
     for _ in range(runs):
         t0 = time.time()
-        df = QUERIES[key](spark, sf_dir)
+        df = _fn(key)(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     return best
@@ -95,18 +136,17 @@ def timed(key: str, sf_dir: str, runs: int = 2) -> float:
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    keys = sys.argv[3:] or PROBE_KEYS
     dst = f"/tmp/scale_probe_{mult}x"
     spark = get_spark(app_name="scale-probe")
     if not os.path.isdir(f"{dst}/documents.parquet"):
         print(f"building {dst} ({mult}x of {base}) ...", flush=True)
         build(spark, base, dst, mult)
     # warm-up
-    for k in PROBE_KEYS:
-        QUERIES[k](spark, base).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    for k in keys:
+        _fn(k)(spark, base).write.format("noop").mode("overwrite").save()
     print(f"{'key':26} {'base':>7} {f'{mult}x':>7} {'ratio':>6}")
-    for k in PROBE_KEYS:
+    for k in keys:
         a = timed(k, base)
         b = timed(k, dst)
         print(f"{k:26} {a:7.2f} {b:7.2f} {b / a:6.1f}", flush=True)
