@@ -584,42 +584,60 @@ def ivfpq_encode(
     )
 
 
-def ivfpq_topk(
-    queries: DataFrame,
+class IvfPqIndex:
+    """A built IVF-PQ index: the faiss build/search separation.
+
+    Holds the coarse quantizer (``coarse``: n_centroids x dim numpy),
+    the residual PQ codebooks (``pq_centers``: (m, k, sub) numpy +
+    the equivalent ``codebooks`` DataFrame), and the encoded corpus
+    (``codes``: the long-form (id, cell, sub_id, code) DataFrame,
+    persisted when built with ``persist=True``).  Production posture:
+    the corpus pass runs ONCE at build time; searches only read the
+    codes -- ``q_ann_ivfpq_search`` benches exactly that, and the
+    streaming PQ twin proves the frozen-codebook contract per batch.
+    """
+
+    def __init__(
+        self, coarse, pq_centers, codebooks: DataFrame, codes: DataFrame,
+        id_col: str, vec_col: str, m: int,
+    ):
+        self.coarse = coarse
+        self.pq_centers = pq_centers
+        self.codebooks = codebooks
+        self.codes = codes
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.m = m
+
+    def unpersist(self) -> None:
+        self.codes.unpersist()
+
+
+def ivfpq_build(
     candidates: DataFrame,
-    k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    n_probe: int = 3,
     m: int = 8,
     nbits: int = 4,
     seed: int = 42,
-    round_digits: int | None = 6,
     max_train: int = 100_000,
     max_iter: int = 20,
-    rerank: int | None = None,
-) -> DataFrame:
-    """IVF-PQ approximate nearest neighbors -- the production ANN stack
-    (faiss IndexIVFPQ): a coarse quantizer prunes the corpus to the
-    query's ``n_probe`` nearest cells, residual-PQ ADC scores only those
-    candidates, and (optionally) the ``k*rerank`` shortlist is re-ranked
-    with exact L2.
-
-    Where ``pq_topk`` scores EVERY candidate (linear ADC), this touches
-    ~``n_probe/n_centroids`` of the corpus per query -- the sub-linear
-    search that makes ANN viable at 100 TB.  Scale shape: index build is
-    the one corpus pass (``ivfpq_encode``, map-only Arrow kernel); the
-    query-side ADC tables are driver-computed (queries are the SMALL
-    side by contract -- the same bounded-collect posture as the
-    broadcast query set in ``brute_force_topk``) over (query, probed
-    cell, sub, code): |Q| * n_probe * m * 2**nbits rows, broadcast; the
-    search join matches codes on (cell, sub_id, code) so unprobed cells
-    never join, then one keyed sum with map-side combine.
-    """
+    persist: bool = True,
+) -> IvfPqIndex:
+    """Train the coarse quantizer + residual PQ codebooks (bounded
+    sample, seeded -- see ``pq_train_codebooks``) and encode the corpus
+    in one map-only Arrow pass (``ivfpq_encode``).  This is the ONLY
+    corpus-proportional stage of IVF-PQ; ``persist=True`` pins the
+    encoded codes so subsequent searches never re-scan the float
+    vectors (the faiss ``index.add`` analog)."""
     import numpy as np
 
     X = _collect_sample(candidates, vec_col, max_train)
+    if len(X) < 2:
+        raise ValueError(
+            f"IVF-PQ training needs >=2 sample vectors, got {len(X)}"
+        )
     coarse = _lloyd(X, n_centroids, seed - 1, max_iter)
     cells_of_sample = (
         ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
@@ -639,18 +657,59 @@ def ivfpq_topk(
         )
         for code, ctr in enumerate(centers):
             book_rows.append((j, code, [float(x) for x in ctr]))
-    spark = queries.sparkSession
+    spark = candidates.sparkSession
     codebooks = spark.createDataFrame(
         book_rows, "sub_id int, code int, centroid array<double>"
     )
+    # (m, actual_k, sub): _lloyd returns min(2**nbits, |sample|) centroids
+    # per subspace -- downstream loops use the ACTUAL count, so tiny
+    # corpora work instead of IndexError-ing on the nominal 2**nbits
     pq_centers = np.array(
-        [
-            [r[2] for r in book_rows if r[0] == j]
-            for j in range(m)
-        ]
+        [[r[2] for r in book_rows if r[0] == j] for j in range(m)]
     )
 
     codes = ivfpq_encode(candidates, coarse, codebooks, id_col, vec_col)
+    if persist:
+        codes = codes.persist()
+    return IvfPqIndex(
+        coarse, pq_centers, codebooks, codes, id_col, vec_col, m
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index: IvfPqIndex,
+    k: int = 3,
+    n_probe: int = 3,
+    round_digits: int | None = 6,
+    rerank: int | None = None,
+    candidates: DataFrame | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Search a built :class:`IvfPqIndex`: coarse-cell pruning to each
+    query's ``n_probe`` nearest cells, residual-PQ ADC over ONLY those
+    cells' codes, optional exact-L2 re-rank of the ``k*rerank``
+    shortlist (requires ``candidates`` -- the float-vector table the
+    shortlist rows are fetched from).
+
+    Scale shape: no corpus pass at all without rerank -- the query-side
+    ADC tables are driver-computed over the bounded query set
+    (|Q| * n_probe * m * 2**nbits rows, broadcast), the search join
+    matches codes on (cell, sub_id, code) so unprobed cells never join,
+    then one keyed sum with map-side combine; with rerank, one
+    broadcast-shortlist pass over ``candidates`` fetches just the
+    shortlisted vectors.
+    """
+    import numpy as np
+
+    id_col = id_col or index.id_col
+    vec_col = vec_col or index.vec_col
+    m = index.m
+    coarse, pq_centers = index.coarse, index.pq_centers
+    sub = coarse.shape[1] // m
+    actual_k = pq_centers.shape[1]
+    spark = queries.sparkSession
 
     # query side: probe lists + per-(query, cell) residual ADC tables,
     # all driver-side numpy over the bounded query set
@@ -668,7 +727,7 @@ def ivfpq_topk(
             Rs = resid.reshape(m, sub)
             d = ((Rs[:, None, :] - pq_centers) ** 2).sum(-1)  # (m, k)
             for j in range(m):
-                for code in range(kk):
+                for code in range(actual_k):
                     adc_rows.append(
                         (
                             r["query_id"],
@@ -678,13 +737,16 @@ def ivfpq_topk(
                             float(d[j, code]),
                         )
                     )
+    # carry the caller's id type through (string/int query ids work the
+    # same as pq_encode's dynamic id_type -- not hardcoded to long)
+    qid_type = dict(queries.dtypes)[id_col]
     adc = spark.createDataFrame(
         adc_rows,
-        "query_id long, cell int, sub_id int, code int, d2 double",
+        f"query_id {qid_type}, cell int, sub_id int, code int, d2 double",
     )
 
     dist = (
-        codes.withColumnRenamed(id_col, "cand_id")
+        index.codes.withColumnRenamed(id_col, "cand_id")
         .join(F.broadcast(adc), ["cell", "sub_id", "code"])
         .filter(F.col("query_id") != F.col("cand_id"))
         .groupBy("query_id", "cand_id")
@@ -694,6 +756,10 @@ def ivfpq_topk(
         F.asc("pq_dist"), F.asc("cand_id")
     )
     if rerank is not None:
+        if candidates is None:
+            raise ValueError(
+                "rerank requires the candidates float-vector table"
+            )
         shortlist = (
             dist.withColumn("adc_rank", F.row_number().over(w))
             .filter(F.col("adc_rank") <= k * rerank)
@@ -721,4 +787,45 @@ def ivfpq_topk(
         dist = dist.withColumn("pq_dist", F.round("pq_dist", round_digits))
     return dist.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    round_digits: int | None = 6,
+    max_train: int = 100_000,
+    max_iter: int = 20,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors -- the production ANN stack
+    (faiss IndexIVFPQ): a coarse quantizer prunes the corpus to the
+    query's ``n_probe`` nearest cells, residual-PQ ADC scores only those
+    candidates, and (optionally) the ``k*rerank`` shortlist is re-ranked
+    with exact L2.
+
+    One-shot convenience over :func:`ivfpq_build` +
+    :func:`ivfpq_search` (identical numerics: same seeds, same training
+    order).  Where ``pq_topk`` scores EVERY candidate (linear ADC), the
+    search touches ~``n_probe/n_centroids`` of the corpus per query --
+    the sub-linear search that makes ANN viable at 100 TB.  Production
+    (and the registered ``q_ann_ivfpq_search`` key) builds the index
+    once and searches it many times instead.
+    """
+    index = ivfpq_build(
+        candidates, id_col, vec_col, n_centroids=n_centroids, m=m,
+        nbits=nbits, seed=seed, max_train=max_train, max_iter=max_iter,
+        persist=False,
+    )
+    return ivfpq_search(
+        queries, index, k=k, n_probe=n_probe, round_digits=round_digits,
+        rerank=rerank, candidates=candidates,
     )

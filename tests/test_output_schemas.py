@@ -5,8 +5,16 @@ cells crash its sort (``TypeError: unhashable type: 'list'``), struct
 cells are at best fragile, and DECIMAL renders differently across
 engines.  Any such column in a registered output is therefore a
 correctness-gate failure even when the values are right -- this test
-pins the invariant at plan-analysis time (schema resolution only, no
-execution), so it stays fast enough for every pytest run.
+pins the invariant at schema-resolution time: no job RUNS for most
+keys, but constructing a DataFrame is not free for all of them.  The
+ANN plan builders (q_pq_codes / q_ann_pq / q_ann_ivfpq[_search]) train
+their codebooks driver-side while BUILDING the plan (bounded sample
+collect + numpy Lloyd's -- a deliberate design: the codebook is plan
+metadata, like a broadcast literal), so those keys each cost a few
+driver-side seconds here.  Accepted: at sf0.001 the whole
+parametrized sweep stays ~1 min, and the build-per-plan posture is
+exactly what the persisted-index q_ann_ivfpq_search key exists to
+amortize at query time.
 """
 
 from __future__ import annotations
