@@ -1,0 +1,368 @@
+"""Minimal in-process MQTT 3.1.1 broker + client (pure stdlib TCP).
+
+Why this exists: the test container has neither a ``mosquitto`` binary
+nor ``paho-mqtt``, so the live-broker path of the MQTT source
+(``sources/mqtt.py``) would otherwise only ever be exercised through an
+in-memory fake.  This module implements just enough of the public MQTT
+3.1.1 wire protocol (OASIS spec: CONNECT/CONNACK, SUBSCRIBE/SUBACK,
+PUBLISH/PUBACK, PINGREQ/PINGRESP, DISCONNECT) for a REAL network
+round-trip: ``MiniBroker`` is a threaded TCP broker with +/# topic-filter
+routing, ``MiniMqttClient`` a socket client exposing the same surface the
+reader needs from Paho (``on_message`` / ``subscribe`` / ``loop_start`` /
+``loop_stop`` / ``disconnect``), and ``minimqtt_client_factory`` the
+drop-in ``client_factory`` for ``MqttStreamReader``.
+
+It is a test/dev loopback, not a production broker: QoS 0/1 only (no
+QoS 2 handshake, no retained messages, no persistent sessions), and the
+broker can deliberately REDELIVER every QoS-1 publish with DUP=1
+(``redeliver_qos1=True``) -- forcing the at-least-once duplication that
+real brokers only produce on connection loss, so the packet-id dedup
+path is testable end-to-end (reference parity: ``mqtt.go:117-126``
+delivers Paho messages with mid/dup; ``SURVEY.md SS2.6``).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import time
+from types import SimpleNamespace
+
+CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+SUBSCRIBE, SUBACK, PINGREQ, PINGRESP, DISCONNECT = 8, 9, 12, 13, 14
+
+
+def _encode_len(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        d, n = n % 128, n // 128
+        out.append(d | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _encode_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        buf += chunk
+    return buf
+
+
+def _read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
+    """Read one MQTT control packet: (type, flags, body)."""
+    head = _read_exact(sock, 1)[0]
+    length, shift = 0, 0
+    while True:
+        b = _read_exact(sock, 1)[0]
+        length |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    body = _read_exact(sock, length) if length else b""
+    return head >> 4, head & 0x0F, body
+
+
+def _packet(ptype: int, flags: int, body: bytes) -> bytes:
+    return bytes([(ptype << 4) | flags]) + _encode_len(len(body)) + body
+
+
+def topic_matches(flt: str, topic: str) -> bool:
+    """MQTT 3.1.1 topic-filter matching: ``+`` one level, ``#`` suffix."""
+    fparts, tparts = flt.split("/"), topic.split("/")
+    for i, fp in enumerate(fparts):
+        if fp == "#":
+            return True
+        if i >= len(tparts) or (fp != "+" and fp != tparts[i]):
+            return False
+    return len(fparts) == len(tparts)
+
+
+class MiniBroker:
+    """Threaded loopback MQTT 3.1.1 broker bound to 127.0.0.1.
+
+    ``redeliver_qos1=True`` delivers every QoS-1 publish to each matching
+    subscriber TWICE -- second copy with DUP=1 and the same packet id --
+    modelling the at-least-once redelivery window of a real broker after
+    an unacknowledged delivery.
+    """
+
+    def __init__(self, port: int = 0, redeliver_qos1: bool = False):
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", port))
+        self._srv.listen(16)
+        self.port = self._srv.getsockname()[1]
+        self.redeliver_qos1 = redeliver_qos1
+        self._lock = threading.Lock()
+        # conn -> {"sock", "wlock", "mid", "subs": [(filter, qos)]}
+        self._conns: dict[int, dict] = {}
+        self._next_conn = 0
+        self._stopped = threading.Event()
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True
+        )
+        self._accept_thread.start()
+
+    # ------------------------------------------------------------ server
+    def _accept_loop(self) -> None:
+        while not self._stopped.is_set():
+            try:
+                sock, _ = self._srv.accept()
+            except OSError:
+                return
+            with self._lock:
+                cid = self._next_conn
+                self._next_conn += 1
+                self._conns[cid] = {
+                    "sock": sock,
+                    "wlock": threading.Lock(),
+                    "mid": 0,
+                    "subs": [],
+                }
+            threading.Thread(
+                target=self._serve, args=(cid,), daemon=True
+            ).start()
+
+    def _send(self, conn: dict, data: bytes) -> None:
+        with conn["wlock"]:
+            conn["sock"].sendall(data)
+
+    def _serve(self, cid: int) -> None:
+        conn = self._conns[cid]
+        sock = conn["sock"]
+        try:
+            while True:
+                ptype, flags, body = _read_packet(sock)
+                if ptype == CONNECT:
+                    self._send(conn, _packet(CONNACK, 0, b"\x00\x00"))
+                elif ptype == SUBSCRIBE:
+                    (pid,) = struct.unpack(">H", body[:2])
+                    i, granted = 2, []
+                    while i < len(body):
+                        (tl,) = struct.unpack(">H", body[i : i + 2])
+                        flt = body[i + 2 : i + 2 + tl].decode("utf-8")
+                        qos = body[i + 2 + tl]
+                        i += 3 + tl
+                        with self._lock:
+                            conn["subs"].append((flt, qos))
+                        granted.append(min(qos, 1))
+                    self._send(
+                        conn,
+                        _packet(
+                            SUBACK,
+                            0,
+                            struct.pack(">H", pid) + bytes(granted),
+                        ),
+                    )
+                elif ptype == PUBLISH:
+                    qos = (flags >> 1) & 0x03
+                    (tl,) = struct.unpack(">H", body[:2])
+                    topic = body[2 : 2 + tl].decode("utf-8")
+                    i = 2 + tl
+                    if qos:
+                        (pid,) = struct.unpack(">H", body[i : i + 2])
+                        i += 2
+                        self._send(
+                            conn, _packet(PUBACK, 0, struct.pack(">H", pid))
+                        )
+                    self._route(topic, body[i:], qos)
+                elif ptype == PINGREQ:
+                    self._send(conn, _packet(PINGRESP, 0, b""))
+                elif ptype == PUBACK:
+                    pass  # QoS-1 ack from a subscriber; nothing tracked
+                elif ptype == DISCONNECT:
+                    break
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            with self._lock:
+                self._conns.pop(cid, None)
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _route(self, topic: str, payload: bytes, pub_qos: int) -> None:
+        with self._lock:
+            targets = [
+                (conn, min(pub_qos, max(q for f, q in conn["subs"]
+                                        if topic_matches(f, topic))))
+                for conn in self._conns.values()
+                if any(topic_matches(f, topic) for f, _ in conn["subs"])
+            ]
+        for conn, qos in targets:
+            head = _encode_str(topic)
+            if qos:
+                conn["mid"] = conn["mid"] % 65535 + 1
+                pid = conn["mid"]
+                head += struct.pack(">H", pid)
+            try:
+                self._send(conn, _packet(PUBLISH, qos << 1, head + payload))
+                if qos and self.redeliver_qos1:
+                    # deliberate at-least-once duplicate: same packet id,
+                    # DUP flag set (MQTT 3.1.1 SS3.3.1.1)
+                    self._send(
+                        conn,
+                        _packet(PUBLISH, 0x08 | (qos << 1), head + payload),
+                    )
+            except OSError:
+                pass
+
+    # ------------------------------------------------------------- admin
+    def wait_for_subscription(self, topic: str, timeout: float = 5.0) -> bool:
+        """Block until some connection's filter matches ``topic`` (lets a
+        test publisher start only once the reader is subscribed)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._lock:
+                for conn in self._conns.values():
+                    if any(
+                        topic_matches(f, topic) for f, _ in conn["subs"]
+                    ):
+                        return True
+            time.sleep(0.01)
+        return False
+
+    def stop(self) -> None:
+        self._stopped.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        with self._lock:
+            conns = list(self._conns.values())
+        for conn in conns:
+            try:
+                conn["sock"].close()
+            except OSError:
+                pass
+
+
+class MiniMqttClient:
+    """Socket MQTT 3.1.1 client with the Paho sub-surface the stream
+    reader uses: ``on_message(client, userdata, msg)`` where ``msg`` has
+    ``topic`` / ``payload`` / ``mid`` / ``dup``, plus ``subscribe`` /
+    ``loop_start`` / ``loop_stop`` / ``disconnect`` / ``publish``."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "",
+        clean_session: bool = True,
+        timeout: float = 10.0,
+    ):
+        self.on_message = None
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._wlock = threading.Lock()
+        self._suback = threading.Event()
+        self._pid = 0
+        self._looping = False
+        flags = 0x02 if clean_session else 0x00
+        body = (
+            _encode_str("MQTT")
+            + bytes([4, flags])
+            + struct.pack(">H", 60)
+            + _encode_str(client_id or f"mini-{id(self):x}")
+        )
+        self._send(_packet(CONNECT, 0, body))
+        ptype, _, _ = _read_packet(self._sock)
+        if ptype != CONNACK:
+            raise ConnectionError(f"expected CONNACK, got type {ptype}")
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def _send(self, data: bytes) -> None:
+        with self._wlock:
+            self._sock.sendall(data)
+
+    def _read_loop(self) -> None:
+        try:
+            while True:
+                ptype, flags, body = _read_packet(self._sock)
+                if ptype == PUBLISH:
+                    qos = (flags >> 1) & 0x03
+                    dup = bool(flags & 0x08)
+                    (tl,) = struct.unpack(">H", body[:2])
+                    topic = body[2 : 2 + tl].decode("utf-8")
+                    i = 2 + tl
+                    mid = 0
+                    if qos:
+                        (mid,) = struct.unpack(">H", body[i : i + 2])
+                        i += 2
+                        self._send(_packet(PUBACK, 0, struct.pack(">H", mid)))
+                    cb = self.on_message
+                    if cb is not None:
+                        cb(
+                            self,
+                            None,
+                            SimpleNamespace(
+                                topic=topic,
+                                payload=body[i:],
+                                mid=mid,
+                                dup=dup,
+                            ),
+                        )
+                elif ptype == SUBACK:
+                    self._suback.set()
+        except (ConnectionError, OSError):
+            return
+
+    def subscribe(self, topic: str, qos: int = 0) -> None:
+        self._pid = self._pid % 65535 + 1
+        self._suback.clear()
+        body = (
+            struct.pack(">H", self._pid) + _encode_str(topic) + bytes([qos])
+        )
+        self._send(_packet(SUBSCRIBE, 0x02, body))
+        if not self._suback.wait(timeout=5.0):
+            raise ConnectionError(f"no SUBACK for {topic!r}")
+
+    def publish(self, topic: str, payload: bytes, qos: int = 0) -> None:
+        head = _encode_str(topic)
+        if qos:
+            self._pid = self._pid % 65535 + 1
+            head += struct.pack(">H", self._pid)
+        self._send(_packet(PUBLISH, qos << 1, head + payload))
+
+    def loop_start(self) -> None:
+        self._looping = True  # reader thread runs from connect; flag only
+
+    def loop_stop(self) -> None:
+        self._looping = False
+
+    def disconnect(self) -> None:
+        try:
+            self._send(_packet(DISCONNECT, 0, b""))
+        except OSError:
+            pass
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def minimqtt_client_factory(options) -> MiniMqttClient:
+    """``client_factory`` drop-in for ``MqttStreamReader`` mirroring
+    ``_paho_client_factory``'s option parsing (server / client_name /
+    clean_session)."""
+    from mqtt_message_pump_spark.sources.mqtt import clean_session_flag
+
+    server = options.get("server", "tcp://127.0.0.1:1883")
+    host = server.split("://", 1)[-1].rsplit(":", 1)[0]
+    port = int(server.rsplit(":", 1)[-1])
+    return MiniMqttClient(
+        host,
+        port,
+        client_id=options.get("client_name", ""),
+        clean_session=clean_session_flag(options),
+    )
