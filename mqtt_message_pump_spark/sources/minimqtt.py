@@ -119,6 +119,13 @@ class MiniBroker:
                 sock, _ = self._srv.accept()
             except OSError:
                 return
+            if self._stopped.is_set():
+                # stop() raced the accept: refuse, don't serve
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                return
             with self._lock:
                 cid = self._next_conn
                 self._next_conn += 1
@@ -192,18 +199,25 @@ class MiniBroker:
                 pass
 
     def _route(self, topic: str, payload: bytes, pub_qos: int) -> None:
+        # Packet ids are assigned INSIDE the lock: concurrent publishers
+        # routing to the same subscriber must not race conn["mid"]'s
+        # read-modify-write, or two distinct messages could share a packet
+        # id and be wrongly collapsed by the mid-based dedup under test.
         with self._lock:
-            targets = [
-                (conn, min(pub_qos, max(q for f, q in conn["subs"]
-                                        if topic_matches(f, topic))))
-                for conn in self._conns.values()
-                if any(topic_matches(f, topic) for f, _ in conn["subs"])
-            ]
-        for conn, qos in targets:
+            targets = []
+            for conn in self._conns.values():
+                if not any(topic_matches(f, topic) for f, _ in conn["subs"]):
+                    continue
+                qos = min(pub_qos, max(q for f, q in conn["subs"]
+                                       if topic_matches(f, topic)))
+                pid = 0
+                if qos:
+                    conn["mid"] = conn["mid"] % 65535 + 1
+                    pid = conn["mid"]
+                targets.append((conn, qos, pid))
+        for conn, qos, pid in targets:
             head = _encode_str(topic)
             if qos:
-                conn["mid"] = conn["mid"] % 65535 + 1
-                pid = conn["mid"]
                 head += struct.pack(">H", pid)
             try:
                 self._send(conn, _packet(PUBLISH, qos << 1, head + payload))
@@ -234,6 +248,14 @@ class MiniBroker:
 
     def stop(self) -> None:
         self._stopped.set()
+        try:
+            # shutdown() (not just close()) is required: close() alone does
+            # not wake a thread blocked in accept(), and the kernel keeps
+            # the listening socket alive -- the "stopped" broker would keep
+            # accepting connections.  shutdown wakes accept with an error.
+            self._srv.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._srv.close()
         except OSError:
@@ -267,6 +289,12 @@ class MiniMqttClient:
         self._suback = threading.Event()
         self._pid = 0
         self._looping = False
+        # In-flight QoS-1 publishes awaiting PUBACK.  Drained before
+        # DISCONNECT: closing the socket with unread PUBACKs pending can
+        # RST the connection and destroy publishes the broker has not yet
+        # read from its receive buffer.
+        self._pending_acks: set[int] = set()
+        self._ack_cv = threading.Condition()
         flags = 0x02 if clean_session else 0x00
         body = (
             _encode_str("MQTT")
@@ -278,6 +306,10 @@ class MiniMqttClient:
         ptype, _, _ = _read_packet(self._sock)
         if ptype != CONNACK:
             raise ConnectionError(f"expected CONNACK, got type {ptype}")
+        # The connect timeout must not outlive the handshake: left on, an
+        # idle subscriber's recv would raise socket.timeout after 10 s and
+        # silently kill _read_loop while the client looks connected.
+        self._sock.settimeout(None)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
 
@@ -314,6 +346,11 @@ class MiniMqttClient:
                         )
                 elif ptype == SUBACK:
                     self._suback.set()
+                elif ptype == PUBACK:
+                    (mid,) = struct.unpack(">H", body[:2])
+                    with self._ack_cv:
+                        self._pending_acks.discard(mid)
+                        self._ack_cv.notify_all()
         except (ConnectionError, OSError):
             return
 
@@ -332,7 +369,19 @@ class MiniMqttClient:
         if qos:
             self._pid = self._pid % 65535 + 1
             head += struct.pack(">H", self._pid)
+            with self._ack_cv:
+                self._pending_acks.add(self._pid)
         self._send(_packet(PUBLISH, qos << 1, head + payload))
+
+    def wait_for_acks(self, timeout: float = 5.0) -> bool:
+        """Block until every in-flight QoS-1 publish has been PUBACKed."""
+        deadline = time.time() + timeout
+        with self._ack_cv:
+            while self._pending_acks:
+                remaining = deadline - time.time()
+                if remaining <= 0 or not self._ack_cv.wait(remaining):
+                    return False
+            return True
 
     def loop_start(self) -> None:
         self._looping = True  # reader thread runs from connect; flag only
@@ -341,6 +390,7 @@ class MiniMqttClient:
         self._looping = False
 
     def disconnect(self) -> None:
+        self.wait_for_acks()
         try:
             self._send(_packet(DISCONNECT, 0, b""))
         except OSError:

@@ -1,0 +1,250 @@
+"""Live-TCP MQTT loopback: ``MqttStreamReader`` driven end-to-end over a
+real socket against the in-process ``MiniBroker`` (no paho, no mosquitto).
+
+This is the wire-level complement to ``test_mqtt_source.py``'s in-memory
+fake: every byte here crosses a loopback TCP connection through the MQTT
+3.1.1 framing in ``sources/minimqtt.py``.  Covers reference behavior the
+fake cannot: QoS-1 DUP redelivery carrying the SAME packet id
+(``mqtt.go:117-126`` surfaces mid/dup from Paho), per-micro-batch
+reconnect after a broker outage (``mqtt.go:41`` AutoReconnect), and +/#
+topic-filter routing done by a broker rather than the test itself.
+"""
+
+from __future__ import annotations
+
+import datetime
+import threading
+import time
+
+import pytest
+
+from mqtt_message_pump_spark.sources.minimqtt import (
+    MiniBroker,
+    MiniMqttClient,
+    minimqtt_client_factory,
+    topic_matches,
+)
+from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+
+@pytest.fixture
+def broker():
+    b = MiniBroker()
+    yield b
+    b.stop()
+
+
+def _reader(port: int, *, group_num="0", qos="0", timeout="5", **extra):
+    opts = {
+        "server": f"tcp://127.0.0.1:{port}",
+        "group_num": group_num,
+        "topic_root": "pump/",
+        "topic_prefix": "g",
+        "qos": qos,
+        "poll_timeout_secs": timeout,
+        **extra,
+    }
+    return MqttStreamReader(opts, client_factory=minimqtt_client_factory)
+
+
+def _publish_when_subscribed(
+    broker: MiniBroker, topic: str, payloads: list[bytes], qos: int = 0
+) -> threading.Thread:
+    """Background publisher that waits until some connection's filter
+    matches ``topic`` (the reader subscribing) before sending."""
+
+    def run():
+        assert broker.wait_for_subscription(topic, timeout=5.0)
+        pub = MiniMqttClient("127.0.0.1", broker.port, client_id="pub")
+        for p in payloads:
+            pub.publish(topic, p, qos=qos)
+        pub.disconnect()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+def test_live_tcp_end_to_end(broker):
+    """Reader -> broker -> publisher round-trip over real TCP: rows come
+    back with decoded payloads, wildcard-matched topics, receipt stamps."""
+    reader = _reader(broker.port)
+    t = _publish_when_subscribed(
+        broker, "pump/g/7", [b'{"k": 0}', b'{"k": 1}', b'{"k": 2}']
+    )
+    part = reader.partitions({"0": 0}, {"0": 3})[0]
+    rows = list(reader.read(part))
+    t.join(timeout=5)
+    assert [r[1] for r in rows] == ['{"k": 0}', '{"k": 1}', '{"k": 2}']
+    assert all(r[0] == "pump/g/7" for r in rows)  # matched via pump/g/#
+    assert all(isinstance(r[2], float) for r in rows)
+    # QoS-0 publishes carry no packet id and are never DUP
+    assert all(r[3] == 0 and r[4] is False for r in rows)
+
+
+def test_live_qos1_dup_redelivery_dedup(broker, spark):
+    """QoS-1 with the broker forced into at-least-once redelivery: each
+    message arrives TWICE over the wire (second with DUP=1, same packet
+    id), and ``dedupe_redeliveries`` collapses the replays exactly."""
+    from mqtt_message_pump_spark.streaming.pump import dedupe_redeliveries
+
+    broker.redeliver_qos1 = True
+    reader = _reader(broker.port, qos="1")
+    payloads = [b'{"k": 1}', b'{"k": 2}', b'{"k": 3}']
+    t = _publish_when_subscribed(broker, "pump/g/0", payloads, qos=1)
+    part = reader.partitions({"0": 0}, {"0": 6})[0]
+    rows = list(reader.read(part))
+    t.join(timeout=5)
+    assert len(rows) == 6
+
+    originals = [r for r in rows if r[4] is False]
+    dups = [r for r in rows if r[4] is True]
+    assert len(originals) == 3 and len(dups) == 3
+    # the redelivery reuses the ORIGINAL packet id (MQTT 3.1.1 §3.3.1.1);
+    # three distinct messages got three distinct ids (broker assigns
+    # under its lock, so no id is ever shared by two distinct messages)
+    assert sorted(r[3] for r in dups) == sorted(r[3] for r in originals)
+    assert len({r[3] for r in originals}) == 3
+
+    epoch = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (r[0], r[1], epoch + datetime.timedelta(seconds=i), r[3], r[4])
+            for i, r in enumerate(rows)
+        ],
+        "topic string, payload string, received_time timestamp, "
+        "packet_id long, dup boolean",
+    )
+    out = dedupe_redeliveries(df)
+    assert out.count() == 3
+    assert sorted(
+        r.payload for r in out.select("payload").collect()
+    ) == ['{"k": 1}', '{"k": 2}', '{"k": 3}']
+
+
+def test_live_group_partition_topics(broker):
+    """Fan-out mode over real TCP: each group partition's client
+    subscribes to ITS exact group topic; the broker routes per-filter, so
+    a group sees only its own traffic (``mqtt.go:72-77``)."""
+    reader = _reader(broker.port, group_num="2", timeout="2")
+    t0 = _publish_when_subscribed(broker, "pump/g/0", [b"a0", b"b0"])
+    part0 = reader.partitions({"0": 0, "1": 0}, {"0": 2, "1": 0})[0]
+    rows0 = list(reader.read(part0))
+    t0.join(timeout=5)
+    assert [r[1] for r in rows0] == ["a0", "b0"]
+    assert all(r[0] == "pump/g/0" for r in rows0)
+
+    # group 1's subscription (exact topic pump/g/1) must NOT see g/0 traffic
+    def publish_both():
+        assert broker.wait_for_subscription("pump/g/1", timeout=5.0)
+        pub = MiniMqttClient("127.0.0.1", broker.port, client_id="pub2")
+        pub.publish("pump/g/0", b"stray", qos=0)
+        pub.publish("pump/g/1", b"mine", qos=0)
+        pub.disconnect()
+
+    t1 = threading.Thread(target=publish_both, daemon=True)
+    t1.start()
+    part1 = reader.partitions({"0": 0, "1": 0}, {"0": 0, "1": 1})[1]
+    rows1 = list(reader.read(part1))
+    t1.join(timeout=5)
+    assert [(r[0], r[1]) for r in rows1] == [("pump/g/1", b"mine".decode())]
+
+
+def test_live_broker_restart_reconnect(broker):
+    """Per-micro-batch reconnect (the reference relies on Paho
+    AutoReconnect, ``mqtt.go:41``; our reader builds a fresh client per
+    batch): a batch read during broker downtime fails loudly, and the
+    next batch connects cleanly to a broker restarted on the SAME port."""
+    port = broker.port
+    reader = _reader(port, timeout="3")
+    t = _publish_when_subscribed(broker, "pump/g/1", [b"one"])
+    rows = list(reader.read(reader.partitions({"0": 0}, {"0": 1})[0]))
+    t.join(timeout=5)
+    assert [r[1] for r in rows] == ["one"]
+
+    # broker dies mid-stream: the NEXT micro-batch's connect attempt must
+    # surface an error (Spark then retries the task), not hang silently
+    broker.stop()
+    with pytest.raises(OSError):
+        list(reader.read(reader.partitions({"0": 0}, {"0": 1})[0]))
+
+    # broker comes back on the same port; a fresh micro-batch reconnects
+    revived = MiniBroker(port=port)
+    try:
+        t2 = _publish_when_subscribed(revived, "pump/g/1", [b"two", b"three"])
+        rows2 = list(reader.read(reader.partitions({"0": 0}, {"0": 2})[0]))
+        t2.join(timeout=5)
+        assert [r[1] for r in rows2] == ["two", "three"]
+    finally:
+        revived.stop()
+
+
+def test_live_idle_connection_survives_quiet_period(broker):
+    """The client clears its connect timeout after CONNACK: a subscriber
+    idle past the 10 s handshake timeout must keep its read loop alive
+    (regression: socket.timeout used to silently kill ``_read_loop``).
+    Tested with a shortened handshake timeout so the test stays fast."""
+    got = []
+    sub = MiniMqttClient(
+        "127.0.0.1", broker.port, client_id="idle-sub", timeout=0.3
+    )
+    sub.on_message = lambda c, u, m: got.append(m.payload)
+    sub.subscribe("quiet/topic", qos=0)
+    time.sleep(0.8)  # idle well past the 0.3 s connect timeout
+    pub = MiniMqttClient("127.0.0.1", broker.port, client_id="late-pub")
+    pub.publish("quiet/topic", b"still-alive", qos=0)
+    deadline = time.time() + 5
+    while not got and time.time() < deadline:
+        time.sleep(0.02)
+    pub.disconnect()
+    sub.disconnect()
+    assert got == [b"still-alive"]
+
+
+def test_concurrent_publishers_unique_packet_ids(broker):
+    """Packet ids are assigned under the broker lock: many concurrent
+    QoS-1 publishers routing to one subscriber must never hand two
+    DISTINCT messages the same packet id (which mid-keyed dedup would
+    wrongly collapse)."""
+    n_pub, per_pub = 8, 25
+    got: list[tuple[int, bytes]] = []
+    got_lock = threading.Lock()
+    sub = MiniMqttClient("127.0.0.1", broker.port, client_id="sub")
+
+    def on_msg(c, u, m):
+        with got_lock:
+            got.append((m.mid, m.payload))
+
+    sub.on_message = on_msg
+    sub.subscribe("race/#", qos=1)
+
+    def pump(i: int):
+        pub = MiniMqttClient("127.0.0.1", broker.port, client_id=f"p{i}")
+        for j in range(per_pub):
+            pub.publish(f"race/{i}", f"{i}:{j}".encode(), qos=1)
+        pub.disconnect()
+
+    threads = [threading.Thread(target=pump, args=(i,)) for i in range(n_pub)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        with got_lock:
+            if len(got) >= n_pub * per_pub:
+                break
+        time.sleep(0.02)
+    sub.disconnect()
+    assert len(got) == n_pub * per_pub
+    # every delivery got a distinct id (no wrap at 200 < 65535)
+    assert len({mid for mid, _ in got}) == n_pub * per_pub
+
+
+def test_topic_filter_semantics():
+    """MQTT 3.1.1 +/# filter matching used by the broker's router."""
+    assert topic_matches("a/+/c", "a/b/c")
+    assert not topic_matches("a/+/c", "a/b/d")
+    assert topic_matches("a/#", "a/b/c/d")
+    assert topic_matches("#", "anything/at/all")
+    assert not topic_matches("a/b", "a/b/c")
+    assert not topic_matches("a/b/c", "a/b")
