@@ -21,6 +21,7 @@ Design (the part that must be right at 100 TB):
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -104,24 +105,42 @@ def _fake_feature(content: bytes) -> np.ndarray:
 def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Binary -> feature vector via ``mapInPandas`` (Arrow batches).
 
-    With ``fake=False`` this is the production seam: swap ``_fake_feature``
-    for a real decoder.  Batch shape: the iterator yields one pandas
-    DataFrame per Arrow batch, so per-batch library setup is amortized.
+    ``fake=True`` (the registered default): deterministic stripe-sum over
+    the RAW payload bytes -- fully DuckDB-oracle-able.  ``fake=False``:
+    REAL decode through ``operators.imagecodec`` (PIL when installed,
+    else the pure-python PNG/BMP decoder), then the same stripe-sum over
+    the DECODED pixel bytes; rows whose bytes don't decode get a zero
+    feature with ``decoded_ok=False`` instead of failing the Arrow batch
+    task (corrupt-row isolation, same policy as the sink path B4).
+    Batch shape: the iterator yields one pandas DataFrame per Arrow
+    batch, so per-batch library setup is amortized.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from mqtt_message_pump_spark.operators.imagecodec import (
+                decode_image,
+            )
         for batch in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/opencv/ffmpeg, "
-                    "not available in this environment"
-                )
-            feats = [_fake_feature(bytes(b)) for b in batch["content"]]
+            feats, oks = [], []
+            for b in batch["content"]:
+                raw = b"" if b is None else bytes(b)
+                if fake:
+                    feats.append(_fake_feature(raw))
+                    oks.append(True)
+                    continue
+                try:
+                    pixels = decode_image(raw)
+                    feats.append(_fake_feature(pixels.tobytes()))
+                    oks.append(True)
+                except (ValueError, zlib.error, struct.error, IndexError):
+                    feats.append(np.zeros(FEATURE_DIM, dtype=np.float32))
+                    oks.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],
                     "feature": [f.tolist() for f in feats],
-                    "decoded_ok": True,
+                    "decoded_ok": oks,
                 }
             )
 
@@ -177,24 +196,39 @@ def resize_images(
     columns the resampler needs are shipped through Arrow -- metadata
     stays JVM-side.
 
-    With ``fake=True`` the "resample" is a deterministic byte resample
-    (nearest-neighbor over the payload, giving exactly width*height
-    output bytes) so the plumbing -- schema, batch iteration, column
-    pruning, output sizing -- is real and testable without PIL/opencv;
-    ``fake=False`` is the production seam where a real decoder drops in.
+    With ``fake=True`` (the registered default) the "resample" is a
+    deterministic byte resample (nearest-neighbor over the payload,
+    giving exactly width*height output bytes) so the plumbing -- schema,
+    batch iteration, column pruning, output sizing -- is real and
+    testable without PIL/opencv, and the output is DuckDB-oracle-able.
+    ``fake=False`` is the REAL path: decode via ``operators.imagecodec``
+    (PIL when installed, else pure-python PNG/BMP), nearest-neighbor
+    resample the pixel grid, re-encode as PNG; undecodable rows emit a
+    black PNG of the contracted size rather than failing the batch task.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from mqtt_message_pump_spark.operators.imagecodec import (
+                decode_image,
+                encode_png,
+                nearest_resize,
+            )
         for batch in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resizing requires PIL/opencv, "
-                    "not available in this environment"
-                )
             out = []
             n_out = width * height
             for b in batch["content"]:
                 raw = b"" if b is None else bytes(b)
+                if not fake:
+                    try:
+                        pixels = decode_image(raw)
+                        out.append(
+                            encode_png(nearest_resize(pixels, width, height))
+                        )
+                    except (ValueError, zlib.error, struct.error, IndexError):
+                        black = np.zeros((height, width, 3), dtype=np.uint8)
+                        out.append(encode_png(black))
+                    continue
                 if not raw:
                     # NULL or zero-length payload: nothing to sample from --
                     # emit a zero frame of the contracted size rather than
