@@ -612,6 +612,67 @@ class IvfPqIndex:
     def unpersist(self) -> None:
         self.codes.unpersist()
 
+    def save(self, path: str) -> None:
+        """Persist the index to storage (the faiss ``write_index``
+        analog): codes + codebooks + coarse centroids + meta, each a
+        parquet table under ``path``, so a 100 TB corpus is encoded once
+        and searched from ANY later session.  Everything goes through
+        Spark writers -- no driver-local filesystem assumptions, so the
+        path can be HDFS/S3/local alike.  The corpus-proportional part
+        (``codes``) writes distributed; coarse/codebooks/meta are
+        KB-sized."""
+        import numpy as np
+
+        spark = self.codes.sparkSession
+        # exactly-once overwrite semantics: a re-save replaces the index
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+        coarse_rows = [
+            (int(c), [float(x) for x in row])
+            for c, row in enumerate(np.asarray(self.coarse))
+        ]
+        spark.createDataFrame(
+            coarse_rows, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+        spark.createDataFrame(
+            [(self.id_col, self.vec_col, int(self.m))],
+            "id_col string, vec_col string, m int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        """Reload a :meth:`save`-d index (faiss ``read_index`` analog).
+        float64 centroids round-trip bit-exactly through parquet doubles,
+        so a loaded index is search-result-IDENTICAL to the in-session
+        one (asserted in ``tests/test_round7_ops.py``).  Only the
+        KB-sized coarse/codebook tables are collected; the codes stay a
+        lazy distributed scan."""
+        import numpy as np
+
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        coarse_rows = spark.read.parquet(f"{path}/coarse").collect()
+        coarse = np.array(
+            [r["centroid"] for r in sorted(coarse_rows, key=lambda r: r["cell"])],
+            dtype=np.float64,
+        )
+        codebooks = spark.read.parquet(f"{path}/codebooks")
+        book = sorted(
+            codebooks.collect(), key=lambda r: (r["sub_id"], r["code"])
+        )
+        m = int(meta["m"])
+        pq_centers = np.array(
+            [
+                [r["centroid"] for r in book if r["sub_id"] == j]
+                for j in range(m)
+            ],
+            dtype=np.float64,
+        )
+        codes = spark.read.parquet(f"{path}/codes")
+        return cls(
+            coarse, pq_centers, codebooks, codes,
+            meta["id_col"], meta["vec_col"], m,
+        )
+
 
 def ivfpq_build(
     candidates: DataFrame,

@@ -22,7 +22,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from mqtt_message_pump_spark.operators.similarity import pq_encode
+from mqtt_message_pump_spark.operators.similarity import (
+    IvfPqIndex,
+    ivfpq_search,
+    pq_encode,
+)
 
 
 def start_pq_encode_stream(
@@ -58,6 +62,48 @@ def start_pq_encode_stream(
 
     return (
         vectors.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
+
+
+def start_ivfpq_search_stream(
+    queries: DataFrame,
+    index: IvfPqIndex,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    n_probe: int = 3,
+    rerank: int | None = None,
+    candidates: DataFrame | None = None,
+    trigger_secs: int = 1,
+):
+    """The SERVING side of the ANN stack: per-micro-batch query vectors
+    probed against a persisted :class:`IvfPqIndex`, results appended
+    under ``out_dir`` -- the streaming twin of ``q_ann_ivfpq_search``.
+
+    The index is FROZEN for the stream's lifetime (same invariant as the
+    encode twin's codebooks): every batch reuses the one already-encoded
+    corpus, so per-batch cost is the bounded query-side ADC tables plus
+    the probed cells' codes -- the corpus is never re-scanned, which is
+    what makes a query stream over a 100 TB corpus serveable.  Index
+    refresh is a blue/green swap (build + ``IvfPqIndex.save`` elsewhere,
+    restart the stream on the new path), never an in-stream mutation.
+
+    Same idempotent-replay layout as the encode stream: each micro-batch
+    overwrites its own ``batch=<id>`` subdirectory.
+    """
+
+    def search_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = ivfpq_search(
+            batch_df, index, k=k, n_probe=n_probe,
+            rerank=rerank, candidates=candidates,
+        )
+        res.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        queries.writeStream.foreachBatch(search_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_secs} seconds")
         .start()
