@@ -44,6 +44,11 @@ class StoreConf:
     format: str = "parquet"
     path: str = "./pump_output"
     url: str = ""
+    # JDBC driver class (e.g. com.clickhouse.jdbc.ClickHouseDriver).
+    # Required in practice: jars added via spark.jars are not visible to
+    # java.sql.DriverManager's ServiceLoader scan, so Spark must
+    # Class.forName the driver explicitly.
+    driver: str = ""
     database: str = "default"
     raw_table_name: str = "Raw_Message"
     adapter_table_name: str = "Json_Message"

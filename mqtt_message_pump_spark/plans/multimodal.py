@@ -142,9 +142,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_resize",
     oracle="""
     SELECT doc_id AS media_id,
-           md5(string_agg(
-               text[CAST(FLOOR(i * (len(text) / 256.0)) AS INT) + 1],
-               '' ORDER BY i)) AS content_md5,
+           CASE WHEN len(text) = 0
+                -- operator contract for empty/NULL payloads: a zero
+                -- frame of the contracted size (md5 of 256 NUL bytes)
+                THEN '348a9791dc41b89796ec3808b5b5262f'
+                ELSE md5(string_agg(
+                    text[CAST(FLOOR(i * (len(text) / 256.0)) AS INT) + 1],
+                    '' ORDER BY i))
+           END AS content_md5,
            CAST(16 AS INT) AS width, CAST(16 AS INT) AS height
     FROM (SELECT doc_id, text, unnest(range(0, 256)) AS i
           FROM documents WHERE doc_id % 3 = 0)

@@ -152,11 +152,12 @@ def write_table(
     one per sink).
     """
     if store.format == "jdbc":
-        (
-            df.write.mode(mode)
-            .option("batchsize", "10000")
-            .jdbc(store.url, jdbc_table_name(store, table_name))
-        )
+        writer = df.write.mode(mode).option("batchsize", "10000")
+        if store.driver:
+            # spark.jars-provided drivers are invisible to DriverManager's
+            # ServiceLoader; the explicit class makes Spark Class.forName it
+            writer = writer.option("driver", store.driver)
+        writer.jdbc(store.url, jdbc_table_name(store, table_name))
         return
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     if cluster:
