@@ -7,10 +7,13 @@ auto-reconnect (``mqtt.go:41``), and QoS from config (``mqtt.go:82`` --
 note the reference quirk: it wires the MONITOR QoS into the pipe
 subscriber; we take the source QoS, documenting the divergence).
 
-Import-gated on ``paho-mqtt`` (not installed in the test container): the
-module always imports, ``mqtt_available()`` reports capability, and
-registration raises a clear error without the dependency.  The pump itself
-is source-agnostic -- tests use the rate/file adapters in
+Client resolution (``client_impl`` option): ``auto`` prefers
+``paho-mqtt`` when installed and falls back to the in-tree pure-python
+MQTT 3.1.1 client (``sources.minimqtt``) -- so the source registers and
+runs end-to-end through ``spark.readStream`` even in this container,
+which has no paho (exercised over real TCP in
+``tests/test_mqtt_live_loopback.py``).  The pump itself is
+source-agnostic -- most tests use the rate/file adapters in
 ``sources.testing`` with the same output schema.
 
 Scale design: one DataSourceStreamReader partition per topic group, each
@@ -24,6 +27,7 @@ it effectively-once, which the reference cannot (SURVEY.md SS2.6).
 
 from __future__ import annotations
 
+import datetime
 import time
 
 try:
@@ -65,7 +69,16 @@ MQTT_SOURCE_SCHEMA = T.StructType(
 
 
 def mqtt_available() -> bool:
-    return _paho is not None and _DS_API
+    """True when the source is registrable: Spark 4's Python data source
+    API plus SOME client implementation.  Paho is preferred when
+    installed; the in-tree pure-python MQTT 3.1.1 client
+    (``sources.minimqtt``) is always present, so on Spark 4 this is
+    effectively gated by the DS API alone."""
+    return _DS_API
+
+
+def paho_available() -> bool:
+    return _paho is not None
 
 
 def clean_session_flag(options) -> bool:
@@ -98,6 +111,26 @@ def _paho_client_factory(options):  # pragma: no cover - needs a broker
     return client
 
 
+def default_client_factory(options):
+    """Resolve the client implementation from the ``client_impl`` option:
+    ``auto`` (default -- paho when installed, else the pure-python
+    client), ``paho``, or ``minimqtt``.  The fallback keeps the source
+    fully functional in environments without paho; both clients speak
+    the same broker-side MQTT 3.1.1 wire protocol."""
+    impl = str(options.get("client_impl", "auto")).strip().lower()
+    if impl == "paho" or (impl == "auto" and _paho is not None):
+        if _paho is None:
+            raise ImportError(
+                "client_impl=paho requested but paho-mqtt is not installed"
+            ) from _PAHO_ERR
+        return _paho_client_factory(options)
+    from mqtt_message_pump_spark.sources.minimqtt import (
+        minimqtt_client_factory,
+    )
+
+    return minimqtt_client_factory(options)
+
+
 class MqttDataSource(DataSource):
     """``spark.readStream.format("mqtt_pump")`` source.
 
@@ -121,7 +154,8 @@ class MqttDataSource(DataSource):
     def streamReader(self, schema):
         if not mqtt_available():
             raise ImportError(
-                "mqtt_pump source requires paho-mqtt and Spark >= 4"
+                "mqtt_pump source requires Spark >= 4's Python data "
+                "source API"
             ) from _PAHO_ERR
         return MqttStreamReader(self.options)
 
@@ -155,15 +189,34 @@ class MqttStreamReader(DataSourceStreamReader):
         self.options = options
         self.groups = int(options.get("group_num", "0")) or 1
         self._counts = {g: 0 for g in range(self.groups)}
-        self._client_factory = client_factory or _paho_client_factory
+        # per-trigger row budget: latestOffset advances each group's
+        # offset by this much, so EVERY trigger schedules a poll window
+        # (see latestOffset) and a batch reads at most this many rows
+        self.max_batch_rows = int(options.get("max_batch_rows", "10000"))
+        self._client_factory = client_factory or default_client_factory
         self._pipe_signal = pipe_signal or (lambda up: None)
 
     def initialOffset(self):
         return {str(g): 0 for g in range(self.groups)}
 
     def latestOffset(self):
-        # Poll per-group receive counters (buffered by the executor-side
-        # clients); a production build tracks these via the commit log.
+        """Advance each group by the per-trigger row budget.
+
+        A live MQTT subscription has no broker-side cursor to poll (QoS
+        <=1, no persistent log -- the broker pushes and forgets), so
+        offsets here are SCHEDULING offsets, not replay positions: the
+        gap (start, end] licenses the executor-side read to drain up to
+        ``max_batch_rows`` within its poll window, and always advancing
+        guarantees every trigger runs a poll even when the previous one
+        saw no traffic.  Replay-on-restart comes from the BROKER
+        (clean_session=false + QoS 1 queues undelivered messages for the
+        returning client id), not from offset rewind -- checkpointed
+        packet-id dedup then collapses the redeliveries (SURVEY.md SS2.6).
+        """
+        self._counts = {
+            g: self._counts[g] + self.max_batch_rows
+            for g in range(self.groups)
+        }
         return {str(g): self._counts[g] for g in range(self.groups)}
 
     def partitions(self, start, end):
@@ -198,7 +251,10 @@ class MqttStreamReader(DataSourceStreamReader):
                 (
                     msg.topic,
                     msg.payload.decode("utf-8", "replace"),
-                    time.time(),
+                    # receipt stamp as a tz-aware datetime: the Data
+                    # Source row converter requires real datetime values
+                    # for TimestampType columns (mqtt.go:123 now())
+                    datetime.datetime.now(datetime.timezone.utc),
                     int(getattr(msg, "mid", 0)),
                     bool(getattr(msg, "dup", False)),
                 )
@@ -234,10 +290,12 @@ class MqttStreamReader(DataSourceStreamReader):
 
 
 def register_mqtt_source(spark) -> None:
-    """Register the source; raises with a clear message if unavailable."""
+    """Register the source; raises with a clear message if unavailable.
+    Works without paho: the pure-python client (``sources.minimqtt``)
+    is the ``client_impl=auto`` fallback."""
     if not mqtt_available():
         raise ImportError(
-            "paho-mqtt (and Spark >= 4 Python data source API) required "
-            "for the MQTT source; use sources.testing adapters instead"
+            "Spark >= 4's Python data source API is required for the "
+            "MQTT source; use sources.testing adapters instead"
         ) from _PAHO_ERR
     spark.dataSource.register(MqttDataSource)

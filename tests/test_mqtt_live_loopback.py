@@ -76,7 +76,7 @@ def test_live_tcp_end_to_end(broker):
     t.join(timeout=5)
     assert [r[1] for r in rows] == ['{"k": 0}', '{"k": 1}', '{"k": 2}']
     assert all(r[0] == "pump/g/7" for r in rows)  # matched via pump/g/#
-    assert all(isinstance(r[2], float) for r in rows)
+    assert all(isinstance(r[2], datetime.datetime) for r in rows)
     # QoS-0 publishes carry no packet id and are never DUP
     assert all(r[3] == 0 and r[4] is False for r in rows)
 
@@ -238,6 +238,67 @@ def test_concurrent_publishers_unique_packet_ids(broker):
     assert len(got) == n_pub * per_pub
     # every delivery got a distinct id (no wrap at 200 < 65535)
     assert len({mid for mid, _ in got}) == n_pub * per_pub
+
+
+def test_spark_readstream_end_to_end(broker, spark, tmp_path):
+    """THE full product path: ``spark.readStream.format("mqtt_pump")``
+    against a live TCP broker with the pure-python client fallback
+    (client_impl=auto, no paho installed) -- DataSource registration,
+    advancing scheduling offsets, executor-side subscribe/poll/drain,
+    rows landing in foreachBatch with the source schema."""
+    import time as _time
+
+    from mqtt_message_pump_spark.sources.mqtt import (
+        mqtt_available,
+        register_mqtt_source,
+    )
+
+    if not mqtt_available():
+        pytest.skip("Spark 4 Python data source API unavailable")
+    register_mqtt_source(spark)
+
+    stream = (
+        spark.readStream.format("mqtt_pump")
+        .option("server", f"tcp://127.0.0.1:{broker.port}")
+        .option("group_num", "0")
+        .option("topic_root", "pump/")
+        .option("topic_prefix", "g")
+        .option("qos", "1")
+        .option("poll_timeout_secs", "3")
+        .load()
+    )
+    got: list = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # publish as soon as an executor-side poll subscribes
+        payloads = [f'{{"n": {i}}}'.encode() for i in range(4)]
+        pub_done = _publish_when_subscribed(
+            broker, "pump/g/5", payloads, qos=1
+        )
+        deadline = _time.time() + 60
+        while len(got) < 4 and _time.time() < deadline:
+            _time.sleep(0.2)
+        pub_done.join(timeout=5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    assert len(got) >= 4, f"only {len(got)} rows arrived via readStream"
+    rows = {r.payload for r in got}
+    assert {f'{{"n": {i}}}' for i in range(4)} <= rows
+    one = got[0]
+    assert one.topic == "pump/g/5"
+    assert one.received_time is not None
+    assert one.packet_id >= 1 and one.dup is False
 
 
 def test_topic_filter_semantics():

@@ -111,7 +111,7 @@ def test_reader_partition_cycle():
     # packet id + dup carried through
     topic, payload, ts, packet_id, dup = rows_by_group[0][0]
     assert payload == '{"k": 0}'
-    assert isinstance(ts, float)
+    assert isinstance(ts, datetime.datetime)
     assert packet_id == 1 and dup is False
     assert len(MQTT_SOURCE_SCHEMA) == 5
     reader.commit(end)  # no-op, must not raise
