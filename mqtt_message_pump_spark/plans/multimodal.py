@@ -178,6 +178,76 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_media_codec_roundtrip",
+    oracle=f"""
+    WITH dims AS (SELECT CAST(unnest(range(0, {_DIM})) AS INT) AS dim),
+    chars AS (
+      SELECT doc_id, cs, unnest(range(1, len(cs) + 1)) AS i
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+    ),
+    stripes AS (
+      SELECT doc_id, CAST((i - 1) % {_DIM} AS INT) AS dim,
+             CAST(SUM(ascii(cs[i])) AS BIGINT) AS val
+      FROM chars GROUP BY doc_id, (i - 1) % {_DIM}
+    )
+    SELECT d.doc_id AS media_id, dims.dim AS dim,
+           COALESCE(s.val, CAST(0 AS BIGINT)) AS val,
+           TRUE AS decoded_ok
+    FROM documents d CROSS JOIN dims
+    LEFT JOIN stripes s ON s.doc_id = d.doc_id AND s.dim = dims.dim
+    """,
+)
+def q_media_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codec path, oracle-checked end to end: each document's
+    UTF-8 bytes are wrapped into an actual grayscale PNG on the
+    executors (``imagecodec.encode_png``), then decoded back through
+    ``decode_features(fake=False)`` -- the production seam with the
+    pure-python PNG decoder (PIL-first when installed) doing a full
+    parse: signature, chunk walk, zlib inflate, scanline unfilter.
+
+    The decoded pixel bytes ARE the original text bytes (plus row
+    padding of zeros, which add nothing to any stripe sum), so the
+    stripe-sum feature equals ``q_media_decode``'s over the same text --
+    giving the real-codec path an EXACT DuckDB value oracle instead of
+    a rows-only check.  Scale shape: two chained map-only Arrow stages,
+    no shuffle at all; codec cost is per-row python, the price of a
+    correctness-reference codec (production swaps in PIL via the same
+    import gate)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_png(batches):
+        from mqtt_message_pump_spark.operators.imagecodec import encode_png
+
+        width = 32
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                pad = (-len(raw)) % width
+                arr = np.frombuffer(raw + b"\x00" * pad, np.uint8).reshape(
+                    -1, width, 1
+                )
+                content.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": content}
+            )
+
+    media = docs.mapInPandas(to_png, "media_id long, content binary")
+    feats = MM.decode_features(media, fake=False)
+    return feats.select(
+        "media_id", "decoded_ok", F.posexplode("feature").alias("dim", "v")
+    ).select(
+        "media_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("v").cast("bigint").alias("val"),
+        "decoded_ok",
+    )
+
+
 _FRAME = 50  # samples per analysis frame
 
 
