@@ -147,6 +147,67 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(decode, DECODED_SCHEMA)
 
 
+AUDIO_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("sample", T.LongType()),
+    ]
+)
+
+
+def decode_audio_samples(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Binary -> one row per PCM sample via ``mapInPandas``: the audio
+    decode seam feeding the JVM-side frame aggregation (windowed energy,
+    VAD, loudness -- see ``plans.multimodal.q_audio_energy``).
+
+    ``fake=True``: each payload byte read as an unsigned 8-bit sample
+    (the oracle-able convention).  ``fake=False``: REAL WAV parsing via
+    ``operators.audiocodec`` (stdlib ``wave``; production swaps in
+    soundfile/ffmpeg through the same gate); undecodable payloads emit
+    no samples instead of failing the batch task.
+
+    Scale shape: map-only Arrow expansion (numpy concatenation per
+    batch, no per-sample python loop); everything downstream of the
+    samples -- framing, sums -- stays JVM-side, so the aggregate
+    partial-combines map-side and the shuffle carries frames, not
+    samples."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from mqtt_message_pump_spark.operators.audiocodec import (
+                decode_wav,
+            )
+        for batch in batches:
+            mids, poss, vals = [], [], []
+            for mid, b in zip(batch["media_id"], batch["content"]):
+                raw = b"" if b is None else bytes(b)
+                if fake:
+                    samples = np.frombuffer(raw, dtype=np.uint8)
+                else:
+                    try:
+                        samples, _rate = decode_wav(raw)
+                    except ValueError:
+                        continue  # corrupt-row isolation, B4 policy
+                n = len(samples)
+                mids.append(np.full(n, mid, dtype=np.int64))
+                poss.append(np.arange(n, dtype=np.int64))
+                vals.append(samples.astype(np.int64))
+            if not mids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": np.concatenate(mids),
+                    "pos": np.concatenate(poss),
+                    "sample": np.concatenate(vals),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        decode, AUDIO_SAMPLES_SCHEMA
+    )
+
+
 def metadata_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregation: modality histogram + byte totals.  Never
     reads the binary column (verify with .explain: ReadSchema excludes

@@ -300,6 +300,71 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_codec_roundtrip",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, cs, unnest(range(1, len(cs) + 1)) AS i
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+    )
+    SELECT doc_id AS media_id,
+           CAST((i - 1) // {_FRAME} AS BIGINT) AS frame,
+           CAST(SUM(CAST(ascii(cs[i]) * ascii(cs[i]) AS BIGINT))
+                AS BIGINT) AS energy,
+           COUNT(*) AS n_samples
+    FROM chars
+    GROUP BY doc_id, (i - 1) // {_FRAME}
+    """,
+)
+def q_audio_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio codec path, oracle-checked end to end (audio twin
+    of ``q_media_codec_roundtrip``): executors pack each document's
+    bytes as PCM16 samples into an actual WAV container
+    (``audiocodec.encode_wav``), ``decode_audio_samples(fake=False)``
+    parses it back through a full RIFF/WAVE decode, and the SAME JVM
+    frame aggregation as ``q_audio_energy`` computes windowed energy --
+    proving the promised seam swap (real codec in, frame/aggregate
+    plumbing unchanged).  Decoded samples equal the original byte
+    values, so the integer energy oracle is exact.  Scale shape: two
+    map-only Arrow stages then one (media, frame)-keyed aggregate with
+    map-side combine; the shuffle carries frames, never samples."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_wav(batches):
+        from mqtt_message_pump_spark.operators.audiocodec import encode_wav
+
+        for pdf in batches:
+            content = [
+                encode_wav(
+                    np.frombuffer(t.encode("utf-8"), np.uint8).astype(
+                        np.int16
+                    )
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": content}
+            )
+
+    media = docs.mapInPandas(to_wav, "media_id long, content binary")
+    samples = MM.decode_audio_samples(media, fake=False)
+    return (
+        samples.select(
+            "media_id",
+            F.floor(F.col("pos") / _FRAME).cast("bigint").alias("frame"),
+            "sample",
+        )
+        .groupBy("media_id", "frame")
+        .agg(
+            F.sum(F.col("sample") * F.col("sample")).alias("energy"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+
+
+@query(
     "q_media_dedup",
     oracle="""
     SELECT md5(text) AS fp,
