@@ -48,13 +48,16 @@ def _reader(port: int, *, group_num="0", qos="0", timeout="5", **extra):
 
 
 def _publish_when_subscribed(
-    broker: MiniBroker, topic: str, payloads: list[bytes], qos: int = 0
+    broker: MiniBroker, topic: str, payloads: list[bytes], qos: int = 0,
+    timeout: float = 60.0,
 ) -> threading.Thread:
     """Background publisher that waits until some connection's filter
-    matches ``topic`` (the reader subscribing) before sending."""
+    matches ``topic`` (the reader subscribing) before sending.  The
+    generous default timeout covers a streaming query's cold start --
+    the executor-side subscribe only exists during a poll window."""
 
     def run():
-        assert broker.wait_for_subscription(topic, timeout=5.0)
+        assert broker.wait_for_subscription(topic, timeout=timeout)
         pub = MiniMqttClient("127.0.0.1", broker.port, client_id="pub")
         for p in payloads:
             pub.publish(topic, p, qos=qos)
@@ -299,6 +302,84 @@ def test_spark_readstream_end_to_end(broker, spark, tmp_path):
     assert one.topic == "pump/g/5"
     assert one.received_time is not None
     assert one.packet_id >= 1 and one.dup is False
+
+
+def test_live_full_pump_exactly_once(broker, spark, tmp_path):
+    """CAPSTONE: the whole reference pipeline live over the wire --
+    MiniBroker -> ``readStream.format("mqtt_pump")`` (pure-python
+    client) -> dual-path pump (enrich, dedupe, flatten) -> partitioned
+    parquet sinks.  The broker redelivers every QoS-1 publish with DUP=1,
+    and the checkpointed content-derived-mid dedup collapses the
+    at-least-once stream to EXACTLY-ONCE sink rows -- the end-to-end
+    guarantee the reference cannot make (SURVEY.md §2.6)."""
+    import time as _time
+
+    from mqtt_message_pump_spark.sources.mqtt import register_mqtt_source
+    from mqtt_message_pump_spark.streaming.pump import (
+        drain_and_stop,
+        start_stream_pump,
+    )
+
+    broker.redeliver_qos1 = True
+    register_mqtt_source(spark)
+    stream = (
+        spark.readStream.format("mqtt_pump")
+        .option("server", f"tcp://127.0.0.1:{broker.port}")
+        .option("group_num", "0")
+        .option("topic_root", "pump/")
+        .option("topic_prefix", "g")
+        .option("qos", "1")
+        .option("poll_timeout_secs", "3")
+        .load()
+    )
+    out = tmp_path / "out"
+    q = start_stream_pump(
+        spark,
+        stream,
+        str(out),
+        str(tmp_path / "ckpt"),
+        trigger_secs=1,
+        dedupe_watermark="1 minute",
+    )
+    raw_dir = out / "raw_message"
+    try:
+        # the pump's multi-record payload shape (map of record structs)
+        payloads = [
+            f'{{"r1": {{"k": {i}}}, "r2": {{"k": {i + 100}}}}}'.encode()
+            for i in range(5)
+        ]
+        pub = _publish_when_subscribed(broker, "pump/g/2", payloads, qos=1)
+        deadline = _time.time() + 90
+        n = 0
+        while _time.time() < deadline:
+            try:
+                n = spark.read.parquet(str(raw_dir)).count()
+            except Exception:
+                n = 0
+            if n >= 5:
+                # one more trigger so any straggling DUP redelivery has
+                # been through the dedup before we assert exactly-once
+                _time.sleep(3)
+                break
+            _time.sleep(0.5)
+        pub.join(timeout=5)
+    finally:
+        drain_and_stop(q)
+
+    raw = spark.read.parquet(str(raw_dir))
+    rows = raw.collect()
+    # every message exactly once: 10 wire deliveries -> 5 sink rows
+    assert len(rows) == 5, f"expected 5 exactly-once rows, got {len(rows)}"
+    assert len({r.mid for r in rows}) == 5
+    assert sorted(r.payload for r in rows) == sorted(
+        p.decode() for p in payloads
+    )
+    flat = spark.read.parquet(str(out / "json_message"))
+    # flattened fan-out: one row per (message, record key)
+    assert flat.count() == 10
+    assert {r.key_id for r in flat.select("key_id").distinct().collect()} == {
+        "r1", "r2",
+    }
 
 
 def test_topic_filter_semantics():
