@@ -382,6 +382,60 @@ def test_live_full_pump_exactly_once(broker, spark, tmp_path):
     }
 
 
+def test_live_monitor_publish_over_wire(broker, spark):
+    """S7 over a real socket: the monitor listener's per-trigger metrics
+    JSON is published through an actual MQTT client to the broker and
+    received by a wire subscriber on the flattened monitor topic
+    (reference ``monitor.go:100-106`` publish loop + ``mqtt.go:93-94``
+    topic underscore parity)."""
+    import json as _json
+    import time as _time
+
+    from mqtt_message_pump_spark.streaming.monitor import (
+        PumpMonitorListener,
+    )
+
+    got: list = []
+    sub = MiniMqttClient("127.0.0.1", broker.port, client_id="mon-sub")
+    sub.on_message = lambda c, u, m: got.append((m.topic, m.payload))
+    sub.subscribe("Pump_Monitor/#", qos=0)
+
+    pub = MiniMqttClient("127.0.0.1", broker.port, client_id="mon-pub")
+    listener = PumpMonitorListener(
+        lambda topic, payload: pub.publish(topic, payload.encode(), qos=0),
+        topic_root="Pump_Monitor",
+        target="pump/g/",
+    )
+    spark.streams.addListener(listener)
+    q = None
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "10")
+            .load()
+            .writeStream.format("noop")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = _time.time() + 30
+        while not got and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        if q is not None:
+            q.stop()
+            q.awaitTermination(30)
+        spark.streams.removeListener(listener)
+        sub.disconnect()
+        pub.disconnect()
+
+    assert got, "no monitor payload arrived over the wire"
+    topic, payload = got[0]
+    assert topic == "Pump_Monitor/pump_g_"  # slashes flattened, mqtt.go:93
+    doc = _json.loads(payload)
+    assert "AvgPeriodSubMsgPerSec" in doc and "BatchId" in doc
+    assert listener.pub_succeed >= 1 and listener.pub_failed == 0
+
+
 def test_topic_filter_semantics():
     """MQTT 3.1.1 +/# filter matching used by the broker's router."""
     assert topic_matches("a/+/c", "a/b/c")
