@@ -6,10 +6,11 @@ urfave/cli app with ``run`` / ``show`` / ``check``):
   infer the adapter schema from the configured ``jsonsample``, round-trip
   the sample through transient tables (raw + exploded/flattened), count,
   drop.  ClickHouse ``_check`` Memory tables become Spark temp views.
-- ``run <config.ini>``   -- start the pump.  Source selection: the MQTT
-  reader when paho is available and the config points at a broker,
-  otherwise a file-drop directory in the same wire shape (the test/dev
-  path; ``--source-dir`` overrides).
+- ``run <config.ini>``   -- start the pump against the configured broker
+  (paho when installed, else the in-tree pure-python MQTT client), with
+  monitor metrics published to the [monitor-mqtt] broker;
+  ``--source-dir`` switches to a file-drop directory in the same wire
+  shape (the test/dev path).
 
 Usage: ``python -m mqtt_message_pump_spark.cli <command> <config.ini>``.
 """
@@ -117,7 +118,8 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
         messages = file_message_stream(spark, source_dir)
     else:
         print(
-            "run: paho-mqtt not installed and no --source-dir given",
+            "run: no MQTT source available (needs Spark >= 4's Python "
+            "data source API) and no --source-dir given",
             file=sys.stderr,
         )
         return 2
@@ -126,13 +128,50 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
 
     # startup capacity line (metrics.go:28-36 / main.go:123 parity)
     print(capacity_report(spark, cfg), file=sys.stderr)
+
+    # Monitor publish target (S7, mqtt.go:86-106): a dedicated client to
+    # the [monitor-mqtt] broker, resolved through the same paho-or-
+    # pure-python gate as the source.  Falls back to stderr echo when the
+    # monitor broker is unreachable -- metrics must never kill the pump
+    # (monitor.go:100-106 counts failures and keeps ticking).
+    mon_client = None
+
+    def publish(topic: str, payload: str) -> None:
+        if mon_client is not None:
+            mon_client.publish(
+                topic, payload.encode("utf-8"), qos=cfg.monitor_mqtt.qos
+            )
+        else:
+            print(f"[monitor] {topic} {payload}", file=sys.stderr)
+
+    if source_dir is None:
+        from mqtt_message_pump_spark.sources.mqtt import (
+            default_client_factory,
+        )
+
+        try:
+            mon_client = default_client_factory(
+                {
+                    "server": cfg.monitor_mqtt.server,
+                    "client_name": f"{cfg.monitor_mqtt.client_name}-monitor",
+                    "clean_session": str(cfg.monitor_mqtt.clean_session),
+                    "username": cfg.monitor_mqtt.username,
+                    "password": cfg.monitor_mqtt.password,
+                }
+            )
+        except Exception as e:
+            print(
+                f"run: monitor broker unreachable ({e}); echoing metrics",
+                file=sys.stderr,
+            )
+
     # reference parity (mqtt.go:93): the monitor target is DERIVED from
     # the source topic root + prefix (the listener applies the '/'->'_'
     # flattening); cfg.monitor.target is only the fallback when no source
     # topic is configured.
     derived = f"{cfg.topic.topic_root}{cfg.topic.topic_prefix}"
     listener = PumpMonitorListener(
-        lambda topic, payload: print(f"[monitor] {topic} {payload}"),
+        publish,
         topic_root=cfg.monitor.topic_root,
         target=derived or cfg.monitor.target,
     )
@@ -149,14 +188,19 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
         mid_length=cfg.batch.mid_length,
     )
     print(f"pump running; sinks under {cfg.store.path}")
-    if duration > 0:
-        time.sleep(duration)
-        # drain the in-flight trigger before stopping -- an abrupt stop()
-        # cancels a mid-batch sink write (see drain_and_stop)
-        drain_and_stop(query, timeout_secs=120)
-        query.awaitTermination(60)
-    else:  # pragma: no cover - interactive
-        query.awaitTermination()
+    try:
+        if duration > 0:
+            time.sleep(duration)
+            # drain the in-flight trigger before stopping -- an abrupt
+            # stop() cancels a mid-batch sink write (see drain_and_stop)
+            drain_and_stop(query, timeout_secs=120)
+            query.awaitTermination(60)
+        else:  # pragma: no cover - interactive
+            query.awaitTermination()
+    finally:
+        spark.streams.removeListener(listener)
+        if mon_client is not None:
+            mon_client.disconnect()
     return 0
 
 

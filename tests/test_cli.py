@@ -112,3 +112,69 @@ def test_run_file_source(spark, ini, tmp_path, capsys):
     # two records per sample payload, flattened
     assert flat.count() == 6
     assert "params_thingKey" in flat.columns
+
+
+def test_run_live_broker_end_to_end(spark, tmp_path):
+    """``run`` against a real broker, no --source-dir: the reference's
+    deployment shape (``main.go:139-176``) -- source messages consumed
+    over MQTT (pure-python client fallback), sinks written, and monitor
+    metrics JSON published to the [monitor-mqtt] broker where a wire
+    subscriber receives them."""
+    import threading
+    import time
+
+    from mqtt_message_pump_spark.sources.minimqtt import (
+        MiniBroker,
+        MiniMqttClient,
+    )
+
+    broker = MiniBroker()
+    out = tmp_path / "out"
+    ini = tmp_path / "live.ini"
+    ini.write_text(
+        "[source-mqtt]\n"
+        f"server = tcp://127.0.0.1:{broker.port}\n"
+        "qos = 1\n"
+        "[monitor-mqtt]\n"
+        f"server = tcp://127.0.0.1:{broker.port}\n"
+        "[topic]\n"
+        "topicroot = pump/\n"
+        "topicprefix = g\n"
+        "[store]\n"
+        f"path = {out}\n"
+        "[adapter]\n"
+        f"jsonsample = {SAMPLE}\n"
+        "[batch]\n"
+        "commitinterval = 1\n"
+    )
+    mon_got: list = []
+    sub = MiniMqttClient("127.0.0.1", broker.port, client_id="mon-watch")
+    sub.on_message = lambda c, u, m: mon_got.append((m.topic, m.payload))
+    sub.subscribe("pump-monitor/#", qos=0)
+
+    def feed():
+        assert broker.wait_for_subscription("pump/g/0", timeout=60)
+        pub = MiniMqttClient("127.0.0.1", broker.port, client_id="feeder")
+        for _ in range(3):
+            pub.publish("pump/g/0", SAMPLE.encode(), qos=1)
+        pub.disconnect()
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    try:
+        assert main(["run", str(ini), "--duration-secs", "20"]) == 0
+        t.join(timeout=10)
+    finally:
+        sub.disconnect()
+        broker.stop()
+
+    raw = spark.read.parquet(str(out / "raw_message"))
+    flat = spark.read.parquet(str(out / "json_message"))
+    assert raw.count() == 3
+    assert flat.count() == 6  # two records per sample payload
+    assert "params_thingKey" in flat.columns
+    # monitor metrics crossed the wire to the derived flattened topic
+    assert mon_got, "no monitor publish received over MQTT"
+    topic, payload = mon_got[0]
+    assert topic == "pump-monitor/pump_g"
+    assert b"AvgPeriodSubMsgPerSec" in payload
