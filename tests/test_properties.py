@@ -70,3 +70,75 @@ def test_inferred_schema_sorted_and_typed(record):
     # key order must not matter: reverse the record's key insertion order
     rev = json.dumps({"1": dict(reversed(list(record.items())))})
     assert infer_flat_schema(rev) == cols
+
+
+# ---------------------------------------------------------------- codecs
+
+import numpy as np
+
+from mqtt_message_pump_spark.operators.audiocodec import decode_wav, encode_wav
+from mqtt_message_pump_spark.operators.imagecodec import (
+    decode_bmp,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    nearest_resize,
+)
+
+_dims = st.tuples(
+    st.integers(min_value=1, max_value=12),  # height
+    st.integers(min_value=1, max_value=12),  # width
+    st.sampled_from([1, 3, 4]),              # channels
+)
+
+
+@given(_dims, st.integers(min_value=0, max_value=4), st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(dims, ftype, seed):
+    """decode(encode(img, any filter)) == img for every shape/channel
+    combination -- all five scanline filter branches, ragged strides."""
+    h, w, c = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, c), np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    """24-bit BMP round-trips for every shape, including widths whose
+    3-byte rows need 4-byte padding."""
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=500
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    arr = np.array(samples, dtype=np.int16)
+    got, got_rate = decode_wav(encode_wav(arr, rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(got, arr)
+
+
+@given(_dims, st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_nearest_resize_properties(dims, out_w, out_h, seed):
+    """Output shape contract + every output pixel is SOME input pixel
+    (nearest-neighbor never invents values), and identity resize is
+    exact."""
+    h, w, c = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, c), np.uint8)
+    out = nearest_resize(img, out_w, out_h)
+    assert out.shape == (out_h, out_w, c)
+    src_pixels = {tuple(p) for p in img.reshape(-1, c)}
+    assert all(tuple(p) in src_pixels for p in out.reshape(-1, c))
+    assert np.array_equal(nearest_resize(img, w, h), img)
