@@ -190,3 +190,31 @@ def test_fake_default_unchanged(spark):
         np.testing.assert_allclose(
             r.feature, _fake_feature(payload[r.media_id]).tolist()
         )
+
+
+def test_codec_roundtrip_plans_are_scale_shaped(spark, sf_dir):
+    """Structural plan guards for the real-codec keys: the image
+    round-trip is two chained map-only Arrow stages with ZERO exchanges;
+    the audio round-trip shuffles exactly once -- the (media, frame)
+    aggregate -- with a map-side partial before it, so the shuffle
+    carries frames, never samples."""
+    from mqtt_message_pump_spark.plans import QUERIES
+
+    img_plan = (
+        QUERIES["q_media_codec_roundtrip"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in img_plan
+    assert img_plan.count("MapInPandas") == 2
+
+    audio_plan = (
+        QUERIES["q_audio_codec_roundtrip"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exchanges = [
+        ln for ln in audio_plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1
+    # partial aggregate sits below the exchange (map-side combine)
+    assert "partial_sum" in audio_plan or "HashAggregate(keys" in audio_plan
+    assert audio_plan.index("HashAggregate") < audio_plan.index("Exchange")
