@@ -153,6 +153,39 @@ def windowed_key_totals(
     )
 
 
+def sessionized_counts(
+    df: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session aggregation via the native ``session_window`` --
+    the streaming twin of the batch ``q_sessionize`` key (which runs the
+    SAME expression; this helper adds the watermark so it runs
+    incrementally).  Streaming state is one row per OPEN (key, session);
+    adjacent sessions merge when their gap-windows overlap, and the
+    watermark closes and emits a session once event time passes its end
+    + gap -- so state is bounded by concurrently-active users, never
+    history.  One shuffle on the session/key grouping, exactly as in
+    batch."""
+    stream = df
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    return (
+        stream.groupBy(
+            F.session_window(ts_col, gap).alias("w"), key_col
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def rank_topk_per_window(
     df: DataFrame, k: int = 2, key_col: str = "user_id"
 ) -> DataFrame:

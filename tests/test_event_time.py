@@ -230,24 +230,15 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     """Gap-based sessionization (the q_sessionize expression) runs
     incrementally under a watermark: merged sessions emitted on close
     match the batch answer for every session the watermark finalized."""
+    from mqtt_message_pump_spark.streaming.windows import sessionized_counts
+
     src = tmp_path / "sess_src"
     _write_events(src, ROWS)
 
     def build(df):
-        d = df
-        if d.isStreaming:
-            d = d.withWatermark("ts", "1 minute")
-        return (
-            d.groupBy(
-                F.session_window("ts", "5 minutes").alias("w"), "user_id"
-            )
-            .agg(F.count("*").alias("n_events"))
-            .select(
-                "user_id",
-                F.col("w.start").alias("session_start"),
-                "n_events",
-            )
-        )
+        return sessionized_counts(
+            df, gap="5 minutes", watermark="1 minute"
+        ).select("user_id", "session_start", "n_events")
 
     streamed_out = _drain(build(_stream(spark, src)), tmp_path, "sess")
     streamed = {
