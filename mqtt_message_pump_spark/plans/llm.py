@@ -305,6 +305,55 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMP_CAP = 4  # binds at every SF (sf0.01 has simhash buckets up to 128)
+
+
+@query(
+    "q_simhash_pairs_capped",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, CAST({_sql_simhash(_SIMP_BITS)} AS BIGINT) AS simhash
+      FROM (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              s -> {_SQL_HASH32.format(s='s')}) AS hs
+        FROM documents)),
+    buckets AS (
+      SELECT doc_id, simhash, bands.band,
+             (simhash >> (bands.band * {_SIMP_BITS // _SIMP_BANDS}))
+               & {(1 << (_SIMP_BITS // _SIMP_BANDS)) - 1} AS bucket
+      FROM sigs, (SELECT CAST(unnest(range(0, {_SIMP_BANDS})) AS INT)
+                  AS band) bands),
+    kept AS (
+      SELECT doc_id, simhash, band, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS n
+        FROM buckets)
+      WHERE n <= {_SIMP_CAP})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM kept a JOIN kept b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMP_HAMMING}
+    """,
+)
+def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of SimHash candidate generation (simhash twin
+    of q_minhash_pairs_capped): identical to q_simhash_pairs but with
+    the hot-bucket cap ENGAGED -- (band, bucket) groups above the cap
+    are boilerplate-dominated signature regions whose pair expansion is
+    quadratic (the 25x probe measured the uncapped path at ~625x pair
+    multiplicity on a dup-heavy corpus, docs/SCALE.md SS8); dropping
+    them bounds every bucket's output at cap^2 at a documented recall
+    cost, while exact duplicates still pair through q_dedup.  The
+    fixture cap of {_SIMP_CAP} binds hard at every SF (725 -> 24 pairs
+    at sf0.01), so the key oracle-checks the cap semantics themselves."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    return DD.simhash_candidate_pairs(
+        docs, "doc_id", "text", bits=_SIMP_BITS, bands=_SIMP_BANDS,
+        max_hamming=_SIMP_HAMMING, max_bucket_size=_SIMP_CAP,
+    )
+
+
 @query(
     "q_dedup_groups",
     oracle=f"""
