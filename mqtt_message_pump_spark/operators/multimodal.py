@@ -208,6 +208,81 @@ def decode_audio_samples(df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+VIDEO_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("px", T.LongType()),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame, width: int = 32, height: int = 4, fake: bool = True
+) -> DataFrame:
+    """Binary -> one row per (frame, pixel) via ``mapInPandas``: the
+    video decode seam feeding JVM-side per-frame aggregation (the
+    video twin of :func:`decode_audio_samples`).
+
+    ``fake=True``: payload bytes chunked into width*height frames (the
+    oracle-able convention, zero-padded tail).  ``fake=False``: REAL
+    container parsing via ``operators.videocodec`` (pure-python GIF/LZW;
+    PyAV/ffmpeg swap in through the same gate) -- one output frame per
+    image block, channel-0 pixel values; undecodable payloads emit
+    nothing (corrupt-row isolation)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from mqtt_message_pump_spark.operators.videocodec import (
+                decode_gif_frames,
+            )
+        per_frame = width * height
+        for batch in batches:
+            mids, fids, poss, vals = [], [], [], []
+            for mid, b in zip(batch["media_id"], batch["content"]):
+                raw = b"" if b is None else bytes(b)
+                if fake:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    pad = (-len(arr)) % per_frame
+                    if pad:
+                        arr = np.concatenate(
+                            [arr, np.zeros(pad, dtype=np.uint8)]
+                        )
+                    frames = arr.reshape(-1, per_frame)
+                else:
+                    try:
+                        frames = np.stack(
+                            [
+                                f[:, :, 0].reshape(-1)
+                                for f in decode_gif_frames(raw)
+                            ]
+                        )
+                    except (ValueError, struct.error, IndexError):
+                        continue  # corrupt-row isolation, B4 policy
+                n_f, n_px = frames.shape
+                mids.append(np.full(n_f * n_px, mid, dtype=np.int64))
+                fids.append(
+                    np.repeat(np.arange(n_f, dtype=np.int32), n_px)
+                )
+                poss.append(np.tile(np.arange(n_px, dtype=np.int64), n_f))
+                vals.append(frames.reshape(-1).astype(np.int64))
+            if not mids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": np.concatenate(mids),
+                    "frame": np.concatenate(fids),
+                    "pos": np.concatenate(poss),
+                    "px": np.concatenate(vals),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        decode, VIDEO_PIXELS_SCHEMA
+    )
+
+
 def metadata_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregation: modality histogram + byte totals.  Never
     reads the binary column (verify with .explain: ReadSchema excludes

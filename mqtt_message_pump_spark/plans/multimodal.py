@@ -364,6 +364,67 @@ def q_audio_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VF_W, _VF_H = 32, 4  # video frame geometry: 128 bytes per frame
+
+
+@query(
+    "q_video_codec_roundtrip",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, cs, unnest(range(1, len(cs) + 1)) AS i
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+    )
+    SELECT doc_id AS media_id,
+           CAST((i - 1) // {_VF_W * _VF_H} AS INT) AS frame,
+           CAST(SUM(CAST(ascii(cs[i]) AS BIGINT)) AS BIGINT) AS byte_sum
+    FROM chars
+    GROUP BY doc_id, (i - 1) // {_VF_W * _VF_H}
+    """,
+)
+def q_video_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video-container path, oracle-checked end to end (video
+    twin of the PNG/WAV round-trip keys): executors chunk each
+    document's bytes into {_VF_W}x{_VF_H} grayscale frames, pack them
+    into an actual multi-frame GIF (``videocodec.encode_gif`` -- real
+    LZW, real sub-block framing), and ``decode_video_frames(fake=False)``
+    parses every frame back through the full GIF/LZW decoder; a JVM
+    (media, frame) aggregate sums the pixel values.  The gray palette
+    maps index == value, so decoded pixels equal the original bytes and
+    the per-frame byte-sum oracle is exact (zero padding in the tail
+    frame adds nothing).  Scale shape: two map-only Arrow stages, then
+    one frame-keyed aggregate with map-side combine -- the shuffle
+    carries frames, never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_frame = _VF_W * _VF_H
+
+    def to_gif(batches):
+        from mqtt_message_pump_spark.operators.videocodec import encode_gif
+
+        for pdf in batches:
+            content = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                pad = (-len(raw)) % per_frame
+                arr = np.frombuffer(
+                    raw + b"\x00" * pad, np.uint8
+                ).reshape(-1, _VF_H, _VF_W)
+                content.append(encode_gif(list(arr)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": content}
+            )
+
+    media = docs.mapInPandas(to_gif, "media_id long, content binary")
+    pixels = MM.decode_video_frames(
+        media, width=_VF_W, height=_VF_H, fake=False
+    )
+    return pixels.groupBy("media_id", "frame").agg(
+        F.sum("px").alias("byte_sum")
+    )
+
+
 @query(
     "q_media_dedup",
     oracle="""

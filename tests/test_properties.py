@@ -142,3 +142,27 @@ def test_nearest_resize_properties(dims, out_w, out_h, seed):
     src_pixels = {tuple(p) for p in img.reshape(-1, c)}
     assert all(tuple(p) in src_pixels for p in out.reshape(-1, c))
     assert np.array_equal(nearest_resize(img, w, h), img)
+
+
+from mqtt_message_pump_spark.operators.videocodec import (
+    decode_gif_frames,
+    encode_gif,
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(n_frames, h, w, seed):
+    """decode(encode(frames)) reproduces every frame's gray values for
+    any frame count and geometry (LZW bit-packing, sub-block splits,
+    clear-code resets)."""
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), np.uint8) for _ in range(n_frames)]
+    dec = decode_gif_frames(encode_gif(frames))
+    assert len(dec) == n_frames
+    assert all(np.array_equal(d[:, :, 0], f) for d, f in zip(dec, frames))
