@@ -226,7 +226,15 @@ class MqttStreamReader(DataSourceStreamReader):
         ]
 
     def commit(self, end) -> None:
-        pass
+        # Fast-forward the scheduling counters to the committed offsets:
+        # after a checkpoint restore this reader starts at zero while the
+        # commit log is far ahead -- without the fast-forward the next
+        # latestOffset() would sit BELOW the committed end for several
+        # triggers (no new batch scheduled until the counter catches up).
+        for g in range(self.groups):
+            committed = int(end.get(str(g), 0))
+            if committed > self._counts[g]:
+                self._counts[g] = committed
 
     def group_topic(self, group: int) -> str:
         """Subscription topic for one group: ``root+prefix/<group>`` when
@@ -244,7 +252,8 @@ class MqttStreamReader(DataSourceStreamReader):
         topic = self.group_topic(partition.group)
 
         buffered: list[tuple] = []
-        want = partition.end - partition.start
+        # clamped: a replayed-then-restored batch can present start > end
+        want = max(0, partition.end - partition.start)
 
         def on_message(client, userdata, msg) -> None:
             buffered.append(

@@ -238,3 +238,23 @@ def test_datasource_registration_surface():
     if not mqtt_available():
         with pytest.raises(ImportError, match="paho-mqtt"):
             register_mqtt_source(None)
+
+
+def test_commit_fast_forwards_scheduling_offsets():
+    """After a checkpoint restore the reader's counters start at zero
+    while the commit log is far ahead: commit(end) must fast-forward so
+    the NEXT latestOffset schedules a fresh poll window instead of
+    sitting below the committed end for several triggers; a replayed
+    batch presenting start > end reads zero rows rather than crashing."""
+    reader = _reader([], group_num="2")
+    # restored batch from the commit log: end way ahead of fresh counters
+    reader.commit({"0": 30000, "1": 50})
+    nxt = reader.latestOffset()
+    assert int(nxt["0"]) == 30000 + reader.max_batch_rows
+    assert int(nxt["1"]) == 50 + reader.max_batch_rows
+    # commit never rewinds
+    reader.commit({"0": 10})
+    assert reader._counts[0] == 30000 + reader.max_batch_rows
+
+    part = reader.partitions({"0": 30000, "1": 0}, {"0": 10, "1": 0})[0]
+    assert list(reader.read(part)) == []  # clamped want, loud no-op
