@@ -159,7 +159,14 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
                     "password": cfg.monitor_mqtt.password,
                 }
             )
+            # paho needs a running network loop to service keepalive
+            # PINGREQs and drain PUBACKs on a long-lived connection (the
+            # broker drops an unserviced client ~1.5x keepalive in);
+            # minimqtt's loop_start is a no-op flag (its reader thread
+            # runs from connect)
+            mon_client.loop_start()
         except Exception as e:
+            mon_client = None
             print(
                 f"run: monitor broker unreachable ({e}); echoing metrics",
                 file=sys.stderr,
@@ -200,6 +207,7 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     finally:
         spark.streams.removeListener(listener)
         if mon_client is not None:
+            mon_client.loop_stop()
             mon_client.disconnect()
     return 0
 

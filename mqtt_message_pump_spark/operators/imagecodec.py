@@ -191,13 +191,14 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 
 def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """HxWxC uint8 (C=1/3/4) -> PNG bytes.  ``filter_type`` applies one
-    filter to every scanline (0 in production; 1-4 exist so tests can
-    exercise every unfilter branch against a known image)."""
+    """HxWxC uint8 (C=1 gray / 2 gray+alpha / 3 RGB / 4 RGBA) -> PNG
+    bytes.  ``filter_type`` applies one filter to every scanline (0 in
+    production; 1-4 exist so tests can exercise every unfilter branch
+    against a known image)."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     height, width, channels = pixels.shape
-    colortype = {1: 0, 3: 2, 4: 6}[channels]
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     flat = pixels.astype(np.uint8).reshape(height, stride)
     lines = bytearray()

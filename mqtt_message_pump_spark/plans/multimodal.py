@@ -384,7 +384,7 @@ _VF_W, _VF_H = 32, 4  # video frame geometry: 128 bytes per frame
 def q_video_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL video-container path, oracle-checked end to end (video
     twin of the PNG/WAV round-trip keys): executors chunk each
-    document's bytes into {_VF_W}x{_VF_H} grayscale frames, pack them
+    document's bytes into 32x4 grayscale frames, pack them
     into an actual multi-frame GIF (``videocodec.encode_gif`` -- real
     LZW, real sub-block framing), and ``decode_video_frames(fake=False)``
     parses every frame back through the full GIF/LZW decoder; a JVM

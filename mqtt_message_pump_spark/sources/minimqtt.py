@@ -95,13 +95,21 @@ class MiniBroker:
     an unacknowledged delivery.
     """
 
-    def __init__(self, port: int = 0, redeliver_qos1: bool = False):
+    def __init__(
+        self,
+        port: int = 0,
+        redeliver_qos1: bool = False,
+        required_user: tuple[str, str] | None = None,
+    ):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind(("127.0.0.1", port))
         self._srv.listen(16)
         self.port = self._srv.getsockname()[1]
         self.redeliver_qos1 = redeliver_qos1
+        # (username, password) every CONNECT must present, else CONNACK
+        # return code 4 (bad user name or password, MQTT 3.1.1 §3.2.2.3)
+        self.required_user = required_user
         self._lock = threading.Lock()
         # conn -> {"sock", "wlock", "mid", "subs": [(filter, qos)]}
         self._conns: dict[int, dict] = {}
@@ -150,6 +158,12 @@ class MiniBroker:
             while True:
                 ptype, flags, body = _read_packet(sock)
                 if ptype == CONNECT:
+                    if self.required_user is not None:
+                        if self._connect_creds(body) != self.required_user:
+                            self._send(
+                                conn, _packet(CONNACK, 0, b"\x00\x04")
+                            )
+                            break
                     self._send(conn, _packet(CONNACK, 0, b"\x00\x00"))
                 elif ptype == SUBSCRIBE:
                     (pid,) = struct.unpack(">H", body[:2])
@@ -197,6 +211,30 @@ class MiniBroker:
                 sock.close()
             except OSError:
                 pass
+
+    @staticmethod
+    def _connect_creds(body: bytes) -> tuple[str, str] | None:
+        """Parse (username, password) out of a CONNECT body; None when
+        the user-name flag is unset.  Will flag unsupported (this is a
+        loopback broker; its clients never set one)."""
+        try:
+            (plen,) = struct.unpack(">H", body[:2])
+            flags = body[2 + plen + 1]
+            i = 2 + plen + 1 + 1 + 2  # proto str + level + flags + keepalive
+            (cl,) = struct.unpack(">H", body[i : i + 2])
+            i += 2 + cl  # client id
+            if not flags & 0x80:
+                return None
+            (ul,) = struct.unpack(">H", body[i : i + 2])
+            user = body[i + 2 : i + 2 + ul].decode("utf-8")
+            i += 2 + ul
+            pwd = ""
+            if flags & 0x40:
+                (pl,) = struct.unpack(">H", body[i : i + 2])
+                pwd = body[i + 2 : i + 2 + pl].decode("utf-8")
+            return (user, pwd)
+        except (struct.error, IndexError, UnicodeDecodeError):
+            return None
 
     def _route(self, topic: str, payload: bytes, pub_qos: int) -> None:
         # Packet ids are assigned INSIDE the lock: concurrent publishers
@@ -282,6 +320,8 @@ class MiniMqttClient:
         client_id: str = "",
         clean_session: bool = True,
         timeout: float = 10.0,
+        username: str = "",
+        password: str = "",
     ):
         self.on_message = None
         self._sock = socket.create_connection((host, port), timeout=timeout)
@@ -296,16 +336,29 @@ class MiniMqttClient:
         self._pending_acks: set[int] = set()
         self._ack_cv = threading.Condition()
         flags = 0x02 if clean_session else 0x00
+        if username:
+            flags |= 0x80  # MQTT 3.1.1 §3.1.2.8/9: user name (+password)
+            if password:
+                flags |= 0x40
         body = (
             _encode_str("MQTT")
             + bytes([4, flags])
             + struct.pack(">H", 60)
             + _encode_str(client_id or f"mini-{id(self):x}")
         )
+        if username:
+            body += _encode_str(username)
+            if password:
+                body += _encode_str(password)
         self._send(_packet(CONNECT, 0, body))
-        ptype, _, _ = _read_packet(self._sock)
+        ptype, _, ack = _read_packet(self._sock)
         if ptype != CONNACK:
             raise ConnectionError(f"expected CONNACK, got type {ptype}")
+        # §3.2.2.3: a non-zero return code is a REFUSED connection (bad
+        # protocol / identifier / auth) -- fail loudly instead of letting
+        # it surface later as a misleading SUBACK timeout
+        if len(ack) >= 2 and ack[1] != 0:
+            raise ConnectionError(f"CONNACK refused, return code {ack[1]}")
         # The connect timeout must not outlive the handshake: left on, an
         # idle subscriber's recv would raise socket.timeout after 10 s and
         # silently kill _read_loop while the client looks connected.
@@ -415,4 +468,6 @@ def minimqtt_client_factory(options) -> MiniMqttClient:
         port,
         client_id=options.get("client_name", ""),
         clean_session=clean_session_flag(options),
+        username=options.get("username", "") or "",
+        password=options.get("password", "") or "",
     )

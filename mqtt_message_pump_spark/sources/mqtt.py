@@ -251,9 +251,15 @@ class MqttStreamReader(DataSourceStreamReader):
         qos = int(opts.get("qos", "0"))
         topic = self.group_topic(partition.group)
 
+        if partition.end < partition.start:
+            # a replayed-then-restored batch can present start > end: it
+            # is licensed to contain zero rows -- return without even
+            # opening a broker session (want=0 below means UNBOUNDED
+            # drain, the legacy direct-driver semantic, not zero)
+            return
+
         buffered: list[tuple] = []
-        # clamped: a replayed-then-restored batch can present start > end
-        want = max(0, partition.end - partition.start)
+        want = partition.end - partition.start
 
         def on_message(client, userdata, msg) -> None:
             buffered.append(

@@ -218,3 +218,16 @@ def test_codec_roundtrip_plans_are_scale_shaped(spark, sf_dir):
     # partial aggregate sits below the exchange (map-side combine)
     assert "partial_sum" in audio_plan or "HashAggregate(keys" in audio_plan
     assert audio_plan.index("HashAggregate") < audio_plan.index("Exchange")
+
+
+def test_png_gray_alpha_two_channel_roundtrip():
+    """Colortype-4 (gray+alpha, 2 channels) encodes and decodes -- the
+    resize real path must survive LA-mode inputs instead of KeyError-ing
+    the whole Arrow task."""
+    la = np.dstack(
+        [_rgb(4, 5, seed=11)[:, :, 0], np.full((4, 5), 200, np.uint8)]
+    )
+    assert np.array_equal(decode_png(encode_png(la)), la)
+    from mqtt_message_pump_spark.operators.imagecodec import nearest_resize as nr
+
+    assert decode_png(encode_png(nr(la, 3, 2))).shape == (2, 3, 2)

@@ -444,3 +444,32 @@ def test_topic_filter_semantics():
     assert topic_matches("#", "anything/at/all")
     assert not topic_matches("a/b", "a/b/c")
     assert not topic_matches("a/b/c", "a/b")
+
+
+def test_live_broker_auth(broker):
+    """Credentials flow client -> wire -> broker: a broker requiring
+    (user, pass) accepts the matching client, refuses a wrong/absent one
+    with CONNACK return code 4 (MQTT 3.1.1 §3.2.2.3) -- surfaced as a
+    loud ConnectionError at connect, not a later SUBACK timeout."""
+    broker.required_user = ("pump", "s3cret")
+    ok = MiniMqttClient(
+        "127.0.0.1", broker.port, username="pump", password="s3cret"
+    )
+    ok.subscribe("auth/topic", qos=0)  # proves the session is usable
+    ok.disconnect()
+    for kwargs in ({}, {"username": "pump", "password": "wrong"}):
+        with pytest.raises(ConnectionError, match="return code 4"):
+            MiniMqttClient("127.0.0.1", broker.port, **kwargs)
+
+    from mqtt_message_pump_spark.sources.minimqtt import (
+        minimqtt_client_factory,
+    )
+
+    c = minimqtt_client_factory(
+        {
+            "server": f"tcp://127.0.0.1:{broker.port}",
+            "username": "pump",
+            "password": "s3cret",
+        }
+    )
+    c.disconnect()

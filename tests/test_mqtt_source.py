@@ -236,7 +236,7 @@ def test_datasource_registration_surface():
     assert MqttDataSource.name() == "mqtt_pump"
     assert MqttDataSource(options={}).schema() == MQTT_SOURCE_SCHEMA
     if not mqtt_available():
-        with pytest.raises(ImportError, match="paho-mqtt"):
+        with pytest.raises(ImportError, match="data source API"):
             register_mqtt_source(None)
 
 
@@ -256,5 +256,8 @@ def test_commit_fast_forwards_scheduling_offsets():
     reader.commit({"0": 10})
     assert reader._counts[0] == 30000 + reader.max_batch_rows
 
-    part = reader.partitions({"0": 30000, "1": 0}, {"0": 10, "1": 0})[0]
-    assert list(reader.read(part)) == []  # clamped want, loud no-op
+    # a start > end batch must yield zero rows WITHOUT opening a
+    # broker session -- even with traffic waiting in the feed
+    loaded = _reader(_feed(0, 5), group_num="2")
+    part = loaded.partitions({"0": 30000, "1": 0}, {"0": 10, "1": 0})[0]
+    assert list(loaded.read(part)) == []
