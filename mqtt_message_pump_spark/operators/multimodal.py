@@ -11,11 +11,14 @@ Design (the part that must be right at 100 TB):
 - Decode / resize / frame-sample run as ``mapInPandas`` stages: Arrow
   moves the binary batches to Python zero-copy; each batch is a pandas
   DataFrame so vectorized libs (PIL/opencv/ffmpeg) work batch-at-a-time.
-- The actual codec calls are STUBBED here (the image/audio libraries are
-  not in this container): ``decode_image_batch`` raises
-  ``NotImplementedError`` unless ``fake=True``, in which case a
-  deterministic bytes-derived feature is produced so the plumbing (schema,
-  batching, partitioning) is fully testable.
+- Every kernel has TWO codec paths: ``fake=True`` (the registered
+  default) uses deterministic byte conventions so each seam carries an
+  exact DuckDB oracle; ``fake=False`` runs REAL codecs -- PIL-first
+  image decode with a pure-python PNG/BMP fallback
+  (``operators.imagecodec``), stdlib WAV (``operators.audiocodec``),
+  and full GIF/LZW for multi-frame video (``operators.videocodec``) --
+  with per-row corrupt-input isolation instead of task failure.  The
+  ``q_*_codec_roundtrip`` keys value-check the real paths end to end.
 """
 
 from __future__ import annotations
@@ -133,7 +136,7 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     pixels = decode_image(raw)
                     feats.append(_fake_feature(pixels.tobytes()))
                     oks.append(True)
-                except (ValueError, zlib.error, struct.error, IndexError):
+                except (ValueError, zlib.error, struct.error, IndexError, KeyError):
                     feats.append(np.zeros(FEATURE_DIM, dtype=np.float32))
                     oks.append(False)
             yield pd.DataFrame(
@@ -361,7 +364,7 @@ def resize_images(
                         out.append(
                             encode_png(nearest_resize(pixels, width, height))
                         )
-                    except (ValueError, zlib.error, struct.error, IndexError):
+                    except (ValueError, zlib.error, struct.error, IndexError, KeyError):
                         black = np.zeros((height, width, 3), dtype=np.uint8)
                         out.append(encode_png(black))
                     continue
