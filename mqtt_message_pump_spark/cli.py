@@ -134,39 +134,66 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     # pure-python gate as the source.  Falls back to stderr echo when the
     # monitor broker is unreachable -- metrics must never kill the pump
     # (monitor.go:100-106 counts failures and keeps ticking).
-    mon_client = None
+    mon = {"client": None}
+    mon_opts = {
+        "server": cfg.monitor_mqtt.server,
+        "client_name": f"{cfg.monitor_mqtt.client_name}-monitor",
+        "clean_session": str(cfg.monitor_mqtt.clean_session),
+        "username": cfg.monitor_mqtt.username,
+        "password": cfg.monitor_mqtt.password,
+        # long-lived connection on sparse metric traffic: declare a real
+        # keepalive so minimqtt runs its PINGREQ loop (paho services its
+        # own via loop_start) and a spec-enforcing broker never drops the
+        # idle monitor client (ADVICE r7)
+        "keepalive": "30",
+    }
 
-    def publish(topic: str, payload: str) -> None:
-        if mon_client is not None:
-            mon_client.publish(
-                topic, payload.encode("utf-8"), qos=cfg.monitor_mqtt.qos
-            )
-        else:
-            print(f"[monitor] {topic} {payload}", file=sys.stderr)
-
-    if source_dir is None:
+    def _connect_monitor():
         from mqtt_message_pump_spark.sources.mqtt import (
             default_client_factory,
         )
 
+        client = default_client_factory(mon_opts)
+        # paho needs a running network loop to service keepalive
+        # PINGREQs and drain PUBACKs on a long-lived connection (the
+        # broker drops an unserviced client ~1.5x keepalive in);
+        # minimqtt's loop_start is a no-op flag (its network threads
+        # run from connect)
+        client.loop_start()
+        return client
+
+    def publish(topic: str, payload: str) -> None:
+        client = mon["client"]
+        if client is None:
+            print(f"[monitor] {topic} {payload}", file=sys.stderr)
+            return
+        data = payload.encode("utf-8")
         try:
-            mon_client = default_client_factory(
-                {
-                    "server": cfg.monitor_mqtt.server,
-                    "client_name": f"{cfg.monitor_mqtt.client_name}-monitor",
-                    "clean_session": str(cfg.monitor_mqtt.clean_session),
-                    "username": cfg.monitor_mqtt.username,
-                    "password": cfg.monitor_mqtt.password,
-                }
-            )
-            # paho needs a running network loop to service keepalive
-            # PINGREQs and drain PUBACKs on a long-lived connection (the
-            # broker drops an unserviced client ~1.5x keepalive in);
-            # minimqtt's loop_start is a no-op flag (its reader thread
-            # runs from connect)
-            mon_client.loop_start()
+            client.publish(topic, data, qos=cfg.monitor_mqtt.qos)
+        except (OSError, ConnectionError):
+            # reconnect-on-publish: a dropped monitor connection (broker
+            # restart, keepalive kill) must not lose the tick or crash
+            # the listener -- rebuild once, retry, else echo this tick
+            # and keep the pump alive (monitor.go:100-106 keeps ticking)
+            try:
+                client.disconnect()
+            except Exception:
+                pass
+            try:
+                mon["client"] = _connect_monitor()
+                mon["client"].publish(
+                    topic, data, qos=cfg.monitor_mqtt.qos
+                )
+            except Exception as e:
+                print(
+                    f"[monitor] reconnect failed ({e}) {topic} {payload}",
+                    file=sys.stderr,
+                )
+
+    if source_dir is None:
+        try:
+            mon["client"] = _connect_monitor()
         except Exception as e:
-            mon_client = None
             print(
                 f"run: monitor broker unreachable ({e}); echoing metrics",
                 file=sys.stderr,
@@ -206,9 +233,9 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
             query.awaitTermination()
     finally:
         spark.streams.removeListener(listener)
-        if mon_client is not None:
-            mon_client.loop_stop()
-            mon_client.disconnect()
+        if mon["client"] is not None:
+            mon["client"].loop_stop()
+            mon["client"].disconnect()
     return 0
 
 

@@ -608,6 +608,11 @@ class IvfPqIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.m = m
+        # set by load(): the storage path self.codes lazily scans.  save()
+        # refuses to overwrite it -- Spark cannot atomically overwrite a
+        # parquet location it is concurrently reading in the same job, so
+        # a load-then-resave-in-place would corrupt the index (ADVICE r7).
+        self._source_path: str | None = None
 
     def unpersist(self) -> None:
         self.codes.unpersist()
@@ -623,6 +628,17 @@ class IvfPqIndex:
         KB-sized."""
         import numpy as np
 
+        if (
+            self._source_path is not None
+            and path.rstrip("/") == self._source_path.rstrip("/")
+        ):
+            raise ValueError(
+                f"IvfPqIndex loaded from {self._source_path!r} cannot be "
+                "re-saved onto its own source path: the codes DataFrame "
+                "is a lazy scan of that location and Spark would read "
+                "and overwrite the same files in one job.  Save to a new "
+                "path (then swap), or rebuild the index from vectors."
+            )
         spark = self.codes.sparkSession
         # exactly-once overwrite semantics: a re-save replaces the index
         self.codes.write.mode("overwrite").parquet(f"{path}/codes")
@@ -668,10 +684,12 @@ class IvfPqIndex:
             dtype=np.float64,
         )
         codes = spark.read.parquet(f"{path}/codes")
-        return cls(
+        idx = cls(
             coarse, pq_centers, codebooks, codes,
             meta["id_col"], meta["vec_col"], m,
         )
+        idx._source_path = path
+        return idx
 
 
 def ivfpq_build(

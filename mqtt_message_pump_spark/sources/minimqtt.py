@@ -100,6 +100,7 @@ class MiniBroker:
         port: int = 0,
         redeliver_qos1: bool = False,
         required_user: tuple[str, str] | None = None,
+        enforce_keepalive: bool = False,
     ):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -110,6 +111,14 @@ class MiniBroker:
         # (username, password) every CONNECT must present, else CONNACK
         # return code 4 (bad user name or password, MQTT 3.1.1 §3.2.2.3)
         self.required_user = required_user
+        # MQTT 3.1.1 §3.1.2.10: when True, a connection whose CONNECT
+        # declared keepalive K > 0 is dropped after 1.5*K seconds of
+        # control-packet silence (what mosquitto/EMQX do) -- lets tests
+        # prove the client's PINGREQ loop actually keeps it alive
+        self.enforce_keepalive = enforce_keepalive
+        # subscriber PUBACKs seen, per packet id (QoS-1 consumers that
+        # defer acks leave their unacked ids out of this set)
+        self.acked_pids: set[int] = set()
         self._lock = threading.Lock()
         # conn -> {"sock", "wlock", "mid", "subs": [(filter, qos)]}
         self._conns: dict[int, dict] = {}
@@ -164,6 +173,14 @@ class MiniBroker:
                                 conn, _packet(CONNACK, 0, b"\x00\x04")
                             )
                             break
+                    if self.enforce_keepalive:
+                        ka = self._connect_keepalive(body)
+                        if ka > 0:
+                            # §3.1.2.10: server MUST disconnect after
+                            # 1.5x the declared keepalive of silence;
+                            # any control packet (incl. PINGREQ) resets
+                            # the timer via the per-recv socket timeout
+                            sock.settimeout(ka * 1.5)
                     self._send(conn, _packet(CONNACK, 0, b"\x00\x00"))
                 elif ptype == SUBSCRIBE:
                     (pid,) = struct.unpack(">H", body[:2])
@@ -199,7 +216,12 @@ class MiniBroker:
                 elif ptype == PINGREQ:
                     self._send(conn, _packet(PINGRESP, 0, b""))
                 elif ptype == PUBACK:
-                    pass  # QoS-1 ack from a subscriber; nothing tracked
+                    # QoS-1 ack from a subscriber: record the packet id so
+                    # tests can assert which deliveries a budget-capped
+                    # reader actually acked (unacked = redelivery-eligible)
+                    (apid,) = struct.unpack(">H", body[:2])
+                    with self._lock:
+                        self.acked_pids.add(apid)
                 elif ptype == DISCONNECT:
                     break
         except (ConnectionError, OSError):
@@ -213,16 +235,32 @@ class MiniBroker:
                 pass
 
     @staticmethod
+    def _connect_keepalive(body: bytes) -> int:
+        """Keepalive seconds declared in a CONNECT body (0 = disabled)."""
+        try:
+            (plen,) = struct.unpack(">H", body[:2])
+            i = 2 + plen + 1 + 1  # proto str + level + flags
+            return struct.unpack(">H", body[i : i + 2])[0]
+        except (struct.error, IndexError):
+            return 0
+
+    @staticmethod
     def _connect_creds(body: bytes) -> tuple[str, str] | None:
         """Parse (username, password) out of a CONNECT body; None when
-        the user-name flag is unset.  Will flag unsupported (this is a
-        loopback broker; its clients never set one)."""
+        the user-name flag is unset.  Per MQTT 3.1.1 §3.1.3 the payload
+        order is client-id, [Will topic, Will message], [user], [pwd] --
+        a Will (flags & 0x04) must be skipped or its bytes would be
+        misparsed as credentials."""
         try:
             (plen,) = struct.unpack(">H", body[:2])
             flags = body[2 + plen + 1]
             i = 2 + plen + 1 + 1 + 2  # proto str + level + flags + keepalive
             (cl,) = struct.unpack(">H", body[i : i + 2])
             i += 2 + cl  # client id
+            if flags & 0x04:  # Will topic + Will message precede username
+                for _ in range(2):
+                    (wl,) = struct.unpack(">H", body[i : i + 2])
+                    i += 2 + wl
             if not flags & 0x80:
                 return None
             (ul,) = struct.unpack(">H", body[i : i + 2])
@@ -322,6 +360,9 @@ class MiniMqttClient:
         timeout: float = 10.0,
         username: str = "",
         password: str = "",
+        keepalive: int = 0,
+        manual_ack: bool = False,
+        will: tuple[str, bytes] | None = None,
     ):
         self.on_message = None
         self._sock = socket.create_connection((host, port), timeout=timeout)
@@ -329,6 +370,17 @@ class MiniMqttClient:
         self._suback = threading.Event()
         self._pid = 0
         self._looping = False
+        # keepalive=0 disables server-side timeout entirely (MQTT 3.1.1
+        # §3.1.2.10) -- the safe default for a client with no ping loop.
+        # keepalive>0 starts a PINGREQ timer at half the declared period,
+        # so a spec-enforcing broker (1.5x window) never drops us idle.
+        self.keepalive = int(keepalive)
+        # manual_ack=True defers QoS-1 PUBACKs to an explicit ack(mid)
+        # call: a consumer that stops acking at its row budget leaves the
+        # excess unacknowledged, so the broker redelivers instead of the
+        # reader silently dropping acked rows (SURVEY.md SS2.6).
+        self.manual_ack = bool(manual_ack)
+        self._closed = threading.Event()
         # In-flight QoS-1 publishes awaiting PUBACK.  Drained before
         # DISCONNECT: closing the socket with unread PUBACKs pending can
         # RST the connection and destroy publishes the broker has not yet
@@ -336,6 +388,8 @@ class MiniMqttClient:
         self._pending_acks: set[int] = set()
         self._ack_cv = threading.Condition()
         flags = 0x02 if clean_session else 0x00
+        if will is not None:
+            flags |= 0x04  # §3.1.2.5: Will flag (QoS 0, not retained)
         if username:
             flags |= 0x80  # MQTT 3.1.1 §3.1.2.8/9: user name (+password)
             if password:
@@ -343,9 +397,12 @@ class MiniMqttClient:
         body = (
             _encode_str("MQTT")
             + bytes([4, flags])
-            + struct.pack(">H", 60)
+            + struct.pack(">H", self.keepalive)
             + _encode_str(client_id or f"mini-{id(self):x}")
         )
+        if will is not None:
+            body += _encode_str(will[0])
+            body += struct.pack(">H", len(will[1])) + will[1]
         if username:
             body += _encode_str(username)
             if password:
@@ -365,6 +422,22 @@ class MiniMqttClient:
         self._sock.settimeout(None)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
+        if self.keepalive > 0:
+            self._pinger = threading.Thread(target=self._ping_loop, daemon=True)
+            self._pinger.start()
+
+    def _ping_loop(self) -> None:
+        # PINGREQ at half the declared keepalive: comfortably inside the
+        # broker's 1.5x-keepalive drop window even if one ping is delayed
+        # a full interval by scheduling (ADVICE r7: a client declaring a
+        # keepalive but never pinging is dropped by spec-compliant
+        # brokers after ~1.5x keepalive of publish silence)
+        interval = max(self.keepalive / 2.0, 0.05)
+        while not self._closed.wait(interval):
+            try:
+                self._send(_packet(PINGREQ, 0, b""))
+            except OSError:
+                return
 
     def _send(self, data: bytes) -> None:
         with self._wlock:
@@ -384,7 +457,10 @@ class MiniMqttClient:
                     if qos:
                         (mid,) = struct.unpack(">H", body[i : i + 2])
                         i += 2
-                        self._send(_packet(PUBACK, 0, struct.pack(">H", mid)))
+                        if not self.manual_ack:
+                            self._send(
+                                _packet(PUBACK, 0, struct.pack(">H", mid))
+                            )
                     cb = self.on_message
                     if cb is not None:
                         cb(
@@ -417,6 +493,14 @@ class MiniMqttClient:
         if not self._suback.wait(timeout=5.0):
             raise ConnectionError(f"no SUBACK for {topic!r}")
 
+    def ack(self, mid: int) -> None:
+        """Manually PUBACK a received QoS-1 delivery (``manual_ack=True``
+        mode).  A message never acked stays redelivery-eligible at the
+        broker -- the budget-capped stream reader acks exactly the rows
+        it yields."""
+        if mid:
+            self._send(_packet(PUBACK, 0, struct.pack(">H", mid)))
+
     def publish(self, topic: str, payload: bytes, qos: int = 0) -> None:
         head = _encode_str(topic)
         if qos:
@@ -443,6 +527,7 @@ class MiniMqttClient:
         self._looping = False
 
     def disconnect(self) -> None:
+        self._closed.set()  # stops the keepalive ping loop
         self.wait_for_acks()
         try:
             self._send(_packet(DISCONNECT, 0, b""))
@@ -463,6 +548,9 @@ def minimqtt_client_factory(options) -> MiniMqttClient:
     server = options.get("server", "tcp://127.0.0.1:1883")
     host = server.split("://", 1)[-1].rsplit(":", 1)[0]
     port = int(server.rsplit(":", 1)[-1])
+    manual = str(options.get("manual_ack", "false")).strip().lower() in (
+        "1", "true", "yes", "on",
+    )
     return MiniMqttClient(
         host,
         port,
@@ -470,4 +558,6 @@ def minimqtt_client_factory(options) -> MiniMqttClient:
         clean_session=clean_session_flag(options),
         username=options.get("username", "") or "",
         password=options.get("password", "") or "",
+        keepalive=int(options.get("keepalive", "0") or 0),
+        manual_ack=manual,
     )

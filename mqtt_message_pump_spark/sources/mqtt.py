@@ -247,7 +247,14 @@ class MqttStreamReader(DataSourceStreamReader):
         return f"{root}{prefix}/#"
 
     def read(self, partition):
-        opts = self.options
+        # Request a manual-ack client when the implementation offers one
+        # (minimqtt; paho>=2 could via manual_ack): a QoS-1 PUBLISH must
+        # only be PUBACKed once its row is actually kept, otherwise any
+        # message past the per-trigger budget is acked-then-discarded and
+        # the broker never redelivers it (ADVICE r7: silent row loss at
+        # sustained throughput above max_batch_rows per poll window).
+        opts = dict(self.options)
+        opts.setdefault("manual_ack", "true")
         qos = int(opts.get("qos", "0"))
         topic = self.group_topic(partition.group)
 
@@ -261,7 +268,21 @@ class MqttStreamReader(DataSourceStreamReader):
         buffered: list[tuple] = []
         want = partition.end - partition.start
 
-        def on_message(client, userdata, msg) -> None:
+        client = self._client_factory(opts)
+        # Auto-ack clients (paho 1.x, the legacy test fakes) PUBACK on
+        # receipt inside their network loop; with one of those we must
+        # KEEP every buffered row -- an acked row that is not yielded is
+        # lost forever, which is worse than a slightly-over-budget batch.
+        manual = bool(getattr(client, "manual_ack", False)) and hasattr(
+            client, "ack"
+        )
+
+        def on_message(client_, userdata, msg) -> None:
+            if manual and want and len(buffered) >= want:
+                # over budget: leave it UNACKED so the broker redelivers
+                # it to the next micro-batch's subscriber (clean_session
+                # false + QoS 1), instead of acking and dropping
+                return
             buffered.append(
                 (
                     msg.topic,
@@ -274,8 +295,9 @@ class MqttStreamReader(DataSourceStreamReader):
                     bool(getattr(msg, "dup", False)),
                 )
             )
+            if manual:
+                client.ack(int(getattr(msg, "mid", 0)))
 
-        client = self._client_factory(opts)
         client.on_message = on_message
         try:
             client.subscribe(topic, qos=qos)
@@ -300,7 +322,12 @@ class MqttStreamReader(DataSourceStreamReader):
             # per-micro-batch clients tear down after the read
             # (mqtt.go:144-150 Disconnect signals pipe-down)
             self._pipe_signal(False)
-        for row in buffered[:want] if want else buffered:
+        # Manual-ack mode never buffers past the budget (the cap is
+        # enforced before the ack); auto-ack mode may slightly exceed it
+        # -- yield everything buffered, because every buffered row was
+        # already acknowledged to the broker and dropping it here would
+        # be unrecoverable loss, not flow control.
+        for row in buffered:
             yield row
 
 

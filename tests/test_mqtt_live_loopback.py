@@ -473,3 +473,87 @@ def test_live_broker_auth(broker):
         }
     )
     c.disconnect()
+
+
+def test_live_will_connect_with_auth(broker):
+    """A CONNECT carrying a Will (flag 0x04) puts Will topic+message
+    BEFORE the username in the payload (MQTT 3.1.1 §3.1.3); the broker
+    must skip them when parsing credentials, or a valid willed client is
+    refused with rc=4 (r7 ADVICE: previously misparsed Will bytes as the
+    username)."""
+    broker.required_user = ("pump", "s3cret")
+    willed = MiniMqttClient(
+        "127.0.0.1",
+        broker.port,
+        username="pump",
+        password="s3cret",
+        will=("pump/last", b"gone"),
+    )
+    willed.subscribe("will/topic", qos=0)  # session survives + usable
+    willed.disconnect()
+    # wrong credentials on a willed CONNECT are still refused
+    with pytest.raises(ConnectionError, match="return code 4"):
+        MiniMqttClient(
+            "127.0.0.1", broker.port,
+            username="pump", password="wrong", will=("pump/last", b"gone"),
+        )
+
+
+def test_live_keepalive_ping_survives_enforcing_broker():
+    """A client declaring keepalive K runs a PINGREQ loop at K/2, so a
+    spec-enforcing broker (drops after 1.5*K of silence, MQTT 3.1.1
+    §3.1.2.10) keeps the idle connection alive -- the long-lived monitor
+    client pattern (r7 ADVICE: declaring 60 but never pinging means a
+    real broker kills the client after ~90 s)."""
+    broker = MiniBroker(enforce_keepalive=True)
+    try:
+        sub = MiniMqttClient("127.0.0.1", broker.port, keepalive=2)
+        sub.subscribe("ka/topic", qos=0)
+        time.sleep(3.5)  # > 1.5x keepalive of publish silence
+        assert sub._reader.is_alive()  # connection NOT dropped
+        got = threading.Event()
+        sub.on_message = lambda c, u, m: got.set()
+        pub = MiniMqttClient("127.0.0.1", broker.port)
+        pub.publish("ka/topic", b"still-here")
+        assert got.wait(timeout=5.0)
+        pub.disconnect()
+        sub.disconnect()
+    finally:
+        broker.stop()
+
+
+def test_live_silent_client_dropped_by_enforcing_broker():
+    """Negative control for the keepalive fix: a client that DECLARES a
+    keepalive but never pings (the pre-fix behavior) is dropped by the
+    enforcing broker after ~1.5x keepalive."""
+    broker = MiniBroker(enforce_keepalive=True)
+    try:
+        sub = MiniMqttClient("127.0.0.1", broker.port, keepalive=2)
+        sub._closed.set()  # kill the ping loop: simulate the old client
+        sub.subscribe("ka/topic", qos=0)
+        deadline = time.time() + 8.0
+        while sub._reader.is_alive() and time.time() < deadline:
+            time.sleep(0.1)
+        assert not sub._reader.is_alive()  # broker closed the connection
+    finally:
+        broker.stop()
+
+
+def test_live_budget_cap_leaves_excess_unacked(broker):
+    """The r7 ADVICE QoS-1 loss fix over a real socket: when more QoS-1
+    messages arrive than the micro-batch budget, the reader yields
+    exactly the budget AND acks exactly those -- the excess deliveries
+    stay unacknowledged at the broker (redelivery-eligible on a real
+    broker via clean_session=false), instead of being acked-then-dropped."""
+    reader = _reader(broker.port, qos="1")
+    payloads = [f'{{"k": {i}}}'.encode() for i in range(6)]
+    t = _publish_when_subscribed(broker, "pump/g/0", payloads, qos=1)
+    part = reader.partitions({"0": 0}, {"0": 2})[0]
+    rows = list(reader.read(part))
+    t.join(timeout=5)
+    time.sleep(0.2)  # let in-flight PUBACKs reach the broker
+    assert len(rows) == 2
+    kept_pids = {r[3] for r in rows}
+    assert len(kept_pids) == 2 and 0 not in kept_pids
+    # broker saw acks for the kept packet ids ONLY
+    assert broker.acked_pids == kept_pids

@@ -36,12 +36,20 @@ class FakeClient:
     """Loopback stand-in for ``paho.mqtt.client.Client``: delivers a
     preloaded message feed to ``on_message`` when the loop starts."""
 
+    # mirror the minimqtt manual-ack surface so the reader's budget cap
+    # takes the production path: buffer-then-ack, never ack-then-drop
+    manual_ack = True
+
     def __init__(self, feed: list[FakeMessage]):
         self.feed = feed
         self.on_message = None
         self.subscribed: list[tuple[str, int]] = []
         self.loop_running = False
         self.disconnected = False
+        self.acked: list[int] = []
+
+    def ack(self, mid: int) -> None:
+        self.acked.append(mid)
 
     def _matches(self, flt: str, topic: str) -> bool:
         if flt.endswith("/#"):
@@ -117,12 +125,31 @@ def test_reader_partition_cycle():
     reader.commit(end)  # no-op, must not raise
 
 
-def test_reader_want_caps_rows():
-    """read() yields exactly end-start rows even if the client buffered
-    more (late arrivals stay for the next micro-batch)."""
-    reader = _reader(_feed(0, 5))
+def test_reader_want_caps_rows_and_acks_only_kept():
+    """read() yields exactly end-start rows when more arrive, and -- the
+    r7 ADVICE fix -- PUBACKs ONLY the rows it keeps: the over-budget
+    deliveries stay unacknowledged so a real broker redelivers them to
+    the next micro-batch instead of the reader ack-then-dropping them."""
+    captured = {}
+
+    def factory(opts):
+        captured["client"] = FakeClient(_feed(0, 5))
+        return captured["client"]
+
+    reader = MqttStreamReader(
+        {
+            "group_num": "3",
+            "topic_root": "pump/",
+            "topic_prefix": "g",
+            "poll_timeout_secs": "0.2",
+        },
+        client_factory=factory,
+    )
     [part0] = [p for p in reader.partitions({"0": 0}, {"0": 3}) if p.group == 0]
-    assert len(list(reader.read(part0))) == 3
+    rows = list(reader.read(part0))
+    assert len(rows) == 3
+    # acked exactly the 3 kept mids; mids 4 and 5 remain in flight
+    assert captured["client"].acked == [r[3] for r in rows] == [1, 2, 3]
 
 
 def test_reader_wildcard_single_group():

@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 
 import numpy as np
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -132,3 +133,24 @@ def test_ivfpq_search_stream_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len({qid for qid, *_ in got}) == 6  # every query answered
+
+
+def test_ivfpq_resave_onto_source_path_refused(spark, tmp_path):
+    """A load()-ed index refuses save() onto its own source path (r7
+    ADVICE): its codes DataFrame is a lazy scan of that location, and
+    overwriting the parquet files mid-read corrupts the index.  Saving
+    to a NEW path still works, and the built (non-loaded) index keeps
+    its overwrite semantics."""
+    _, idx = _build(spark)
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    idx.save(path)  # built in-session: re-save onto same path is fine
+
+    loaded = SIM.IvfPqIndex.load(spark, path)
+    with pytest.raises(ValueError, match="own source path"):
+        loaded.save(path)
+    with pytest.raises(ValueError, match="own source path"):
+        loaded.save(path + "/")  # trailing-slash alias of the same dir
+    other = str(tmp_path / "idx2")
+    loaded.save(other)  # new location: allowed
+    assert SIM.IvfPqIndex.load(spark, other).codes.count() == idx.codes.count()
