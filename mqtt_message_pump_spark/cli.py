@@ -110,6 +110,7 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
             .option("client_name", cfg.source_mqtt.client_name)
             .option("username", cfg.source_mqtt.username)
             .option("password", cfg.source_mqtt.password)
+            .option("keepalive", str(cfg.source_mqtt.keepalive))
             .load()
         )
     elif source_dir is not None:
@@ -144,8 +145,9 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
         # long-lived connection on sparse metric traffic: declare a real
         # keepalive so minimqtt runs its PINGREQ loop (paho services its
         # own via loop_start) and a spec-enforcing broker never drops the
-        # idle monitor client (ADVICE r7)
-        "keepalive": "30",
+        # idle monitor client (ADVICE r7).  Config-driven (the reference
+        # declares keepalive=60 for monitor-mqtt); 30 when unset.
+        "keepalive": str(cfg.monitor_mqtt.keepalive or 30),
     }
 
     def _connect_monitor():

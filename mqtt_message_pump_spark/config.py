@@ -26,6 +26,12 @@ class MqttConf:
     qos: int = 0
     clean_session: bool = True
     client_name: str = "pump"
+    # MQTT keepalive seconds (0 disables server-side idle timeout,
+    # MQTT 3.1.1 §3.1.2.10).  The reference declares 300/60
+    # (`conf/pump-plus-beacon-example.ini`); long-lived clients with a
+    # nonzero keepalive must service PINGREQs (minimqtt runs a ping loop,
+    # paho its network loop).
+    keepalive: int = 0
 
 
 @dataclass
@@ -49,6 +55,10 @@ class StoreConf:
     # java.sql.DriverManager's ServiceLoader scan, so Spark must
     # Class.forName the driver explicitly.
     driver: str = ""
+    # JDBC credentials (the reference carries them in the ClickHouse DSN,
+    # `data_dbstore.go:84-94`).
+    username: str = ""
+    password: str = ""
     database: str = "default"
     raw_table_name: str = "Raw_Message"
     adapter_table_name: str = "Json_Message"
@@ -126,29 +136,138 @@ _KEY_MAP = {
 }
 
 
+def _unquote(val: str) -> str:
+    """Strip one layer of gcfg/Go-style double quotes with backslash
+    escapes (`rawtablename = "raw_message"`, the escaped ``jsonsample``
+    string).  Unquoted values pass through unchanged."""
+    val = val.strip()
+    if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
+        val = val[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    return val
+
+
+def _set_typed(section, key: str, raw_val: str) -> None:
+    valid = {f.name: f for f in fields(section)}
+    f = valid.get(key)
+    if f is None:
+        return
+    if f.type in ("int", int):
+        val: object = int(raw_val)
+    elif f.type in ("bool", bool):
+        val = raw_val.strip().lower() in ("1", "true", "yes", "on")
+    else:
+        val = os.path.expanduser(raw_val)
+    setattr(section, key, val)
+
+
+def _server_url(items: dict[str, str]) -> str | None:
+    """Combine the reference's scheme/hostname/port triplet
+    (`conf.go:25-35`) into this repo's single ``server`` URL."""
+    if not ({"scheme", "hostname", "port"} & items.keys()):
+        return None
+    scheme = items.get("scheme", "tcp")
+    host = items.get("hostname", "127.0.0.1")
+    port = items.get("port", "1883")
+    return f"{scheme}://{host}:{port}"
+
+
 def load_config(path: str) -> PumpConfig:
-    """Load an INI file; unknown sections/keys are ignored, `~` expanded."""
+    """Load an INI file; unknown sections/keys are ignored, `~` expanded.
+
+    Accepts BOTH this repo's native section names ([source-mqtt],
+    [topic], [store], [adapter], [monitor], [batch]) and the reference's
+    own dialect unchanged (`conf.go:7-101`: [general], [source-mqtt] with
+    scheme/hostname/port/topicroot, [pipe-topic], [clickhouse],
+    [monitor-mqtt], [monitor-info], [pipe-info], [processor-info],
+    [adapter-info], [dbstore-info]) -- a reference user's existing INI,
+    e.g. `conf/pump-plus-beacon-example.ini`, loads without edits.
+    Go-style quoted values are unquoted; `#` inline comments stripped
+    (gcfg semantics).  Buffer-size / task-interval keys (Go channel
+    tuning) have no Spark analog and are ignored.
+    """
     path = os.path.expanduser(path)
-    parser = configparser.ConfigParser()
+    parser = configparser.ConfigParser(
+        inline_comment_prefixes=("#", ";"), interpolation=None
+    )
     with open(path) as fh:
         parser.read_string(fh.read())
     cfg = PumpConfig()
-    for raw_section in parser.sections():
-        attr = _SECTION_MAP.get(raw_section.lower())
+    sections: dict[str, dict[str, str]] = {
+        s.lower(): {
+            k.lower(): _unquote(v) for k, v in parser.items(s)
+        }
+        for s in parser.sections()
+    }
+
+    for name, items in sections.items():
+        attr = _SECTION_MAP.get(name)
         if attr is None:
             continue
         section = getattr(cfg, attr)
-        valid = {f.name: f for f in fields(section)}
-        for raw_key, raw_val in parser.items(raw_section):
-            key = _KEY_MAP.get(raw_key.lower(), raw_key.lower())
-            f = valid.get(key)
-            if f is None:
-                continue
-            if f.type in ("int", int):
-                val: object = int(raw_val)
-            elif f.type in ("bool", bool):
-                val = raw_val.strip().lower() in ("1", "true", "yes", "on")
-            else:
-                val = os.path.expanduser(raw_val)
-            setattr(section, key, val)
+        for raw_key, raw_val in items.items():
+            _set_typed(section, _KEY_MAP.get(raw_key, raw_key), raw_val)
+        # reference dialect: scheme/hostname/port -> server URL, and
+        # topicroot lives inside the mqtt sections (conf.go:34,66)
+        if attr in ("source_mqtt", "monitor_mqtt"):
+            url = _server_url(items)
+            if url is not None:
+                section.server = url
+            if "topicroot" in items:
+                target = cfg.topic if attr == "source_mqtt" else cfg.monitor
+                target.topic_root = items["topicroot"]
+
+    # --- reference-only sections (conf.go:7-101) ------------------------
+    if "pipe-topic" in sections:
+        items = sections["pipe-topic"]
+        for k in ("topicprefix", "enablegroupnum"):
+            if k in items:
+                _set_typed(cfg.topic, _KEY_MAP[k], items[k])
+        if "targetname" in items:
+            # the pipe client short name (pump_pipe.go pipe client ids)
+            cfg.source_mqtt.client_name = items["targetname"]
+        if "endgroupnum" in items:
+            begin = int(items.get("begingroupnum", "0"))
+            # reference pipes span [begin, end] inclusive; this repo's
+            # group partitions are 0..group_num-1 (begin offsets beyond 0
+            # are not supported -- same coverage for the shipped configs)
+            cfg.topic.group_num = int(items["endgroupnum"]) - begin + 1
+
+    if "clickhouse" in sections:
+        items = sections["clickhouse"]
+        store = cfg.store
+        store.format = "jdbc"
+        for k in ("database", "compress", "username", "password"):
+            if k in items:
+                _set_typed(store, k, items[k])
+        # the reference DSN is native-protocol TCP
+        # (tcp://host:port?username=&compress=true, data_dbstore.go:84-94);
+        # Spark speaks JDBC, so the same endpoint becomes a JDBC URL
+        host = items.get("hostname", "127.0.0.1")
+        port = items.get("port", "9000")
+        store.url = f"jdbc:clickhouse://{host}:{port}/{store.database}"
+        if not store.driver:
+            store.driver = "com.clickhouse.jdbc.ClickHouseDriver"
+
+    if "adapter-info" in sections:
+        items = sections["adapter-info"]
+        if "adapter" in items:
+            cfg.adapter.name = items["adapter"]
+        if "jsonsample" in items:
+            cfg.adapter.json_sample = items["jsonsample"]
+        for k in ("rawtablename", "adaptertablename"):
+            if k in items:
+                _set_typed(cfg.store, _KEY_MAP[k], items[k])
+
+    if "monitor-info" in sections:
+        items = sections["monitor-info"]
+        if "publishinterval" in items:
+            _set_typed(
+                cfg.monitor, "publish_interval_secs", items["publishinterval"]
+            )
+
+    if "processor-info" in sections:
+        items = sections["processor-info"]
+        if "messageidlength" in items:
+            _set_typed(cfg.batch, "mid_length", items["messageidlength"])
+
     return cfg

@@ -1567,6 +1567,41 @@ def q_iqr_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_iqr_clip_approx")  # rows-only: sketch quartiles are engine-specific
+def q_iqr_clip_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable 100 TB swap q_iqr_clip documents: per-group
+    quartiles from the distributed ``approx_percentile`` sketch (KLL-style
+    fixed-size partials, no per-group sort) instead of exact
+    ``percentile``; the clip itself is the same broadcast-back map-side
+    pass.  One fact-table scan + a 3-row broadcast, identical plan shape
+    to the exact key -- only the quartile operator changes, so switching
+    at scale is a one-line swap.  Rows-only (sketch cut points are
+    engine-specific); tests assert >=99% is_outlier agreement and exact
+    row identity with q_iqr_clip."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25, 0.75), 10000)"
+        ).alias("qs")
+    ).select(
+        "l_returnflag",
+        F.col("qs")[0].cast("double").alias("q1"),
+        F.col("qs")[1].cast("double").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return li.join(F.broadcast(pct), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.greatest(lo, F.least(hi, F.col("l_quantity"))).alias("clipped_qty"),
+        ((F.col("l_quantity") < lo) | (F.col("l_quantity") > hi)).alias(
+            "is_outlier"
+        ),
+    )
+
+
 @query(
     "q_latest_snapshot",
     oracle="""
@@ -1996,6 +2031,44 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.count(c).alias(f"c{i}"),
             F.countDistinct(c).alias(f"d{i}"),
+            F.min(c).alias(f"mn{i}"),
+            F.max(c).alias(f"mx{i}"),
+        ]
+    a = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n - c{i}, d{i}, mn{i}, mx{i}"
+        for i, c in enumerate(cols, 1)
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_val, max_val)"
+        ),
+        F.col("n").alias("n_rows"),
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_val", "max_val",
+    )
+
+
+@query("q_table_profile_approx")  # rows-only: HLL estimates are engine-specific
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable 100 TB swap q_table_profile documents: the same
+    one-scan column profile with ``approx_count_distinct`` (HLL++,
+    fixed-size sketch partials) replacing exact ``countDistinct``.  The
+    multi-count-distinct Expand (x3 input duplication) collapses to plain
+    constant-size partials -- at 100 TB that is the difference between
+    re-shuffling the fact table per profiled column and a single
+    map-combined pass.  Rows-only (HLL estimates are engine-specific);
+    tests assert exact agreement on n_rows/n_null/min/max and <2%
+    relative error on n_distinct vs the exact profile."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count("*").alias("n")]
+    for i, c in enumerate(cols, 1):
+        aggs += [
+            F.count(c).alias(f"c{i}"),
+            F.approx_count_distinct(c, 0.01).alias(f"d{i}"),
             F.min(c).alias(f"mn{i}"),
             F.max(c).alias(f"mx{i}"),
         ]

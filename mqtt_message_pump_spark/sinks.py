@@ -94,12 +94,18 @@ def write_bucketed(
 def raw_table_ddl_clickhouse(store: StoreConf) -> str:
     """ClickHouse MergeTree DDL for the raw table, passed through verbatim
     when the sink is jdbc (``data_dbstore.go:127-134``): legacy MergeTree
-    signature = (date column, primary key tuple, index granularity)."""
+    signature = (date column, primary key tuple, index granularity).
+    Token-for-token the reference's statement including the column
+    COMMENTs (golden transcript ``release_20120128/readme.txt:61-66``)."""
     return (
         f"CREATE TABLE IF NOT EXISTS {store.database}.{store.raw_table_name} ("
-        "mid String, topic String, payload String, "
-        "collect_datetime DateTime, "
-        "collect_date Date MATERIALIZED toDate(collect_datetime)"
+        "mid String COMMENT 'message id', "
+        "topic String COMMENT 'message topic', "
+        "payload String COMMENT 'message payloads', "
+        "collect_datetime DateTime COMMENT "
+        "'Date and time of collecting data from the message hub', "
+        "collect_date Date MATERIALIZED toDate(collect_datetime) COMMENT "
+        "'date of collecting data from the message hub'"
         ") ENGINE = MergeTree(collect_date, (mid, topic, collect_date), 8192)"
     )
 
@@ -110,14 +116,63 @@ def adapter_table_ddl_clickhouse(
     """ClickHouse MergeTree DDL for the flattened table
     (``data_dbstore.go:138-142``): mid + inferred columns (ClickHouse type
     names, already sorted) + timestamp, date-partitioned via MATERIALIZED
-    toDate with (mid, collect_date) primary key."""
-    cols = "".join(f", `{n}` {t}" for n, t in inferred_cols)
+    toDate with (mid, collect_date) primary key.  Unquoted column names
+    exactly as the reference emits them (``data_adapter.go:100-110`` joins
+    ``, name Type`` with no quoting; golden transcript
+    ``release_20120128/readme.txt:67-72``)."""
+    cols = "".join(f", {n} {t}" for n, t in inferred_cols)
     return (
         f"CREATE TABLE IF NOT EXISTS "
         f"{store.database}.{store.adapter_table_name} ("
         f"mid String{cols}, collect_datetime DateTime, "
         "collect_date Date MATERIALIZED toDate(collect_datetime)"
         ") ENGINE = MergeTree(collect_date, (mid, collect_date), 8192)"
+    )
+
+
+def check_table_ddl_clickhouse(
+    store: StoreConf, inferred_cols: list[tuple[str, str]] | None = None
+) -> str:
+    """Memory-engine ``_check`` table DDL for the CLI ``check`` harness'
+    jdbc passthrough: raw shape when ``inferred_cols`` is None
+    (``data_dbstore.go:201-202``), flattened shape otherwise
+    (``data_dbstore.go:260-261``).  Golden transcript
+    ``release_20120128/readme.txt:73-74,80-82``."""
+    if inferred_cols is None:
+        return (
+            f"CREATE TABLE IF NOT EXISTS "
+            f"{store.database}.{store.raw_table_name}_check ("
+            "mid String, topic String, payload String, "
+            "collect_datetime DateTime) ENGINE = Memory"
+        )
+    cols = "".join(f", {n} {t}" for n, t in inferred_cols)
+    return (
+        f"CREATE TABLE IF NOT EXISTS "
+        f"{store.database}.{store.adapter_table_name}_check ("
+        f"mid String{cols}, collect_datetime DateTime) ENGINE = Memory"
+    )
+
+
+def insert_raw_sql(store: StoreConf, check: bool = False) -> str:
+    """Parameterized raw-table INSERT (``data_dbstore.go:109-110``)."""
+    suffix = "_check" if check else ""
+    return (
+        f"INSERT INTO {store.database}.{store.raw_table_name}{suffix} "
+        "(mid, topic, payload, collect_datetime) VALUES (?, ?, ?, ?)"
+    )
+
+
+def insert_adapter_sql(
+    store: StoreConf, keys: list[str], check: bool = False
+) -> str:
+    """Parameterized flattened-table INSERT over the sorted inferred keys
+    (``data_dbstore.go:56-69`` ``getInsertAdapterSQL``: ``mid`` first,
+    joined keys, ``collect_datetime`` last, one ``?`` per column)."""
+    suffix = "_check" if check else ""
+    return (
+        f"INSERT INTO {store.database}.{store.adapter_table_name}{suffix} "
+        f"(mid,{','.join(keys)},collect_datetime) "
+        f"VALUES (?{',?' * len(keys)},?)"
     )
 
 
@@ -157,6 +212,12 @@ def write_table(
             # spark.jars-provided drivers are invisible to DriverManager's
             # ServiceLoader; the explicit class makes Spark Class.forName it
             writer = writer.option("driver", store.driver)
+        if store.username:
+            # credentials from config (reference DSN carries them,
+            # data_dbstore.go:84-94)
+            writer = writer.option("user", store.username)
+            if store.password:
+                writer = writer.option("password", store.password)
         writer.jdbc(store.url, jdbc_table_name(store, table_name))
         return
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]

@@ -152,6 +152,47 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         )
 
 
+def test_iqr_clip_approx_agrees_with_exact(spark, sf_dir):
+    """The sketch-quartile clip (the registered 100 TB swap) must agree
+    with the exact-quartile key on >=99% of is_outlier decisions, over the
+    identical row set (disagreement only within the sketch's rank-error
+    band around each quartile)."""
+    approx = {
+        (r.l_orderkey, r.l_linenumber): r.is_outlier
+        for r in QUERIES["q_iqr_clip_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.l_orderkey, r.l_linenumber): r.is_outlier
+        for r in QUERIES["q_iqr_clip"](spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    agree = sum(1 for k in approx if approx[k] == exact[k])
+    assert agree / len(approx) >= 0.99, f"{agree}/{len(approx)} agree"
+
+
+def test_table_profile_approx_agrees_with_exact(spark, sf_dir):
+    """The HLL profile (the registered 100 TB swap) must match the exact
+    profile on every non-sketch stat and land within 2% on n_distinct."""
+    approx = {
+        r.column_name: r
+        for r in QUERIES["q_table_profile_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.column_name: r
+        for r in QUERIES["q_table_profile"](spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys() and len(exact) == 3
+    for c, a in approx.items():
+        e = exact[c]
+        assert (a.n_rows, a.n_null, a.min_val, a.max_val) == (
+            e.n_rows, e.n_null, e.min_val, e.max_val,
+        )
+        tol = max(1.0, 0.02 * e.n_distinct)
+        assert abs(a.n_distinct - e.n_distinct) <= tol, (
+            f"{c}: approx {a.n_distinct} vs exact {e.n_distinct}"
+        )
+
+
 def test_survey_inventory_in_sync():
     """Every fixture key named in SURVEY.md SS2 must be registered, and
     every registered query must appear in SURVEY.md -- the judge checks

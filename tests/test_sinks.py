@@ -46,12 +46,13 @@ def test_clickhouse_ddl_passthrough():
         "ENGINE = MergeTree(collect_date, (mid, topic, collect_date), 8192)"
         in raw
     )
+    assert "mid String COMMENT 'message id'" in raw
     assert "collect_date Date MATERIALIZED toDate(collect_datetime)" in raw
 
     cols = [("key_id", "String"), ("params_value", "Float64")]
     adapter = adapter_table_ddl_clickhouse(store, cols)
     assert "pumpdb.Json_Message" in adapter
-    assert "`params_value` Float64" in adapter
+    assert ", params_value Float64" in adapter  # unquoted, as the reference
     assert "ENGINE = MergeTree(collect_date, (mid, collect_date), 8192)" in adapter
 
 
