@@ -83,6 +83,58 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_event_time_window",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 5) * 5 AS BIGINT) * 1000000)
+             AS window_start,
+           'pump/' || event_type AS topic,
+           COUNT(*) AS n_msgs,
+           CAST(COUNT(*) AS DOUBLE) / 5 AS msgs_per_sec
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_event_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pump's opt-in EVENT-time interval rates (SURVEY.md SS1.1: the
+    reference keeps the payload's ``ts`` opaque, ``readme.txt:37-40``, so
+    its ticker can only window on arrival).  The fixture events are packed
+    into the two-record wire payload with a per-record ISO-8601 ``ts`` and
+    an arrival time shifted +7 s (every message "arrives late"); the
+    oracle groups by the ORIGINAL event timestamps -- so the key proves
+    ``with_event_time`` recovers generation time from the payload (lenient
+    map parse -> get_json_object -> to_timestamp -> earliest record) and
+    that it, not arrival, drives the window.  Streaming twin: the same
+    plan runs incrementally with a watermark on ``event_time``
+    (tests/test_streaming.py).  All-JVM narrow ops + one window
+    aggregation; scale shape identical to q_tumbling_window."""
+    from mqtt_message_pump_spark.streaming.pump import (
+        windowed_rates,
+        with_event_time,
+    )
+
+    events = table(spark, sf_dir, "events")
+    iso1 = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    iso2 = F.date_format(
+        F.col("ts") + F.expr("INTERVAL 1 SECOND"),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    )
+    k = F.get_json_object("props", "$.k")
+    payload = F.concat(
+        F.lit('{"r1":{"k":'), k, F.lit(',"ts":"'), iso1,
+        F.lit('"},"r2":{"k":'), k, F.lit(',"ts":"'), iso2, F.lit('"}}'),
+    )
+    msgs = events.select(
+        F.concat(F.lit("pump/"), "event_type").alias("topic"),
+        payload.alias("payload"),
+        (F.col("ts") + F.expr("INTERVAL 7 SECONDS")).alias("received_time"),
+    )
+    rates = windowed_rates(
+        with_event_time(msgs, "ts"), time_col="event_time"
+    )
+    return rates.select("window_start", "topic", "n_msgs", "msgs_per_sec")
+
+
+@query(
     "q_avg",
     oracle="""
     SELECT event_type,

@@ -88,14 +88,16 @@ def build_dual_path(
         "collect_datetime", F.col("received_time")
     ).withColumn("collect_date", F.to_date("collect_datetime"))
 
+    extra = ["event_time"] if "event_time" in messages.columns else []
     raw = enriched.select(
-        "mid", "topic", "payload", "collect_datetime", "collect_date"
+        "mid", "topic", "payload", "collect_datetime", "collect_date", *extra
     )
 
     parsed = enriched.select(
         "mid",
         "collect_datetime",
         "collect_date",
+        *extra,
         F.from_json("payload", map_schema).alias("records"),
     )
     exploded = explode_records(parsed, "records")
@@ -196,10 +198,39 @@ def dedupe_redeliveries(
     ).dropDuplicatesWithinWatermark(["mid"])
 
 
+def with_event_time(
+    messages: DataFrame,
+    event_time_field: str,
+    out_col: str = "event_time",
+) -> DataFrame:
+    """Opt-in event time for the pump (SURVEY.md SS1.1 upgrade): parse
+    ``event_time_field`` (a dotted path inside EACH payload record, e.g.
+    ``params.ts`` in the reference's jsonsample -- which the reference
+    keeps opaque, ``readme.txt:37-40``) and take the EARLIEST record
+    timestamp as the message's event time, falling back to
+    ``received_time`` for records without a parseable value.
+
+    All JVM-side: a lenient ``map<string,string>`` parse stringifies each
+    record (no typed schema needed, so this works for any adapter sample),
+    ``get_json_object`` pulls the field, ``to_timestamp`` parses ISO-8601,
+    ``array_min`` skips nulls.  One narrow projection -- no shuffle, no
+    Python.
+    """
+    path = "$." + event_time_field
+    vals = F.map_values(F.from_json("payload", "map<string,string>"))
+    times = F.transform(
+        vals, lambda r: F.to_timestamp(F.get_json_object(r, path))
+    )
+    return messages.withColumn(
+        out_col, F.coalesce(F.array_min(times), F.col("received_time"))
+    )
+
+
 def windowed_rates(
     messages: DataFrame,
     interval_secs: int = 5,
     watermark: str = "10 seconds",
+    time_col: str = "received_time",
 ) -> DataFrame:
     """The monitor's per-interval throughput (``monitor.go:151-173``,
     msgs + bytes per 5-s tick) as an event-time tumbling window with a
@@ -211,15 +242,21 @@ def windowed_rates(
     Works on both streaming and batch frames (batch ignores the
     watermark), so the same definition serves the pump and the oracle-
     checked q_tumbling_window.
+
+    ``time_col`` selects the windowing clock: ``received_time``
+    (processing-time arrival, reference parity) or an
+    :func:`with_event_time` column -- then late rows join their TRUE
+    interval until the watermark closes it (the event-time upgrade the
+    reference cannot express; oracle-checked as q_event_time_window).
     """
     sized = messages.withColumn(
         "msg_bytes", F.length("topic") + F.length("payload") + F.lit(4)
     )
     if sized.isStreaming:
-        sized = sized.withWatermark("received_time", watermark)
+        sized = sized.withWatermark(time_col, watermark)
     return (
         sized.groupBy(
-            F.window("received_time", f"{interval_secs} seconds").alias("w"),
+            F.window(time_col, f"{interval_secs} seconds").alias("w"),
             "topic",
         )
         .agg(
@@ -251,6 +288,7 @@ def start_stream_pump(
     mid_length: int = 8,
     dedupe_watermark: str | None = None,
     counters=None,
+    event_time_field: str | None = None,
 ):
     """Start the streaming pump on a streaming messages DataFrame.
 
@@ -267,8 +305,17 @@ def start_stream_pump(
     lifetime counts from each micro-batch commit -- the reference's queue
     lag / raw-vs-adapter gap surface (``monitor.go:120-136``); pass the
     same object to ``PumpMonitorListener`` to publish the stage deltas.
+
+    ``event_time_field`` (e.g. ``"params.ts"``) opts into event time: the
+    payload field is parsed per record (:func:`with_event_time`) and the
+    resulting ``event_time`` column rides through BOTH sink tables, so
+    downstream windowed/sessionized analytics can run on when the data
+    was generated instead of when the pump saw it.  ``collect_datetime``
+    stays processing-time (reference parity, ``data_processor.go``).
     """
     map_schema = map_schema or payload_map_schema()
+    if event_time_field is not None:
+        messages = with_event_time(messages, event_time_field)
     if dedupe_watermark is not None:
         enriched = dedupe_redeliveries(
             messages, dedupe_watermark, max(16, mid_length)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import time
 
 from pyspark.sql import functions as F
 
@@ -186,6 +187,141 @@ def test_windowed_rates_batch_and_late_data(spark, tmp_path):
         r for r in out[before:] if str(r["window_start"]).startswith("2024-01-01 00:00:00")
     ]
     assert late_emissions == [], "late row beyond watermark must be dropped"
+
+
+def _ts_payload(t1: str, t2: str) -> str:
+    return (
+        '{"r1":{"k":1,"ts":"' + t1 + '"},"r2":{"k":1,"ts":"' + t2 + '"}}'
+    )
+
+
+def test_event_time_rates_stream_matches_batch(spark, tmp_path):
+    """The opt-in event-time path (SURVEY SS1.1 upgrade): windows group by
+    the payload's embedded per-record ts (earliest record), NOT arrival --
+    batch and streaming produce the same windows, and in streaming a row
+    whose EVENT time is behind the watermark is dropped even though its
+    arrival is fresh (true event-time semantics)."""
+    from mqtt_message_pump_spark.streaming.pump import with_event_time
+
+    src = tmp_path / "src"
+    # arrival one hour after generation; r2 one second after r1; one
+    # message with no parseable field -> falls back to received_time
+    _write_wire(
+        src,
+        [
+            ("a", _ts_payload("2024-01-01T00:00:01", "2024-01-01T00:00:02"),
+             "2024-01-01T01:00:00.000Z"),
+            ("a", _ts_payload("2024-01-01T00:00:02", "2024-01-01T00:00:03"),
+             "2024-01-01T01:00:01.000Z"),
+            ("a", _ts_payload("2024-01-01T00:00:07", "2024-01-01T00:00:08"),
+             "2024-01-01T01:00:02.000Z"),
+            ("a", '{"r1":{"k":1}}', "2024-01-01T02:00:00.000Z"),
+        ],
+    )
+    batch = spark.read.schema(
+        "topic string, payload string, received_time timestamp"
+    ).json(str(src))
+    expect = {
+        ("2024-01-01 00:00:00", 2, 0.4),
+        ("2024-01-01 00:00:05", 1, 0.2),
+        ("2024-01-01 02:00:00", 1, 0.2),  # fallback row windows on arrival
+    }
+    got = {
+        (str(r["window_start"]), r["n_msgs"], r["msgs_per_sec"])
+        for r in windowed_rates(
+            with_event_time(batch, "ts"),
+            interval_secs=5,
+            time_col="event_time",
+        ).collect()
+    }
+    assert got == expect
+
+    out = []
+    stream = windowed_rates(
+        with_event_time(file_message_stream(spark, str(src)), "ts"),
+        interval_secs=5,
+        watermark="10 seconds",
+        time_col="event_time",
+    )
+
+    def run_once():
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: out.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {
+        (str(r["window_start"]), r["n_msgs"], r["msgs_per_sec"]) for r in out
+    } == expect
+
+    # fresh ARRIVAL, stale EVENT time (behind the watermark, which the
+    # fallback row advanced to 01:59:50) -> dropped from state
+    _write_wire(
+        src,
+        [("a", _ts_payload("2024-01-01T00:00:03", "2024-01-01T00:00:04"),
+          "2024-01-01T02:00:01.000Z")],
+    )
+    before = len(out)
+    run_once()
+    assert [
+        r for r in out[before:]
+        if str(r["window_start"]).startswith("2024-01-01 00:00:00")
+    ] == [], "stale-event-time row beyond watermark must be dropped"
+
+
+def test_pump_event_time_field_rides_both_sinks(spark, tmp_path):
+    """start_stream_pump(event_time_field=...) parses the payload ts and
+    lands an event_time column in BOTH sink tables while collect_datetime
+    stays processing-time (reference parity)."""
+    from mqtt_message_pump_spark.streaming.pump import start_stream_pump
+
+    src = tmp_path / "src"
+    _write_wire(
+        src,
+        [
+            ("a", _ts_payload("2024-01-01T00:00:01", "2024-01-01T00:00:02"),
+             "2024-01-01T01:00:00.000Z"),
+            ("b", _ts_payload("2024-01-01T00:00:06", "2024-01-01T00:00:07"),
+             "2024-01-01T01:00:01.000Z"),
+        ],
+    )
+    q = start_stream_pump(
+        spark,
+        file_message_stream(spark, str(src)),
+        str(tmp_path / "out"),
+        str(tmp_path / "pckpt"),
+        trigger_secs=1,
+        event_time_field="ts",
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if (tmp_path / "out" / "json_message").exists():
+            try:
+                if spark.read.parquet(
+                    str(tmp_path / "out" / "json_message")
+                ).count() == 4:
+                    break
+            except Exception:
+                pass
+        time.sleep(0.5)
+    q.stop()
+    raw = spark.read.parquet(str(tmp_path / "out" / "raw_message"))
+    flat = spark.read.parquet(str(tmp_path / "out" / "json_message"))
+    assert "event_time" in raw.columns and "event_time" in flat.columns
+    by_topic = {r["topic"]: r for r in raw.collect()}
+    assert str(by_topic["a"]["event_time"]) == "2024-01-01 00:00:01"
+    assert str(by_topic["b"]["event_time"]) == "2024-01-01 00:00:06"
+    # processing-time column untouched by the opt-in
+    assert str(by_topic["a"]["collect_datetime"]).startswith(
+        "2024-01-01 01:00:00"
+    )
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
