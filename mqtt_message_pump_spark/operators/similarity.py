@@ -755,6 +755,105 @@ def ivfpq_build(
     )
 
 
+def ivfpq_quantization_error(
+    df: DataFrame, index: IvfPqIndex, vec_col: str | None = None
+) -> DataFrame:
+    """Per-cell residual quantization error of ``df``'s vectors under the
+    index's FROZEN coarse centers + codebooks: assign -> residual ->
+    nearest PQ code per subspace -> summed squared reconstruction error.
+    Returns (cell, n_vecs, mse).
+
+    Map-only Arrow kernel + one tiny (<= n_centroids rows) aggregate --
+    the same cost class as the encode pass, so it can run over a sampled
+    slice of a 100 TB corpus or over each append batch unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    vec = vec_col or index.vec_col
+    coarse = np.asarray(index.coarse, dtype=np.float64)
+    pq_centers = np.asarray(index.pq_centers, dtype=np.float64)
+    n_sub, _, sub_len = pq_centers.shape
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec].tolist(), dtype=np.float64)
+            cells = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
+            resid = X - coarse[cells]
+            Rs = resid.reshape(len(pdf), n_sub, sub_len)
+            d = ((Rs[:, :, None, :] - pq_centers[None, :, :, :]) ** 2).sum(-1)
+            # min over codes per subspace, summed = squared L2 between the
+            # residual and its best PQ reconstruction
+            err = d.min(2).sum(1)
+            yield pd.DataFrame(
+                {"cell": cells.astype("int32"), "err": err}
+            )
+
+    errs = df.select(
+        F.col(vec).cast("array<double>").alias(vec)
+    ).mapInPandas(kern, "cell int, err double")
+    return errs.groupBy("cell").agg(
+        F.count("*").alias("n_vecs"), F.avg("err").alias("mse")
+    )
+
+
+def ivfpq_drift(
+    index: IvfPqIndex,
+    baseline: DataFrame,
+    appended: DataFrame,
+    vec_col: str | None = None,
+    ratio_threshold: float = 1.5,
+) -> DataFrame:
+    """Index-maintenance drift monitor (the faiss-operations answer to
+    an append-only index degrading silently at scale): compare the
+    per-cell residual quantization error of an APPENDED vector batch
+    against the BUILD-time distribution under the same frozen codebooks.
+
+    Returns one row per coarse cell: (cell, n_base, mse_base, n_new,
+    mse_new, err_ratio, retrain) where ``retrain`` flags cells whose new
+    error exceeds ``ratio_threshold`` x build error -- or that received
+    appends with NO build-time vectors at all (a brand-new mode the
+    codebooks never saw).  The recommended trigger is re-training when
+    retrain-flagged cells hold a material share of appended rows; the
+    monitor emits the per-cell evidence and leaves the threshold policy
+    to the caller (like faiss users re-training on observed recall/error
+    drift).
+
+    Cost: two map-only error passes (baseline can be a stored sample or
+    the build corpus) + an n_centroids-sized join -- nothing
+    corpus-quadratic, safe per append batch at 100 TB."""
+    base = ivfpq_quantization_error(baseline, index, vec_col).select(
+        "cell",
+        F.col("n_vecs").alias("n_base"),
+        F.col("mse").alias("mse_base"),
+    )
+    new = ivfpq_quantization_error(appended, index, vec_col).select(
+        "cell",
+        F.col("n_vecs").alias("n_new"),
+        F.col("mse").alias("mse_new"),
+    )
+    joined = base.join(new, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        "mse_base",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        "mse_new",
+    )
+    ratio = F.when(
+        F.col("mse_base").isNotNull() & (F.col("mse_base") > 0),
+        F.col("mse_new") / F.col("mse_base"),
+    )
+    return joined.select(
+        "*",
+        ratio.alias("err_ratio"),
+        (
+            F.col("mse_new").isNotNull()
+            & (F.col("mse_base").isNull() | (ratio > ratio_threshold))
+        ).alias("retrain"),
+    )
+
+
 def ivfpq_search(
     queries: DataFrame,
     index: IvfPqIndex,

@@ -714,6 +714,28 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "cand_id", "pq_dist", "rank")
 
 
+@query("q_ann_index_drift")  # rows-only: per-cell MSE is float-reduction-order
+def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance drift monitor for the persisted IVF-PQ index
+    (the operational gap an append-only ANN index has at 100 TB: frozen
+    codebooks degrade silently as the embedding distribution shifts;
+    faiss users re-train on observed drift).  The fixture appends a
+    DELIBERATELY shifted batch (every component +0.5 -- a new embedding
+    model / domain mode) next to an in-distribution control slice; the
+    monitor reports per-cell build-vs-append residual quantization error
+    and flags cells needing re-training.  Tests assert the shifted batch
+    trips the flag while the control batch does not.  Two map-only Arrow
+    error passes + an n_centroids-row join -- per-append-batch cost,
+    never corpus-quadratic."""
+    emb = table(spark, sf_dir, "embeddings")
+    idx = ivfpq_index_for(spark, sf_dir)
+    shifted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(0.5)).alias("embedding"),
+    )
+    return SIM.ivfpq_drift(idx, emb, shifted).orderBy("cell")
+
+
 @query(
     "q_embed_near_dup",
     oracle=f"""
