@@ -13,8 +13,13 @@ reader needs from Paho (``on_message`` / ``subscribe`` / ``loop_start`` /
 drop-in ``client_factory`` for ``MqttStreamReader``.
 
 It is a test/dev loopback, not a production broker: QoS 0/1 only (no
-QoS 2 handshake, no retained messages, no persistent sessions), and the
-broker can deliberately REDELIVER every QoS-1 publish with DUP=1
+QoS 2 handshake, no retained messages).  Persistent sessions ARE
+implemented (MQTT 3.1.1 §3.1.2.4: clean_session=0 keeps subscriptions,
+queues QoS-1 messages while the client is offline, re-queues unacked
+in-flight deliveries as DUP on connection loss) -- the broker half of the
+"replay comes from the broker" contract the budget-capped reader relies
+on.  The broker can also deliberately REDELIVER every QoS-1 publish with
+DUP=1
 (``redeliver_qos1=True``) -- forcing the at-least-once duplication that
 real brokers only produce on connection loss, so the packet-id dedup
 path is testable end-to-end (reference parity: ``mqtt.go:117-126``
@@ -23,6 +28,7 @@ delivers Paho messages with mid/dup; ``SURVEY.md SS2.6``).
 
 from __future__ import annotations
 
+import collections
 import socket
 import struct
 import threading
@@ -120,7 +126,17 @@ class MiniBroker:
         # defer acks leave their unacked ids out of this set)
         self.acked_pids: set[int] = set()
         self._lock = threading.Lock()
-        # conn -> {"sock", "wlock", "mid", "subs": [(filter, qos)]}
+        # Persistent sessions (MQTT 3.1.1 §3.1.2.4): client_id ->
+        # {"subs": [(filter, qos)], "queue": deque[[topic, payload, qos,
+        # dup]], "conn": live conn id | None}.  clean_session=0 CONNECTs
+        # create/resume one; QoS-1 publishes matching an OFFLINE session's
+        # subscriptions queue here and flush on re-subscribe, and
+        # in-flight deliveries never PUBACKed re-queue (dup=1) when the
+        # subscriber drops -- what the pump's budget-capped manual-ack
+        # reader relies on for no-loss across micro-batches and restarts.
+        self._sessions: dict[str, dict] = {}
+        # conn -> {"sock", "wlock", "mid", "subs": [(filter, qos)],
+        #          "session": session dict | None, "inflight": {pid: entry}}
         self._conns: dict[int, dict] = {}
         self._next_conn = 0
         self._stopped = threading.Event()
@@ -151,6 +167,8 @@ class MiniBroker:
                     "wlock": threading.Lock(),
                     "mid": 0,
                     "subs": [],
+                    "session": None,
+                    "inflight": {},
                 }
             threading.Thread(
                 target=self._serve, args=(cid,), daemon=True
@@ -181,7 +199,31 @@ class MiniBroker:
                             # any control packet (incl. PINGREQ) resets
                             # the timer via the per-recv socket timeout
                             sock.settimeout(ka * 1.5)
-                    self._send(conn, _packet(CONNACK, 0, b"\x00\x00"))
+                    client_id, clean = self._connect_meta(body)
+                    session_present = 0
+                    if not clean and client_id:
+                        with self._lock:
+                            sess = self._sessions.get(client_id)
+                            if sess is None:
+                                sess = {
+                                    "subs": [],
+                                    "queue": collections.deque(),
+                                    "conn": None,
+                                }
+                                self._sessions[client_id] = sess
+                            else:
+                                session_present = 1
+                            conn["session"] = sess
+                            # §3.1.2.4: subscriptions are session state
+                            conn["subs"] = list(sess["subs"])
+                            sess["conn"] = cid
+                    elif clean and client_id:
+                        with self._lock:
+                            self._sessions.pop(client_id, None)
+                    self._send(
+                        conn,
+                        _packet(CONNACK, 0, bytes([session_present, 0])),
+                    )
                 elif ptype == SUBSCRIBE:
                     (pid,) = struct.unpack(">H", body[:2])
                     i, granted = 2, []
@@ -192,6 +234,8 @@ class MiniBroker:
                         i += 3 + tl
                         with self._lock:
                             conn["subs"].append((flt, qos))
+                            if conn["session"] is not None:
+                                conn["session"]["subs"] = list(conn["subs"])
                         granted.append(min(qos, 1))
                     self._send(
                         conn,
@@ -201,6 +245,11 @@ class MiniBroker:
                             struct.pack(">H", pid) + bytes(granted),
                         ),
                     )
+                    # deliver messages queued while the session was
+                    # offline (flushed post-SUBACK rather than at resume:
+                    # our clients attach on_message between connect and
+                    # subscribe, and an un-acked flush re-queues anyway)
+                    self._flush_session(conn)
                 elif ptype == PUBLISH:
                     qos = (flags >> 1) & 0x03
                     (tl,) = struct.unpack(">H", body[:2])
@@ -222,17 +271,81 @@ class MiniBroker:
                     (apid,) = struct.unpack(">H", body[:2])
                     with self._lock:
                         self.acked_pids.add(apid)
+                        conn["inflight"].pop(apid, None)
                 elif ptype == DISCONNECT:
                     break
         except (ConnectionError, OSError):
             pass
         finally:
             with self._lock:
+                # un-PUBACKed QoS-1 deliveries to a persistent session go
+                # back to the FRONT of its queue as DUP redeliveries
+                # (§4.4) -- the no-loss guarantee the budget-capped reader
+                # leans on across micro-batches and pump restarts
+                sess = conn["session"]
+                if sess is not None:
+                    if conn["inflight"]:
+                        requeued = [
+                            [e[0], e[1], e[2], True]
+                            for _, e in sorted(conn["inflight"].items())
+                        ]
+                        sess["queue"] = collections.deque(
+                            requeued + list(sess["queue"])
+                        )
+                        conn["inflight"] = {}
+                    if sess["conn"] == cid:
+                        sess["conn"] = None
                 self._conns.pop(cid, None)
             try:
                 sock.close()
             except OSError:
                 pass
+
+    def _flush_session(self, conn: dict) -> None:
+        """Send every queued message matching ``conn``'s subscriptions,
+        tracking each as in-flight until its PUBACK arrives."""
+        while True:
+            with self._lock:
+                sess = conn["session"]
+                if sess is None or not sess["queue"]:
+                    return
+                entry = None
+                for idx, e in enumerate(sess["queue"]):
+                    if any(topic_matches(f, e[0]) for f, _ in conn["subs"]):
+                        del sess["queue"][idx]
+                        entry = e
+                        break
+                if entry is None:
+                    return
+                topic, payload, qos, dup = entry
+                conn["mid"] = conn["mid"] % 65535 + 1
+                pid = conn["mid"]
+                conn["inflight"][pid] = entry
+            head = _encode_str(topic) + struct.pack(">H", pid)
+            try:
+                self._send(
+                    conn,
+                    _packet(
+                        PUBLISH, (0x08 if dup else 0) | (qos << 1),
+                        head + payload,
+                    ),
+                )
+            except OSError:
+                return
+
+    @staticmethod
+    def _connect_meta(body: bytes) -> tuple[str, bool]:
+        """(client_id, clean_session) from a CONNECT body (MQTT 3.1.1
+        §3.1.2.4 flag bit 1; client id is the first payload field)."""
+        try:
+            (plen,) = struct.unpack(">H", body[:2])
+            flags = body[2 + plen + 1]
+            i = 2 + plen + 1 + 1 + 2  # proto str + level + flags + keepalive
+            (cl,) = struct.unpack(">H", body[i : i + 2])
+            client_id = body[i + 2 : i + 2 + cl].decode("utf-8")
+            return client_id, bool(flags & 0x02)
+        except (struct.error, IndexError, UnicodeDecodeError):
+            return "", True
 
     @staticmethod
     def _connect_keepalive(body: bytes) -> int:
@@ -290,7 +403,24 @@ class MiniBroker:
                 if qos:
                     conn["mid"] = conn["mid"] % 65535 + 1
                     pid = conn["mid"]
+                    if conn["session"] is not None:
+                        # persistent subscriber: hold until PUBACK so an
+                        # unacked delivery re-queues when the conn drops
+                        conn["inflight"][pid] = [topic, payload, qos, False]
                 targets.append((conn, qos, pid))
+            # offline persistent sessions: queue QoS>=1 messages for the
+            # next resume (§3.1.2.4 session state); QoS 0 drops, per spec
+            for sess in self._sessions.values():
+                if sess["conn"] in self._conns:
+                    continue
+                match_qos = [
+                    q for f, q in sess["subs"] if topic_matches(f, topic)
+                ]
+                if not match_qos:
+                    continue
+                qos = min(pub_qos, max(match_qos))
+                if qos >= 1:
+                    sess["queue"].append([topic, payload, qos, False])
         for conn, qos, pid in targets:
             head = _encode_str(topic)
             if qos:

@@ -91,6 +91,87 @@ def test_drift_new_cell_flags_retrain(spark):
     assert some_cell in {r["cell"] for r in rows}
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join path validated on ACTUALLY skewed data (the r7
+    verdict gap: q_skew_join proves manual salting is semantically
+    invisible, but nothing ran the adaptive skew split).  A 1000:1 hot
+    key forces one shuffle partition far past the (lowered) skew
+    threshold; the final adaptive plan must mark the sort-merge join
+    skew=true (the hot partition re-planned into multiple splits -- no
+    straggler task owns the whole key), and the result must equal the
+    plain non-adaptive join bit-for-bit."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32kb",
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16kb")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # 1000:1 skew: key 0 carries 100k rows, keys 1..100 carry 100 each.
+        # The downstream group key is INDEPENDENT of the join key (row_id
+        # % 5) -- grouping by k itself would reuse the join's hash
+        # partitioning and AQE would (correctly) refuse a skew split that
+        # adds a shuffle; real skewed pipelines group elsewhere.
+        big = spark.range(0, 100_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("row_id")
+        ).unionAll(
+            spark.range(0, 10_000).select(
+                (F.col("id") % 100 + 1).alias("k"),
+                (F.col("id") + 1_000_000).alias("row_id"),
+            )
+        ).withColumn("pad", F.repeat(F.lit("x"), 64))
+        dim = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+        )
+        joined = (
+            big.join(dim.hint("merge"), "k")
+            .groupBy((F.col("row_id") % 5).alias("g"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("dim_val").alias("s"),
+                F.sum(F.length("pad")).alias("pad_bytes"),
+            )
+        )
+        rows = {
+            (r["g"], r["n"], r["s"], r["pad_bytes"]) for r in joined.collect()
+        }
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    # semantic invisibility: identical to the plain join, computed in
+    # plain python over the same generator expressions
+    from collections import defaultdict
+
+    agg: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for row_id in range(100_000):  # hot key 0, dim_val 0
+        agg[row_id % 5][0] += 1
+    for i in range(10_000):  # keys 1..100
+        g = (i + 1_000_000) % 5
+        agg[g][0] += 1
+        agg[g][1] += (i % 100 + 1) * 10
+    expect = {(g, n, s, n * 64) for g, (n, s) in agg.items()}
+    assert rows == expect
+
+
 def test_drift_key_registered(spark):
     """The registered key produces one row per touched cell with the
     documented schema and at least one tripped flag (its append IS the
