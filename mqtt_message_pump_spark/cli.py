@@ -82,6 +82,50 @@ def cmd_check(cfg: PumpConfig) -> int:
     return 0
 
 
+def make_monitor_publish(mon: dict, connect_monitor, qos: int):
+    """Build the monitor tick publisher with reconnect-on-failure.
+
+    A dropped monitor connection (broker restart, keepalive kill) must not
+    lose the tick or crash the listener -- rebuild once, retry, else echo
+    this tick to stderr and keep the pump alive (``monitor.go:100-106``
+    counts failures and keeps ticking).  paho reports a dead connection
+    via the publish result rc (``MQTT_ERR_NO_CONN`` = 4) WITHOUT raising,
+    while minimqtt raises OSError; both funnel into the same reconnect
+    path by promoting a nonzero rc to ConnectionError (ADVICE r8:
+    otherwise the fallback is dead code under paho and downtime ticks
+    vanish silently)."""
+
+    def _publish_or_raise(client, topic: str, data: bytes) -> None:
+        result = client.publish(topic, data, qos=qos)
+        rc = getattr(result, "rc", 0)
+        if rc:
+            raise ConnectionError(f"monitor publish rc={rc}")
+
+    def publish(topic: str, payload: str) -> None:
+        client = mon["client"]
+        if client is None:
+            print(f"[monitor] {topic} {payload}", file=sys.stderr)
+            return
+        data = payload.encode("utf-8")
+        try:
+            _publish_or_raise(client, topic, data)
+        except (OSError, ConnectionError):
+            try:
+                client.disconnect()
+            except Exception:
+                pass
+            try:
+                mon["client"] = connect_monitor()
+                _publish_or_raise(mon["client"], topic, data)
+            except Exception as e:
+                print(
+                    f"[monitor] reconnect failed ({e}) {topic} {payload}",
+                    file=sys.stderr,
+                )
+
+    return publish
+
+
 def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     from mqtt_message_pump_spark.sources.mqtt import mqtt_available
     from mqtt_message_pump_spark.streaming.monitor import PumpMonitorListener
@@ -105,6 +149,11 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
                 "group_num",
                 str(topic.group_num if topic.enable_group_num else 0),
             )
+            .option(
+                "group_offset",
+                str(topic.group_offset if topic.enable_group_num else 0),
+            )
+            .option("numbered_topics", str(topic.enable_group_num))
             .option("qos", str(cfg.source_mqtt.qos))
             .option("clean_session", str(cfg.source_mqtt.clean_session))
             .option("client_name", cfg.source_mqtt.client_name)
@@ -164,33 +213,7 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
         client.loop_start()
         return client
 
-    def publish(topic: str, payload: str) -> None:
-        client = mon["client"]
-        if client is None:
-            print(f"[monitor] {topic} {payload}", file=sys.stderr)
-            return
-        data = payload.encode("utf-8")
-        try:
-            client.publish(topic, data, qos=cfg.monitor_mqtt.qos)
-        except (OSError, ConnectionError):
-            # reconnect-on-publish: a dropped monitor connection (broker
-            # restart, keepalive kill) must not lose the tick or crash
-            # the listener -- rebuild once, retry, else echo this tick
-            # and keep the pump alive (monitor.go:100-106 keeps ticking)
-            try:
-                client.disconnect()
-            except Exception:
-                pass
-            try:
-                mon["client"] = _connect_monitor()
-                mon["client"].publish(
-                    topic, data, qos=cfg.monitor_mqtt.qos
-                )
-            except Exception as e:
-                print(
-                    f"[monitor] reconnect failed ({e}) {topic} {payload}",
-                    file=sys.stderr,
-                )
+    publish = make_monitor_publish(mon, _connect_monitor, cfg.monitor_mqtt.qos)
 
     if source_dir is None:
         try:

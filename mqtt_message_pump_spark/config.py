@@ -40,6 +40,11 @@ class TopicConf:
     topic_prefix: str = ""
     enable_group_num: bool = False
     group_num: int = 0
+    # First group index: the reference subscribes to groups
+    # begingroupnum..endgroupnum INCLUSIVE (main.go:111), so a config with
+    # begingroupnum=3, endgroupnum=5 means topics <root><prefix>/{3,4,5}.
+    # Partitions stay 0..group_num-1; the offset shifts the TOPIC only.
+    group_offset: int = 0
 
 
 @dataclass
@@ -227,10 +232,11 @@ def load_config(path: str) -> PumpConfig:
             cfg.source_mqtt.client_name = items["targetname"]
         if "endgroupnum" in items:
             begin = int(items.get("begingroupnum", "0"))
-            # reference pipes span [begin, end] inclusive; this repo's
-            # group partitions are 0..group_num-1 (begin offsets beyond 0
-            # are not supported -- same coverage for the shipped configs)
+            # reference pipes span [begin, end] inclusive (main.go:111);
+            # group_num counts the pipes, group_offset carries begin so
+            # the reader subscribes to begin..end, not 0..N-1
             cfg.topic.group_num = int(items["endgroupnum"]) - begin + 1
+            cfg.topic.group_offset = begin
 
     if "clickhouse" in sections:
         items = sections["clickhouse"]
@@ -240,10 +246,21 @@ def load_config(path: str) -> PumpConfig:
             if k in items:
                 _set_typed(store, k, items[k])
         # the reference DSN is native-protocol TCP
-        # (tcp://host:port?username=&compress=true, data_dbstore.go:84-94);
-        # Spark speaks JDBC, so the same endpoint becomes a JDBC URL
+        # (tcp://host:port?username=&compress=true, data_dbstore.go:84-94),
+        # but com.clickhouse.jdbc speaks the HTTP protocol (default 8123)
+        # -- copying the native port verbatim produces a URL that cannot
+        # connect.  Translate well-known native ports to their HTTP twins,
+        # preserving a deployment's fixed port-remap offset (the shipped
+        # reference INIs use 19000 = 9000 + 10000, so HTTP is 18123);
+        # an explicit `httpport` key (this repo's extension) wins outright.
         host = items.get("hostname", "127.0.0.1")
-        port = items.get("port", "9000")
+        port = int(items.get("port", "9000"))
+        if "httpport" in items:
+            port = int(items["httpport"])
+        elif port % 10000 == 9000:  # native port, possibly offset-remapped
+            port = port - 9000 + 8123
+        elif port % 10000 == 9440:  # native TLS port
+            port = port - 9440 + 8443
         store.url = f"jdbc:clickhouse://{host}:{port}/{store.database}"
         if not store.driver:
             store.driver = "com.clickhouse.jdbc.ClickHouseDriver"

@@ -847,9 +847,18 @@ def ivfpq_drift(
     return joined.select(
         "*",
         ratio.alias("err_ratio"),
-        (
+        # mse_base == 0 with nonzero new error is retrain-worthy even
+        # though the ratio is undefined (a perfectly-quantized build cell
+        # receiving drifted appends, ADVICE r8); coalesce keeps the flag
+        # a real boolean when the ratio when-guard yields NULL.
+        F.coalesce(
             F.col("mse_new").isNotNull()
-            & (F.col("mse_base").isNull() | (ratio > ratio_threshold))
+            & (
+                F.col("mse_base").isNull()
+                | (ratio > ratio_threshold)
+                | ((F.col("mse_base") == 0) & (F.col("mse_new") > 0))
+            ),
+            F.lit(False),
         ).alias("retrain"),
     )
 

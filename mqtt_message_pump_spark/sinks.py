@@ -21,14 +21,22 @@ from mqtt_message_pump_spark.config import StoreConf
 RAW_COLUMNS = "mid STRING, topic STRING, payload STRING, collect_datetime TIMESTAMP"
 
 
-def raw_table_ddl(store: StoreConf, location: str | None = None) -> str:
+def raw_table_ddl(
+    store: StoreConf, location: str | None = None, event_time: bool = False
+) -> str:
     """CREATE TABLE for the raw message table (``data_dbstore.go:127-133``):
     `mid/topic/payload/collect_datetime` + derived `collect_date` partition
-    (the MATERIALIZED toDate column becomes a partition column)."""
+    (the MATERIALIZED toDate column becomes a partition column).
+
+    ``event_time=True`` adds the pump's opt-in event-time column
+    (``streaming.pump.start_stream_pump(event_time_field=...)`` rides an
+    ``event_time`` through both sink frames) so provisioned tables match
+    the written schema."""
     loc = f" LOCATION '{location}'" if location else ""
+    et = ", event_time TIMESTAMP" if event_time else ""
     return (
         f"CREATE TABLE IF NOT EXISTS {store.database}.{store.raw_table_name} "
-        f"({RAW_COLUMNS}, collect_date DATE) USING parquet "
+        f"({RAW_COLUMNS}{et}, collect_date DATE) USING parquet "
         f"PARTITIONED BY (collect_date){loc}"
     )
 
@@ -37,16 +45,19 @@ def adapter_table_ddl(
     store: StoreConf,
     inferred_cols: list[tuple[str, str]],
     location: str | None = None,
+    event_time: bool = False,
 ) -> str:
     """CREATE TABLE for the flattened table (``data_dbstore.go:138-142``):
     mid + the sample-inferred columns (already lexicographically sorted,
-    ``data_adapter.go:103-106``) + timestamp/date."""
+    ``data_adapter.go:103-106``) + timestamp/date.  ``event_time=True``
+    adds the pump's opt-in event-time column (see :func:`raw_table_ddl`)."""
     type_map = {"String": "STRING", "Bool": "BOOLEAN", "Float64": "DOUBLE"}
     cols = ", ".join(f"`{n}` {type_map[t]}" for n, t in inferred_cols)
     loc = f" LOCATION '{location}'" if location else ""
+    et = ", event_time TIMESTAMP" if event_time else ""
     return (
         f"CREATE TABLE IF NOT EXISTS {store.database}.{store.adapter_table_name} "
-        f"(mid STRING, {cols}, collect_datetime TIMESTAMP, collect_date DATE) "
+        f"(mid STRING, {cols}, collect_datetime TIMESTAMP{et}, collect_date DATE) "
         f"USING parquet PARTITIONED BY (collect_date){loc}"
     )
 
@@ -57,11 +68,18 @@ def provision(
     inferred_cols: list[tuple[str, str]],
     raw_location: str | None = None,
     adapter_location: str | None = None,
+    event_time: bool = False,
 ) -> None:
-    """CREATE DATABASE/TABLE IF NOT EXISTS (``data_dbstore.go:122-147``)."""
+    """CREATE DATABASE/TABLE IF NOT EXISTS (``data_dbstore.go:122-147``).
+    Pass ``event_time=True`` when the pump runs with ``event_time_field``
+    so the provisioned schemas match the written frames."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {store.database}")
-    spark.sql(raw_table_ddl(store, raw_location))
-    spark.sql(adapter_table_ddl(store, inferred_cols, adapter_location))
+    spark.sql(raw_table_ddl(store, raw_location, event_time=event_time))
+    spark.sql(
+        adapter_table_ddl(
+            store, inferred_cols, adapter_location, event_time=event_time
+        )
+    )
 
 
 def write_bucketed(
@@ -91,12 +109,22 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
-def raw_table_ddl_clickhouse(store: StoreConf) -> str:
+def raw_table_ddl_clickhouse(store: StoreConf, event_time: bool = False) -> str:
     """ClickHouse MergeTree DDL for the raw table, passed through verbatim
     when the sink is jdbc (``data_dbstore.go:127-134``): legacy MergeTree
     signature = (date column, primary key tuple, index granularity).
-    Token-for-token the reference's statement including the column
-    COMMENTs (golden transcript ``release_20120128/readme.txt:61-66``)."""
+    With ``event_time=False`` (default) the statement is token-for-token
+    the reference's, including the column COMMENTs (golden transcript
+    ``release_20120128/readme.txt:61-66``); ``event_time=True`` adds the
+    pump's opt-in event-time column so a jdbc target's schema matches the
+    frames ``start_stream_pump(event_time_field=...)`` writes (ADVICE r8:
+    without it the event-time opt-in and a passthrough-created table
+    mismatch)."""
+    et = (
+        "event_time DateTime COMMENT 'payload-declared event time', "
+        if event_time
+        else ""
+    )
     return (
         f"CREATE TABLE IF NOT EXISTS {store.database}.{store.raw_table_name} ("
         "mid String COMMENT 'message id', "
@@ -104,6 +132,7 @@ def raw_table_ddl_clickhouse(store: StoreConf) -> str:
         "payload String COMMENT 'message payloads', "
         "collect_datetime DateTime COMMENT "
         "'Date and time of collecting data from the message hub', "
+        f"{et}"
         "collect_date Date MATERIALIZED toDate(collect_datetime) COMMENT "
         "'date of collecting data from the message hub'"
         ") ENGINE = MergeTree(collect_date, (mid, topic, collect_date), 8192)"
@@ -111,7 +140,9 @@ def raw_table_ddl_clickhouse(store: StoreConf) -> str:
 
 
 def adapter_table_ddl_clickhouse(
-    store: StoreConf, inferred_cols: list[tuple[str, str]]
+    store: StoreConf,
+    inferred_cols: list[tuple[str, str]],
+    event_time: bool = False,
 ) -> str:
     """ClickHouse MergeTree DDL for the flattened table
     (``data_dbstore.go:138-142``): mid + inferred columns (ClickHouse type
@@ -119,12 +150,15 @@ def adapter_table_ddl_clickhouse(
     toDate with (mid, collect_date) primary key.  Unquoted column names
     exactly as the reference emits them (``data_adapter.go:100-110`` joins
     ``, name Type`` with no quoting; golden transcript
-    ``release_20120128/readme.txt:67-72``)."""
+    ``release_20120128/readme.txt:67-72``).  ``event_time=True`` adds the
+    pump's opt-in event-time column (see
+    :func:`raw_table_ddl_clickhouse`); the default stays golden."""
     cols = "".join(f", {n} {t}" for n, t in inferred_cols)
+    et = ", event_time DateTime" if event_time else ""
     return (
         f"CREATE TABLE IF NOT EXISTS "
         f"{store.database}.{store.adapter_table_name} ("
-        f"mid String{cols}, collect_datetime DateTime, "
+        f"mid String{cols}, collect_datetime DateTime{et}, "
         "collect_date Date MATERIALIZED toDate(collect_datetime)"
         ") ENGINE = MergeTree(collect_date, (mid, collect_date), 8192)"
     )

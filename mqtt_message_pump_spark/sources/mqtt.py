@@ -188,6 +188,20 @@ class MqttStreamReader(DataSourceStreamReader):
     def __init__(self, options, client_factory=None, pipe_signal=None) -> None:
         self.options = options
         self.groups = int(options.get("group_num", "0")) or 1
+        # first group index: reference pipes span begin..end inclusive
+        # (main.go:111 iterates Begingroupnum..Endgroupnum), so a config
+        # with begingroupnum=3 subscribes to <root><prefix>/3.. -- the
+        # offset shifts the TOPIC per partition, partitions stay 0..N-1.
+        # numbered_topics mirrors Enablegroupnum (mqtt.go:73-77): numbered
+        # subscriptions even for a single group; default preserves the
+        # group_num>1 convention for direct reader options.
+        self.group_offset = int(options.get("group_offset", "0"))
+        self.numbered_topics = str(
+            options.get(
+                "numbered_topics",
+                "true" if self.groups > 1 or self.group_offset else "false",
+            )
+        ).strip().lower() in ("1", "true", "yes", "on")
         self._counts = {g: 0 for g in range(self.groups)}
         # per-trigger row budget: latestOffset advances each group's
         # offset by this much, so EVERY trigger schedules a poll window
@@ -237,13 +251,14 @@ class MqttStreamReader(DataSourceStreamReader):
                 self._counts[g] = committed
 
     def group_topic(self, group: int) -> str:
-        """Subscription topic for one group: ``root+prefix/<group>`` when
-        fanned out, else the single wildcard subscription
-        (reference ``mqtt.go:72-77``)."""
+        """Subscription topic for one group: ``root+prefix/<offset+group>``
+        when fanned out (``group_offset`` carries the reference's
+        begingroupnum, ``main.go:111``), else the single wildcard
+        subscription (reference ``mqtt.go:72-77``)."""
         root = self.options.get("topic_root", "")
         prefix = self.options.get("topic_prefix", "")
-        if self.groups > 1:
-            return f"{root}{prefix}/{group}"
+        if self.numbered_topics:
+            return f"{root}{prefix}/{self.group_offset + group}"
         return f"{root}{prefix}/#"
 
     def read(self, partition):
@@ -295,8 +310,6 @@ class MqttStreamReader(DataSourceStreamReader):
                     bool(getattr(msg, "dup", False)),
                 )
             )
-            if manual:
-                client.ack(int(getattr(msg, "mid", 0)))
 
         client.on_message = on_message
         try:
@@ -317,6 +330,20 @@ class MqttStreamReader(DataSourceStreamReader):
             while len(buffered) < want and time.time() < deadline:
                 time.sleep(0.05)
             client.loop_stop()
+            if manual:
+                # PUBACKs are DEFERRED to the end of the poll window: a
+                # task killed mid-poll (a prompt pump stop landing in the
+                # next batch, streaming.pump.drain_and_stop) has then
+                # acked NOTHING, so the broker requeues every buffered row
+                # for the next micro-batch -- no loss, and no dup because
+                # the killed batch commits nothing.  Acking per message on
+                # receipt left a poll-window-sized loss hole (rows acked
+                # by a batch that never commits are gone for good).  The
+                # residual window -- killed between this flush and the
+                # sink commit -- is the documented QoS-1 boundary
+                # (tests/test_soak.py delivery-semantics note).
+                for row in buffered:
+                    client.ack(row[3])
         finally:
             client.disconnect()
             # per-micro-batch clients tear down after the read

@@ -377,7 +377,9 @@ def start_stream_pump(
     )
 
 
-def drain_and_stop(query, timeout_secs: float = 60.0) -> None:
+def drain_and_stop(
+    query, timeout_secs: float = 60.0, until_idle: bool = True
+) -> None:
     """Stop a streaming query without cancelling an in-flight trigger.
 
     ``query.stop()`` interrupts the stream-execution thread and cancels its
@@ -385,16 +387,47 @@ def drain_and_stop(query, timeout_secs: float = 60.0) -> None:
     the write half-way (observed failure mode: the cancelled append's file
     listing resolves empty and the writer dies with UNABLE_TO_INFER_SCHEMA
     on a loaded host).  For timed runs, first wait -- bounded -- until the
-    query reports no active trigger and no unprocessed data, then stop.
-    ``processAllAvailable()`` is not used because on a live (MQTT) source it
-    can block forever; status polling drains without that hazard.
+    query reports no active trigger and (``until_idle``) no unprocessed
+    data, then stop.  ``processAllAvailable()`` is not used because on a
+    live (MQTT) source it can block forever; status polling drains without
+    that hazard.
+
+    The live MQTT source's offsets are SCHEDULING offsets that advance
+    every trigger (``sources/mqtt.py:latestOffset``), so its queries NEVER
+    report ``isDataAvailable == False``, and because every batch opens a
+    real poll window they are essentially ALWAYS inside a trigger --
+    waiting for the idle status alone burns the whole timeout on every
+    stop (the r8 soak spent 4 x 60 s doing exactly that).  Two
+    progress-based escapes close it:
+
+    - ``until_idle=True`` (default): stop once the most recent COMPLETED
+      batch read ZERO rows -- for a live source an empty poll window IS
+      the drained state.  File/rate sources still exit through the
+      ``isDataAvailable`` fast path before ever reaching this.
+    - ``until_idle=False``: stop at the first BATCH BOUNDARY after entry
+      (``lastProgress.batchId`` advances, or a trigger-idle gap is
+      caught).  This is the mid-stream restart case: new rows keep
+      arriving, "drained" never happens, but a just-completed batch means
+      every row the pump received so far is committed.  The stop then
+      lands in the next batch's poll phase, where the source has acked
+      nothing yet (``sources/mqtt.py:read`` defers PUBACKs to poll end),
+      so the broker requeues and redelivers -- no loss, no dup.
     """
     deadline = time.monotonic() + timeout_secs
+    progress = query.lastProgress
+    entry_batch = progress.get("batchId", -1) if progress is not None else -1
     while query.isActive and time.monotonic() < deadline:
         status = query.status
         if not status.get("isTriggerActive") and not status.get(
             "isDataAvailable"
         ):
             break
+        progress = query.lastProgress
+        if progress is not None:
+            if until_idle:
+                if progress.get("numInputRows", 1) == 0:
+                    break
+            elif progress.get("batchId", -1) > entry_batch:
+                break
         time.sleep(0.3)
     query.stop()

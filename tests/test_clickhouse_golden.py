@@ -189,9 +189,13 @@ def test_reference_ini_dialect_loads_unchanged(tmp_path):
     assert cfg.topic.topic_prefix == "/NZ/TestZone/TT"
     assert cfg.topic.enable_group_num
     assert cfg.topic.group_num == 5  # groups 0..4 inclusive
+    assert cfg.topic.group_offset == 0
     assert cfg.store.format == "jdbc"
     assert cfg.store.database == "SimTest"
-    assert cfg.store.url == "jdbc:clickhouse://127.0.0.1:19000/SimTest"
+    # native tcp 19000 (= 9000 + 10000 remap) -> the JDBC driver's HTTP
+    # protocol twin 18123 (ADVICE r8: copying the native port verbatim
+    # yields a URL com.clickhouse.jdbc can never connect to)
+    assert cfg.store.url == "jdbc:clickhouse://127.0.0.1:18123/SimTest"
     assert cfg.store.compress
     assert cfg.store.raw_table_name == "raw_message"
     assert cfg.store.adapter_table_name == "json_message"

@@ -1,0 +1,276 @@
+"""Round-9 ADVICE fixes: ClickHouse native->HTTP port translation, the
+begingroupnum group offset (``main.go:111`` iterates begin..end inclusive),
+the paho publish-rc reconnect path, the ivfpq_drift zero-mse retrain flag,
+and event-time columns in the provisioning DDL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.config import StoreConf, load_config
+from mqtt_message_pump_spark.cli import make_monitor_publish
+from mqtt_message_pump_spark.sinks import (
+    adapter_table_ddl,
+    adapter_table_ddl_clickhouse,
+    raw_table_ddl,
+    raw_table_ddl_clickhouse,
+)
+from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+
+# --------------------------------------------------------------- config
+
+
+def _load(tmp_path, body: str):
+    p = tmp_path / "pump.ini"
+    p.write_text(body)
+    return load_config(str(p))
+
+
+@pytest.mark.parametrize(
+    ("native_port", "jdbc_port"),
+    [
+        ("9000", "8123"),    # stock native -> stock HTTP
+        ("19000", "18123"),  # the shipped INIs' +10000 remap, preserved
+        ("9440", "8443"),    # native TLS -> HTTPS
+        ("8123", "8123"),    # already the HTTP port: pass through
+        ("31337", "31337"),  # unknown custom port: pass through
+    ],
+)
+def test_clickhouse_port_maps_native_to_http(tmp_path, native_port, jdbc_port):
+    cfg = _load(
+        tmp_path,
+        "[clickhouse]\nhostname = ch.example\n"
+        f"port = {native_port}\ndatabase = db1\n",
+    )
+    assert cfg.store.url == f"jdbc:clickhouse://ch.example:{jdbc_port}/db1"
+
+
+def test_clickhouse_explicit_httpport_wins(tmp_path):
+    cfg = _load(
+        tmp_path,
+        "[clickhouse]\nhostname = ch\nport = 19000\n"
+        "httpport = 9999\ndatabase = db1\n",
+    )
+    assert cfg.store.url == "jdbc:clickhouse://ch:9999/db1"
+
+
+def test_begingroupnum_sets_group_offset(tmp_path):
+    cfg = _load(
+        tmp_path,
+        "[pipe-topic]\ntopicprefix = /TT\nenablegroupnum = true\n"
+        "begingroupnum = 3\nendgroupnum = 5\n",
+    )
+    assert cfg.topic.group_num == 3  # pipes 3,4,5 inclusive
+    assert cfg.topic.group_offset == 3
+
+
+# --------------------------------------------------------------- source
+
+
+def test_group_topic_honors_offset():
+    reader = MqttStreamReader(
+        {
+            "topic_root": "root/",
+            "topic_prefix": "TT",
+            "group_num": "3",
+            "group_offset": "3",
+        }
+    )
+    assert [reader.group_topic(g) for g in range(3)] == [
+        "root/TT/3",
+        "root/TT/4",
+        "root/TT/5",
+    ]
+
+
+def test_group_topic_single_numbered_group():
+    # enablegroupnum with begin == end == 5: ONE numbered subscription
+    # (mqtt.go:73-75), not the wildcard
+    reader = MqttStreamReader(
+        {
+            "topic_root": "root/",
+            "topic_prefix": "TT",
+            "group_num": "1",
+            "group_offset": "5",
+        }
+    )
+    assert reader.group_topic(0) == "root/TT/5"
+
+
+def test_group_topic_wildcard_unchanged():
+    reader = MqttStreamReader(
+        {"topic_root": "root/", "topic_prefix": "TT", "group_num": "0"}
+    )
+    assert reader.group_topic(0) == "root/TT/#"
+
+
+def test_group_topic_numbered_flag_forces_single_group():
+    # Enablegroupnum=true with groups 0..0 -> numbered topic /0
+    reader = MqttStreamReader(
+        {
+            "topic_root": "root/",
+            "topic_prefix": "TT",
+            "group_num": "1",
+            "numbered_topics": "true",
+        }
+    )
+    assert reader.group_topic(0) == "root/TT/0"
+
+
+# --------------------------------------------------------------- monitor
+
+
+class _RcResult:
+    def __init__(self, rc: int) -> None:
+        self.rc = rc
+
+
+class _PahoLikeClient:
+    """Publish reports failure via the result rc, paho-style: never raises."""
+
+    def __init__(self, rcs) -> None:
+        self.rcs = list(rcs)
+        self.published: list[tuple[str, bytes]] = []
+        self.disconnected = False
+
+    def publish(self, topic, data, qos=0):
+        rc = self.rcs.pop(0) if self.rcs else 0
+        if rc == 0:
+            self.published.append((topic, data))
+        return _RcResult(rc)
+
+    def disconnect(self):
+        self.disconnected = True
+
+
+def test_monitor_publish_reconnects_on_paho_rc():
+    dead = _PahoLikeClient(rcs=[4])  # MQTT_ERR_NO_CONN, silently returned
+    fresh = _PahoLikeClient(rcs=[])
+    mon = {"client": dead}
+    publish = make_monitor_publish(mon, lambda: fresh, qos=0)
+    publish("pump-monitor/t", '{"tick": 1}')
+    # the dead client was torn down, the tick landed on the fresh client
+    assert dead.disconnected and dead.published == []
+    assert fresh.published == [("pump-monitor/t", b'{"tick": 1}')]
+    assert mon["client"] is fresh
+
+
+def test_monitor_publish_echoes_when_reconnect_fails(capsys):
+    dead = _PahoLikeClient(rcs=[4, 4])
+    mon = {"client": dead}
+
+    def no_broker():
+        raise OSError("connection refused")
+
+    publish = make_monitor_publish(mon, no_broker, qos=0)
+    publish("pump-monitor/t", '{"tick": 2}')
+    err = capsys.readouterr().err
+    assert "reconnect failed" in err and '{"tick": 2}' in err
+
+
+def test_monitor_publish_rc_zero_publishes_once():
+    ok = _PahoLikeClient(rcs=[0])
+    mon = {"client": ok}
+    publish = make_monitor_publish(
+        mon, lambda: (_ for _ in ()).throw(AssertionError), qos=0
+    )
+    publish("t", "x")
+    assert ok.published == [("t", b"x")] and not ok.disconnected
+
+
+# --------------------------------------------------------------- drift
+
+
+def test_ivfpq_drift_zero_base_mse_flags_retrain(spark):
+    """A cell whose build-time vectors quantize EXACTLY (mse_base == 0)
+    but whose appends carry nonzero error must flag retrain -- previously
+    the ratio when-guard left the flag NULL (ADVICE r8)."""
+    from mqtt_message_pump_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    # two well-separated clusters; build vectors REPEATED so every
+    # subvector codebook centers exactly on them -> zero residual error
+    a = np.array([0.0] * 8)
+    b = np.array([10.0] * 8)
+    build = [(i, (a if i % 2 else b).tolist()) for i in range(32)]
+    emb = spark.createDataFrame(build, ["vec_id", "embedding"])
+    idx = SIM.ivfpq_build(
+        emb, "vec_id", "embedding", n_centroids=2, m=2, nbits=2,
+        persist=False,
+    )
+
+    base_rows = SIM.ivfpq_quantization_error(emb, idx).collect()
+    assert all(r["mse"] == pytest.approx(0.0, abs=1e-12) for r in base_rows)
+
+    drift = [
+        (100 + i, (a + rng.normal(2.0, 0.5, 8)).tolist()) for i in range(16)
+    ]
+    appended = spark.createDataFrame(drift, ["vec_id", "embedding"])
+    rows = SIM.ivfpq_drift(idx, emb, appended).collect()
+    # every cell that received appends has nonzero new error over a
+    # zero base -> retrain True, and the flag is never NULL anywhere
+    assert all(r["retrain"] is not None for r in rows)
+    hit = [r for r in rows if r["n_new"] > 0]
+    assert hit and all(r["retrain"] for r in hit if r["mse_new"] > 0)
+
+
+# --------------------------------------------------------------- sink DDL
+
+
+def test_event_time_ddl_optin():
+    store = StoreConf(database="db", raw_table_name="raw", adapter_table_name="flat")
+    cols = [("x", "Float64"), ("y", "String")]
+    # default stays golden: no event_time anywhere
+    for ddl in (
+        raw_table_ddl(store),
+        adapter_table_ddl(store, cols),
+        raw_table_ddl_clickhouse(store),
+        adapter_table_ddl_clickhouse(store, cols),
+    ):
+        assert "event_time" not in ddl
+    # opt-in adds the column before the date everywhere
+    assert "event_time TIMESTAMP, collect_date DATE" in raw_table_ddl(
+        store, event_time=True
+    )
+    assert "event_time TIMESTAMP, collect_date DATE" in adapter_table_ddl(
+        store, cols, event_time=True
+    )
+    ch_raw = raw_table_ddl_clickhouse(store, event_time=True)
+    assert "event_time DateTime" in ch_raw
+    assert ch_raw.index("event_time") < ch_raw.index("collect_date Date")
+    ch_flat = adapter_table_ddl_clickhouse(store, cols, event_time=True)
+    assert "collect_datetime DateTime, event_time DateTime" in ch_flat
+
+
+def test_event_time_pump_frames_match_optin_ddl(spark):
+    """The dual-path frames written under ``event_time_field`` carry
+    exactly the column set the opt-in DDL declares (ADVICE r8: the
+    jdbc passthrough tables must match the written schema)."""
+    import re
+
+    from mqtt_message_pump_spark.streaming.pump import (
+        build_dual_path,
+        payload_map_schema,
+        with_event_time,
+    )
+    from mqtt_message_pump_spark.functions.ids import with_message_id
+
+    msgs = spark.createDataFrame(
+        [("t/1", '{"r1": {"k": 1, "ts": "2024-01-02T03:04:05"}}')],
+        ["topic", "payload"],
+    ).withColumn(
+        "received_time", F.to_timestamp(F.lit("2024-01-02 04:00:00"))
+    )
+    msgs = with_event_time(msgs, "ts")
+    raw, flat = build_dual_path(
+        with_message_id(msgs, "mid", 8), payload_map_schema()
+    )
+    store = StoreConf(database="db", raw_table_name="raw")
+    ddl_cols = set(
+        re.findall(r"(\w+) (?:STRING|TIMESTAMP|DATE)", raw_table_ddl(store, event_time=True))
+    )
+    assert set(raw.columns) == ddl_cols
+    assert "event_time" in flat.columns

@@ -17,12 +17,17 @@ monitor metrics continuity -- stage gaps never inflate after a restart
 the final gap is zero.
 
 Delivery-semantics boundary (documented, not hidden): restarts here are
-graceful drains (``drain_and_stop``).  An ABRUPT kill between the broker
-PUBACK and the sink commit can drop that micro-batch's rows -- the
-standard MQTT-source trade-off absent broker-side transactions; the
-reference loses ALL buffered rows on any stop (SURVEY.md SS2.6).  Broker
-redelivery of rows never acked (budget caps, connection loss) is covered
-by the persistent-session requeue path (tests/test_mqtt_live_loopback.py).
+batch-boundary stops (``drain_and_stop(until_idle=False)``) -- prompt,
+not full drains, because under sustained load "no data left" never
+happens.  The source defers its PUBACKs to the end of each poll window
+(``sources/mqtt.py:read``), so a stop landing in the next batch's poll
+has acked nothing: the broker requeues and the next run redelivers --
+no loss, no dup.  The residual window -- a kill between the ack flush
+and the sink commit -- is the standard QoS-1 trade-off absent
+broker-side transactions; the reference loses ALL buffered rows on any
+stop (SURVEY.md SS2.6).  Broker redelivery of rows never acked (budget
+caps, connection loss) is covered by the persistent-session requeue path
+(tests/test_mqtt_live_loopback.py).
 """
 
 from __future__ import annotations
@@ -126,7 +131,10 @@ def test_live_soak_kill_restart_sustained_load(spark, tmp_path):
             spark.streams.addListener(listener)
             q = start_pump(counters)
             time.sleep(6)
-            drain_and_stop(q)
+            # mid-stream restart: stop between triggers (nothing in
+            # flight there) rather than draining -- the publisher keeps
+            # going, so "no data left" never happens during a cycle
+            drain_and_stop(q, until_idle=False)
             spark.streams.removeListener(listener)
             # graceful drain -> nothing in flight at the stop point:
             # every received row committed, on both paths
