@@ -160,6 +160,11 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
             .option("username", cfg.source_mqtt.username)
             .option("password", cfg.source_mqtt.password)
             .option("keepalive", str(cfg.source_mqtt.keepalive))
+            # receive-side WAL paired with the checkpoint: rows are
+            # logged before they are PUBACKed, so a crash between ack
+            # and sink commit replays from the log instead of losing
+            # the batch (sources/mqtt.py:read)
+            .option("wal_dir", f"{cfg.store.path}/_checkpoint/_mqtt_wal")
             .load()
         )
     elif source_dir is not None:

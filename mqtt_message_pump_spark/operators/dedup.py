@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Mersenne prime 2^31-1: the classic universal-hash modulus; coefficients
 # below are small odd constants so both engines compute identical int64 math.
@@ -379,6 +380,45 @@ def exact_dedup(
     return df.groupBy(*dedup_cols).agg(F.min(id_col).alias(id_col))
 
 
+def _union_find_labels(both: DataFrame, id_col: str) -> DataFrame:
+    """Exact min-label components of a SMALL doubled edge list via
+    driver-side union-find with path halving (see
+    :func:`connected_components` for when this is the right call).
+    Returns (id_col, group_id) for every vertex that appears in an edge;
+    singletons are absent (the caller's left-join coalesce labels them)."""
+    rows = both.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[rb] = ra
+    # min member per root = the cluster label the propagation would reach
+    min_of_root: dict = {}
+    for v in list(parent):
+        r = find(v)
+        if r not in min_of_root or v < min_of_root[r]:
+            min_of_root[r] = v
+    out = [(v, min_of_root[find(v)]) for v in parent]
+    spark = both.sparkSession
+    vid_type = both.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, vid_type),
+            T.StructField("group_id", vid_type),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -386,6 +426,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 50,
+    driver_threshold_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components by min-label propagation (the dedup-grouping
     step: every doc in a near-dup cluster gets the cluster's minimum id).
@@ -401,6 +442,20 @@ def connected_components(
     nothing driver-side except the scalar convergence check.
     ``localCheckpoint`` truncates the lineage each round so the plan does
     not grow with iteration count (the classic iterative-DataFrame trap).
+
+    Small-graph fast path (the broadcast-join-threshold analogy): after
+    LSH banding the candidate EDGE set is orders of magnitude smaller
+    than the corpus -- the quadratic blowup lives in the buckets, and the
+    capped candidate generators bound it (``minhash_candidate_pairs``
+    ``max_bucket_size``).  When the doubled edge list is at most
+    ``driver_threshold_edges`` rows (default 500k ~ tens of MB), a
+    single-pass union-find on the driver replaces O(diameter) scheduled
+    rounds: one collect + one ``createDataFrame``, exact same labels.
+    This is NOT a collect of the corpus -- vertices never leave the
+    cluster; only the (already materialized) edge list does, under an
+    explicit cap, exactly like a broadcast-hash-join side.  Above the
+    cap the distributed propagation runs unchanged.  Pass
+    ``driver_threshold_edges=0`` to force the distributed path.
     """
     both = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -408,6 +463,13 @@ def connected_components(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
     both = both.localCheckpoint(eager=True)
+
+    if both.count() <= 2 * driver_threshold_edges:
+        resolved = _union_find_labels(both, id_col)
+        return vertices.select(id_col).join(resolved, id_col, "left").select(
+            id_col,
+            F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
+        )
 
     # Iterate ONLY over vertices that appear in an edge: everything else is
     # a singleton whose label never moves.  In near-dup graphs the paired

@@ -271,10 +271,108 @@ def write_append(
     table_path: str,
     table_name: str | None = None,
     cluster: bool = True,
+    batch_id: int | None = None,
 ) -> None:
-    """Append a batch to one sink table (streaming ``foreachBatch`` path --
-    appends are idempotent per batch id via the streaming commit log)."""
+    """Append a batch to one sink table (streaming ``foreachBatch`` path).
+
+    With ``batch_id`` (parquet only) the append is IDEMPOTENT UNDER
+    REPLAY via a minimal file-move commit protocol -- see
+    :func:`append_batch_idempotent`.  Without it, a micro-batch whose
+    sink write finished but whose streaming-checkpoint commit did not
+    (stop/crash in between) re-appends on restart and duplicates rows;
+    a flat parquet append has no transaction to lean on."""
+    if batch_id is not None and store.format != "jdbc":
+        append_batch_idempotent(df, store, table_path, batch_id, cluster)
+        return
     write_table(df, store, table_path, table_name, mode="append", cluster=cluster)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` via the session's JVM -- the
+    cluster-portable file API (local FS, HDFS, s3a alike)."""
+    jvm = spark._jvm
+    uri = jvm.java.net.URI.create(path)
+    return (
+        jvm.org.apache.hadoop.fs.FileSystem.get(
+            uri, spark._jsc.hadoopConfiguration()
+        ),
+        jvm.org.apache.hadoop.fs.Path,
+    )
+
+
+def append_batch_idempotent(
+    df: DataFrame,
+    store: StoreConf,
+    table_path: str,
+    batch_id: int,
+    cluster: bool = True,
+) -> None:
+    """Replay-idempotent parquet append for ``foreachBatch``: stage, then
+    move files in with a per-batch name prefix.
+
+    Why: Spark replays the last uncommitted micro-batch after a restart.
+    A batch stopped BETWEEN its sink write and its checkpoint commit
+    re-runs, and a plain append then writes every row twice (observed in
+    the r9 soak: 3037/3000 rows after prompt mid-load stops).  The
+    streaming commit log makes replays *happen*; it does not make them
+    *safe* -- the sink has to be idempotent per batch id.
+
+    Protocol (single-writer per query, batches strictly serial):
+
+    1. write the batch date-partitioned into ``_stage-batch-<id>`` INSIDE
+       the sink dir -- the underscore prefix hides it from parquet
+       partition discovery, so readers never see a half-written batch;
+    2. delete any ``b<id>-*`` files under the sink's date partitions --
+       leftovers of a previous attempt of THIS batch (the replay case);
+    3. rename each staged part file into its date partition as
+       ``b<id>-<origname>`` -- the prefix is what makes step 2 able to
+       identify this batch's files without a manifest;
+    4. drop the staging dir.
+
+    A crash anywhere re-runs the batch: stage is overwritten, previously
+    moved files are swept, the move re-runs -- exactly-once sink contents
+    without a table format.  All file ops go through the Hadoop
+    FileSystem API (atomic renames on local FS/HDFS; on object stores
+    rename is a copy -- production there uses a transactional format
+    (Delta/Iceberg), which is this protocol done properly).
+
+    Layout note: the final layout is IDENTICAL to a plain append
+    (``collect_date=*/part files``, schema unchanged) -- no extra
+    partition column, no per-batch directories fragmenting the
+    date-clustering story.
+    """
+    spark = df.sparkSession
+    stage = f"{table_path}/_stage-batch-{batch_id}"
+    sort_cols = [c for c in ("mid", "topic") if c in df.columns]
+    if cluster:
+        df = df.repartition("collect_date")
+    (
+        df.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("collect_date")
+        .parquet(stage)
+    )
+    fs, HPath = _hadoop_fs(spark, table_path)
+    root = HPath(table_path)
+    # replay sweep: drop every file this batch moved in a previous attempt
+    prefix = f"b{batch_id}-"
+    for part_dir in fs.globStatus(HPath(f"{table_path}/collect_date=*")):
+        for f in fs.listStatus(part_dir.getPath()):
+            if f.getPath().getName().startswith(prefix):
+                fs.delete(f.getPath(), False)
+    # move staged files into the real date partitions under the batch prefix
+    for part_dir in fs.globStatus(HPath(f"{stage}/collect_date=*")):
+        date_name = part_dir.getPath().getName()
+        dest_dir = HPath(f"{table_path}/{date_name}")
+        fs.mkdirs(dest_dir)
+        for f in fs.listStatus(part_dir.getPath()):
+            name = f.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            fs.rename(
+                f.getPath(), HPath(f"{table_path}/{date_name}/{prefix}{name}")
+            )
+    fs.delete(HPath(stage), True)
 
 
 def write_training_shards(

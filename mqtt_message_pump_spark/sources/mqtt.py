@@ -28,6 +28,9 @@ it effectively-once, which the reference cannot (SURVEY.md SS2.6).
 from __future__ import annotations
 
 import datetime
+import json
+import os
+import re
 import time
 
 try:
@@ -249,6 +252,19 @@ class MqttStreamReader(DataSourceStreamReader):
             committed = int(end.get(str(g), 0))
             if committed > self._counts[g]:
                 self._counts[g] = committed
+        # WAL retention: a batch at or below the committed offsets has
+        # fully committed downstream, so its receive log will never be
+        # replayed -- delete it (driver-side; the WAL stays bounded by
+        # the number of in-flight batches).
+        wal_dir = self.options.get("wal_dir")
+        if wal_dir and os.path.isdir(wal_dir):
+            for fn in os.listdir(wal_dir):
+                m = re.fullmatch(r"g(\d+)-(\d+)-(\d+)\.jsonl", fn)
+                if m and int(m.group(3)) <= int(end.get(m.group(1), 0)):
+                    try:
+                        os.remove(os.path.join(wal_dir, fn))
+                    except OSError:
+                        pass
 
     def group_topic(self, group: int) -> str:
         """Subscription topic for one group: ``root+prefix/<offset+group>``
@@ -260,6 +276,37 @@ class MqttStreamReader(DataSourceStreamReader):
         if self.numbered_topics:
             return f"{root}{prefix}/{self.group_offset + group}"
         return f"{root}{prefix}/#"
+
+    @staticmethod
+    def _write_wal(path: str, rows: list[tuple]) -> None:
+        """Atomically persist one poll window's rows (tmp + rename, so a
+        crash mid-write leaves no half-log -- the replay then polls the
+        broker, whose unacked rows requeue)."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for topic, payload, ts, mid, dup in rows:
+                fh.write(
+                    json.dumps(
+                        [topic, payload, ts.isoformat(), mid, dup],
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _load_wal(path: str):
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                topic, payload, ts, mid, dup = json.loads(line)
+                yield (
+                    topic,
+                    payload,
+                    datetime.datetime.fromisoformat(ts),
+                    int(mid),
+                    bool(dup),
+                )
 
     def read(self, partition):
         # Request a manual-ack client when the implementation offers one
@@ -279,6 +326,29 @@ class MqttStreamReader(DataSourceStreamReader):
             # opening a broker session (want=0 below means UNBOUNDED
             # drain, the legacy direct-driver semantic, not zero)
             return
+
+        # Receive-side WAL (opt-in via ``wal_dir``, a shared filesystem
+        # path paired with the query's checkpoint): rows are logged
+        # durably BEFORE they are PUBACKed, and a REPLAYED batch (same
+        # (group, start, end] from the offset log) is served from its log
+        # without touching the broker.  This closes the remaining QoS-1
+        # loss window -- a batch killed after its acks but before its
+        # sink commit replays from the WAL instead of asking a broker
+        # that has already forgotten the rows.  ``commit()`` deletes logs
+        # at or below the committed offsets, so the WAL holds only
+        # in-flight batches.  Without ``wal_dir`` the documented
+        # ack-to-commit window remains (SURVEY.md SS2.6).
+        wal_path = None
+        wal_dir = opts.get("wal_dir")
+        if wal_dir:
+            wal_path = os.path.join(
+                wal_dir,
+                f"g{partition.group}-{partition.start}-{partition.end}.jsonl",
+            )
+            if os.path.exists(wal_path):
+                for row in self._load_wal(wal_path):
+                    yield row
+                return
 
         buffered: list[tuple] = []
         want = partition.end - partition.start
@@ -330,6 +400,11 @@ class MqttStreamReader(DataSourceStreamReader):
             while len(buffered) < want and time.time() < deadline:
                 time.sleep(0.05)
             client.loop_stop()
+            if wal_path is not None:
+                # durable receive log FIRST: once the acks go out the
+                # broker forgets these rows, so the log write must win
+                # the race against any failure after it
+                self._write_wal(wal_path, buffered)
             if manual:
                 # PUBACKs are DEFERRED to the end of the poll window: a
                 # task killed mid-poll (a prompt pump stop landing in the
@@ -338,10 +413,10 @@ class MqttStreamReader(DataSourceStreamReader):
                 # for the next micro-batch -- no loss, and no dup because
                 # the killed batch commits nothing.  Acking per message on
                 # receipt left a poll-window-sized loss hole (rows acked
-                # by a batch that never commits are gone for good).  The
-                # residual window -- killed between this flush and the
-                # sink commit -- is the documented QoS-1 boundary
-                # (tests/test_soak.py delivery-semantics note).
+                # by a batch that never commits are gone for good).  With
+                # a WAL the post-ack window closes too (replay serves the
+                # log); without one it remains the documented QoS-1
+                # boundary (tests/test_soak.py delivery-semantics note).
                 for row in buffered:
                     client.ack(row[3])
         finally:

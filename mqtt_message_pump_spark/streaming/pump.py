@@ -173,18 +173,21 @@ def dedupe_redeliveries(
     Key choice matters: the real MQTT source stamps ``received_time`` at
     RECEIPT (``sources/mqtt.py``), so a broker redelivery arrives at a
     different instant -- arrival time must NOT be in the key or the replay
-    gets a fresh mid and is never dropped.  The default key is therefore
-    (topic, payload) plus ``packet_id`` when the source carries one (the
-    broker reuses the packet id on a DUP redelivery).  The trade-off with
-    no packet id: two GENUINE identical publishes inside the watermark
-    collapse to one row -- QoS-1 cannot distinguish that case from a
-    redelivery without an upstream id.  Sources that embed a stable id or
-    event timestamp in the record should pass it via ``key_cols``.
+    gets a fresh mid and is never dropped.  The broker packet id must not
+    be in it either: packet ids are CONNECTION-scoped, and the pump opens
+    a fresh client per micro-batch, so a redelivery that crosses a batch
+    boundary (requeue after an unacked poll, a restart) arrives under a
+    NEW packet id -- a key containing it would wave exactly the
+    redeliveries it exists to drop straight through (observed as
+    duplicate sink rows in the r9 soak).  The default key is therefore
+    (topic, payload).  The trade-off: two GENUINE identical publishes
+    inside the watermark collapse to one row -- QoS-1 cannot distinguish
+    that case from a redelivery without an upstream id.  Sources that
+    embed a stable id or event timestamp in the record should pass it
+    via ``key_cols``.
     """
     if key_cols is None:
         key_cols = ["topic", "payload"]
-        if "packet_id" in messages.columns:
-            key_cols.append("packet_id")
     keyed = with_message_id(
         messages,
         "mid",
@@ -293,8 +296,11 @@ def start_stream_pump(
     """Start the streaming pump on a streaming messages DataFrame.
 
     One query, one persist per micro-batch, two partitioned sinks; the
-    checkpoint makes restarts effectively-once (parquet re-writes of the
-    same batch are append-idempotent per batch id via the commit log).
+    checkpoint makes restarts effectively-once: a replayed micro-batch
+    re-appends through :func:`sinks.append_batch_idempotent`, which
+    sweeps the prior attempt's files first (the streaming commit log only
+    decides WHICH batch replays -- the sink itself must be idempotent,
+    and a flat parquet append is not).
 
     ``dedupe_watermark`` (e.g. ``"30 seconds"``) additionally drops
     at-least-once source redeliveries via a content-derived mid +
@@ -329,45 +335,72 @@ def start_stream_pump(
     )
 
     def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        # one clustering shuffle for both sink writes (see run_batch_pump)
+        batch_df = batch_df.repartition(F.to_date("received_time"))
+        batch_df.persist()
+        try:
+            _write_both_inner(batch_df, batch_id)
+        except Exception as e:  # noqa: BLE001 - rewrap, never swallow
+            # A stop() mid-batch cancels the write jobs; the resulting
+            # Py4JJavaError carries the FULL nested Java stack as one
+            # giant string, and Spark's error-classification regex
+            # catastrophically backtracks on it (observed: the stream
+            # thread dies with StackOverflowError spam while stopping).
+            # Re-raise the cancellation as a short message -- the batch
+            # still fails (no commit), just without the pathology.
+            msg = str(e)
+            if (
+                "cancelled" in msg.lower()
+                or "InterruptedException" in msg
+                or "SparkConnectGrpcException" in msg
+            ):
+                raise RuntimeError(
+                    "micro-batch write cancelled (query stopping)"
+                ) from None
+            raise
+        finally:
+            try:
+                batch_df.unpersist()
+            except Exception:
+                pass  # session already tearing down
+
+    def _write_both_inner(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Observation
 
         from mqtt_message_pump_spark.config import StoreConf
         from mqtt_message_pump_spark.sinks import write_append
 
         store = StoreConf()
-        # one clustering shuffle for both sink writes (see run_batch_pump)
-        batch_df = batch_df.repartition(F.to_date("received_time"))
-        batch_df.persist()
-        try:
-            raw, flat = build_dual_path(batch_df, map_schema)
-            obs_raw, obs_flat = Observation(), Observation()
-            raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
-            flat = flat.observe(obs_flat, F.count(F.lit(1)).alias("n"))
-            write_append(
-                raw, store, f"{out_dir}/raw_message", store.raw_table_name,
-                cluster=False,
-            )
-            raw_n = obs_raw.get["n"]
-            if counters is not None:
-                # the write returned -> raw rows are received AND committed
-                # (parquet commit protocol finishes inside the write job)
-                counters.dp_succeed += raw_n
-                counters.rdo_receive_succeed += raw_n
-                counters.rdo_commit_succeed += raw_n
-            write_append(
-                flat, store, f"{out_dir}/json_message",
-                store.adapter_table_name, cluster=False,
-            )
-            if counters is not None:
-                flat_n = obs_flat.get["n"]
-                # adapter stage consumed the same enriched rows; the
-                # flattened fan-out count is the PDO/ADO row volume
-                counters.da_succeed += raw_n
-                counters.da_pdo_succeed += flat_n
-                counters.ado_receive_succeed += flat_n
-                counters.ado_commit_succeed += flat_n
-        finally:
-            batch_df.unpersist()
+        raw, flat = build_dual_path(batch_df, map_schema)
+        obs_raw, obs_flat = Observation(), Observation()
+        raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
+        flat = flat.observe(obs_flat, F.count(F.lit(1)).alias("n"))
+        # batch_id makes both parquet appends replay-idempotent (a stop
+        # between sink write and checkpoint commit re-runs the batch --
+        # sinks.append_batch_idempotent sweeps the prior attempt's files)
+        write_append(
+            raw, store, f"{out_dir}/raw_message", store.raw_table_name,
+            cluster=False, batch_id=batch_id,
+        )
+        raw_n = obs_raw.get["n"]
+        if counters is not None:
+            # the write returned -> raw rows are received AND committed
+            # (parquet commit protocol finishes inside the write job)
+            counters.dp_succeed += raw_n
+            counters.rdo_receive_succeed += raw_n
+            counters.rdo_commit_succeed += raw_n
+        write_append(
+            flat, store, f"{out_dir}/json_message",
+            store.adapter_table_name, cluster=False, batch_id=batch_id,
+        )
+        if counters is not None:
+            flat_n = obs_flat.get["n"]
+            # adapter stage consumed the same enriched rows; the
+            # flattened fan-out count is the PDO/ADO row volume
+            counters.da_succeed += raw_n
+            counters.da_pdo_succeed += flat_n
+            counters.ado_receive_succeed += flat_n
+            counters.ado_commit_succeed += flat_n
 
     return (
         enriched.writeStream.foreachBatch(write_both)

@@ -237,10 +237,11 @@ def test_reader_pipe_signals():
     assert counters.pipe_up_events == 3
 
 
-def test_redelivery_dedup_on_packet_id(spark):
-    """A QoS-1 redelivery (same packet id, dup=True, LATER arrival time)
-    collapses to one sink row: the content-derived mid excludes the
-    arrival timestamp and includes the packet id."""
+def test_redelivery_dedup_collapses_replay(spark):
+    """A QoS-1 redelivery (dup=True, LATER arrival time) collapses to one
+    sink row: the content-derived mid excludes the arrival timestamp AND
+    the connection-scoped packet id (a cross-batch redelivery arrives
+    under a new packet id, so keying on it would leak the dup)."""
     from mqtt_message_pump_spark.streaming.pump import dedupe_redeliveries
 
     t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)

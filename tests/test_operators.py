@@ -150,16 +150,23 @@ def test_frame_sample(spark):
 
 def test_connected_components_known_graph(spark):
     """Two chains and a singleton: labels must converge to the component
-    minimum even across multi-hop paths (1-2, 2-3 => {1,2,3} -> 1)."""
+    minimum even across multi-hop paths (1-2, 2-3 => {1,2,3} -> 1) --
+    identically on BOTH the driver union-find fast path (small edge
+    lists) and the distributed min-label propagation (forced via
+    ``driver_threshold_edges=0``)."""
     vertices = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (6, 7)], ["id_a", "id_b"]
     )
-    got = {
-        r["doc_id"]: r["group_id"]
-        for r in DD.connected_components(vertices, edges).collect()
-    }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5}
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5}
+    for threshold in (500_000, 0):
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in DD.connected_components(
+                vertices, edges, driver_threshold_edges=threshold
+            ).collect()
+        }
+        assert got == want, f"threshold={threshold}"
 
 
 def test_embedding_near_dup_brute_force_guard(spark, sf_dir):
@@ -179,7 +186,11 @@ def test_connected_components_unconverged_raises(spark):
         [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.connected_components(vertices, chain, max_iterations=2)
+        # force the distributed propagation path: the driver union-find
+        # has no iteration cap to hit
+        DD.connected_components(
+            vertices, chain, max_iterations=2, driver_threshold_edges=0
+        )
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):

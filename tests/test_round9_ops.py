@@ -1,7 +1,9 @@
-"""Round-9 ADVICE fixes: ClickHouse native->HTTP port translation, the
-begingroupnum group offset (``main.go:111`` iterates begin..end inclusive),
-the paho publish-rc reconnect path, the ivfpq_drift zero-mse retrain flag,
-and event-time columns in the provisioning DDL."""
+"""Round-9 ADVICE fixes and delivery hardening: ClickHouse native->HTTP
+port translation, the begingroupnum group offset (``main.go:111`` iterates
+begin..end inclusive), the paho publish-rc reconnect path, the ivfpq_drift
+zero-mse retrain flag, event-time columns in the provisioning DDL, and the
+MQTT source's receive-side WAL (log-before-ack + replay-from-log, closing
+the QoS-1 ack-to-commit loss window the r9 soak exposed)."""
 
 from __future__ import annotations
 
@@ -274,3 +276,100 @@ def test_event_time_pump_frames_match_optin_ddl(spark):
     )
     assert set(raw.columns) == ddl_cols
     assert "event_time" in flat.columns
+
+
+# --------------------------------------------------------------- WAL
+
+
+class _OneShotClient:
+    """Delivers a fixed message list once after subscribe, minimqtt-style
+    manual-ack surface; records acks and disconnects."""
+
+    manual_ack = True
+
+    def __init__(self, msgs) -> None:
+        self.msgs = msgs
+        self.acked: list[int] = []
+        self.on_message = None
+        self.disconnected = False
+
+    def subscribe(self, topic, qos=0):
+        pass
+
+    def loop_start(self):
+        for m in self.msgs:
+            self.on_message(self, None, m)
+
+    def loop_stop(self):
+        pass
+
+    def ack(self, mid):
+        self.acked.append(mid)
+
+    def disconnect(self):
+        self.disconnected = True
+
+
+class _Msg:
+    def __init__(self, topic, payload, mid, dup=False):
+        self.topic, self.payload, self.mid, self.dup = topic, payload, mid, dup
+
+
+def _wal_reader(tmp_path, msgs):
+    from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+    calls = {"n": 0}
+
+    def factory(opts):
+        calls["n"] += 1
+        return _OneShotClient(msgs)
+
+    reader = MqttStreamReader(
+        {
+            "group_num": "0",
+            "topic_root": "pump/",
+            "topic_prefix": "g",
+            "poll_timeout_secs": "0.05",
+            "wal_dir": str(tmp_path / "wal"),
+        },
+        client_factory=factory,
+    )
+    return reader, calls
+
+
+def test_wal_logs_before_ack_and_serves_replay(tmp_path):
+    """Rows are durably logged before the PUBACK flush, and a REPLAYED
+    partition (same offsets) is served from the log without opening a
+    broker session -- the close of the ack-to-commit loss window."""
+    msgs = [_Msg("pump/g/1", b'{"k": 1}', 11), _Msg("pump/g/1", b'{"k": 2}', 12)]
+    reader, calls = _wal_reader(tmp_path, msgs)
+    part = reader.partitions({"0": 0}, {"0": 100})[0]
+    first = list(reader.read(part))
+    assert [r[0:2] for r in first] == [
+        ("pump/g/1", '{"k": 1}'),
+        ("pump/g/1", '{"k": 2}'),
+    ]
+    assert calls["n"] == 1
+    wal_files = list((tmp_path / "wal").iterdir())
+    assert [f.name for f in wal_files] == ["g0-0-100.jsonl"]
+
+    # replay: same (group, start, end] -> WAL rows, broker untouched
+    replay = list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
+    assert replay == first  # bit-identical incl. receipt timestamps
+    assert calls["n"] == 1, "replay must not open a broker session"
+
+
+def test_wal_commit_prunes_completed_batches(tmp_path):
+    msgs = [_Msg("pump/g/1", b"x", 1)]
+    reader, _ = _wal_reader(tmp_path, msgs)
+    list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
+    reader2_part = reader.partitions({"0": 100}, {"0": 200})[0]
+    list(reader.read(reader2_part))
+    wal = tmp_path / "wal"
+    assert {f.name for f in wal.iterdir()} == {
+        "g0-0-100.jsonl", "g0-100-200.jsonl",
+    }
+    reader.commit({"0": 100})
+    assert {f.name for f in wal.iterdir()} == {"g0-100-200.jsonl"}
+    reader.commit({"0": 200})
+    assert list(wal.iterdir()) == []

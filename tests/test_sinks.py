@@ -392,3 +392,49 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
 
     dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
     assert dirs == {f"shard={s}" for s in shards}
+
+
+def test_append_batch_idempotent_replay(spark, tmp_path):
+    """Replaying the SAME batch id must not duplicate sink rows (the
+    stop-between-sink-write-and-checkpoint-commit case), a later batch
+    must append, and a replay of batch 0 must leave batch 1's rows
+    alone.  Layout stays a plain date-partitioned parquet dir: no extra
+    partition column, no staging dirs left behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import write_append
+
+    out = str(tmp_path / "raw_message")
+    store = StoreConf()
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(f"m{i}", "t", "p") for i in ids], ["mid", "topic", "payload"]
+        ).select(
+            "*",
+            F.to_timestamp(F.lit("2024-01-02 03:04:05")).alias(
+                "collect_datetime"
+            ),
+            F.to_date(F.lit("2024-01-02")).alias("collect_date"),
+        )
+
+    write_append(frame(range(10)), store, out, batch_id=0)
+    write_append(frame(range(10)), store, out, batch_id=0)  # replay
+    assert spark.read.parquet(out).count() == 10
+
+    write_append(frame(range(10, 15)), store, out, batch_id=1)
+    assert spark.read.parquet(out).count() == 15
+    write_append(frame(range(10)), store, out, batch_id=0)  # late replay
+    df = spark.read.parquet(out)
+    assert df.count() == 15
+    assert set(df.columns) == {
+        "mid", "topic", "payload", "collect_datetime", "collect_date",
+    }
+    # no staging leftovers; files carry their batch prefix
+    names = os.listdir(f"{out}/collect_date=2024-01-02")
+    assert not any(n.startswith("_stage") for n in os.listdir(out))
+    data = [n for n in names if n.endswith(".parquet")]
+    assert data and all(n.startswith(("b0-", "b1-")) for n in data)

@@ -99,6 +99,7 @@ def test_live_soak_kill_restart_sustained_load(spark, tmp_path):
             .option("clean_session", "false")
             .option("client_name", "soak-sub")
             .option("poll_timeout_secs", "1")
+            .option("wal_dir", str(ckpt / "_mqtt_wal"))
             .load()
         )
         return start_stream_pump(
