@@ -255,10 +255,11 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     try:
         if duration > 0:
             time.sleep(duration)
-            # drain the in-flight trigger before stopping -- an abrupt
-            # stop() cancels a mid-batch sink write (see drain_and_stop)
+            # drain the in-flight trigger before stopping; drain_and_stop
+            # awaits termination itself and absorbs the stop-induced
+            # batch cancellation (a second awaitTermination here would
+            # re-throw it as a failure)
             drain_and_stop(query, timeout_secs=120)
-            query.awaitTermination(60)
         else:  # pragma: no cover - interactive
             query.awaitTermination()
     finally:

@@ -280,7 +280,14 @@ def write_append(
     :func:`append_batch_idempotent`.  Without it, a micro-batch whose
     sink write finished but whose streaming-checkpoint commit did not
     (stop/crash in between) re-appends on restart and duplicates rows;
-    a flat parquet append has no transaction to lean on."""
+    a flat parquet append has no transaction to lean on.
+
+    jdbc targets stay plain appends: generic JDBC offers no per-batch
+    overwrite, and ClickHouse deletes are async mutations -- a replayed
+    batch can duplicate rows there, exactly the reference's own QoS-1
+    exposure (it has no replay at all, SURVEY.md SS2.6).  Production
+    answer on that path: a ReplacingMergeTree keyed on ``mid`` collapses
+    replayed rows at merge time."""
     if batch_id is not None and store.format != "jdbc":
         append_batch_idempotent(df, store, table_path, batch_id, cluster)
         return

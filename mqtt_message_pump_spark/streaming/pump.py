@@ -464,3 +464,15 @@ def drain_and_stop(
                 break
         time.sleep(0.3)
     query.stop()
+    # A stop can still cancel a just-started batch; write_both rewraps
+    # that cancellation with a marker message (short, so Spark's error
+    # formatter survives it), but Spark records the query as FAILED, and
+    # the next awaitTermination would re-throw it.  A failure WE caused
+    # by stopping is a clean shutdown -- the cancelled batch is
+    # uncommitted and replays next start (WAL + idempotent appends make
+    # that exactly-once).  Swallow only the marker; real errors re-raise.
+    try:
+        query.awaitTermination(30)
+    except Exception as e:
+        if "micro-batch write cancelled" not in str(e):
+            raise

@@ -215,3 +215,91 @@ def test_live_soak_kill_restart_sustained_load(spark, tmp_path):
         f"{rate:.0f} msgs/s sustained end-to-end"
     )
     assert rate > 20  # sanity floor: the pipeline kept up with the load
+
+
+@pytest.mark.slow
+def test_live_soak_abrupt_kills_exactly_once(spark, tmp_path):
+    """The harshest stop: ``query.stop()`` fired blind mid-load, twice,
+    with NO batch-boundary detection -- the interrupt can land anywhere,
+    including between the PUBACK flush and the sink commit.  With the
+    receive WAL (rows logged before acks, replay served from the log),
+    replay-idempotent sink appends, and content-keyed dedup, the sinks
+    still end exactly-once.  This is the window the r9 graceful soak
+    documents; the WAL is what closes it."""
+    if not mqtt_available():
+        pytest.skip("Spark 4 Python data source API unavailable")
+    n_msgs = 1500
+    broker = MiniBroker()
+    register_mqtt_source(spark)
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    pub_done = threading.Event()
+
+    def publisher():
+        assert broker.wait_for_subscription("pump/g/1", timeout=60)
+        pub = MiniMqttClient("127.0.0.1", broker.port, client_id="kill-pub")
+        for chunk in range(0, n_msgs, CHUNK):
+            for i in range(chunk, chunk + CHUNK):
+                pub.publish(
+                    "pump/g/1",
+                    f'{{"r1": {{"k": {i}}}, "r2": {{"k": {i + n_msgs}}}}}'
+                    .encode(),
+                    qos=1,
+                )
+            time.sleep(CHUNK_EVERY)
+        pub.disconnect()
+        pub_done.set()
+
+    def start_pump():
+        stream = (
+            spark.readStream.format("mqtt_pump")
+            .option("server", f"tcp://127.0.0.1:{broker.port}")
+            .option("group_num", "0")
+            .option("topic_root", "pump/")
+            .option("topic_prefix", "g")
+            .option("qos", "1")
+            .option("clean_session", "false")
+            .option("client_name", "kill-sub")
+            .option("poll_timeout_secs", "1")
+            .option("wal_dir", str(ckpt / "_mqtt_wal"))
+            .load()
+        )
+        return start_stream_pump(
+            spark, stream, str(out), str(ckpt),
+            trigger_secs=1, dedupe_watermark="30 seconds",
+        )
+
+    def raw_count() -> int:
+        try:
+            return spark.read.parquet(str(out / "raw_message")).count()
+        except Exception:
+            return 0
+
+    threading.Thread(target=publisher, daemon=True).start()
+    try:
+        for cycle in range(2):
+            q = start_pump()
+            time.sleep(5)
+            q.stop()  # blind kill: no drain, no boundary detection
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass  # a cancelled batch surfaces its (rewrapped) error
+            time.sleep(1)
+
+        q = start_pump()
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if pub_done.is_set() and raw_count() >= n_msgs:
+                time.sleep(3)
+                break
+            time.sleep(1)
+        drain_and_stop(q)
+    finally:
+        broker.stop()
+
+    raw = spark.read.parquet(str(out / "raw_message"))
+    assert raw.count() == n_msgs
+    assert raw.select("payload").distinct().count() == n_msgs
+    flat = spark.read.parquet(str(out / "json_message"))
+    assert flat.count() == 2 * n_msgs
