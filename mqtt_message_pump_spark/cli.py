@@ -126,6 +126,26 @@ def make_monitor_publish(mon: dict, connect_monitor, qos: int):
     return publish
 
 
+def _local_wal_dir(store_path: str) -> str:
+    """Receive-WAL directory for a store path, or "" (WAL disabled) when
+    the path names a non-POSIX filesystem.  The WAL is written with
+    plain ``open``/``os.replace`` by executor tasks (``sources/mqtt.py``),
+    so a ``hdfs://`` / ``s3a://`` store path would land the log on some
+    executor's LOCAL disk under a literal "hdfs:/..." directory -- worse
+    than no WAL, because the loss window would LOOK closed.  Disabling
+    it keeps the documented QoS-1 boundary honest; deployments on shared
+    POSIX mounts (NFS) get the full replay guarantee."""
+    if "://" in store_path and not store_path.startswith("file://"):
+        print(
+            f"run: store path {store_path!r} is not a POSIX filesystem; "
+            "receive-WAL disabled (QoS-1 ack-to-commit window applies)",
+            file=sys.stderr,
+        )
+        return ""
+    path = store_path.removeprefix("file://")
+    return f"{path}/_checkpoint/_mqtt_wal"
+
+
 def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     from mqtt_message_pump_spark.sources.mqtt import mqtt_available
     from mqtt_message_pump_spark.streaming.monitor import PumpMonitorListener
@@ -163,8 +183,13 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
             # receive-side WAL paired with the checkpoint: rows are
             # logged before they are PUBACKed, so a crash between ack
             # and sink commit replays from the log instead of losing
-            # the batch (sources/mqtt.py:read)
-            .option("wal_dir", f"{cfg.store.path}/_checkpoint/_mqtt_wal")
+            # the batch (sources/mqtt.py:read).  The WAL uses POSIX
+            # file ops, so it only engages for a local/shared-mount
+            # store path -- with a scheme'd path (hdfs://, s3a://) the
+            # option is omitted and the documented ack-to-commit window
+            # applies, LOUDLY, instead of a WAL that silently lands on
+            # the wrong filesystem.
+            .option("wal_dir", _local_wal_dir(cfg.store.path))
             .load()
         )
     elif source_dir is not None:

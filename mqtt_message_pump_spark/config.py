@@ -255,13 +255,17 @@ def load_config(path: str) -> PumpConfig:
         # an explicit `httpport` key (this repo's extension) wins outright.
         host = items.get("hostname", "127.0.0.1")
         port = int(items.get("port", "9000"))
+        tls = ""
         if "httpport" in items:
             port = int(items["httpport"])
         elif port % 10000 == 9000:  # native port, possibly offset-remapped
             port = port - 9000 + 8123
-        elif port % 10000 == 9440:  # native TLS port
+        elif port % 10000 == 9440:  # native TLS port -> HTTPS, and the
+            # driver must be told to speak TLS or it sends plaintext
+            # HTTP at the HTTPS port and the handshake fails
             port = port - 9440 + 8443
-        store.url = f"jdbc:clickhouse://{host}:{port}/{store.database}"
+            tls = "?ssl=true"
+        store.url = f"jdbc:clickhouse://{host}:{port}/{store.database}{tls}"
         if not store.driver:
             store.driver = "com.clickhouse.jdbc.ClickHouseDriver"
 

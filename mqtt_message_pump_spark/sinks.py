@@ -272,6 +272,7 @@ def write_append(
     table_name: str | None = None,
     cluster: bool = True,
     batch_id: int | None = None,
+    epoch: str | None = None,
 ) -> None:
     """Append a batch to one sink table (streaming ``foreachBatch`` path).
 
@@ -289,7 +290,9 @@ def write_append(
     answer on that path: a ReplacingMergeTree keyed on ``mid`` collapses
     replayed rows at merge time."""
     if batch_id is not None and store.format != "jdbc":
-        append_batch_idempotent(df, store, table_path, batch_id, cluster)
+        append_batch_idempotent(
+            df, store, table_path, batch_id, cluster, epoch=epoch
+        )
         return
     write_table(df, store, table_path, table_name, mode="append", cluster=cluster)
 
@@ -307,12 +310,38 @@ def _hadoop_fs(spark: SparkSession, path: str):
     )
 
 
+def checkpoint_epoch(spark: SparkSession, checkpoint_dir: str) -> str | None:
+    """Stable identity of one checkpoint lineage: the streaming query id
+    Spark persists in ``<checkpoint>/metadata`` at first start.  Survives
+    restarts of the same checkpoint; changes when an operator deletes the
+    checkpoint to restart offsets -- exactly the scope the idempotent
+    append's file prefix needs (see :func:`append_batch_idempotent`).
+    Returns the first 8 hex chars, or None if unreadable (fresh dir race,
+    exotic store) -- callers then fall back to unscoped prefixes."""
+    import json
+
+    try:
+        fs, HPath = _hadoop_fs(spark, checkpoint_dir)
+        p = HPath(f"{checkpoint_dir}/metadata")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return json.loads(raw)["id"].replace("-", "")[:8]
+    except Exception:
+        return None
+
+
 def append_batch_idempotent(
     df: DataFrame,
     store: StoreConf,
     table_path: str,
     batch_id: int,
     cluster: bool = True,
+    epoch: str | None = None,
 ) -> None:
     """Replay-idempotent parquet append for ``foreachBatch``: stage, then
     move files in with a per-batch name prefix.
@@ -343,12 +372,21 @@ def append_batch_idempotent(
     rename is a copy -- production there uses a transactional format
     (Delta/Iceberg), which is this protocol done properly).
 
+    ``epoch`` scopes the prefix to one checkpoint lineage
+    (``b<epoch>-<id>-``): batch ids restart at 0 when an operator resets
+    the checkpoint but keeps the sink, and without the scope the new
+    run's batch-0 sweep would delete the OLD run's committed batch-0
+    files (r9 review finding).  The pump passes the checkpoint's stable
+    query id (:func:`checkpoint_epoch`); same checkpoint -> same epoch
+    -> replays still sweep correctly.
+
     Layout note: the final layout is IDENTICAL to a plain append
     (``collect_date=*/part files``, schema unchanged) -- no extra
     partition column, no per-batch directories fragmenting the
     date-clustering story.
     """
     spark = df.sparkSession
+    prefix = f"b{epoch}-{batch_id}-" if epoch else f"b{batch_id}-"
     stage = f"{table_path}/_stage-batch-{batch_id}"
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     if cluster:
@@ -360,13 +398,15 @@ def append_batch_idempotent(
         .parquet(stage)
     )
     fs, HPath = _hadoop_fs(spark, table_path)
-    root = HPath(table_path)
-    # replay sweep: drop every file this batch moved in a previous attempt
-    prefix = f"b{batch_id}-"
-    for part_dir in fs.globStatus(HPath(f"{table_path}/collect_date=*")):
-        for f in fs.listStatus(part_dir.getPath()):
-            if f.getPath().getName().startswith(prefix):
-                fs.delete(f.getPath(), False)
+    # replay sweep: drop every file this batch moved in a previous
+    # attempt.  One server-side glob for exactly this batch's prefix --
+    # NOT a listing of every sink file per batch, which would grow the
+    # hot path linearly with total sink size (r9 review finding); in the
+    # normal no-replay case this returns nothing.
+    for leftover in fs.globStatus(
+        HPath(f"{table_path}/collect_date=*/{prefix}*")
+    ):
+        fs.delete(leftover.getPath(), False)
     # move staged files into the real date partitions under the batch prefix
     for part_dir in fs.globStatus(HPath(f"{stage}/collect_date=*")):
         date_name = part_dir.getPath().getName()
@@ -376,9 +416,17 @@ def append_batch_idempotent(
             name = f.getPath().getName()
             if name.startswith("_") or name.startswith("."):
                 continue
-            fs.rename(
-                f.getPath(), HPath(f"{table_path}/{date_name}/{prefix}{name}")
-            )
+            dest = HPath(f"{table_path}/{date_name}/{prefix}{name}")
+            if not fs.rename(f.getPath(), dest):
+                # Hadoop FileSystem.rename reports failure by returning
+                # false, not raising; proceeding would let the final
+                # stage cleanup delete the unmoved rows and the batch
+                # would commit having silently lost them (r9 review
+                # finding) -- fail the batch so it replays instead.
+                raise IOError(
+                    f"batch {batch_id}: rename {f.getPath()} -> {dest} "
+                    "failed; failing the batch for replay"
+                )
     fs.delete(HPath(stage), True)
 
 

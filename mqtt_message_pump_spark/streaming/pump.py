@@ -30,6 +30,7 @@ Spark-first mapping -- and why it is STRONGER at scale:
 
 from __future__ import annotations
 
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,16 @@ from pyspark.sql import types as T
 from mqtt_message_pump_spark.functions.flatten import explode_records, flatten_struct
 from mqtt_message_pump_spark.functions.ids import with_message_id
 from mqtt_message_pump_spark.plans.registry import table
+
+# Set by drain_and_stop for the duration of query.stop(): write_both only
+# rewraps a batch error as the clean "write cancelled" marker while a stop
+# WE initiated is actually in progress -- any other failure mentioning
+# "cancelled" (context shutdown after an executor OOM, a stage failure)
+# keeps its full cause.  stop() joins the stream-execution thread, so the
+# rewrap (which runs on that thread's foreachBatch callback) always sees
+# the flag set.  Process-wide by design: foreachBatch has no handle to its
+# own query; concurrent queries stopping simultaneously share the flag.
+_stop_in_progress = threading.Event()
 
 # Wire-format message schema (pump_pipe.go:15-19): topic + payload + arrival.
 MESSAGE_SCHEMA = T.StructType(
@@ -348,11 +359,15 @@ def start_stream_pump(
             # thread dies with StackOverflowError spam while stopping).
             # Re-raise the cancellation as a short message -- the batch
             # still fails (no commit), just without the pathology.
+            # SCOPED to an actual drain_and_stop in progress: a genuine
+            # mid-run failure that merely mentions "cancelled" (executor
+            # OOM tearing down the context, a stage failure killing
+            # tasks) must surface with its full cause, never dressed up
+            # as a clean stop (r9 review finding).
             msg = str(e)
-            if (
+            if _stop_in_progress.is_set() and (
                 "cancelled" in msg.lower()
                 or "InterruptedException" in msg
-                or "SparkConnectGrpcException" in msg
             ):
                 raise RuntimeError(
                     "micro-batch write cancelled (query stopping)"
@@ -364,13 +379,23 @@ def start_stream_pump(
             except Exception:
                 pass  # session already tearing down
 
+    _epoch_cache: dict[str, str | None] = {}
+
     def _write_both_inner(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Observation
 
         from mqtt_message_pump_spark.config import StoreConf
-        from mqtt_message_pump_spark.sinks import write_append
+        from mqtt_message_pump_spark.sinks import checkpoint_epoch, write_append
 
         store = StoreConf()
+        # file prefixes are scoped to this checkpoint lineage so a
+        # checkpoint reset over a kept sink can never sweep the old
+        # run's committed batches (sinks.append_batch_idempotent)
+        if "epoch" not in _epoch_cache:
+            _epoch_cache["epoch"] = checkpoint_epoch(
+                batch_df.sparkSession, checkpoint_dir
+            )
+        epoch = _epoch_cache["epoch"]
         raw, flat = build_dual_path(batch_df, map_schema)
         obs_raw, obs_flat = Observation(), Observation()
         raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
@@ -380,7 +405,7 @@ def start_stream_pump(
         # sinks.append_batch_idempotent sweeps the prior attempt's files)
         write_append(
             raw, store, f"{out_dir}/raw_message", store.raw_table_name,
-            cluster=False, batch_id=batch_id,
+            cluster=False, batch_id=batch_id, epoch=epoch,
         )
         raw_n = obs_raw.get["n"]
         if counters is not None:
@@ -392,6 +417,7 @@ def start_stream_pump(
         write_append(
             flat, store, f"{out_dir}/json_message",
             store.adapter_table_name, cluster=False, batch_id=batch_id,
+            epoch=epoch,
         )
         if counters is not None:
             flat_n = obs_flat.get["n"]
@@ -433,9 +459,12 @@ def drain_and_stop(
     stop (the r8 soak spent 4 x 60 s doing exactly that).  Two
     progress-based escapes close it:
 
-    - ``until_idle=True`` (default): stop once the most recent COMPLETED
-      batch read ZERO rows -- for a live source an empty poll window IS
-      the drained state.  File/rate sources still exit through the
+    - ``until_idle=True`` (default): stop once a batch COMPLETED AFTER
+      ENTRY read ZERO rows -- for a live source an empty poll window IS
+      the drained state.  The batch must postdate entry because a stale
+      zero-row progress from an idle spell would otherwise trigger an
+      instant stop that cancels a data-bearing batch already in flight
+      (r9 review finding).  File/rate sources still exit through the
       ``isDataAvailable`` fast path before ever reaching this.
     - ``until_idle=False``: stop at the first BATCH BOUNDARY after entry
       (``lastProgress.batchId`` advances, or a trigger-idle gap is
@@ -456,14 +485,17 @@ def drain_and_stop(
         ):
             break
         progress = query.lastProgress
-        if progress is not None:
-            if until_idle:
-                if progress.get("numInputRows", 1) == 0:
-                    break
-            elif progress.get("batchId", -1) > entry_batch:
+        if progress is not None and progress.get("batchId", -1) > entry_batch:
+            if not until_idle:
+                break
+            if progress.get("numInputRows", 1) == 0:
                 break
         time.sleep(0.3)
-    query.stop()
+    _stop_in_progress.set()
+    try:
+        query.stop()
+    finally:
+        _stop_in_progress.clear()
     # A stop can still cancel a just-started batch; write_both rewraps
     # that cancellation with a marker message (short, so Spark's error
     # formatter survives it), but Spark records the query as FAILED, and

@@ -32,22 +32,22 @@ def _load(tmp_path, body: str):
 
 
 @pytest.mark.parametrize(
-    ("native_port", "jdbc_port"),
+    ("native_port", "url_tail"),
     [
-        ("9000", "8123"),    # stock native -> stock HTTP
-        ("19000", "18123"),  # the shipped INIs' +10000 remap, preserved
-        ("9440", "8443"),    # native TLS -> HTTPS
-        ("8123", "8123"),    # already the HTTP port: pass through
-        ("31337", "31337"),  # unknown custom port: pass through
+        ("9000", "8123/db1"),    # stock native -> stock HTTP
+        ("19000", "18123/db1"),  # the shipped INIs' +10000 remap, preserved
+        ("9440", "8443/db1?ssl=true"),  # native TLS -> HTTPS, TLS declared
+        ("8123", "8123/db1"),    # already the HTTP port: pass through
+        ("31337", "31337/db1"),  # unknown custom port: pass through
     ],
 )
-def test_clickhouse_port_maps_native_to_http(tmp_path, native_port, jdbc_port):
+def test_clickhouse_port_maps_native_to_http(tmp_path, native_port, url_tail):
     cfg = _load(
         tmp_path,
         "[clickhouse]\nhostname = ch.example\n"
         f"port = {native_port}\ndatabase = db1\n",
     )
-    assert cfg.store.url == f"jdbc:clickhouse://ch.example:{jdbc_port}/db1"
+    assert cfg.store.url == f"jdbc:clickhouse://ch.example:{url_tail}"
 
 
 def test_clickhouse_explicit_httpport_wins(tmp_path):

@@ -438,3 +438,37 @@ def test_append_batch_idempotent_replay(spark, tmp_path):
     assert not any(n.startswith("_stage") for n in os.listdir(out))
     data = [n for n in names if n.endswith(".parquet")]
     assert data and all(n.startswith(("b0-", "b1-")) for n in data)
+
+
+def test_append_batch_epoch_scopes_replay_sweep(spark, tmp_path):
+    """Checkpoint-reset-over-kept-sink: batch ids restart at 0 under a
+    NEW epoch, and the new run's batch-0 sweep must NOT delete the old
+    epoch's committed batch-0 files (r9 review finding) -- while a
+    replay under the SAME epoch still sweeps its own prior attempt."""
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import write_append
+
+    out = str(tmp_path / "raw_message")
+    store = StoreConf()
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(f"m{i}", "t", "p") for i in ids], ["mid", "topic", "payload"]
+        ).select(
+            "*",
+            F.to_timestamp(F.lit("2024-01-02 03:04:05")).alias(
+                "collect_datetime"
+            ),
+            F.to_date(F.lit("2024-01-02")).alias("collect_date"),
+        )
+
+    write_append(frame(range(10)), store, out, batch_id=0, epoch="e1")
+    # same epoch, same batch -> replay sweep: still 10
+    write_append(frame(range(10)), store, out, batch_id=0, epoch="e1")
+    assert spark.read.parquet(out).count() == 10
+    # NEW epoch (checkpoint reset), batch ids restart at 0: appends,
+    # never sweeps the old epoch's files
+    write_append(frame(range(100, 105)), store, out, batch_id=0, epoch="e2")
+    assert spark.read.parquet(out).count() == 15
