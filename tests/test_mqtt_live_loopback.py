@@ -557,3 +557,84 @@ def test_live_budget_cap_leaves_excess_unacked(broker):
     assert len(kept_pids) == 2 and 0 not in kept_pids
     # broker saw acks for the kept packet ids ONLY
     assert broker.acked_pids == kept_pids
+
+
+def test_live_multigroup_offset_pump_fan_in(broker, spark, tmp_path):
+    """The reference's full fan-out shape over real TCP: enablegroupnum
+    with begingroupnum=3/endgroupnum=4 means TWO pipes subscribing to the
+    NUMBERED topics pump/g/3 and pump/g/4 (``main.go:111``,
+    ``mqtt.go:73-75``) -- here two source partitions, each with its own
+    live client and its own receive-WAL file, fanned into ONE pump query
+    and one pair of sinks (S3 multi-pipe fan-in).  Rows from both groups
+    land exactly once; traffic on a group outside [begin, end] is never
+    subscribed and never appears."""
+    import os
+
+    from mqtt_message_pump_spark.sources.mqtt import register_mqtt_source
+    from mqtt_message_pump_spark.streaming.pump import (
+        drain_and_stop,
+        start_stream_pump,
+    )
+
+    register_mqtt_source(spark)
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def feed():
+        assert broker.wait_for_subscription("pump/g/3", timeout=30)
+        assert broker.wait_for_subscription("pump/g/4", timeout=30)
+        pub = MiniMqttClient("127.0.0.1", broker.port, client_id="mg-pub")
+        for i in range(5):
+            pub.publish("pump/g/3", f'{{"r1": {{"k": {i}}}}}'.encode(), qos=1)
+            pub.publish(
+                "pump/g/4", f'{{"r1": {{"k": {100 + i}}}}}'.encode(), qos=1
+            )
+        # outside the configured [3, 4] span: must never be subscribed
+        pub.publish("pump/g/5", b'{"r1": {"k": 999}}', qos=1)
+        pub.disconnect()
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    stream = (
+        spark.readStream.format("mqtt_pump")
+        .option("server", f"tcp://127.0.0.1:{broker.port}")
+        .option("group_num", "2")
+        .option("group_offset", "3")
+        .option("topic_root", "pump/")
+        .option("topic_prefix", "g")
+        .option("qos", "1")
+        .option("clean_session", "false")
+        .option("client_name", "mg-sub")
+        .option("poll_timeout_secs", "2")
+        .option("wal_dir", str(ckpt / "_mqtt_wal"))
+        .load()
+    )
+    q = start_stream_pump(
+        spark, stream, str(out), str(ckpt),
+        trigger_secs=1, dedupe_watermark="30 seconds",
+    )
+    deadline = time.time() + 60
+    def raw_count():
+        try:
+            return spark.read.parquet(str(out / "raw_message")).count()
+        except Exception:
+            return 0
+    while time.time() < deadline and raw_count() < 10:
+        time.sleep(1)
+    drain_and_stop(q)
+    t.join(timeout=5)
+
+    raw = spark.read.parquet(str(out / "raw_message"))
+    rows = raw.select("topic", "payload").collect()
+    assert len(rows) == 10
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r.topic, []).append(r.payload)
+    assert set(by_topic) == {"pump/g/3", "pump/g/4"}
+    assert len(by_topic["pump/g/3"]) == 5
+    assert len(by_topic["pump/g/4"]) == 5
+    assert not any("999" in p for ps in by_topic.values() for p in ps)
+    # each group partition wrote its own WAL files (g0-*, g1-*)
+    wal_names = os.listdir(ckpt / "_mqtt_wal") if (ckpt / "_mqtt_wal").exists() else []
+    groups_seen = {n.split("-")[0] for n in wal_names}
+    assert groups_seen <= {"g0", "g1"}
