@@ -95,11 +95,25 @@ def make_monitor_publish(mon: dict, connect_monitor, qos: int):
     otherwise the fallback is dead code under paho and downtime ticks
     vanish silently)."""
 
+    # paho rcs that mean the CONNECTION is gone (NO_CONN=4,
+    # CONN_REFUSED=5, CONN_LOST=7, KEEPALIVE=16): worth a teardown +
+    # rebuild.  Other nonzero rcs (QUEUE_SIZE=15, AGAIN=-1, ...) are
+    # transient local conditions on a healthy connection -- rebuilding
+    # per tick would churn the monitor broker for nothing (r9 review
+    # finding); the tick is echoed and the connection kept.
+    _CONN_DEAD_RCS = {4, 5, 7, 16}
+
     def _publish_or_raise(client, topic: str, data: bytes) -> None:
         result = client.publish(topic, data, qos=qos)
         rc = getattr(result, "rc", 0)
-        if rc:
+        if rc in _CONN_DEAD_RCS:
             raise ConnectionError(f"monitor publish rc={rc}")
+        if rc:
+            print(
+                f"[monitor] publish rc={rc} (transient, connection kept) "
+                f"{topic} {data.decode('utf-8', 'replace')}",
+                file=sys.stderr,
+            )
 
     def publish(topic: str, payload: str) -> None:
         client = mon["client"]
@@ -143,7 +157,16 @@ def _local_wal_dir(store_path: str) -> str:
         )
         return ""
     path = store_path.removeprefix("file://")
-    return f"{path}/_checkpoint/_mqtt_wal"
+    wal = f"{path}/_checkpoint/_mqtt_wal"
+    # A plain path can still be executor-LOCAL on a multi-node cluster,
+    # where a replayed task on another executor would miss the log --
+    # state the requirement loudly rather than leaving the claim implied
+    print(
+        f"run: receive-WAL at {wal} (multi-node deployments must place "
+        "this on a shared mount, or the replay guarantee does not hold)",
+        file=sys.stderr,
+    )
+    return wal
 
 
 def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
@@ -267,6 +290,7 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     spark.streams.addListener(listener)
     sample = cfg.adapter.json_sample
     schema = infer_spark_schema(spark, sample) if sample else None
+    wm = cfg.batch.dedupe_watermark_secs
     query = start_stream_pump(
         spark,
         messages,
@@ -275,6 +299,11 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
         map_schema=schema,
         trigger_secs=cfg.batch.commit_interval_secs,
         mid_length=cfg.batch.mid_length,
+        # [batch] dedupewatermark > 0 upgrades at-least-once (WAL) to
+        # exactly-once sink contents via content-keyed dedup -- opt-in,
+        # because it also collapses genuinely identical publishes
+        # (config.BatchConf documents the delivery ladder)
+        dedupe_watermark=f"{wm} seconds" if wm > 0 else None,
     )
     print(f"pump running; sinks under {cfg.store.path}")
     try:

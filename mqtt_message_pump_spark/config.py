@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import configparser
 import os
+import warnings
 from dataclasses import dataclass, field, fields
 
 
@@ -91,6 +92,18 @@ class BatchConf:
     commit_interval_secs: int = 5
     max_items: int = 64
     mid_length: int = 8
+    # Redelivery-dedup watermark (seconds; 0 = off, the default).
+    # OFF preserves reference parity: two GENUINELY identical publishes
+    # are two rows (IoT feeds repeat readings), mids are random
+    # per-delivery.  The delivery ladder is then: no WAL = QoS-1
+    # at-most-once-ish (ack-to-commit crash loses the batch); WAL =
+    # at-least-once (that crash window replays from the log, but the
+    # broker also redelivers what was never acked -- rare dups);
+    # WAL + dedupewatermark > 0 = exactly-once sink contents, at the
+    # cost of collapsing identical (topic, payload) publishes inside
+    # the watermark (the trade-off QoS-1 cannot avoid without an
+    # upstream id -- ``streaming.pump.dedupe_redeliveries``).
+    dedupe_watermark_secs: int = 0
 
 
 @dataclass
@@ -138,6 +151,7 @@ _KEY_MAP = {
     "commitinterval": "commit_interval_secs",
     "maxitems": "max_items",
     "midlength": "mid_length",
+    "dedupewatermark": "dedupe_watermark_secs",
 }
 
 
@@ -254,8 +268,8 @@ def load_config(path: str) -> PumpConfig:
         # reference INIs use 19000 = 9000 + 10000, so HTTP is 18123);
         # an explicit `httpport` key (this repo's extension) wins outright.
         host = items.get("hostname", "127.0.0.1")
-        port = int(items.get("port", "9000"))
-        tls = ""
+        native_port = int(items.get("port", "9000"))
+        port, tls = native_port, ""
         if "httpport" in items:
             port = int(items["httpport"])
         elif port % 10000 == 9000:  # native port, possibly offset-remapped
@@ -265,6 +279,16 @@ def load_config(path: str) -> PumpConfig:
             # HTTP at the HTTPS port and the handshake fails
             port = port - 9440 + 8443
             tls = "?ssl=true"
+        if port != native_port:
+            # the rewrite is a heuristic (a deployment could genuinely
+            # serve HTTP on a 9000-suffixed port) -- say so, and name
+            # the escape hatch, instead of failing silently later
+            warnings.warn(
+                f"[clickhouse] port {native_port} looks like the native "
+                f"TCP protocol; using HTTP port {port} for the JDBC URL "
+                "(set `httpport` to override)",
+                stacklevel=2,
+            )
         store.url = f"jdbc:clickhouse://{host}:{port}/{store.database}{tls}"
         if not store.driver:
             store.driver = "com.clickhouse.jdbc.ClickHouseDriver"

@@ -447,10 +447,12 @@ def connected_components(
     LSH banding the candidate EDGE set is orders of magnitude smaller
     than the corpus -- the quadratic blowup lives in the buckets, and the
     capped candidate generators bound it (``minhash_candidate_pairs``
-    ``max_bucket_size``).  When the doubled edge list is at most
-    ``driver_threshold_edges`` rows (default 500k ~ tens of MB), a
-    single-pass union-find on the driver replaces O(diameter) scheduled
-    rounds: one collect + one ``createDataFrame``, exact same labels.
+    ``max_bucket_size``).  When the DOUBLED edge list is at most
+    ``driver_threshold_edges`` rows (default 500k, i.e. 250k undirected
+    edges -- bounding the driver collect itself, the quantity that can
+    OOM), a single-pass union-find on the driver replaces O(diameter)
+    scheduled rounds: one collect + one ``createDataFrame``, exact same
+    labels.
     This is NOT a collect of the corpus -- vertices never leave the
     cluster; only the (already materialized) edge list does, under an
     explicit cap, exactly like a broadcast-hash-join side.  Above the
@@ -464,7 +466,7 @@ def connected_components(
     )
     both = both.localCheckpoint(eager=True)
 
-    if both.count() <= 2 * driver_threshold_edges:
+    if both.count() <= driver_threshold_edges:
         resolved = _union_find_labels(both, id_col)
         return vertices.select(id_col).join(resolved, id_col, "left").select(
             id_col,

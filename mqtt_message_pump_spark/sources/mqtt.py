@@ -265,6 +265,16 @@ class MqttStreamReader(DataSourceStreamReader):
                         os.remove(os.path.join(wal_dir, fn))
                     except OSError:
                         pass
+                elif re.fullmatch(r"g\d+-\d+-\d+\.jsonl\.tmp-\d+", fn):
+                    # orphaned tmp from a task that died mid-write: by
+                    # commit time no read task is active (batches are
+                    # strictly serial), so any tmp is garbage -- without
+                    # this, repeated crashes accumulate stale tmps
+                    # forever (r9 review finding)
+                    try:
+                        os.remove(os.path.join(wal_dir, fn))
+                    except OSError:
+                        pass
 
     def group_topic(self, group: int) -> str:
         """Subscription topic for one group: ``root+prefix/<offset+group>``

@@ -390,12 +390,17 @@ def start_stream_pump(
         store = StoreConf()
         # file prefixes are scoped to this checkpoint lineage so a
         # checkpoint reset over a kept sink can never sweep the old
-        # run's committed batches (sinks.append_batch_idempotent)
-        if "epoch" not in _epoch_cache:
-            _epoch_cache["epoch"] = checkpoint_epoch(
-                batch_df.sparkSession, checkpoint_dir
-            )
-        epoch = _epoch_cache["epoch"]
+        # run's committed batches (sinks.append_batch_idempotent).
+        # Only a SUCCESSFUL read is cached: permanently caching a
+        # transient None would leave the whole run writing unscoped
+        # prefixes that can't sweep a prior epoch-scoped attempt
+        # (r9 review finding) -- retry each batch until the metadata
+        # file is readable.
+        epoch = _epoch_cache.get("epoch")
+        if epoch is None:
+            epoch = checkpoint_epoch(batch_df.sparkSession, checkpoint_dir)
+            if epoch is not None:
+                _epoch_cache["epoch"] = epoch
         raw, flat = build_dual_path(batch_df, map_schema)
         obs_raw, obs_flat = Observation(), Observation()
         raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))

@@ -373,3 +373,19 @@ def test_wal_commit_prunes_completed_batches(tmp_path):
     assert {f.name for f in wal.iterdir()} == {"g0-100-200.jsonl"}
     reader.commit({"0": 200})
     assert list(wal.iterdir()) == []
+
+
+def test_monitor_publish_transient_rc_keeps_connection(capsys):
+    """A transient paho rc (QUEUE_SIZE=15) must NOT tear down a healthy
+    monitor connection -- the tick is echoed and the client kept; only
+    connection-dead rcs (4/5/7/16) trigger the rebuild."""
+    client = _PahoLikeClient(rcs=[15, 0])
+    mon = {"client": client}
+    publish = make_monitor_publish(
+        mon, lambda: (_ for _ in ()).throw(AssertionError), qos=0
+    )
+    publish("t", "dropped-tick")
+    assert not client.disconnected and mon["client"] is client
+    assert "rc=15" in capsys.readouterr().err
+    publish("t", "next-tick")  # connection still works on the next tick
+    assert client.published == [("t", b"next-tick")]
