@@ -389,3 +389,49 @@ def test_monitor_publish_transient_rc_keeps_connection(capsys):
     assert "rc=15" in capsys.readouterr().err
     publish("t", "next-tick")  # connection still works on the next tick
     assert client.published == [("t", b"next-tick")]
+
+
+def test_wal_crash_before_ack_is_at_least_once(tmp_path, spark):
+    """The delivery-ladder middle rung, pinned: a task that logs its WAL
+    but dies before the PUBACK flush yields BOTH a WAL replay (copy 1)
+    and a broker redelivery into the next poll (copy 2) -- at-least-once,
+    never loss; the opt-in content dedup then collapses the pair to
+    exactly-once."""
+    import datetime as dt
+
+    from mqtt_message_pump_spark.streaming.pump import dedupe_redeliveries
+
+    msgs = [_Msg("pump/g/1", b'{"k": 1}', 11)]
+    reader, calls = _wal_reader(tmp_path, msgs)
+    part0 = reader.partitions({"0": 0}, {"0": 100})[0]
+
+    # attempt 1: the WAL is written and the PUBACKs go out, but the
+    # batch dies before committing (or the acks are lost in flight) --
+    # either way the broker still holds the message as undelivered
+    gen = reader.read(part0)
+    next(gen)
+    gen.close()
+    assert (tmp_path / "wal" / "g0-0-100.jsonl").exists()
+
+    # replay of the SAME batch: served from the WAL -- copy 1
+    copy1 = list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
+    assert [r[1] for r in copy1] == ['{"k": 1}']
+
+    # the broker never saw acks -> it redelivers into the NEXT batch
+    # (new connection, new packet id, dup=True) -- copy 2
+    redelivered = [_Msg("pump/g/1", b'{"k": 1}', 37, dup=True)]
+    reader2, _ = _wal_reader(tmp_path, redelivered)
+    copy2 = list(reader2.read(reader2.partitions({"0": 100}, {"0": 200})[0]))
+    assert [r[1] for r in copy2] == ['{"k": 1}']
+
+    # at-least-once: both copies exist; content dedup -> exactly-once
+    rows = [
+        (r[0], r[1], dt.datetime(2024, 1, 1, 12, 0, i), r[3], r[4])
+        for i, r in enumerate(copy1 + copy2)
+    ]
+    df = spark.createDataFrame(
+        rows, "topic string, payload string, received_time timestamp, "
+        "packet_id long, dup boolean",
+    )
+    assert df.count() == 2
+    assert dedupe_redeliveries(df).count() == 1
