@@ -466,7 +466,11 @@ def connected_components(
     )
     both = both.localCheckpoint(eager=True)
 
-    if both.count() <= driver_threshold_edges:
+    # gate BEFORE counting: threshold 0 genuinely forces the distributed
+    # path (an empty edge list must not sneak onto the driver path when
+    # the caller asked for distributed), and disables the extra eager
+    # count job entirely (ADVICE r9)
+    if driver_threshold_edges and both.count() <= driver_threshold_edges:
         resolved = _union_find_labels(both, id_col)
         return vertices.select(id_col).join(resolved, id_col, "left").select(
             id_col,

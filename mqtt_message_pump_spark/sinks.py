@@ -387,6 +387,17 @@ def append_batch_idempotent(
     """
     spark = df.sparkSession
     prefix = f"b{epoch}-{batch_id}-" if epoch else f"b{batch_id}-"
+    # Sweep BOTH the scoped and the unscoped prefix for this batch id:
+    # if checkpoint_epoch() was transiently unreadable on a previous
+    # attempt, that attempt wrote unscoped ``b<id>-`` files, and a
+    # scoped-only replay sweep would leave them behind -- duplicating
+    # every row of the batch (ADVICE r9).  The trailing dash keeps the
+    # globs unambiguous (b1- never matches b1<epoch>- or b10-); the
+    # unscoped glob cannot match OTHER batches of an epoch-scoped
+    # lineage either (those all start ``b<8-hex-epoch>-``).
+    sweep_prefixes = [prefix]
+    if epoch:
+        sweep_prefixes.append(f"b{batch_id}-")
     stage = f"{table_path}/_stage-batch-{batch_id}"
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     if cluster:
@@ -403,10 +414,11 @@ def append_batch_idempotent(
     # NOT a listing of every sink file per batch, which would grow the
     # hot path linearly with total sink size (r9 review finding); in the
     # normal no-replay case this returns nothing.
-    for leftover in fs.globStatus(
-        HPath(f"{table_path}/collect_date=*/{prefix}*")
-    ):
-        fs.delete(leftover.getPath(), False)
+    for swept in sweep_prefixes:
+        for leftover in fs.globStatus(
+            HPath(f"{table_path}/collect_date=*/{swept}*")
+        ):
+            fs.delete(leftover.getPath(), False)
     # move staged files into the real date partitions under the batch prefix
     for part_dir in fs.globStatus(HPath(f"{stage}/collect_date=*")):
         date_name = part_dir.getPath().getName()

@@ -102,10 +102,28 @@ def _paho_client_factory(options):  # pragma: no cover - needs a broker
     server = options.get("server", "tcp://127.0.0.1:1883")
     host = server.split("://", 1)[-1].rsplit(":", 1)[0]
     port = int(server.rsplit(":", 1)[-1])
-    client = _paho.Client(
+    kwargs = dict(
         client_id=options.get("client_name", ""),
         clean_session=clean_session_flag(options),
     )
+    # paho 2.x requires the callback-api-version positional and supports
+    # manual_ack=True -- WITHOUT it paho auto-PUBACKs each message inside
+    # its network loop, so the WAL's log-before-ack guarantee would only
+    # hold from poll end, not per message (ADVICE r9: a crash mid-poll
+    # would silently lose acked-but-unlogged rows).  paho 1.x has neither
+    # kwarg; there the deferred-ack protocol cannot apply and read()
+    # detects the auto-ack client and warns when a WAL is configured.
+    api_v1 = getattr(
+        getattr(_paho, "CallbackAPIVersion", None), "VERSION1", None
+    )
+    try:
+        if api_v1 is not None:
+            client = _paho.Client(api_v1, manual_ack=True, **kwargs)
+        else:
+            client = _paho.Client(manual_ack=True, **kwargs)
+        client.manual_ack = True  # read()'s capability probe
+    except TypeError:  # paho 1.x: no manual_ack support
+        client = _paho.Client(**kwargs)
     if options.get("username"):
         client.username_pw_set(
             options.get("username"), options.get("password")
@@ -289,9 +307,15 @@ class MqttStreamReader(DataSourceStreamReader):
 
     @staticmethod
     def _write_wal(path: str, rows: list[tuple]) -> None:
-        """Atomically persist one poll window's rows (tmp + rename, so a
-        crash mid-write leaves no half-log -- the replay then polls the
-        broker, whose unacked rows requeue)."""
+        """Atomically persist one poll window's rows (tmp + fsync +
+        rename + dir fsync, so a crash mid-write leaves no half-log --
+        the replay then polls the broker, whose unacked rows requeue).
+
+        The fsyncs matter: the PUBACKs go out right after this returns
+        and the broker then forgets the rows, so a page-cache-only log
+        that vanishes on a HOST/power crash reopens the exact loss
+        window the WAL exists to close (ADVICE r9) -- process-crash
+        durability alone is not enough here."""
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -303,7 +327,18 @@ class MqttStreamReader(DataSourceStreamReader):
                     )
                     + "\n"
                 )
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, path)
+        # persist the rename itself (the directory entry) before acking
+        try:
+            dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:  # pragma: no cover - exotic FS without dir fds
+            pass
 
     @staticmethod
     def _load_wal(path: str):
@@ -371,6 +406,25 @@ class MqttStreamReader(DataSourceStreamReader):
         manual = bool(getattr(client, "manual_ack", False)) and hasattr(
             client, "ack"
         )
+        if wal_path is not None and not manual:
+            # The WAL's per-message guarantee ("logged durably BEFORE it
+            # is PUBACKed") only holds with a manual-ack client.  An
+            # auto-ack client (paho 1.x) PUBACKs on receipt inside its
+            # network loop while the log is written at poll end, so a
+            # crash MID-POLL can still lose acked-but-unlogged rows; the
+            # WAL then only covers the post-poll ack-to-commit window
+            # (ADVICE r9).  Say so loudly rather than let the option
+            # silently promise more than the client can deliver.
+            import warnings
+
+            warnings.warn(
+                "wal_dir is set but the MQTT client auto-acks on receipt "
+                "(no manual_ack support -- paho<2?): the receive WAL "
+                "only covers the post-poll window, not a crash mid-poll. "
+                "Use paho>=2 or client_impl=minimqtt for full coverage.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
         def on_message(client_, userdata, msg) -> None:
             if manual and want and len(buffered) >= want:
@@ -428,7 +482,13 @@ class MqttStreamReader(DataSourceStreamReader):
                 # log); without one it remains the documented QoS-1
                 # boundary (tests/test_soak.py delivery-semantics note).
                 for row in buffered:
-                    client.ack(row[3])
+                    try:
+                        client.ack(row[3])
+                    except TypeError:
+                        # paho 2.x signature: ack(mid, qos) -- the
+                        # TypeError fires before any side effect, so
+                        # retrying with the qos is safe
+                        client.ack(row[3], qos)
         finally:
             client.disconnect()
             # per-micro-batch clients tear down after the read

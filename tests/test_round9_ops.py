@@ -435,3 +435,114 @@ def test_wal_crash_before_ack_is_at_least_once(tmp_path, spark):
     )
     assert df.count() == 2
     assert dedupe_redeliveries(df).count() == 1
+
+
+# ------------------------------------------------- manual-ack coverage
+
+
+def test_paho_factory_requests_manual_ack(monkeypatch):
+    """The paho factory must construct a manual-ack client on paho>=2
+    (ADVICE r9: without it paho auto-PUBACKs inside its network loop and
+    the WAL's log-before-ack claim silently degrades to poll-end), and
+    fall back cleanly on paho 1.x which lacks the kwarg."""
+    import types
+
+    from mqtt_message_pump_spark.sources import mqtt as mqtt_mod
+
+    built = {}
+
+    class _Client2:
+        def __init__(self, api_version, manual_ack=False, client_id="",
+                     clean_session=True):
+            built.update(api_version=api_version, manual_ack=manual_ack)
+
+        def username_pw_set(self, u, p):
+            pass
+
+        def connect(self, host, port):
+            built["addr"] = (host, port)
+
+    fake2 = types.SimpleNamespace(
+        Client=_Client2,
+        CallbackAPIVersion=types.SimpleNamespace(VERSION1="v1"),
+    )
+    monkeypatch.setattr(mqtt_mod, "_paho", fake2)
+    client = mqtt_mod._paho_client_factory(
+        {"server": "tcp://127.0.0.1:1883", "client_name": "c"}
+    )
+    assert built["manual_ack"] is True and built["api_version"] == "v1"
+    assert getattr(client, "manual_ack", False) is True
+    assert built["addr"] == ("127.0.0.1", 1883)
+
+    class _Client1:  # paho 1.x: no manual_ack kwarg, no api-version arg
+        def __init__(self, client_id="", clean_session=True):
+            pass
+
+        def connect(self, host, port):
+            pass
+
+    monkeypatch.setattr(
+        mqtt_mod, "_paho", types.SimpleNamespace(Client=_Client1)
+    )
+    client = mqtt_mod._paho_client_factory({"server": "tcp://h:1883"})
+    assert not getattr(client, "manual_ack", False)
+
+
+def test_wal_with_autoack_client_warns(tmp_path):
+    """wal_dir + an auto-ack client = the per-message guarantee does not
+    hold; the source must say so loudly instead of over-promising."""
+    import warnings
+
+    from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+    class _AutoAckClient(_OneShotClient):
+        manual_ack = False
+
+    reader = MqttStreamReader(
+        {
+            "group_num": "0",
+            "topic_root": "pump/",
+            "topic_prefix": "g",
+            "poll_timeout_secs": "0.05",
+            "wal_dir": str(tmp_path / "wal"),
+        },
+        client_factory=lambda opts: _AutoAckClient(
+            [_Msg("pump/g/1", b"x", 1)]
+        ),
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        rows = list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
+    assert len(rows) == 1
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "auto-acks" in str(w.message)
+        for w in rec
+    )
+
+
+def test_ack_dispatch_covers_paho2_signature(tmp_path):
+    """paho 2.x acks take (mid, qos); the deferred-ack flush must reach
+    such a client instead of dying on the 1-arg call."""
+    from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+    class _TwoArgAckClient(_OneShotClient):
+        def ack(self, mid, qos):
+            self.acked.append((mid, qos))
+
+    client = _TwoArgAckClient(
+        [_Msg("pump/g/1", b"a", 7), _Msg("pump/g/1", b"b", 8)]
+    )
+    reader = MqttStreamReader(
+        {
+            "group_num": "0",
+            "topic_root": "pump/",
+            "topic_prefix": "g",
+            "poll_timeout_secs": "0.05",
+            "qos": "1",
+        },
+        client_factory=lambda opts: client,
+    )
+    rows = list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
+    assert len(rows) == 2
+    assert client.acked == [(7, 1), (8, 1)]

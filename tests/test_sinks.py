@@ -472,3 +472,44 @@ def test_append_batch_epoch_scopes_replay_sweep(spark, tmp_path):
     # never sweeps the old epoch's files
     write_append(frame(range(100, 105)), store, out, batch_id=0, epoch="e2")
     assert spark.read.parquet(out).count() == 15
+
+
+def test_append_batch_sweeps_unscoped_prior_attempt(spark, tmp_path):
+    """Epoch transiently unreadable on the FIRST attempt of a batch ->
+    that attempt wrote unscoped ``b<id>-`` files; the replay (epoch now
+    readable) must sweep them too, or every row of the batch duplicates
+    (ADVICE r9).  Other batches -- scoped or unscoped -- stay intact."""
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import write_append
+
+    out = str(tmp_path / "raw_message")
+    store = StoreConf()
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(f"m{i}", "t", "p") for i in ids], ["mid", "topic", "payload"]
+        ).select(
+            "*",
+            F.to_timestamp(F.lit("2024-01-02 03:04:05")).alias(
+                "collect_datetime"
+            ),
+            F.to_date(F.lit("2024-01-02")).alias("collect_date"),
+        )
+
+    # batch 0 committed earlier under the epoch; batch 1's first attempt
+    # hit the unreadable-metadata race and wrote UNSCOPED files
+    write_append(frame(range(10)), store, out, batch_id=0, epoch="e1")
+    write_append(frame(range(10, 15)), store, out, batch_id=1, epoch=None)
+    assert spark.read.parquet(out).count() == 15
+    # crash-replay of batch 1, epoch now readable: must sweep the
+    # unscoped b1-* leftovers, keep batch 0, land exactly 5 new rows
+    write_append(frame(range(10, 15)), store, out, batch_id=1, epoch="e1")
+    df = spark.read.parquet(out)
+    assert df.count() == 15
+    assert df.filter(df.mid.isin("m0", "m9")).count() == 2  # batch 0 intact
+    # and the unscoped sweep must not eat a DIFFERENT unscoped batch
+    write_append(frame(range(20, 22)), store, out, batch_id=10, epoch=None)
+    write_append(frame(range(10, 15)), store, out, batch_id=1, epoch="e1")
+    assert spark.read.parquet(out).count() == 17
