@@ -69,6 +69,15 @@ class StoreConf:
     raw_table_name: str = "Raw_Message"
     adapter_table_name: str = "Json_Message"
     compress: bool = True
+    # Replay-idempotent batch-commit protocol for parquet sinks:
+    # ``rename`` (default) moves staged files into place under a batch
+    # prefix -- correct where rename is atomic (local FS, HDFS);
+    # ``manifest`` never renames data files -- each batch attempt writes
+    # to a unique directory and COMMITS by publishing a small per-batch
+    # manifest, the only object readers trust (object-store-safe: S3-class
+    # stores make rename a non-atomic copy+delete).  See
+    # :func:`sinks.append_batch_manifest`.
+    commit_protocol: str = "rename"
 
 
 @dataclass

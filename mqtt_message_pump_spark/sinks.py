@@ -290,9 +290,14 @@ def write_append(
     answer on that path: a ReplacingMergeTree keyed on ``mid`` collapses
     replayed rows at merge time."""
     if batch_id is not None and store.format != "jdbc":
-        append_batch_idempotent(
-            df, store, table_path, batch_id, cluster, epoch=epoch
-        )
+        if getattr(store, "commit_protocol", "rename") == "manifest":
+            append_batch_manifest(
+                df, store, table_path, batch_id, cluster, epoch=epoch
+            )
+        else:
+            append_batch_idempotent(
+                df, store, table_path, batch_id, cluster, epoch=epoch
+            )
         return
     write_table(df, store, table_path, table_name, mode="append", cluster=cluster)
 
@@ -440,6 +445,210 @@ def append_batch_idempotent(
                     "failed; failing the batch for replay"
                 )
     fs.delete(HPath(stage), True)
+
+
+def _batch_key(batch_id: int, epoch: str | None) -> str:
+    return f"b{epoch}-{batch_id}" if epoch else f"b{batch_id}"
+
+
+def _publish_manifest(fs, HPath, manifest_dir: str, name: str, payload: bytes) -> None:
+    """Publish one small manifest object: write a uniquely-named tmp file,
+    then move it over the destination.  The destination is a SINGLE small
+    object, which keeps this step atomic-in-effect on every store class:
+    on local FS/HDFS the rename is atomic; on S3-class stores the rename
+    is copy+delete but the copy of one object makes the destination
+    appear atomically (S3 PUT/COPY never exposes partial objects) -- the
+    non-atomicity only strands the tmp object, which the next publish or
+    vacuum removes.  Contrast with multi-file data renames, which have no
+    such single-object guarantee -- that is the entire reason the
+    manifest protocol exists."""
+    import uuid
+
+    fs.mkdirs(HPath(manifest_dir))
+    tmp = HPath(f"{manifest_dir}/.tmp-{name}-{uuid.uuid4().hex[:8]}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    dest = HPath(f"{manifest_dir}/{name}")
+    if fs.exists(dest):
+        # replay republish (single-writer, batches serial): the batch is
+        # mid-rewrite anyway, so the delete->rename gap where the batch
+        # is momentarily absent to readers is within the replay window
+        fs.delete(dest, False)
+    if not fs.rename(tmp, dest):
+        raise IOError(
+            f"manifest publish {tmp} -> {dest} failed; "
+            "failing the batch for replay"
+        )
+
+
+def append_batch_manifest(
+    df: DataFrame,
+    store: StoreConf,
+    table_path: str,
+    batch_id: int,
+    cluster: bool = True,
+    epoch: str | None = None,
+) -> None:
+    """Object-store-safe replay-idempotent append (``StoreConf.
+    commit_protocol="manifest"``): data files are written ONCE under a
+    unique per-attempt directory and never renamed; the commit is the
+    atomic publish of a small per-batch manifest, the only thing readers
+    trust.
+
+    Why a second protocol: :func:`append_batch_idempotent` moves staged
+    part files into place and sweeps a prior attempt's files by prefix --
+    correct where rename is atomic (local FS, HDFS), but on S3-class
+    object stores rename is a non-atomic copy+delete, so mid-commit
+    readers can see a partial batch and a crash mid-move can leave half a
+    batch in place with the other half still staged.  100 TB lives on
+    object stores; the upgrade the reference's single-node txn commit
+    (``data_dbstore.go:190-198``) needs at that scale is a commit that
+    never relies on multi-file rename atomicity -- the same design as
+    Delta/Iceberg's log, reduced to one manifest per batch.
+
+    Protocol (single-writer per query, batches strictly serial):
+
+    1. write the batch date-partitioned into
+       ``_data/<batch-key>-a<unique>/`` inside the sink dir -- the
+       underscore root hides ALL data files from accidental plain
+       parquet reads, and the unique attempt suffix means no attempt
+       ever overwrites another's files;
+    2. publish ``_manifests/<batch-key>.json`` naming that attempt dir
+       (single-object write-then-move: atomic destination appearance on
+       every store class, see :func:`_publish_manifest`).
+
+    A crash before step 2 leaves an unreferenced attempt dir -- invisible
+    to readers, reclaimed by :func:`vacuum_sink`.  A replay re-runs both
+    steps: the manifest OVERWRITE atomically swaps the batch to the new
+    attempt, so sink contents stay exactly-once with no sweep of data
+    files at all.  ``epoch`` scopes the batch key exactly as in the
+    rename protocol; a replay under an epoch also retires the unscoped
+    manifest a transiently-epoch-blind prior attempt may have published
+    (same hole as ADVICE r9's unscoped-prefix sweep).
+
+    Readers use :func:`read_sink` (manifest-aware); compaction =
+    rewrite + republish, i.e. future work shared with every
+    manifest-table design.
+    """
+    import json
+    import uuid
+
+    spark = df.sparkSession
+    key = _batch_key(batch_id, epoch)
+    attempt = f"_data/{key}-a{uuid.uuid4().hex[:8]}"
+    sort_cols = [c for c in ("mid", "topic") if c in df.columns]
+    if cluster:
+        df = df.repartition("collect_date")
+    (
+        df.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("collect_date")
+        .parquet(f"{table_path}/{attempt}")
+    )
+    fs, HPath = _hadoop_fs(spark, table_path)
+    files = [
+        f"{attempt}/{p.getPath().getParent().getName()}/{p.getPath().getName()}"
+        for p in fs.globStatus(
+            HPath(f"{table_path}/{attempt}/collect_date=*/*")
+        )
+        if not p.getPath().getName().startswith(("_", "."))
+    ]
+    if not files:
+        # empty micro-batch (a trigger with no new data): commit nothing
+        # -- a fileless attempt dir would defeat schema inference at read
+        # time, and an empty batch is trivially idempotent.  Replays are
+        # deterministic (same source offsets -> same rows), so an empty
+        # replay of a previously non-empty batch cannot occur.
+        fs.delete(HPath(f"{table_path}/{attempt}"), True)
+        return
+    manifest = {
+        "batch_id": batch_id,
+        "epoch": epoch,
+        "dir": attempt,
+        "files": sorted(files),
+    }
+    mdir = f"{table_path}/_manifests"
+    _publish_manifest(
+        fs, HPath, mdir, f"{key}.json",
+        json.dumps(manifest, sort_keys=True).encode("utf-8"),
+    )
+    if epoch:
+        # retire a prior attempt's UNSCOPED manifest for this batch id
+        # (epoch transiently unreadable on attempt 1 -- the manifest
+        # twin of the rename protocol's unscoped-prefix sweep)
+        unscoped = HPath(f"{mdir}/b{batch_id}.json")
+        if fs.exists(unscoped):
+            fs.delete(unscoped, False)
+
+
+def read_sink(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read one sink table regardless of its commit protocol.
+
+    Manifest sinks (``_manifests/`` present) load exactly the attempt
+    directories the manifests name -- uncommitted attempts are invisible
+    by construction, which is the protocol's reader-side guarantee; each
+    attempt dir is its own partitioned root, so ``collect_date`` comes
+    back as a column exactly as on the rename layout.  Rename-protocol
+    sinks are plain date-partitioned parquet."""
+    import json
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        return spark.read.parquet(table_path)
+    dirs = []
+    for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
+        stream = fs.open(st.getPath())
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        dirs.append(f"{table_path}/{json.loads(raw)['dir']}")
+    if not dirs:
+        raise ValueError(
+            f"manifest sink {table_path} has no committed batches"
+        )
+    # One scan per attempt dir, unioned: each dir is its own partitioned
+    # root (Spark refuses a single multi-root partition discovery across
+    # conflicting structures).  Per-batch micro-scans are the standard
+    # manifest-table read amplification -- at scale, compaction
+    # (rewrite + republish as one attempt) bounds the manifest count,
+    # exactly Delta/Iceberg's OPTIMIZE story.
+    from functools import reduce
+
+    frames = [spark.read.parquet(d) for d in sorted(dirs)]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def vacuum_sink(spark: SparkSession, table_path: str) -> list[str]:
+    """Reclaim attempt directories no manifest references (crashed or
+    replay-superseded attempts) plus stranded manifest tmp objects.
+    Safe concurrently with the single writer: a live batch's attempt dir
+    only becomes referenced AT publish, so vacuum must run from the
+    maintenance window, not mid-batch (document-level contract, same as
+    Delta VACUUM's retention rule).  Returns the deleted paths."""
+    import json
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    referenced = set()
+    for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
+        stream = fs.open(st.getPath())
+        try:
+            referenced.add(json.loads(bytes(stream.readAllBytes()))["dir"])
+        finally:
+            stream.close()
+    removed = []
+    for st in fs.globStatus(HPath(f"{table_path}/_data/*")):
+        rel = f"_data/{st.getPath().getName()}"
+        if rel not in referenced:
+            fs.delete(st.getPath(), True)
+            removed.append(rel)
+    for st in fs.globStatus(HPath(f"{table_path}/_manifests/.tmp-*")):
+        fs.delete(st.getPath(), False)
+        removed.append(f"_manifests/{st.getPath().getName()}")
+    return removed
 
 
 def write_training_shards(

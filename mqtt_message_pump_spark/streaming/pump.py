@@ -303,8 +303,14 @@ def start_stream_pump(
     dedupe_watermark: str | None = None,
     counters=None,
     event_time_field: str | None = None,
+    store=None,
 ):
     """Start the streaming pump on a streaming messages DataFrame.
+
+    ``store`` (a ``config.StoreConf``) selects sink format and the
+    batch-commit protocol -- ``commit_protocol="manifest"`` is the
+    object-store-safe variant (:func:`sinks.append_batch_manifest`);
+    default is a fresh ``StoreConf()`` (parquet, rename protocol).
 
     One query, one persist per micro-batch, two partitioned sinks; the
     checkpoint makes restarts effectively-once: a replayed micro-batch
@@ -387,7 +393,7 @@ def start_stream_pump(
         from mqtt_message_pump_spark.config import StoreConf
         from mqtt_message_pump_spark.sinks import checkpoint_epoch, write_append
 
-        store = StoreConf()
+        batch_store = store if store is not None else StoreConf()
         # file prefixes are scoped to this checkpoint lineage so a
         # checkpoint reset over a kept sink can never sweep the old
         # run's committed batches (sinks.append_batch_idempotent).
@@ -409,8 +415,9 @@ def start_stream_pump(
         # between sink write and checkpoint commit re-runs the batch --
         # sinks.append_batch_idempotent sweeps the prior attempt's files)
         write_append(
-            raw, store, f"{out_dir}/raw_message", store.raw_table_name,
-            cluster=False, batch_id=batch_id, epoch=epoch,
+            raw, batch_store, f"{out_dir}/raw_message",
+            batch_store.raw_table_name, cluster=False, batch_id=batch_id,
+            epoch=epoch,
         )
         raw_n = obs_raw.get["n"]
         if counters is not None:
@@ -420,9 +427,9 @@ def start_stream_pump(
             counters.rdo_receive_succeed += raw_n
             counters.rdo_commit_succeed += raw_n
         write_append(
-            flat, store, f"{out_dir}/json_message",
-            store.adapter_table_name, cluster=False, batch_id=batch_id,
-            epoch=epoch,
+            flat, batch_store, f"{out_dir}/json_message",
+            batch_store.adapter_table_name, cluster=False,
+            batch_id=batch_id, epoch=epoch,
         )
         if counters is not None:
             flat_n = obs_flat.get["n"]

@@ -1,0 +1,256 @@
+"""Object-store-safe batch commit (``commit_protocol="manifest"``).
+
+The rename protocol (``sinks.append_batch_idempotent``) is correct where
+rename is atomic; on S3-class stores rename is copy+delete, so a crash
+mid-move can leave a torn batch visible.  The manifest protocol never
+renames data files: a batch attempt writes to a unique directory and
+commits by atomically publishing a per-batch manifest -- the only object
+readers (``sinks.read_sink``) trust.  These tests pin the commit
+invariants, the torn-batch window the rename protocol has under a
+simulated non-atomic rename, and the streaming pump running end-to-end
+in both modes.  Reference anchor for the txn semantics being upgraded:
+``data_dbstore.go:190-198``.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.config import StoreConf
+from mqtt_message_pump_spark.sinks import (
+    append_batch_idempotent,
+    read_sink,
+    vacuum_sink,
+    write_append,
+)
+
+
+def _frame(spark, ids, dates=("2024-01-02",)):
+    rows = [
+        (f"m{i}", "t", "p", dates[i % len(dates)]) for i in ids
+    ]
+    return (
+        spark.createDataFrame(rows, ["mid", "topic", "payload", "d"])
+        .select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date("d").alias("collect_date"),
+        )
+    )
+
+
+def _manifest_store():
+    return StoreConf(commit_protocol="manifest")
+
+
+def test_manifest_append_replay_idempotent(spark, tmp_path):
+    """Same contract as the rename protocol's headline test: a replayed
+    batch never duplicates, later batches append, a late replay of an
+    old batch leaves the others alone -- plus the manifest layout: all
+    data under ``_data``, one manifest per batch, nothing visible to a
+    plain recursive parquet read."""
+    import os
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+
+    write_append(_frame(spark, range(10)), store, out, batch_id=0)
+    write_append(_frame(spark, range(10)), store, out, batch_id=0)  # replay
+    assert read_sink(spark, out).count() == 10
+
+    write_append(_frame(spark, range(10, 15)), store, out, batch_id=1)
+    assert read_sink(spark, out).count() == 15
+    write_append(_frame(spark, range(10)), store, out, batch_id=0)  # late
+    df = read_sink(spark, out)
+    assert df.count() == 15
+    assert set(df.columns) == {
+        "mid", "topic", "payload", "collect_datetime", "collect_date",
+    }
+    # layout: only underscore-hidden roots at top level (plus local-FS
+    # .crc sidecars, absent on real stores)
+    assert {n for n in os.listdir(out) if not n.startswith(".")} == {
+        "_data", "_manifests",
+    }
+    manifests = sorted(
+        n for n in os.listdir(f"{out}/_manifests") if not n.startswith(".")
+    )
+    assert manifests == ["b0.json", "b1.json"]
+    # replays supersede attempts; vacuum reclaims the two orphans
+    assert len(os.listdir(f"{out}/_data")) == 4
+    removed = vacuum_sink(spark, out)
+    assert len(removed) == 2
+    assert len(os.listdir(f"{out}/_data")) == 2
+    assert read_sink(spark, out).count() == 15  # vacuum never loses data
+
+
+def test_manifest_crash_before_publish_is_invisible(spark, tmp_path, monkeypatch):
+    """A batch that crashes AFTER its data write but BEFORE its manifest
+    publish must be invisible to readers (the protocol's whole point);
+    the replay then lands it exactly once and vacuum reclaims the
+    orphaned attempt."""
+    from mqtt_message_pump_spark import sinks as S
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    write_append(_frame(spark, range(5)), store, out, batch_id=0)
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before manifest publish")
+
+    monkeypatch.setattr(S, "_publish_manifest", boom)
+    with pytest.raises(RuntimeError):
+        write_append(_frame(spark, range(5, 9)), store, out, batch_id=1)
+    # torn attempt: data written, no manifest -> readers see batch 0 only
+    assert read_sink(spark, out).count() == 5
+    monkeypatch.undo()
+    write_append(_frame(spark, range(5, 9)), store, out, batch_id=1)
+    assert read_sink(spark, out).count() == 9
+    removed = vacuum_sink(spark, out)
+    assert len(removed) == 1 and removed[0].startswith("_data/b1-")
+    assert read_sink(spark, out).count() == 9
+
+
+def test_manifest_epoch_retires_unscoped_manifest(spark, tmp_path):
+    """Epoch transiently unreadable on attempt 1 -> unscoped ``b1.json``;
+    the epoch-scoped replay must retire it or the batch doubles (the
+    manifest twin of the rename protocol's unscoped-prefix sweep)."""
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    write_append(_frame(spark, range(3)), store, out, batch_id=0, epoch="e1")
+    write_append(_frame(spark, range(3, 7)), store, out, batch_id=1, epoch=None)
+    assert read_sink(spark, out).count() == 7
+    write_append(_frame(spark, range(3, 7)), store, out, batch_id=1, epoch="e1")
+    assert read_sink(spark, out).count() == 7
+    # and a NEW epoch's batch ids restart at 0 without sweeping e1's data
+    write_append(_frame(spark, range(10, 12)), store, out, batch_id=0, epoch="e2")
+    assert read_sink(spark, out).count() == 9
+
+
+def test_read_sink_reads_rename_protocol_sinks_too(spark, tmp_path):
+    out = str(tmp_path / "raw_message")
+    write_append(_frame(spark, range(4)), StoreConf(), out, batch_id=0)
+    assert read_sink(spark, out).count() == 4
+
+
+class _CopyThenFailRenames:
+    """Hadoop FileSystem proxy simulating an object store's non-atomic
+    rename: the first ``rename`` copies the bytes to the destination and
+    then reports failure (the copy landed, the "transaction" did not) --
+    the S3-class behavior a crash between copy and delete produces."""
+
+    def __init__(self, fs, jvm, conf):
+        self._fs, self._jvm, self._conf = fs, jvm, conf
+        self.failed = False
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+    def rename(self, src, dst):
+        if not self.failed:
+            self.failed = True
+            self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+                self._fs, src, self._fs, dst, False, self._conf
+            )
+            return False
+        return self._fs.rename(src, dst)
+
+
+def test_rename_nonatomic_copy_then_fail_shows_torn_batch_then_replays(
+    spark, tmp_path, monkeypatch
+):
+    """Pin WHY the manifest mode exists: under a non-atomic rename the
+    rename protocol exposes a torn batch (some of the batch's files
+    visible, some not) between failure and replay; the replay's prefix
+    sweep then restores exactly-once.  The manifest protocol has no such
+    window by construction (previous test)."""
+    from mqtt_message_pump_spark import sinks as S
+
+    out = str(tmp_path / "raw_message")
+    store = StoreConf()
+    # two dates -> two part files -> a mid-loop failure is a TORN batch
+    write_append(
+        _frame(spark, range(6), dates=("2024-01-02", "2024-01-03")),
+        store, out, batch_id=0,
+    )
+    assert spark.read.parquet(out).count() == 6
+
+    real = S._hadoop_fs
+    state = {}
+
+    def faulty(spark_, path):
+        fs, HPath = real(spark_, path)
+        proxy = state.setdefault(
+            "fs",
+            _CopyThenFailRenames(
+                fs, spark_._jvm, spark_._jsc.hadoopConfiguration()
+            ),
+        )
+        return proxy, HPath
+
+    monkeypatch.setattr(S, "_hadoop_fs", faulty)
+    with pytest.raises(IOError):
+        append_batch_idempotent(
+            _frame(spark, range(6, 12), dates=("2024-01-02", "2024-01-03")),
+            store, out, batch_id=1,
+        )
+    monkeypatch.undo()
+    torn = spark.read.parquet(out).count()
+    assert 6 < torn < 12, "non-atomic rename exposed a torn batch"
+    # crash-replay: the sweep removes the partial copy, lands the batch once
+    write_append(
+        _frame(spark, range(6, 12), dates=("2024-01-02", "2024-01-03")),
+        store, out, batch_id=1,
+    )
+    assert spark.read.parquet(out).count() == 12
+
+
+def _write_messages(dir_path, start: int, n: int) -> None:
+    dir_path.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for i in range(start, start + n):
+        lines.append(
+            json.dumps(
+                {
+                    "topic": f"pump/topic{i % 3}",
+                    "payload": json.dumps({"r1": {"k": i}, "r2": {"k": i * 2}}),
+                    "received_time": f"2024-01-01T00:00:{i % 60:02d}.000Z",
+                }
+            )
+        )
+    (dir_path / f"batch_{start}.json").write_text("\n".join(lines))
+
+
+def test_stream_pump_manifest_mode_end_to_end(spark, tmp_path):
+    """The streaming pump with ``commit_protocol="manifest"``: both sink
+    tables commit via manifests, a checkpointed restart appends exactly
+    the new rows, and readers go through ``read_sink`` (nothing is
+    visible to a plain parquet read -- the data lives under ``_data``)."""
+    from mqtt_message_pump_spark.sources.testing import file_message_stream
+    from mqtt_message_pump_spark.streaming.pump import start_stream_pump
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write_messages(src, 0, 20)
+    store = _manifest_store()
+    q = start_stream_pump(
+        spark, file_message_stream(spark, str(src)), str(out), str(ckpt),
+        trigger_secs=1, store=store,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    raw = read_sink(spark, str(out / "raw_message"))
+    flat = read_sink(spark, str(out / "json_message"))
+    assert raw.count() == 20 and flat.count() == 40
+    assert {"mid", "topic", "collect_date"} <= set(raw.columns)
+
+    _write_messages(src, 100, 5)
+    q2 = start_stream_pump(
+        spark, file_message_stream(spark, str(src)), str(out), str(ckpt),
+        trigger_secs=1, store=store,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+    assert read_sink(spark, str(out / "raw_message")).count() == 25
+    assert read_sink(spark, str(out / "json_message")).count() == 50

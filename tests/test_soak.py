@@ -38,6 +38,8 @@ import time
 
 import pytest
 
+from mqtt_message_pump_spark.config import StoreConf
+from mqtt_message_pump_spark.sinks import read_sink
 from mqtt_message_pump_spark.sources.minimqtt import MiniBroker, MiniMqttClient
 from mqtt_message_pump_spark.sources.mqtt import (
     mqtt_available,
@@ -218,14 +220,19 @@ def test_live_soak_kill_restart_sustained_load(spark, tmp_path):
 
 
 @pytest.mark.slow
-def test_live_soak_abrupt_kills_exactly_once(spark, tmp_path):
+@pytest.mark.parametrize("commit_protocol", ["rename", "manifest"])
+def test_live_soak_abrupt_kills_exactly_once(spark, tmp_path, commit_protocol):
     """The harshest stop: ``query.stop()`` fired blind mid-load, twice,
     with NO batch-boundary detection -- the interrupt can land anywhere,
     including between the PUBACK flush and the sink commit.  With the
     receive WAL (rows logged before acks, replay served from the log),
     replay-idempotent sink appends, and content-keyed dedup, the sinks
     still end exactly-once.  This is the window the r9 graceful soak
-    documents; the WAL is what closes it."""
+    documents; the WAL is what closes it.
+
+    Runs under BOTH batch-commit protocols: the rename file-move sweep
+    (local FS/HDFS) and the object-store-safe manifest publish
+    (``sinks.append_batch_manifest``) -- same exact-count bar."""
     if not mqtt_available():
         pytest.skip("Spark 4 Python data source API unavailable")
     n_msgs = 1500
@@ -267,11 +274,12 @@ def test_live_soak_abrupt_kills_exactly_once(spark, tmp_path):
         return start_stream_pump(
             spark, stream, str(out), str(ckpt),
             trigger_secs=1, dedupe_watermark="30 seconds",
+            store=StoreConf(commit_protocol=commit_protocol),
         )
 
     def raw_count() -> int:
         try:
-            return spark.read.parquet(str(out / "raw_message")).count()
+            return read_sink(spark, str(out / "raw_message")).count()
         except Exception:
             return 0
 
@@ -298,8 +306,8 @@ def test_live_soak_abrupt_kills_exactly_once(spark, tmp_path):
     finally:
         broker.stop()
 
-    raw = spark.read.parquet(str(out / "raw_message"))
+    raw = read_sink(spark, str(out / "raw_message"))
     assert raw.count() == n_msgs
     assert raw.select("payload").distinct().count() == n_msgs
-    flat = spark.read.parquet(str(out / "json_message"))
+    flat = read_sink(spark, str(out / "json_message"))
     assert flat.count() == 2 * n_msgs
