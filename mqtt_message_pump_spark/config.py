@@ -78,6 +78,15 @@ class StoreConf:
     # stores make rename a non-atomic copy+delete).  See
     # :func:`sinks.append_batch_manifest`.
     commit_protocol: str = "rename"
+    # jdbc/ClickHouse replay story: plain MergeTree keeps every INSERT, so
+    # a replayed micro-batch (crash between sink write and checkpoint
+    # commit) duplicates rows -- the documented at-least-once boundary of
+    # the jdbc path.  ``replacing=True`` makes the generated DDL use
+    # ReplacingMergeTree keyed on the same primary-key tuple (mid is
+    # unique per message), so replayed rows collapse at merge time and
+    # FINAL/collapse reads see exactly-once contents.  INI key:
+    # ``replacingengine`` under [clickhouse].
+    replacing: bool = False
 
 
 @dataclass
@@ -161,6 +170,7 @@ _KEY_MAP = {
     "maxitems": "max_items",
     "midlength": "mid_length",
     "dedupewatermark": "dedupe_watermark_secs",
+    "replacingengine": "replacing",
 }
 
 
@@ -268,6 +278,9 @@ def load_config(path: str) -> PumpConfig:
         for k in ("database", "compress", "username", "password"):
             if k in items:
                 _set_typed(store, k, items[k])
+        if "replacingengine" in items:  # this repo's extension (replay
+            # collapse); see StoreConf.replacing
+            _set_typed(store, "replacing", items["replacingengine"])
         # the reference DSN is native-protocol TCP
         # (tcp://host:port?username=&compress=true, data_dbstore.go:84-94),
         # but com.clickhouse.jdbc speaks the HTTP protocol (default 8123)

@@ -109,6 +109,35 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def _mergetree_engine(store: StoreConf) -> str:
+    """ClickHouse engine name for the jdbc DDL.  Default MergeTree is the
+    reference's engine verbatim (``data_dbstore.go:127-142``) and keeps
+    every INSERT -- so a replayed micro-batch duplicates rows (the jdbc
+    path's documented at-least-once boundary; the parquet path closes it
+    with :func:`append_batch_idempotent`/:func:`append_batch_manifest`).
+    ``StoreConf.replacing=True`` swaps in ReplacingMergeTree with the SAME
+    legacy (date, primary-key, granularity) signature: rows sharing the
+    primary-key tuple collapse at merge time, and ``mid`` (unique per
+    message) is in both tables' tuples, so replays dedupe server-side --
+    exactly-once contents under ``SELECT ... FINAL`` or after merges."""
+    return "ReplacingMergeTree" if getattr(store, "replacing", False) else "MergeTree"
+
+
+def replay_collapse_sql(store: StoreConf, raw: bool = True) -> str:
+    """The ANSI equivalent of ReplacingMergeTree's merge-time collapse,
+    for engines without it (and for tests): keep one arbitrary row per
+    primary-key tuple.  ClickHouse FINAL reads are this query done by the
+    storage engine; on a plain-append store it is the read-side repair
+    for replayed jdbc batches."""
+    table = store.raw_table_name if raw else store.adapter_table_name
+    key = "mid, topic, collect_date" if raw else "mid, collect_date"
+    first = key.split(",")[0]
+    return (
+        f"SELECT * FROM {store.database}.{table} QUALIFY "
+        f"row_number() OVER (PARTITION BY {key} ORDER BY {first}) = 1"
+    )
+
+
 def raw_table_ddl_clickhouse(store: StoreConf, event_time: bool = False) -> str:
     """ClickHouse MergeTree DDL for the raw table, passed through verbatim
     when the sink is jdbc (``data_dbstore.go:127-134``): legacy MergeTree
@@ -135,7 +164,8 @@ def raw_table_ddl_clickhouse(store: StoreConf, event_time: bool = False) -> str:
         f"{et}"
         "collect_date Date MATERIALIZED toDate(collect_datetime) COMMENT "
         "'date of collecting data from the message hub'"
-        ") ENGINE = MergeTree(collect_date, (mid, topic, collect_date), 8192)"
+        f") ENGINE = {_mergetree_engine(store)}"
+        "(collect_date, (mid, topic, collect_date), 8192)"
     )
 
 
@@ -160,7 +190,8 @@ def adapter_table_ddl_clickhouse(
         f"{store.database}.{store.adapter_table_name} ("
         f"mid String{cols}, collect_datetime DateTime{et}, "
         "collect_date Date MATERIALIZED toDate(collect_datetime)"
-        ") ENGINE = MergeTree(collect_date, (mid, collect_date), 8192)"
+        f") ENGINE = {_mergetree_engine(store)}"
+        "(collect_date, (mid, collect_date), 8192)"
     )
 
 

@@ -124,6 +124,14 @@ class PumpMonitorListener(StreamingQueryListener):
         # MonPubSucceed / MonPubFailed)
         self.pub_succeed = 0
         self.pub_failed = 0
+        # late-data accounting: rows a stateful operator dropped because
+        # they arrived behind the watermark (event-time windows,
+        # dropDuplicatesWithinWatermark).  The reference counts every
+        # loss path it has (failed-parse, failed-insert,
+        # monitor.go:191-260); watermark drops are this engine's only
+        # OTHER loss path, so they get the same treatment instead of
+        # vanishing silently.
+        self.late_dropped_total = 0
 
     # -- StreamingQueryListener interface ---------------------------------
 
@@ -159,6 +167,20 @@ class PumpMonitorListener(StreamingQueryListener):
             "MonPubSucceed": self.pub_succeed,
             "MonPubFailed": self.pub_failed,
         }
+        # late rows dropped at the watermark this batch + lifetime --
+        # summed across state operators (Spark reports the drop count per
+        # stateful operator in the progress JSON; zero when the query has
+        # no stateful operator, so the field is always present and
+        # monitorable)
+        late = 0
+        for so in p.stateOperators or []:
+            try:
+                late += so.numRowsDroppedByWatermark or 0
+            except AttributeError:
+                pass  # older progress schema without the field
+        self.late_dropped_total += late
+        payload["LateRowsDropped"] = late
+        payload["LateRowsDroppedTotal"] = self.late_dropped_total
         if self.counters is not None:
             # per-stage queue lags + raw-vs-adapter gap (monitor.go:120-136)
             self.counters.sub_succeed = max(

@@ -221,6 +221,35 @@ def test_golden_adapter_merge_tree_ddl(tmp_path):
     )
 
 
+def test_replacing_merge_tree_ddl_flag(tmp_path):
+    """StoreConf.replacing=True (INI ``replacingengine`` under
+    [clickhouse]) swaps the engine to ReplacingMergeTree with the SAME
+    legacy (date, primary-key, granularity) signature -- token-identical
+    to the golden DDL except the engine name, so replayed jdbc batches
+    collapse on the primary-key tuple at merge time (mid is unique per
+    message).  Default stays golden (previous tests)."""
+    import dataclasses
+
+    cfg = _cfg(tmp_path)
+    assert cfg.store.replacing is False  # default preserves reference DDL
+    store = dataclasses.replace(cfg.store, replacing=True)
+    assert _norm(raw_table_ddl_clickhouse(store)) == _norm(
+        _GOLDEN_RAW_DDL.replace("ENGINE = MergeTree", "ENGINE = ReplacingMergeTree")
+    )
+    cols = infer_flat_schema(cfg.adapter.json_sample)
+    assert _norm(adapter_table_ddl_clickhouse(store, cols)) == _norm(
+        _GOLDEN_ADAPTER_DDL.replace(
+            "ENGINE = MergeTree", "ENGINE = ReplacingMergeTree"
+        )
+    )
+
+
+def test_replacingengine_ini_key_routes(tmp_path):
+    p = tmp_path / "pump.ini"
+    p.write_text(_INI.replace("[clickhouse]", "[clickhouse]\nreplacingengine = true", 1))
+    assert load_config(str(p)).store.replacing is True
+
+
 def test_golden_core_ddl_parts(tmp_path):
     """readme.txt:40-41 'Get The Adapter Message Table Core DDL Parts':
     the inferred-column fragment itself, byte-for-byte."""

@@ -618,3 +618,74 @@ def test_incremental_pq_encode_replay_is_idempotent(spark, tmp_path):
     run_once()
     rows = spark.read.parquet(str(out)).collect()
     assert len(rows) == 20 * 8, "replayed batch duplicated codes"
+
+
+def test_monitor_counts_late_rows_dropped_at_watermark(spark, tmp_path):
+    """Late-data accounting (the engine's only otherwise-uncounted loss
+    path -- the reference counts failed-parse and failed-insert,
+    ``monitor.go:191-260``): a straggler behind the event-time watermark
+    is dropped from the windowed aggregation SILENTLY by Spark; the
+    monitor listener must surface it -- ``LateRowsDropped`` (per batch)
+    and ``LateRowsDroppedTotal`` (lifetime) in the published JSON, summed
+    from the state operators' ``numRowsDroppedByWatermark``."""
+    from mqtt_message_pump_spark.streaming.pump import windowed_rates
+
+    src = tmp_path / "src"
+
+    def write_wire(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        name = f"f{len(list(src.iterdir()))}.json"
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"topic": t, "payload": p, "received_time": ts})
+                for t, p, ts in rows
+            )
+        )
+
+    published: list[str] = []
+    listener = PumpMonitorListener(
+        lambda topic, payload: published.append(payload)
+    )
+    write_wire([("a", "x", "2024-01-01T00:00:01.000Z")])
+    stream = windowed_rates(
+        file_message_stream(spark, str(src)),
+        interval_secs=5,
+        watermark="10 seconds",
+    )
+
+    def run_once():
+        q = (
+            stream.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.streams.addListener(listener)
+    try:
+        run_once()
+        # advance the watermark far past the first window ...
+        write_wire([("a", "y", "2024-01-01T01:00:00.000Z")])
+        run_once()
+        # ... then inject the straggler: one row an hour behind it
+        write_wire([("a", "z", "2024-01-01T00:00:03.000Z")])
+        run_once()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if any(
+                json.loads(p).get("LateRowsDroppedTotal", 0) > 0
+                for p in published
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    metrics = [json.loads(p) for p in published]
+    assert all("LateRowsDropped" in m for m in metrics)  # always present
+    dropped = [m for m in metrics if m["LateRowsDropped"] > 0]
+    assert dropped, "straggler drop never surfaced in the monitor payload"
+    assert dropped[0]["LateRowsDropped"] == 1
+    assert max(m["LateRowsDroppedTotal"] for m in metrics) == 1

@@ -94,10 +94,13 @@ SCALED = {
     "events": ("event_id", 100_000_000),
     "lineitem": ("l_orderkey", 100_000_000),
     "orders": ("o_orderkey", 100_000_000),
+    # scaled (not copied) so the ANN-search probe measures a corpus that
+    # actually grows; query sets stay bounded (vec_id < NQ selects only
+    # base-copy ids, offsets start at 10M)
+    "embeddings": ("vec_id", 10_000_000),
 }
 COPIED = [
     "region", "nation", "customer", "supplier", "part",
-    "embeddings",
 ]
 
 
