@@ -279,11 +279,31 @@ class MqttStreamReader(DataSourceStreamReader):
             for fn in os.listdir(wal_dir):
                 m = re.fullmatch(r"g(\d+)-(\d+)-(\d+)\.jsonl", fn)
                 if m and int(m.group(3)) <= int(end.get(m.group(1), 0)):
+                    full = os.path.join(wal_dir, fn)
                     try:
-                        os.remove(os.path.join(wal_dir, fn))
+                        if os.path.exists(f"{full}.acked"):
+                            # rows were logged AND acked: the broker has
+                            # forgotten them, nothing can replay or
+                            # redeliver -- the log is garbage
+                            os.remove(full)
+                            os.remove(f"{full}.acked")
+                        else:
+                            # committed downstream but NEVER acked (the
+                            # batch died between its log write and its
+                            # ack flush; the replay served the log
+                            # without a broker session): the broker's
+                            # persistent session WILL redeliver these
+                            # rows into a later poll.  Keep the log as a
+                            # suppress ledger -- read() acks-and-drops
+                            # dup-flagged arrivals whose content the
+                            # ledger owns, closing the last double-count
+                            # window WITHOUT content dedup.
+                            os.replace(full, f"{full}.unacked")
                     except OSError:
                         pass
-                elif re.fullmatch(r"g\d+-\d+-\d+\.jsonl\.tmp-\d+", fn):
+                elif re.fullmatch(
+                    r"g\d+-\d+-\d+\.jsonl(\.unacked)?\.tmp-\d+", fn
+                ):
                     # orphaned tmp from a task that died mid-write: by
                     # commit time no read task is active (batches are
                     # strictly serial), so any tmp is garbage -- without
@@ -293,6 +313,15 @@ class MqttStreamReader(DataSourceStreamReader):
                         os.remove(os.path.join(wal_dir, fn))
                     except OSError:
                         pass
+                elif re.fullmatch(r"g\d+-\d+-\d+\.jsonl\.acked", fn):
+                    # orphaned marker (crash between removing the log and
+                    # its marker above): garbage once the log is gone
+                    base = os.path.join(wal_dir, fn[: -len(".acked")])
+                    if not os.path.exists(base):
+                        try:
+                            os.remove(os.path.join(wal_dir, fn))
+                        except OSError:
+                            pass
 
     def group_topic(self, group: int) -> str:
         """Subscription topic for one group: ``root+prefix/<offset+group>``
@@ -352,6 +381,119 @@ class MqttStreamReader(DataSourceStreamReader):
                     int(mid),
                     bool(dup),
                 )
+
+    @staticmethod
+    def _mark_acked(path: str) -> None:
+        """Marker: this log's rows have been PUBACKed, so the broker has
+        forgotten them -- ``commit()`` may delete the log outright.  Its
+        ABSENCE at commit time means the batch died between the log write
+        and the ack flush (the surgical crash window): the broker will
+        redeliver the rows, and the log is retained as a ``.unacked``
+        suppress ledger instead of deleted."""
+        try:
+            with open(f"{path}.acked", "w", encoding="utf-8"):
+                pass
+        except OSError:  # marker is an optimization; worst case the log
+            pass  # is retained as a ledger and expires via a drained poll
+
+    @classmethod
+    def _suppress_redeliveries(
+        cls, wal_dir: str, group: int, own_path: str | None, buffered: list
+    ) -> list:
+        """Close the post-log/pre-ack crash's double-count window WITHOUT
+        content dedup: a dup-flagged arrival whose content an existing
+        un-acked receive log already OWNS is a broker redelivery of a row
+        some batch has already (or will, via WAL replay) delivered --
+        remove it from ``buffered`` and return it so the caller can still
+        PUBACK it (the ack is what finally stops the redelivery loop).
+
+        Suppression sources, consumed in order: ``.unacked`` ledgers
+        (logs of batches that committed downstream without ever acking,
+        renamed by ``commit()``) -- these are rewritten shrunk as matches
+        consume them and deleted when empty; plain in-flight logs of
+        OTHER batches without an ``.acked`` marker count too but are
+        never rewritten (they still serve replays).  Matching is a
+        content multiset ((topic, payload), dup-flagged rows only):
+        brokers may issue fresh packet ids on session resume (minimqtt
+        does), so packet-id matching is unsound, while a FRESH publish of
+        identical content arrives with dup=0 and is never touched."""
+        import collections
+
+        if not os.path.isdir(wal_dir):
+            return []
+        ledgers: list[list] = []  # [path, rows, dirty]
+        inflight: collections.Counter = collections.Counter()
+        for fn in sorted(os.listdir(wal_dir)):
+            full = os.path.join(wal_dir, fn)
+            if own_path and full == own_path:
+                continue
+            try:
+                if re.fullmatch(rf"g{group}-\d+-\d+\.jsonl\.unacked", fn):
+                    ledgers.append([full, list(cls._load_wal(full)), False])
+                elif re.fullmatch(
+                    rf"g{group}-\d+-\d+\.jsonl", fn
+                ) and not os.path.exists(f"{full}.acked"):
+                    for r in cls._load_wal(full):
+                        inflight[(r[0], r[1])] += 1
+            except (OSError, ValueError):
+                continue
+        if not ledgers and not inflight:
+            return []
+        kept: list = []
+        suppressed: list = []
+        for row in buffered:
+            if not row[4]:  # dup flag: only broker redeliveries qualify
+                kept.append(row)
+                continue
+            key = (row[0], row[1])
+            consumed = False
+            for entry in ledgers:
+                for i, lr in enumerate(entry[1]):
+                    if (lr[0], lr[1]) == key:
+                        del entry[1][i]
+                        entry[2] = True
+                        consumed = True
+                        break
+                if consumed:
+                    break
+            if not consumed and inflight[key] > 0:
+                inflight[key] -= 1
+                consumed = True
+            (suppressed if consumed else kept).append(row)
+        buffered[:] = kept
+        for path, rows, dirty in ledgers:
+            if not dirty:
+                continue
+            try:
+                if rows:
+                    cls._write_wal(path, rows)
+                else:
+                    os.remove(path)
+            except OSError:
+                pass
+        return suppressed
+
+    @staticmethod
+    def _expire_ledgers(wal_dir: str, group: int) -> None:
+        """A poll that ended UNDER budget drained the session: requeued
+        un-acked deliveries go to the FRONT of the session queue (MQTT
+        3.1.1 SS4.4), so any ledger row still unmatched after a drained
+        poll can never arrive later (the session either flushed it this
+        window or no longer holds it) -- drop the leftovers instead of
+        letting a dead session's ledgers accumulate.  Heuristic edge: a
+        broker too slow to flush inside the poll window loses its ledger
+        early, re-opening (narrowly) the pre-fix window -- the trade
+        documented at ``wal_dir``."""
+        try:
+            names = os.listdir(wal_dir)
+        except OSError:
+            return
+        for fn in names:
+            if re.fullmatch(rf"g{group}-\d+-\d+\.jsonl\.unacked", fn):
+                try:
+                    os.remove(os.path.join(wal_dir, fn))
+                except OSError:
+                    pass
 
     def read(self, partition):
         # Request a manual-ack client when the implementation offers one
@@ -464,6 +606,16 @@ class MqttStreamReader(DataSourceStreamReader):
             while len(buffered) < want and time.time() < deadline:
                 time.sleep(0.05)
             client.loop_stop()
+            suppressed: list[tuple] = []
+            if wal_dir:
+                # redelivery suppression BEFORE the log write: rows an
+                # earlier un-acked log already owns must not enter THIS
+                # batch's log or output -- they are acked below and
+                # dropped (the post-log/pre-ack crash's double-count
+                # window, closed without content dedup)
+                suppressed = self._suppress_redeliveries(
+                    wal_dir, partition.group, wal_path, buffered
+                )
             if wal_path is not None:
                 # durable receive log FIRST: once the acks go out the
                 # broker forgets these rows, so the log write must win
@@ -481,7 +633,10 @@ class MqttStreamReader(DataSourceStreamReader):
                 # a WAL the post-ack window closes too (replay serves the
                 # log); without one it remains the documented QoS-1
                 # boundary (tests/test_soak.py delivery-semantics note).
-                for row in buffered:
+                # Suppressed redeliveries are acked too -- the ack is
+                # what finally makes the broker forget the row its
+                # original delivery never acknowledged.
+                for row in buffered + suppressed:
                     try:
                         client.ack(row[3])
                     except TypeError:
@@ -489,6 +644,14 @@ class MqttStreamReader(DataSourceStreamReader):
                         # TypeError fires before any side effect, so
                         # retrying with the qos is safe
                         client.ack(row[3], qos)
+            if wal_path is not None:
+                # acks are out: mark the log so commit() can delete it
+                # instead of retaining it as a suppress ledger
+                self._mark_acked(wal_path)
+            if wal_dir and want and len(buffered) + len(suppressed) < want:
+                # drained poll (ended by timeout under budget): leftover
+                # ledgers' redeliveries can never arrive now -- expire
+                self._expire_ledgers(wal_dir, partition.group)
         finally:
             client.disconnect()
             # per-micro-batch clients tear down after the read

@@ -350,8 +350,11 @@ def test_wal_logs_before_ack_and_serves_replay(tmp_path):
         ("pump/g/1", '{"k": 2}'),
     ]
     assert calls["n"] == 1
-    wal_files = list((tmp_path / "wal").iterdir())
-    assert [f.name for f in wal_files] == ["g0-0-100.jsonl"]
+    # the log plus its post-ack marker (commit() deletes marked logs
+    # outright; unmarked ones become suppress ledgers)
+    assert {f.name for f in (tmp_path / "wal").iterdir()} == {
+        "g0-0-100.jsonl", "g0-0-100.jsonl.acked",
+    }
 
     # replay: same (group, start, end] -> WAL rows, broker untouched
     replay = list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
@@ -367,10 +370,13 @@ def test_wal_commit_prunes_completed_batches(tmp_path):
     list(reader.read(reader2_part))
     wal = tmp_path / "wal"
     assert {f.name for f in wal.iterdir()} == {
-        "g0-0-100.jsonl", "g0-100-200.jsonl",
+        "g0-0-100.jsonl", "g0-0-100.jsonl.acked",
+        "g0-100-200.jsonl", "g0-100-200.jsonl.acked",
     }
     reader.commit({"0": 100})
-    assert {f.name for f in wal.iterdir()} == {"g0-100-200.jsonl"}
+    assert {f.name for f in wal.iterdir()} == {
+        "g0-100-200.jsonl", "g0-100-200.jsonl.acked",
+    }
     reader.commit({"0": 200})
     assert list(wal.iterdir()) == []
 
@@ -546,3 +552,114 @@ def test_ack_dispatch_covers_paho2_signature(tmp_path):
     rows = list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
     assert len(rows) == 2
     assert client.acked == [(7, 1), (8, 1)]
+
+
+# ---------------------------------------- post-log pre-ack crash window
+
+
+def test_wal_post_log_pre_ack_kill_no_double_count(tmp_path):
+    """The surgical crash window (r9 VERDICT #6): the task dies BETWEEN
+    ``_write_wal`` and the deferred PUBACK flush.  The log is durable
+    (replay serves it -- copy 1 commits), but the broker never saw acks,
+    so its persistent session redelivers the rows (dup=1, FRESH packet
+    ids -- minimqtt reissues ids on session resume) into the next poll.
+    With the content-dedup watermark OFF, the source itself must not
+    double-count: commit() retains the never-acked log as a ``.unacked``
+    suppress ledger, and the next poll acks-and-drops dup-flagged
+    arrivals whose content the ledger owns -- while a genuinely new
+    message, even one with IDENTICAL content but dup=0, passes through."""
+    from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+    wal = tmp_path / "wal"
+
+    class _AckBomb(_OneShotClient):
+        def ack(self, mid):
+            raise ConnectionError("killed between WAL write and ack flush")
+
+    def reader_for(client):
+        return MqttStreamReader(
+            {
+                "group_num": "0",
+                "topic_root": "pump/",
+                "topic_prefix": "g",
+                "poll_timeout_secs": "0.05",
+                "wal_dir": str(wal),
+            },
+            client_factory=lambda opts: client,
+        )
+
+    msgs = [_Msg("pump/g/1", b'{"k": 1}', 11), _Msg("pump/g/1", b'{"k": 2}', 12)]
+    reader = reader_for(_AckBomb(msgs))
+    part = reader.partitions({"0": 0}, {"0": 100})[0]
+    with pytest.raises(ConnectionError):
+        list(reader.read(part))
+    # the log won the race; the marker did not -- the surgical state
+    assert (wal / "g0-0-100.jsonl").exists()
+    assert not (wal / "g0-0-100.jsonl.acked").exists()
+
+    # replay serves the log (copy 1), broker untouched
+    replay = list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
+    assert [r[1] for r in replay] == ['{"k": 1}', '{"k": 2}']
+
+    # the batch commits; the never-acked log becomes the suppress ledger
+    reader.commit({"0": 100})
+    assert not (wal / "g0-0-100.jsonl").exists()
+    assert (wal / "g0-0-100.jsonl.unacked").exists()
+
+    # next poll: the broker redelivers both rows (dup=1, new packet ids)
+    # alongside one new message AND one fresh publish whose content is
+    # identical to a suppressed row (dup=0 -> must NOT be suppressed)
+    batch2 = [
+        _Msg("pump/g/1", b'{"k": 1}', 31, dup=True),
+        _Msg("pump/g/1", b'{"k": 2}', 32, dup=True),
+        _Msg("pump/g/1", b'{"k": 3}', 33),
+        _Msg("pump/g/1", b'{"k": 1}', 34),  # same content, dup=0: NEW row
+    ]
+    client2 = _OneShotClient(batch2)
+    reader2 = reader_for(client2)
+    rows = list(reader2.read(reader2.partitions({"0": 100}, {"0": 200})[0]))
+    assert [r[1] for r in rows] == ['{"k": 3}', '{"k": 1}']
+    # suppressed redeliveries were still ACKED (stops the redelivery
+    # loop), alongside the yielded rows' acks
+    assert set(client2.acked) == {31, 32, 33, 34}
+    # the fully-consumed ledger is gone; batch 2's own log carries only
+    # the rows batch 2 yields (a replay of batch 2 must not resurrect
+    # the suppressed rows)
+    assert not (wal / "g0-100-200.jsonl.unacked").exists()
+    assert [r[1] for r in MqttStreamReader._load_wal(
+        str(wal / "g0-100-200.jsonl")
+    )] == ['{"k": 3}', '{"k": 1}']
+
+
+def test_unmatched_ledger_expires_after_drained_poll(tmp_path):
+    """A ledger whose redeliveries never arrive (broker restarted without
+    persistence, session gone) must not live forever: the first poll that
+    ends UNDER budget (drained session -- requeued deliveries flush from
+    the queue FRONT, MQTT 3.1.1 SS4.4) expires it."""
+    msgs = [_Msg("pump/g/1", b'{"k": 9}', 7)]
+    reader, _ = _wal_reader(tmp_path, msgs)
+
+    class _AckBomb(_OneShotClient):
+        def ack(self, mid):
+            raise ConnectionError("boom")
+
+    from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+    wal = tmp_path / "wal"
+    bomb_reader = MqttStreamReader(
+        {
+            "group_num": "0",
+            "topic_root": "pump/",
+            "topic_prefix": "g",
+            "poll_timeout_secs": "0.05",
+            "wal_dir": str(wal),
+        },
+        client_factory=lambda opts: _AckBomb(msgs),
+    )
+    with pytest.raises(ConnectionError):
+        list(bomb_reader.read(bomb_reader.partitions({"0": 0}, {"0": 100})[0]))
+    bomb_reader.commit({"0": 100})
+    assert (wal / "g0-0-100.jsonl.unacked").exists()
+    # next poll delivers nothing related (no redeliveries) and drains
+    list(reader.read(reader.partitions({"0": 100}, {"0": 200})[0]))
+    assert not (wal / "g0-0-100.jsonl.unacked").exists()
