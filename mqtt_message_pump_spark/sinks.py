@@ -615,28 +615,48 @@ def append_batch_manifest(
             fs.delete(unscoped, False)
 
 
+def _read_manifests(fs, HPath, table_path: str) -> list[dict]:
+    """All manifest objects of a sink, each with its file ``name`` added,
+    minus superseded ones: a compaction manifest carries the TRANSITIVE
+    set of manifest names it replaced (``supersedes``), so the single
+    compact-manifest publish atomically retires every victim -- and a
+    half-finished vacuum (some victims deleted, some not) can never
+    resurrect a victim's rows, because the surviving superseder still
+    names it."""
+    import json
+
+    out = []
+    for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
+        stream = fs.open(st.getPath())
+        try:
+            m = json.loads(bytes(stream.readAllBytes()))
+        finally:
+            stream.close()
+        m["name"] = st.getPath().getName()
+        out.append(m)
+    superseded = set()
+    for m in out:
+        superseded.update(m.get("supersedes", []))
+    return [m for m in out if m["name"] not in superseded]
+
+
 def read_sink(spark: SparkSession, table_path: str) -> DataFrame:
     """Read one sink table regardless of its commit protocol.
 
     Manifest sinks (``_manifests/`` present) load exactly the attempt
-    directories the manifests name -- uncommitted attempts are invisible
-    by construction, which is the protocol's reader-side guarantee; each
-    attempt dir is its own partitioned root, so ``collect_date`` comes
-    back as a column exactly as on the rename layout.  Rename-protocol
-    sinks are plain date-partitioned parquet."""
-    import json
-
+    directories the live manifests name -- uncommitted attempts and
+    compaction-superseded batches are invisible by construction, which
+    is the protocol's reader-side guarantee; each attempt dir is its own
+    partitioned root, so ``collect_date`` comes back as a column exactly
+    as on the rename layout.  Rename-protocol sinks are plain
+    date-partitioned parquet."""
     fs, HPath = _hadoop_fs(spark, table_path)
     if not fs.exists(HPath(f"{table_path}/_manifests")):
         return spark.read.parquet(table_path)
-    dirs = []
-    for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
-        stream = fs.open(st.getPath())
-        try:
-            raw = bytes(stream.readAllBytes())
-        finally:
-            stream.close()
-        dirs.append(f"{table_path}/{json.loads(raw)['dir']}")
+    dirs = [
+        f"{table_path}/{m['dir']}"
+        for m in _read_manifests(fs, HPath, table_path)
+    ]
     if not dirs:
         raise ValueError(
             f"manifest sink {table_path} has no committed batches"
@@ -654,23 +674,25 @@ def read_sink(spark: SparkSession, table_path: str) -> DataFrame:
 
 
 def vacuum_sink(spark: SparkSession, table_path: str) -> list[str]:
-    """Reclaim attempt directories no manifest references (crashed or
-    replay-superseded attempts) plus stranded manifest tmp objects.
-    Safe concurrently with the single writer: a live batch's attempt dir
-    only becomes referenced AT publish, so vacuum must run from the
-    maintenance window, not mid-batch (document-level contract, same as
-    Delta VACUUM's retention rule).  Returns the deleted paths."""
-    import json
-
+    """Reclaim everything no LIVE manifest references: attempt
+    directories of crashed or replay-superseded attempts, compaction
+    victims (their manifest files first -- always safe, the surviving
+    compact manifest carries the transitive supersedes set, so a victim
+    manifest can never resurrect mid-vacuum -- then their now-orphaned
+    dirs), and stranded manifest tmp objects.  Safe concurrently with
+    the single writer: a live batch's attempt dir only becomes
+    referenced AT publish, so vacuum must run from the maintenance
+    window, not mid-batch (document-level contract, same as Delta
+    VACUUM's retention rule).  Returns the deleted paths."""
     fs, HPath = _hadoop_fs(spark, table_path)
-    referenced = set()
-    for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
-        stream = fs.open(st.getPath())
-        try:
-            referenced.add(json.loads(bytes(stream.readAllBytes()))["dir"])
-        finally:
-            stream.close()
+    live = _read_manifests(fs, HPath, table_path)
+    live_names = {m["name"] for m in live}
+    referenced = {m["dir"] for m in live}
     removed = []
+    for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
+        if st.getPath().getName() not in live_names:
+            fs.delete(st.getPath(), False)
+            removed.append(f"_manifests/{st.getPath().getName()}")
     for st in fs.globStatus(HPath(f"{table_path}/_data/*")):
         rel = f"_data/{st.getPath().getName()}"
         if rel not in referenced:
@@ -680,6 +702,77 @@ def vacuum_sink(spark: SparkSession, table_path: str) -> list[str]:
         fs.delete(st.getPath(), False)
         removed.append(f"_manifests/{st.getPath().getName()}")
     return removed
+
+
+def compact_sink(
+    spark: SparkSession, table_path: str, keep_last: int = 1
+) -> str | None:
+    """Bound a manifest sink's read amplification (one scan per committed
+    batch) by rewriting old batches into ONE consolidated attempt -- the
+    OPTIMIZE story every manifest-table design needs at scale: a year of
+    5-second micro-batches is ~6M manifests without it, ~a handful with
+    a periodic compaction.
+
+    Commit safety is the same single-object trick as the batch commit:
+    the consolidated data is written to a fresh attempt dir (invisible),
+    then ONE compact manifest is published whose ``supersedes`` field
+    names every victim manifest -- transitively, so compacting a
+    previous compaction folds its victim set in.  Readers ignore
+    superseded manifests (:func:`_read_manifests`), so the swap is
+    atomic at the publish; victims' files and dirs are reclaimed later
+    by :func:`vacuum_sink`, in any order, without a correctness window.
+
+    ``keep_last`` most-recent batches (by manifest modification time)
+    are left alone: Spark replays at most the LAST uncommitted
+    micro-batch, and a replay's manifest republish must keep pointing at
+    its own batch key -- compacting a batch that can still replay would
+    duplicate its rows when the replay republishes it.  Run from the
+    maintenance window (single writer, same contract as vacuum).
+
+    Returns the new manifest name, or None when there are fewer than two
+    compactable batches."""
+    import json
+    import uuid
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    manifests = _read_manifests(fs, HPath, table_path)
+    stamped = []
+    for m in manifests:
+        st = fs.getFileStatus(HPath(f"{table_path}/_manifests/{m['name']}"))
+        stamped.append((st.getModificationTime(), m["name"], m))
+    stamped.sort()
+    victims = [m for _, _, m in stamped[: max(0, len(stamped) - keep_last)]]
+    if len(victims) < 2:
+        return None
+    df = None
+    for m in victims:
+        part = spark.read.parquet(f"{table_path}/{m['dir']}")
+        df = part if df is None else df.unionByName(part)
+    attempt = f"_data/c-{uuid.uuid4().hex[:8]}"
+    sort_cols = [c for c in ("mid", "topic") if c in df.columns]
+    (
+        df.repartition("collect_date")
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("collect_date")
+        .parquet(f"{table_path}/{attempt}")
+    )
+    supersedes = sorted(
+        {m["name"] for m in victims}
+        | {n for m in victims for n in m.get("supersedes", [])}
+    )
+    name = f"c-{uuid.uuid4().hex[:8]}.json"
+    _publish_manifest(
+        fs,
+        HPath,
+        f"{table_path}/_manifests",
+        name,
+        json.dumps(
+            {"kind": "compact", "dir": attempt, "supersedes": supersedes},
+            sort_keys=True,
+        ).encode("utf-8"),
+    )
+    return name
 
 
 def write_training_shards(

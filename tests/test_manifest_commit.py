@@ -254,3 +254,62 @@ def test_stream_pump_manifest_mode_end_to_end(spark, tmp_path):
     q2.awaitTermination(30)
     assert read_sink(spark, str(out / "raw_message")).count() == 25
     assert read_sink(spark, str(out / "json_message")).count() == 50
+
+
+def test_compact_sink_bounds_read_amplification(spark, tmp_path):
+    """Compaction rewrites old batches into one attempt and publishes ONE
+    compact manifest superseding the victims -- contents identical before
+    and after, victims reclaimable by vacuum in any order, the most
+    recent ``keep_last`` batches untouched (they may still replay)."""
+    import os
+
+    from mqtt_message_pump_spark.sinks import compact_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    for b in range(4):
+        write_append(_frame(spark, range(b * 5, b * 5 + 5)), store, out, batch_id=b)
+    assert read_sink(spark, out).count() == 20
+
+    name = compact_sink(spark, out, keep_last=1)
+    assert name is not None and name.startswith("c-")
+    df = read_sink(spark, out)
+    assert df.count() == 20
+    assert df.select("mid").distinct().count() == 20
+    # live manifests: the compact one + the kept last batch; victims
+    # still on disk but superseded (atomic swap at publish)
+    names = {n for n in os.listdir(f"{out}/_manifests") if n.endswith(".json")}
+    assert names == {"b0.json", "b1.json", "b2.json", "b3.json", name}
+
+    # a half-finished vacuum can't resurrect a victim: remove one victim
+    # manifest by hand (mid-vacuum crash state) -- contents unchanged
+    os.remove(f"{out}/_manifests/b1.json")
+    assert read_sink(spark, out).count() == 20
+
+    removed = vacuum_sink(spark, out)
+    # b0/b2 manifests + the three victims' attempt dirs (b1's manifest
+    # is already gone)
+    assert len(removed) == 5
+    assert read_sink(spark, out).count() == 20
+    names = {n for n in os.listdir(f"{out}/_manifests") if n.endswith(".json")}
+    assert names == {"b3.json", name}
+
+    # compact-of-compact folds the victim set transitively
+    write_append(_frame(spark, range(20, 23)), store, out, batch_id=4)
+    name2 = compact_sink(spark, out, keep_last=1)
+    assert name2 is not None
+    assert read_sink(spark, out).count() == 23
+    vacuum_sink(spark, out)
+    assert read_sink(spark, out).count() == 23
+    assert len(os.listdir(f"{out}/_data")) == 2  # compact + kept batch
+
+
+def test_compact_sink_noop_below_two_victims(spark, tmp_path):
+    from mqtt_message_pump_spark.sinks import compact_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    write_append(_frame(spark, range(5)), store, out, batch_id=0)
+    write_append(_frame(spark, range(5, 8)), store, out, batch_id=1)
+    assert compact_sink(spark, out, keep_last=1) is None  # one victim
+    assert read_sink(spark, out).count() == 8
