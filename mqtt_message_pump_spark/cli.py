@@ -304,6 +304,11 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
         # because it also collapses genuinely identical publishes
         # (config.BatchConf documents the delivery ladder)
         dedupe_watermark=f"{wm} seconds" if wm > 0 else None,
+        # the configured store reaches the sink writes: format (a
+        # [clickhouse] INI's jdbc target, reference parity), the batch
+        # commit protocol (rename/manifest), and the compaction cadence
+        # ([store] commitprotocol / compactevery keys)
+        store=cfg.store,
     )
     print(f"pump running; sinks under {cfg.store.path}")
     try:

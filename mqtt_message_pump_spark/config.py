@@ -87,6 +87,13 @@ class StoreConf:
     # FINAL/collapse reads see exactly-once contents.  INI key:
     # ``replacingengine`` under [clickhouse].
     replacing: bool = False
+    # Manifest-protocol maintenance cadence for the streaming pump: every
+    # N-th micro-batch, compact each sink's old batches into one attempt
+    # (sinks.compact_sink, keep_last=2 -- the replayable tail stays
+    # untouched) and vacuum unreferenced attempts.  0 (default) = off;
+    # run vacuum/compact from a maintenance window instead.  Only
+    # meaningful with commit_protocol="manifest".
+    compact_every: int = 0
 
 
 @dataclass
@@ -171,6 +178,8 @@ _KEY_MAP = {
     "midlength": "mid_length",
     "dedupewatermark": "dedupe_watermark_secs",
     "replacingengine": "replacing",
+    "commitprotocol": "commit_protocol",
+    "compactevery": "compact_every",
 }
 
 

@@ -439,6 +439,33 @@ def start_stream_pump(
             counters.da_pdo_succeed += flat_n
             counters.ado_receive_succeed += flat_n
             counters.ado_commit_succeed += flat_n
+        every = getattr(batch_store, "compact_every", 0)
+        if (
+            every
+            and getattr(batch_store, "commit_protocol", "rename") == "manifest"
+            and batch_id > 0
+            and batch_id % every == 0
+        ):
+            # in-line maintenance: safe HERE because foreachBatch IS the
+            # single writer and batches are strictly serial -- the
+            # maintenance-window contract of compact/vacuum holds by
+            # construction.  keep_last=2 protects the replayable tail
+            # (this batch + its predecessor); a crash mid-compaction
+            # leaves only an unreferenced attempt dir, reclaimed by the
+            # next cycle's vacuum.  Failures must not fail the batch:
+            # the data writes above are already committed.
+            from mqtt_message_pump_spark.sinks import compact_sink, vacuum_sink
+
+            spark_ = batch_df.sparkSession
+            for sub in ("raw_message", "json_message"):
+                try:
+                    compact_sink(spark_, f"{out_dir}/{sub}", keep_last=2)
+                    vacuum_sink(spark_, f"{out_dir}/{sub}")
+                except Exception as e:  # noqa: BLE001 - maintenance only
+                    print(
+                        f"[pump] sink maintenance skipped for {sub}: {e}",
+                        flush=True,
+                    )
 
     return (
         enriched.writeStream.foreachBatch(write_both)

@@ -313,3 +313,69 @@ def test_compact_sink_noop_below_two_victims(spark, tmp_path):
     write_append(_frame(spark, range(5, 8)), store, out, batch_id=1)
     assert compact_sink(spark, out, keep_last=1) is None  # one victim
     assert read_sink(spark, out).count() == 8
+
+
+def test_stream_pump_auto_compaction_bounds_manifests(spark, tmp_path):
+    """``StoreConf.compact_every=N``: every N-th micro-batch the pump
+    compacts + vacuums both manifest sinks in-line (foreachBatch IS the
+    single writer, so the maintenance-window contract holds by
+    construction).  Seven one-file micro-batches with compact_every=3
+    must end with exact contents and a BOUNDED manifest count -- the
+    read-amplification answer for long-running streams."""
+    from pyspark.sql import types as T
+
+    from mqtt_message_pump_spark.streaming.pump import start_stream_pump
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    for i in range(7):
+        _write_messages(src, i * 4, 4)
+    schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("received_time", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    store = StoreConf(commit_protocol="manifest", compact_every=3)
+    q = start_stream_pump(
+        spark, stream, str(out), str(ckpt), trigger_secs=1, store=store
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    raw = read_sink(spark, str(out / "raw_message"))
+    flat = read_sink(spark, str(out / "json_message"))
+    assert raw.count() == 28 and flat.count() == 56
+    assert raw.select("mid").distinct().count() == 28
+    import os
+
+    manifests = [
+        n
+        for n in os.listdir(out / "raw_message" / "_manifests")
+        if n.endswith(".json")
+    ]
+    # 7 batches -> without compaction 7 manifests; cycles at batch 3 and
+    # 6 collapse the old tail: one compact manifest + the keep_last tail
+    assert len(manifests) <= 4, manifests
+    assert any(n.startswith("c-") for n in manifests)
+
+
+def test_store_ini_keys_route_commit_protocol_and_cadence(tmp_path):
+    from mqtt_message_pump_spark.config import load_config
+
+    p = tmp_path / "pump.ini"
+    p.write_text(
+        "[store]\n"
+        "path = /tmp/pump-out\n"
+        "commitprotocol = manifest\n"
+        "compactevery = 50\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.store.commit_protocol == "manifest"
+    assert cfg.store.compact_every == 50
