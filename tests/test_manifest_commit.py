@@ -379,3 +379,77 @@ def test_store_ini_keys_route_commit_protocol_and_cadence(tmp_path):
     cfg = load_config(str(p))
     assert cfg.store.commit_protocol == "manifest"
     assert cfg.store.compact_every == 50
+
+
+def test_manifest_protocol_random_interleaving_matches_model(spark, tmp_path):
+    """Protocol torture: a seeded pseudo-random schedule of appends,
+    replays (of the LATEST batch -- the only one Spark ever replays),
+    crash-before-publish, compactions, and vacuums, checked against a
+    pure-python model after every step.  The invariant is the protocol's
+    whole contract: read_sink == exactly the union of committed batches,
+    regardless of interleaving."""
+    import random
+
+    from mqtt_message_pump_spark import sinks as S
+    from mqtt_message_pump_spark.sinks import compact_sink
+
+    rng = random.Random(0xC0FFEE)
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    model: dict[int, set[str]] = {}  # batch_id -> mids
+    next_id = 0
+    next_row = 0
+
+    def frame_for(ids):
+        return _frame(spark, ids)
+
+    def check():
+        if not model:
+            return
+        got = {
+            r["mid"] for r in read_sink(spark, out).select("mid").collect()
+        }
+        want = set().union(*model.values())
+        assert got == want, f"step diverged: {len(got)} vs {len(want)}"
+
+    crashed: dict[int, list] = {}  # batch_id -> ids written but unpublished
+    for step in range(24):
+        op = rng.choice(["append", "append", "replay", "crash", "compact", "vacuum"])
+        if op == "append" or (op in ("replay", "crash") and next_id == 0):
+            ids = list(range(next_row, next_row + rng.randint(1, 4)))
+            next_row += len(ids)
+            # a previously-crashed attempt for this id replays first
+            if next_id in crashed:
+                ids = crashed.pop(next_id)
+            write_append(frame_for(ids), store, out, batch_id=next_id)
+            model[next_id] = {f"m{i}" for i in ids}
+            next_id += 1
+        elif op == "replay":
+            bid = next_id - 1  # Spark replays only the latest batch
+            ids = sorted(int(m[1:]) for m in model[bid])
+            write_append(frame_for(ids), store, out, batch_id=bid)
+        elif op == "crash":
+            ids = list(range(next_row, next_row + rng.randint(1, 3)))
+            next_row += len(ids)
+
+            def boom(*a, **k):
+                raise RuntimeError("crash before publish")
+
+            orig = S._publish_manifest
+            S._publish_manifest = boom
+            try:
+                with pytest.raises(RuntimeError):
+                    write_append(frame_for(ids), store, out, batch_id=next_id)
+            finally:
+                S._publish_manifest = orig
+            crashed[next_id] = ids  # the replay must land these exact rows
+        elif op == "compact":
+            compact_sink(spark, out, keep_last=1)
+        elif op == "vacuum":
+            vacuum_sink(spark, out)
+        check()
+    assert model, "schedule produced no batches"
+    # finally: full maintenance, then the invariant one more time
+    compact_sink(spark, out, keep_last=1)
+    vacuum_sink(spark, out)
+    check()
