@@ -673,31 +673,58 @@ def read_sink(spark: SparkSession, table_path: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
-def vacuum_sink(spark: SparkSession, table_path: str) -> list[str]:
+def vacuum_sink(
+    spark: SparkSession, table_path: str, retention_secs: float = 0.0
+) -> list[str]:
     """Reclaim everything no LIVE manifest references: attempt
     directories of crashed or replay-superseded attempts, compaction
     victims (their manifest files first -- always safe, the surviving
     compact manifest carries the transitive supersedes set, so a victim
     manifest can never resurrect mid-vacuum -- then their now-orphaned
-    dirs), and stranded manifest tmp objects.  Safe concurrently with
-    the single writer: a live batch's attempt dir only becomes
-    referenced AT publish, so vacuum must run from the maintenance
-    window, not mid-batch (document-level contract, same as Delta
-    VACUUM's retention rule).  Returns the deleted paths."""
+    dirs), and stranded manifest tmp objects.  Returns the deleted
+    paths.
+
+    ``retention_secs`` is Delta VACUUM's retention rule, and exists for
+    the same reason: a vacuum whose manifest listing is STALE (a crashed
+    writer's lingering maintenance thread racing a restarted query --
+    ``query.stop()`` interrupts the JVM stream thread but the Python
+    ``foreachBatch`` callback keeps executing) must never delete an
+    attempt dir that a manifest published AFTER the listing references.
+    Skipping dirs younger than the retention makes the stale-listing
+    race harmless: fresh attempts are always younger; truly orphaned
+    dirs age past it and are reclaimed by a later cycle.  Explicit
+    maintenance-window vacuums may pass 0."""
     fs, HPath = _hadoop_fs(spark, table_path)
     live = _read_manifests(fs, HPath, table_path)
     live_names = {m["name"] for m in live}
     referenced = {m["dir"] for m in live}
     removed = []
+    now_ms = None
+    if retention_secs > 0:
+        # cluster-safe "now": the filesystem's clock, via a probe object
+        # (executors' clocks may skew from the store's)
+        import uuid as _uuid
+
+        probe = HPath(f"{table_path}/_manifests/.tmp-clock-{_uuid.uuid4().hex[:8]}")
+        out = fs.create(probe, True)
+        out.close()
+        now_ms = fs.getFileStatus(probe).getModificationTime()
+        fs.delete(probe, False)
     for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
         if st.getPath().getName() not in live_names:
             fs.delete(st.getPath(), False)
             removed.append(f"_manifests/{st.getPath().getName()}")
     for st in fs.globStatus(HPath(f"{table_path}/_data/*")):
         rel = f"_data/{st.getPath().getName()}"
-        if rel not in referenced:
-            fs.delete(st.getPath(), True)
-            removed.append(rel)
+        if rel in referenced:
+            continue
+        if (
+            now_ms is not None
+            and now_ms - st.getModificationTime() < retention_secs * 1000
+        ):
+            continue  # young: possibly a fresher listing's live attempt
+        fs.delete(st.getPath(), True)
+        removed.append(rel)
     for st in fs.globStatus(HPath(f"{table_path}/_manifests/.tmp-*")):
         fs.delete(st.getPath(), False)
         removed.append(f"_manifests/{st.getPath().getName()}")
@@ -734,14 +761,25 @@ def compact_sink(
     import json
     import uuid
 
+    import re
+
     fs, HPath = _hadoop_fs(spark, table_path)
     manifests = _read_manifests(fs, HPath, table_path)
     stamped = []
     for m in manifests:
         st = fs.getFileStatus(HPath(f"{table_path}/_manifests/{m['name']}"))
-        stamped.append((st.getModificationTime(), m["name"], m))
+        # recency = (mtime, numeric batch id): a bare mtime sort breaks
+        # ties lexicographically ("...-10.json" < "...-9.json"), which
+        # under same-millisecond publishes could class the NEWEST batch
+        # as oldest and compact the one manifest a replay may republish;
+        # compact manifests (id -1) always sort oldest within a tie
+        bid = re.search(r"-(\d+)\.json$", m["name"])
+        stamped.append(
+            (st.getModificationTime(), int(bid.group(1)) if bid else -1,
+             m["name"], m)
+        )
     stamped.sort()
-    victims = [m for _, _, m in stamped[: max(0, len(stamped) - keep_last)]]
+    victims = [m for *_, m in stamped[: max(0, len(stamped) - keep_last)]]
     if len(victims) < 2:
         return None
     df = None

@@ -287,6 +287,7 @@ class MqttStreamReader(DataSourceStreamReader):
                             # redeliver -- the log is garbage
                             os.remove(full)
                             os.remove(f"{full}.acked")
+                            MqttStreamReader._wal_trace("COMMITDEL", fn)
                         else:
                             # committed downstream but NEVER acked (the
                             # batch died between its log write and its
@@ -299,6 +300,7 @@ class MqttStreamReader(DataSourceStreamReader):
                             # ledger owns, closing the last double-count
                             # window WITHOUT content dedup.
                             os.replace(full, f"{full}.unacked")
+                            MqttStreamReader._wal_trace("LEDGER", fn)
                     except OSError:
                         pass
                 elif re.fullmatch(
@@ -359,6 +361,10 @@ class MqttStreamReader(DataSourceStreamReader):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+        MqttStreamReader._wal_trace(
+            "WALWRITE", f"{os.path.basename(path)} n={len(rows)} "
+            f"p={[r[1][:40] for r in rows[:6]]}"
+        )
         # persist the rename itself (the directory entry) before acking
         try:
             dfd = os.open(os.path.dirname(path), os.O_RDONLY)
@@ -383,6 +389,19 @@ class MqttStreamReader(DataSourceStreamReader):
                 )
 
     @staticmethod
+    def _wal_trace(event: str, detail: str) -> None:
+        """Append one line to $MQTT_WAL_TRACE (forensics for the delivery
+        ladder's crash-window tests; no-op unless the env var is set)."""
+        trace = os.environ.get("MQTT_WAL_TRACE")
+        if not trace:
+            return
+        try:
+            with open(trace, "a", encoding="utf-8") as fh:
+                fh.write(f"{time.time():.3f} {event} {detail}\n")
+        except OSError:
+            pass
+
+    @staticmethod
     def _mark_acked(path: str) -> None:
         """Marker: this log's rows have been PUBACKed, so the broker has
         forgotten them -- ``commit()`` may delete the log outright.  Its
@@ -393,6 +412,9 @@ class MqttStreamReader(DataSourceStreamReader):
         try:
             with open(f"{path}.acked", "w", encoding="utf-8"):
                 pass
+            MqttStreamReader._wal_trace(
+                "MARK", os.path.basename(path)
+            )
         except OSError:  # marker is an optimization; worst case the log
             pass  # is retained as a ledger and expires via a drained poll
 
@@ -459,6 +481,8 @@ class MqttStreamReader(DataSourceStreamReader):
             if not consumed and inflight[key] > 0:
                 inflight[key] -= 1
                 consumed = True
+            if consumed:
+                cls._wal_trace("SUPPRESS", f"p={row[1][:60]}")
             (suppressed if consumed else kept).append(row)
         buffered[:] = kept
         for path, rows, dirty in ledgers:
@@ -492,6 +516,7 @@ class MqttStreamReader(DataSourceStreamReader):
             if re.fullmatch(rf"g{group}-\d+-\d+\.jsonl\.unacked", fn):
                 try:
                     os.remove(os.path.join(wal_dir, fn))
+                    MqttStreamReader._wal_trace("EXPIRE", fn)
                 except OSError:
                     pass
 
@@ -533,6 +558,7 @@ class MqttStreamReader(DataSourceStreamReader):
                 f"g{partition.group}-{partition.start}-{partition.end}.jsonl",
             )
             if os.path.exists(wal_path):
+                self._wal_trace("REPLAY", os.path.basename(wal_path))
                 for row in self._load_wal(wal_path):
                     yield row
                 return

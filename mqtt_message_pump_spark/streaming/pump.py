@@ -460,7 +460,15 @@ def start_stream_pump(
             for sub in ("raw_message", "json_message"):
                 try:
                     compact_sink(spark_, f"{out_dir}/{sub}", keep_last=2)
-                    vacuum_sink(spark_, f"{out_dir}/{sub}")
+                    # retention >> batch duration: a lingering maintenance
+                    # thread of a stopped query (query.stop() interrupts
+                    # the JVM side; this Python callback keeps running)
+                    # must never vacuum an attempt dir a RESTARTED query
+                    # just published -- young dirs are off-limits, age
+                    # reclaims true orphans on later cycles
+                    vacuum_sink(
+                        spark_, f"{out_dir}/{sub}", retention_secs=600
+                    )
                 except Exception as e:  # noqa: BLE001 - maintenance only
                     print(
                         f"[pump] sink maintenance skipped for {sub}: {e}",

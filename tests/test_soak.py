@@ -274,7 +274,13 @@ def test_live_soak_abrupt_kills_exactly_once(spark, tmp_path, commit_protocol):
         return start_stream_pump(
             spark, stream, str(out), str(ckpt),
             trigger_secs=1, dedupe_watermark="30 seconds",
-            store=StoreConf(commit_protocol=commit_protocol),
+            # manifest mode also runs in-line maintenance every 3rd
+            # batch -- compaction + vacuum racing the kill/restart
+            # schedule is exactly the everything-on production config
+            store=StoreConf(
+                commit_protocol=commit_protocol,
+                compact_every=3 if commit_protocol == "manifest" else 0,
+            ),
         )
 
     def raw_count() -> int:
