@@ -108,3 +108,40 @@ def test_range_join_negative_coordinates(spark):
         ).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+def test_join_operators_plan_shapes(spark, sf_dir):
+    """Plan-shape guards for the custom join operators at fixture scale:
+    the whole point of each operator is the plan it AVOIDS, so pin it.
+
+    - as-of join: a sort-based union + window composition -- must contain
+      NO join node at all (a naive as-of is a range theta-join that
+      Catalyst executes as BroadcastNestedLoopJoin, O(n*m) compares);
+    - range join: bucketed equi-join -- must be a hash/sort-merge
+      equi-join, never CartesianProduct/BroadcastNestedLoopJoin."""
+    from mqtt_message_pump_spark.plans import QUERIES
+
+    asof_plan = (
+        QUERIES["q_asof_join"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "NestedLoop" not in asof_plan and "CartesianProduct" not in asof_plan
+    assert "Window" in asof_plan  # the sort-based composition is present
+
+    range_plan = (
+        QUERIES["q_range_join"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "NestedLoop" not in range_plan
+    assert "CartesianProduct" not in range_plan
+    assert "Join" in range_plan  # equi-join on the bucket key survives
