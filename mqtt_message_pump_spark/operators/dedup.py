@@ -544,6 +544,89 @@ def connected_components(
     )
 
 
+def near_dup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup clustering ``(id, group_id)`` = connected components over
+    the MinHash-LSH candidate graph, with an **exact-duplicate
+    pre-collapse** that leaves the output bit-identical while making the
+    cost track DISTINCT content instead of row count.
+
+    Why: on dup-heavy corpora (crawl data -- the very data dedup exists
+    for) the LSH bucket membership grows with duplicate multiplicity and
+    the pair graph with its SQUARE: the 100x probe measured 4,361 ->
+    68,360,000 edges (~15,700x) on a 100x-duplicated corpus
+    (docs/SCALE.md SS10b).  Every row of an exact-dup class has the SAME
+    text, hence the same signature, hence the same buckets -- the class
+    contributes a clique of redundant edges that CC then walks.
+
+    Collapse is exactness-preserving, not an approximation:
+
+    - identical text => identical signature => co-bucketed (shingles_col
+      yields >=1 shingle for ANY text via the greatest(...,1) floor, and
+      NULL signatures group as equal), so an exact-dup class is always
+      edge-connected in the full graph => one component with its class;
+    - every cross-class edge (a, b) implies the same bucket collision
+      for the class representatives (same signatures), so the
+      representative graph has the same component structure;
+    - each representative is its class's MIN id, so the component min
+      over representatives IS the component min over all docs -- the
+      same ``group_id`` the uncollapsed run labels.
+
+    Components: hash class key (md5 of text -- narrow shuffle rows, no
+    full-text keys), min-id representative per class, pairs + CC over
+    representatives only, then one broadcast-friendly join maps every
+    doc through its class to the group.
+    """
+    classed = docs.select(
+        F.col(id_col),
+        # md5(NULL) = NULL, and groupBy keys NULLs together -- exactly
+        # mirroring how NULL signatures co-bucket in the full graph (a
+        # sentinel string here could collide with real text)
+        F.md5(F.col(text_col)).alias("__cls"),
+        F.col(text_col),
+    )
+    reps = classed.groupBy("__cls").agg(
+        F.min(id_col).alias("__rep"),
+        # classmates share identical text by construction of the key
+        F.first(text_col).alias(text_col),
+    )
+    # materialize ONCE: reps feeds the signature scan, CC's vertex side,
+    # and the final mapping join -- Catalyst has no common-subplan reuse
+    # (docs/SCALE.md SS5b), so without this the distinct-content groupBy
+    # re-runs per consumer.  Size = distinct content, the fundamental
+    # working set of dedup (cluster analog: persist/checkpoint).
+    reps = reps.localCheckpoint(eager=True)
+    rep_docs = reps.select(F.col("__rep").alias(id_col), text_col)
+    pairs = minhash_candidate_pairs(
+        rep_docs,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+    )
+    rep_groups = connected_components(rep_docs, pairs, id_col)
+    return (
+        classed.select(id_col, "__cls")
+        .join(reps.select("__cls", "__rep"), "__cls")
+        .join(
+            rep_groups.select(
+                F.col(id_col).alias("__rep"), "group_id"
+            ),
+            "__rep",
+        )
+        .select(id_col, "group_id")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -384,12 +384,63 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate graph; every doc gets its cluster's min id as ``group_id``
     (keep-one-per-group dedup = filter doc_id == group_id).  Min-label
     propagation converges to the exact transitive closure, so it matches
-    the oracle's recursive CTE."""
+    the oracle's recursive CTE.
+
+    This is the DIRECT path (pairs over every doc) -- right when content
+    is mostly distinct, like this fixture (4992/5000 distinct texts:
+    collapsing first is pure overhead, measured +2 s of fixed job cost
+    at sf0.1 for zero graph shrinkage).  The dup-heavy production twin
+    is ``q_dedup_groups_collapsed``."""
     docs = table(spark, sf_dir, "documents", split=True)
     pairs = DD.minhash_candidate_pairs(
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
     )
     return DD.connected_components(docs, pairs, "doc_id", "id_a", "id_b")
+
+
+@query(
+    "q_dedup_groups_collapsed",
+    oracle=f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    ), buckets AS (
+      {_sql_band_buckets()}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    )
+    SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_groups_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup-heavy production twin of q_dedup_groups: the SAME
+    transitive closure (identical oracle -- the exact-dup pre-collapse
+    is exactness-preserving, see ``operators.dedup.near_dup_groups``)
+    computed over one representative per distinct text, labels expanded
+    back through the class map.
+
+    Why a twin instead of a swap: cost tracks DISTINCT content instead
+    of duplicate multiplicity -- on the 100x-duplicated probe corpus the
+    direct path walks a 68M-edge graph (102 s, 34x) while this path
+    re-collapses it to the 4.4k distinct-content edges (5.4 s, 1.1x,
+    docs/SCALE.md SS10b); on mostly-distinct data the collapse is ~2 s
+    of pure overhead.  Crawl-scale dedup inputs are dup-heavy by
+    definition, so production pipelines run THIS one."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    return DD.near_dup_groups(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
+    )
 
 
 # ---------------------------------------------------------- similarity ---
@@ -1257,15 +1308,17 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates -> connected components -> keep the highest-QUALITY doc
     per near-dup cluster (quality desc, doc_id tie-break) instead of the
     arbitrary min-id -- curators keep the best copy, not the first one.
-    Composes q_minhash_pairs, q_dedup_groups, and q_quality_score into
-    one plan; the keep argmax is a window over clusters (bounded by
-    near-dup group size), so the added cost over clustering alone is one
-    bounded-partition window and a quality expression scan."""
+    Composes the clustering (via the dup-heavy production twin
+    ``DD.near_dup_groups`` -- the keep-best decision is precisely the
+    crawl-dedup flow where duplicate multiplicity dominates) and
+    q_quality_score into one plan; the keep argmax is a window over
+    clusters (bounded by near-dup group size), so the added cost over
+    clustering alone is one bounded-partition window and a quality
+    expression scan."""
     docs = table(spark, sf_dir, "documents", split=True)
-    pairs = DD.minhash_candidate_pairs(
+    groups = DD.near_dup_groups(
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
     )
-    groups = DD.connected_components(docs, pairs, "doc_id", "id_a", "id_b")
     quality = docs.select(
         "doc_id", TX.quality_score(F.col("text")).alias("quality")
     )
