@@ -75,7 +75,7 @@ def test_live_soak_kill_restart_sustained_load(spark, tmp_path):
     pub_t0: list[float] = []
 
     def publisher():
-        assert broker.wait_for_subscription("pump/g/1", timeout=60)
+        assert broker.wait_for_subscription("pump/g/1", timeout=180)  # generous: cold Spark + loaded host
         pub = MiniMqttClient("127.0.0.1", broker.port, client_id="soak-pub")
         pub_t0.append(time.time())
         for chunk in range(0, N_MSGS, CHUNK):
@@ -243,7 +243,7 @@ def test_live_soak_abrupt_kills_exactly_once(spark, tmp_path, commit_protocol):
     pub_done = threading.Event()
 
     def publisher():
-        assert broker.wait_for_subscription("pump/g/1", timeout=60)
+        assert broker.wait_for_subscription("pump/g/1", timeout=180)  # generous: cold Spark + loaded host
         pub = MiniMqttClient("127.0.0.1", broker.port, client_id="kill-pub")
         for chunk in range(0, n_msgs, CHUNK):
             for i in range(chunk, chunk + CHUNK):

@@ -44,6 +44,9 @@ PROBE_KEYS = [
     "q_minhash_pairs",
     "q_minhash_pairs_capped",
     "q_dedup_groups",
+    # r10: the exact-dup pre-collapse twin -- on this deliberately
+    # dup-heavy derived corpus it is the production path (SS10b)
+    "q_dedup_groups_collapsed",
     "q_pack_sequences",
     "q_source_kl",
     "q_scd2_intervals",
