@@ -442,7 +442,7 @@ class MqttStreamReader(DataSourceStreamReader):
         import collections
 
         if not os.path.isdir(wal_dir):
-            return []
+            return [], []
         ledgers: list[list] = []  # [path, rows, dirty]
         inflight: collections.Counter = collections.Counter()
         for fn in sorted(os.listdir(wal_dir)):
@@ -460,7 +460,7 @@ class MqttStreamReader(DataSourceStreamReader):
             except (OSError, ValueError):
                 continue
         if not ledgers and not inflight:
-            return []
+            return [], []
         kept: list = []
         suppressed: list = []
         for row in buffered:
@@ -485,9 +485,24 @@ class MqttStreamReader(DataSourceStreamReader):
                 cls._wal_trace("SUPPRESS", f"p={row[1][:60]}")
             (suppressed if consumed else kept).append(row)
         buffered[:] = kept
-        for path, rows, dirty in ledgers:
-            if not dirty:
-                continue
+        # ledger consumption is returned, NOT committed here: shrinking a
+        # ledger before the suppressed rows' PUBACKs are flushed opens a
+        # duplication window -- a crash between shrink and ack makes the
+        # broker requeue the rows while the ledger no longer owns them,
+        # so the next poll would pass them through as fresh rows.  The
+        # caller commits via _rewrite_ledgers AFTER the ack flush; a
+        # crash before that leaves a fat ledger + acked rows, which is
+        # merely an unconsumed entry that the drained-poll expiry
+        # reclaims.
+        return suppressed, [
+            (path, rows) for path, rows, dirty in ledgers if dirty
+        ]
+
+    @classmethod
+    def _rewrite_ledgers(cls, dirty: list) -> None:
+        """Commit ledger consumption (post-ack): rewrite each shrunk
+        ledger atomically, delete emptied ones."""
+        for path, rows in dirty:
             try:
                 if rows:
                     cls._write_wal(path, rows)
@@ -495,7 +510,6 @@ class MqttStreamReader(DataSourceStreamReader):
                     os.remove(path)
             except OSError:
                 pass
-        return suppressed
 
     @staticmethod
     def _expire_ledgers(wal_dir: str, group: int) -> None:
@@ -633,13 +647,14 @@ class MqttStreamReader(DataSourceStreamReader):
                 time.sleep(0.05)
             client.loop_stop()
             suppressed: list[tuple] = []
+            dirty_ledgers: list = []
             if wal_dir:
                 # redelivery suppression BEFORE the log write: rows an
                 # earlier un-acked log already owns must not enter THIS
                 # batch's log or output -- they are acked below and
                 # dropped (the post-log/pre-ack crash's double-count
                 # window, closed without content dedup)
-                suppressed = self._suppress_redeliveries(
+                suppressed, dirty_ledgers = self._suppress_redeliveries(
                     wal_dir, partition.group, wal_path, buffered
                 )
             if wal_path is not None:
@@ -674,6 +689,12 @@ class MqttStreamReader(DataSourceStreamReader):
                 # acks are out: mark the log so commit() can delete it
                 # instead of retaining it as a suppress ledger
                 self._mark_acked(wal_path)
+            if dirty_ledgers:
+                # acks are out -> the consumed entries can never requeue;
+                # committing the shrink EARLIER would let a crash between
+                # shrink and ack duplicate the rows (see
+                # _suppress_redeliveries)
+                self._rewrite_ledgers(dirty_ledgers)
             if wal_dir and want and len(buffered) + len(suppressed) < want:
                 # drained poll (ended by timeout under budget): leftover
                 # ledgers' redeliveries can never arrive now -- expire
