@@ -375,6 +375,69 @@ class MqttStreamReader(DataSourceStreamReader):
         except OSError:  # pragma: no cover - exotic FS without dir fds
             pass
 
+    @classmethod
+    def _claim_wal(cls, path: str, rows: list[tuple]) -> bool:
+        """First-writer-wins WAL claim for one batch's offset range.
+
+        Why exclusive instead of overwrite: ``query.stop()`` cancels the
+        JVM job but a cancelled read task's PYTHON generator can linger
+        mid-poll; when the restarted query replays the SAME offsets, two
+        attempts race on one log name.  With a last-wins ``os.replace``
+        the loser's rows could be PUBACKed (broker forgets them) while
+        the committed batch carries the other attempt's rows -- silent
+        loss.  Link-based claim (``os.link`` fails on an existing name)
+        makes exactly one attempt the owner; the loser serves the
+        owner's log as the batch content and acks NOTHING, so its own
+        buffered rows stay broker-owned and requeue -- at-least-once,
+        collapsed by the suppression ledger / content dedup as usual.
+
+        Returns True when this attempt's rows ARE the log."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-claim-{os.getpid()}-{id(rows)}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for topic, payload, ts, mid, dup in rows:
+                fh.write(
+                    json.dumps(
+                        [topic, payload, ts.isoformat(), mid, dup],
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+            won = True
+        except FileExistsError:
+            won = False
+        except OSError:  # pragma: no cover - FS without hard links:
+            # fall back to the atomic-but-last-wins rename (the lingering
+            # -attempt race window returns, but the log is never torn)
+            os.replace(tmp, path)
+            cls._wal_trace("WALWRITE", f"{os.path.basename(path)} nolink")
+            return True
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        if won:
+            cls._wal_trace(
+                "WALWRITE", f"{os.path.basename(path)} n={len(rows)} "
+                f"p={[r[1][:40] for r in rows[:6]]}"
+            )
+            try:
+                dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+            except OSError:  # pragma: no cover
+                pass
+        else:
+            cls._wal_trace("WALRACE", os.path.basename(path))
+        return won
+
     @staticmethod
     def _load_wal(path: str):
         with open(path, encoding="utf-8") as fh:
@@ -657,12 +720,18 @@ class MqttStreamReader(DataSourceStreamReader):
                 suppressed, dirty_ledgers = self._suppress_redeliveries(
                     wal_dir, partition.group, wal_path, buffered
                 )
+            lost_claim = False
             if wal_path is not None:
                 # durable receive log FIRST: once the acks go out the
                 # broker forgets these rows, so the log write must win
-                # the race against any failure after it
-                self._write_wal(wal_path, buffered)
-            if manual:
+                # the race against any failure after it.  First-writer-
+                # wins: a concurrent attempt on the same offsets (a
+                # lingering cancelled task racing the restarted query's
+                # replay) must not ack rows the committed log does not
+                # carry -- the loser serves the owner's log below and
+                # acks nothing (its rows requeue at the broker).
+                lost_claim = not self._claim_wal(wal_path, buffered)
+            if not lost_claim and manual:
                 # PUBACKs are DEFERRED to the end of the poll window: a
                 # task killed mid-poll (a prompt pump stop landing in the
                 # next batch, streaming.pump.drain_and_stop) has then
@@ -685,25 +754,35 @@ class MqttStreamReader(DataSourceStreamReader):
                         # TypeError fires before any side effect, so
                         # retrying with the qos is safe
                         client.ack(row[3], qos)
-            if wal_path is not None:
-                # acks are out: mark the log so commit() can delete it
-                # instead of retaining it as a suppress ledger
-                self._mark_acked(wal_path)
-            if dirty_ledgers:
-                # acks are out -> the consumed entries can never requeue;
-                # committing the shrink EARLIER would let a crash between
-                # shrink and ack duplicate the rows (see
-                # _suppress_redeliveries)
-                self._rewrite_ledgers(dirty_ledgers)
-            if wal_dir and want and len(buffered) + len(suppressed) < want:
-                # drained poll (ended by timeout under budget): leftover
-                # ledgers' redeliveries can never arrive now -- expire
-                self._expire_ledgers(wal_dir, partition.group)
+            if not lost_claim:
+                if wal_path is not None:
+                    # acks are out: mark the log so commit() can delete
+                    # it instead of retaining it as a suppress ledger
+                    self._mark_acked(wal_path)
+                if dirty_ledgers:
+                    # acks are out -> the consumed entries can never
+                    # requeue; committing the shrink EARLIER would let a
+                    # crash between shrink and ack duplicate the rows
+                    # (see _suppress_redeliveries)
+                    self._rewrite_ledgers(dirty_ledgers)
+                if wal_dir and want and len(buffered) + len(suppressed) < want:
+                    # drained poll (ended by timeout under budget):
+                    # leftover ledgers' redeliveries can never arrive
+                    # now -- expire
+                    self._expire_ledgers(wal_dir, partition.group)
         finally:
             client.disconnect()
             # per-micro-batch clients tear down after the read
             # (mqtt.go:144-150 Disconnect signals pipe-down)
             self._pipe_signal(False)
+        if lost_claim:
+            # another attempt owns this batch's log: ITS rows are the
+            # batch content (they may already be acked by the owner);
+            # this attempt's buffered rows were never acked, so the
+            # broker requeues them for a later poll.
+            for row in self._load_wal(wal_path):
+                yield row
+            return
         # Manual-ack mode never buffers past the budget (the cap is
         # enforced before the ack); auto-ack mode may slightly exceed it
         # -- yield everything buffered, because every buffered row was

@@ -663,3 +663,50 @@ def test_unmatched_ledger_expires_after_drained_poll(tmp_path):
     # next poll delivers nothing related (no redeliveries) and drains
     list(reader.read(reader.partitions({"0": 100}, {"0": 200})[0]))
     assert not (wal / "g0-0-100.jsonl.unacked").exists()
+
+
+def test_concurrent_attempt_wal_claim_first_writer_wins(tmp_path):
+    """Two attempts race the same offset range (a lingering cancelled
+    task vs the restarted query's replay): the first to claim the log
+    owns the batch; the second must serve the OWNER's rows and ack
+    nothing of its own -- acking rows the committed log does not carry
+    would lose them (the broker forgets acked rows)."""
+    from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+    wal = tmp_path / "wal"
+
+    def reader_for(client):
+        return MqttStreamReader(
+            {
+                "group_num": "0",
+                "topic_root": "pump/",
+                "topic_prefix": "g",
+                "poll_timeout_secs": "0.05",
+                "wal_dir": str(wal),
+            },
+            client_factory=lambda opts: client,
+        )
+
+    # attempt A (the lingering task) wins the claim with rows 1,2
+    a_rows = [_Msg("pump/g/1", b'{"k": 1}', 11), _Msg("pump/g/1", b'{"k": 2}', 12)]
+    ra = reader_for(_OneShotClient(a_rows))
+    got_a = [r[1] for r in ra.read(ra.partitions({"0": 0}, {"0": 100})[0])]
+    assert got_a == ['{"k": 1}', '{"k": 2}']
+
+    # attempt B polls DIFFERENT rows for the same range -- it must lose
+    # the claim (the log exists), yield A's rows, and ack NOTHING
+    b_client = _OneShotClient([_Msg("pump/g/1", b'{"k": 3}', 31)])
+    rb = reader_for(b_client)
+    # simulate "B started before A's log existed": bypass the replay
+    # fast-path by deleting nothing -- read() checks at entry, so make
+    # the entry check miss by... the entry check can't miss here; call
+    # the claim path directly instead: entry replay-serve is ALSO
+    # correct behavior, so assert the claim primitive itself too.
+    assert MqttStreamReader._claim_wal(
+        str(wal / "g0-0-100.jsonl"),
+        [("pump/g/1", '{"k": 3}', __import__("datetime").datetime.now(
+            __import__("datetime").timezone.utc), 31, False)],
+    ) is False  # the log is already owned
+    got_b = [r[1] for r in rb.read(rb.partitions({"0": 0}, {"0": 100})[0])]
+    assert got_b == ['{"k": 1}', '{"k": 2}']  # owner's rows, not k:3
+    assert b_client.acked == []  # replay-serve path: no broker acks
