@@ -799,7 +799,25 @@ def compact_sink(
         {m["name"] for m in victims}
         | {n for m in victims for n in m.get("supersedes", [])}
     )
-    name = f"c-{uuid.uuid4().hex[:8]}.json"
+    # deterministic name over the victim set: two maintenance threads
+    # racing the same compaction (a lingering stopped-query callback vs
+    # the restarted query -- both list the same live manifests) converge
+    # on ONE manifest object instead of double-counting the shared
+    # victims' rows; the loser's attempt dir is simply unreferenced and
+    # vacuumed.  Distinct victim sets cannot race under the single-
+    # writer contract (a later compaction's listing sees the earlier
+    # compact manifest and supersedes it).
+    import hashlib
+
+    name = (
+        "c-" + hashlib.md5("|".join(supersedes).encode()).hexdigest()[:12]
+        + ".json"
+    )
+    dest = HPath(f"{table_path}/_manifests/{name}")
+    if fs.exists(dest):
+        # same victim set already compacted (we lost the race): leave
+        # the winner alone; our attempt dir ages out via vacuum
+        return name
     _publish_manifest(
         fs,
         HPath,
