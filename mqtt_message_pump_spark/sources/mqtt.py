@@ -636,8 +636,19 @@ class MqttStreamReader(DataSourceStreamReader):
             )
             if os.path.exists(wal_path):
                 self._wal_trace("REPLAY", os.path.basename(wal_path))
-                for row in self._load_wal(wal_path):
-                    yield row
+                n_yield = 0
+                try:
+                    for row in self._load_wal(wal_path):
+                        yield row
+                        n_yield += 1
+                finally:
+                    # how many rows the CONSUMER actually pulled -- a
+                    # generator closed early (consumer-side truncation)
+                    # shows as yielded < logged (crash-window forensics)
+                    self._wal_trace(
+                        "REPLAYED",
+                        f"{os.path.basename(wal_path)} yielded={n_yield}",
+                    )
                 return
 
         buffered: list[tuple] = []
@@ -788,8 +799,24 @@ class MqttStreamReader(DataSourceStreamReader):
         # -- yield everything buffered, because every buffered row was
         # already acknowledged to the broker and dropping it here would
         # be unrecoverable loss, not flow control.
-        for row in buffered:
-            yield row
+        n_yield = 0
+        try:
+            for row in buffered:
+                yield row
+                n_yield += 1
+        except GeneratorExit:
+            self._wal_trace(
+                "YIELDCLOSED",
+                f"g{partition.group}-{partition.start}-{partition.end} "
+                f"yielded={n_yield} buffered={len(buffered)}",
+            )
+            raise
+        if wal_dir:
+            self._wal_trace(
+                "YIELDED",
+                f"g{partition.group}-{partition.start}-{partition.end} "
+                f"yielded={n_yield} buffered={len(buffered)}",
+            )
 
 
 def register_mqtt_source(spark) -> None:

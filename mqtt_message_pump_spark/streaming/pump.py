@@ -420,6 +420,14 @@ def start_stream_pump(
             epoch=epoch,
         )
         raw_n = obs_raw.get["n"]
+        import os as _os
+
+        if _os.environ.get("MQTT_WAL_TRACE"):
+            from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+            MqttStreamReader._wal_trace(
+                "BATCHRAW", f"batch_id={batch_id} epoch={epoch} n={raw_n}"
+            )
         if counters is not None:
             # the write returned -> raw rows are received AND committed
             # (parquet commit protocol finishes inside the write job)
