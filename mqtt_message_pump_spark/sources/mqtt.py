@@ -720,6 +720,22 @@ class MqttStreamReader(DataSourceStreamReader):
             while len(buffered) < want and time.time() < deadline:
                 time.sleep(0.05)
             client.loop_stop()
+            # FREEZE the batch at poll end.  loop_stop() is a no-op
+            # flag on minimqtt (its network thread keeps delivering), so
+            # on_message keeps appending to ``buffered``: without the
+            # snapshot, rows arriving between the WAL write and the
+            # PUBACK flush were ACKED-BUT-NEVER-LOGGED (the ack loop and
+            # the final yield iterated the growing list) -- a kill after
+            # the acks lost them forever, the exact window the WAL
+            # exists to close (captured live: a 125-row yield over a
+            # 100-row log, 25 rows gone for good).  Frozen out, late
+            # arrivals are never acked, so the broker requeues them into
+            # the next poll.  Auto-ack clients already acked everything
+            # on receipt, so for them dropping late arrivals would BE
+            # the loss -- they keep the live list.  NOTE: a new name, not a
+            # rebind -- on_message closes over ``buffered`` and a rebind
+            # would repoint the closure at the snapshot.
+            batch_rows = list(buffered) if manual else buffered
             suppressed: list[tuple] = []
             dirty_ledgers: list = []
             if wal_dir:
@@ -729,7 +745,7 @@ class MqttStreamReader(DataSourceStreamReader):
                 # dropped (the post-log/pre-ack crash's double-count
                 # window, closed without content dedup)
                 suppressed, dirty_ledgers = self._suppress_redeliveries(
-                    wal_dir, partition.group, wal_path, buffered
+                    wal_dir, partition.group, wal_path, batch_rows
                 )
             lost_claim = False
             if wal_path is not None:
@@ -741,7 +757,7 @@ class MqttStreamReader(DataSourceStreamReader):
                 # replay) must not ack rows the committed log does not
                 # carry -- the loser serves the owner's log below and
                 # acks nothing (its rows requeue at the broker).
-                lost_claim = not self._claim_wal(wal_path, buffered)
+                lost_claim = not self._claim_wal(wal_path, batch_rows)
             if not lost_claim and manual:
                 # PUBACKs are DEFERRED to the end of the poll window: a
                 # task killed mid-poll (a prompt pump stop landing in the
@@ -757,7 +773,7 @@ class MqttStreamReader(DataSourceStreamReader):
                 # Suppressed redeliveries are acked too -- the ack is
                 # what finally makes the broker forget the row its
                 # original delivery never acknowledged.
-                for row in buffered + suppressed:
+                for row in batch_rows + suppressed:
                     try:
                         client.ack(row[3])
                     except TypeError:
@@ -776,7 +792,7 @@ class MqttStreamReader(DataSourceStreamReader):
                     # crash between shrink and ack duplicate the rows
                     # (see _suppress_redeliveries)
                     self._rewrite_ledgers(dirty_ledgers)
-                if wal_dir and want and len(buffered) + len(suppressed) < want:
+                if wal_dir and want and len(batch_rows) + len(suppressed) < want:
                     # drained poll (ended by timeout under budget):
                     # leftover ledgers' redeliveries can never arrive
                     # now -- expire
@@ -801,7 +817,7 @@ class MqttStreamReader(DataSourceStreamReader):
         # be unrecoverable loss, not flow control.
         n_yield = 0
         try:
-            for row in buffered:
+            for row in batch_rows:
                 yield row
                 n_yield += 1
         except GeneratorExit:

@@ -710,3 +710,54 @@ def test_concurrent_attempt_wal_claim_first_writer_wins(tmp_path):
     got_b = [r[1] for r in rb.read(rb.partitions({"0": 0}, {"0": 100})[0])]
     assert got_b == ['{"k": 1}', '{"k": 2}']  # owner's rows, not k:3
     assert b_client.acked == []  # replay-serve path: no broker acks
+
+
+def test_late_arrivals_after_poll_end_are_not_acked_or_yielded(tmp_path):
+    """The captured 25-row loss (r10): minimqtt's ``loop_stop`` is a
+    no-op flag, so the network thread keeps delivering after the poll
+    window closes -- rows arriving between the WAL write and the PUBACK
+    flush were acked-but-never-logged, and a kill after the acks lost
+    them forever.  The batch must be FROZEN at poll end: batch content
+    == log content == acked set, and late arrivals stay un-acked (the
+    broker requeues them into the next poll)."""
+    from mqtt_message_pump_spark.sources.mqtt import MqttStreamReader
+
+    class _LeakyClient(_OneShotClient):
+        """Delivers 2 rows during the poll, then keeps the network
+        thread 'running' -- one more row lands DURING the ack flush
+        (after the log write), the exact moment of the captured race."""
+
+        def __init__(self):
+            super().__init__(
+                [_Msg("pump/g/1", b'{"k": 1}', 11),
+                 _Msg("pump/g/1", b'{"k": 2}', 12)]
+            )
+            self._leaked = False
+
+        def ack(self, mid):
+            super().ack(mid)
+            if not self._leaked:
+                self._leaked = True
+                self.on_message(self, None, _Msg("pump/g/1", b'{"k": 3}', 13))
+
+    client = _LeakyClient()
+    reader = MqttStreamReader(
+        {
+            "group_num": "0",
+            "topic_root": "pump/",
+            "topic_prefix": "g",
+            "poll_timeout_secs": "0.05",
+            "wal_dir": str(tmp_path / "wal"),
+        },
+        client_factory=lambda opts: client,
+    )
+    rows = list(reader.read(reader.partitions({"0": 0}, {"0": 100})[0]))
+    # batch = the frozen poll window only
+    assert [r[1] for r in rows] == ['{"k": 1}', '{"k": 2}']
+    # log = the same two rows
+    logged = list(
+        MqttStreamReader._load_wal(str(tmp_path / "wal" / "g0-0-100.jsonl"))
+    )
+    assert [r[1] for r in logged] == ['{"k": 1}', '{"k": 2}']
+    # acked = the same two rows; the late arrivals stay broker-owned
+    assert client.acked == [11, 12]
