@@ -575,25 +575,35 @@ class MqttStreamReader(DataSourceStreamReader):
                 pass
 
     @staticmethod
-    def _expire_ledgers(wal_dir: str, group: int) -> None:
-        """A poll that ended UNDER budget drained the session: requeued
-        un-acked deliveries go to the FRONT of the session queue (MQTT
-        3.1.1 SS4.4), so any ledger row still unmatched after a drained
-        poll can never arrive later (the session either flushed it this
-        window or no longer holds it) -- drop the leftovers instead of
-        letting a dead session's ledgers accumulate.  Heuristic edge: a
-        broker too slow to flush inside the poll window loses its ledger
-        early, re-opening (narrowly) the pre-fix window -- the trade
-        documented at ``wal_dir``."""
+    def _expire_ledgers(
+        wal_dir: str, group: int, retention_secs: float = 600.0
+    ) -> None:
+        """Reclaim suppress ledgers whose redeliveries never came.
+
+        Time-based, not poll-based (r10 fuzz finding): the earlier
+        drained-poll heuristic ("a poll that ended under budget flushed
+        the session") expired a ledger during a stalled poll while its
+        redeliveries still pended at the broker -- the fuzz harness
+        composed exactly that schedule and double-counted the rows.
+        Redeliveries arrive on the next session resume (the very next
+        poll), so a ledger still unmatched ``retention_secs`` after its
+        creation belongs to a session that no longer holds the rows
+        (broker restarted without persistence, clean-session override)
+        -- delete it.  Deterministic wall-clock retention, same design
+        as ``sinks.vacuum_sink``; stalls merely delay cleanup instead
+        of reopening the double-count window."""
         try:
             names = os.listdir(wal_dir)
         except OSError:
             return
+        now = time.time()
         for fn in names:
             if re.fullmatch(rf"g{group}-\d+-\d+\.jsonl\.unacked", fn):
+                full = os.path.join(wal_dir, fn)
                 try:
-                    os.remove(os.path.join(wal_dir, fn))
-                    MqttStreamReader._wal_trace("EXPIRE", fn)
+                    if now - os.path.getmtime(full) >= retention_secs:
+                        os.remove(full)
+                        MqttStreamReader._wal_trace("EXPIRE", fn)
                 except OSError:
                     pass
 
@@ -792,11 +802,14 @@ class MqttStreamReader(DataSourceStreamReader):
                     # crash between shrink and ack duplicate the rows
                     # (see _suppress_redeliveries)
                     self._rewrite_ledgers(dirty_ledgers)
-                if wal_dir and want and len(batch_rows) + len(suppressed) < want:
-                    # drained poll (ended by timeout under budget):
-                    # leftover ledgers' redeliveries can never arrive
-                    # now -- expire
-                    self._expire_ledgers(wal_dir, partition.group)
+                if wal_dir:
+                    # time-based ledger retention sweep (cheap listdir;
+                    # see _expire_ledgers for why NOT poll-drain-based)
+                    self._expire_ledgers(
+                        wal_dir,
+                        partition.group,
+                        float(opts.get("wal_ledger_retention_secs", "600")),
+                    )
         finally:
             client.disconnect()
             # per-micro-batch clients tear down after the read

@@ -631,11 +631,12 @@ def test_wal_post_log_pre_ack_kill_no_double_count(tmp_path):
     )] == ['{"k": 3}', '{"k": 1}']
 
 
-def test_unmatched_ledger_expires_after_drained_poll(tmp_path):
+def test_unmatched_ledger_expires_after_retention(tmp_path):
     """A ledger whose redeliveries never arrive (broker restarted without
-    persistence, session gone) must not live forever: the first poll that
-    ends UNDER budget (drained session -- requeued deliveries flush from
-    the queue FRONT, MQTT 3.1.1 SS4.4) expires it."""
+    persistence, session gone) must not live forever: the retention
+    sweep (wall-clock based -- the r10 fuzz showed poll-drain heuristics
+    expire during stalls while redeliveries still pend) reclaims it once
+    it ages past ``wal_ledger_retention_secs``."""
     msgs = [_Msg("pump/g/1", b'{"k": 9}', 7)]
     reader, _ = _wal_reader(tmp_path, msgs)
 
@@ -660,8 +661,23 @@ def test_unmatched_ledger_expires_after_drained_poll(tmp_path):
         list(bomb_reader.read(bomb_reader.partitions({"0": 0}, {"0": 100})[0]))
     bomb_reader.commit({"0": 100})
     assert (wal / "g0-0-100.jsonl.unacked").exists()
-    # next poll delivers nothing related (no redeliveries) and drains
+    # a poll within the retention leaves the ledger alone (its
+    # redeliveries could still be pending at a stalled broker) ...
     list(reader.read(reader.partitions({"0": 100}, {"0": 200})[0]))
+    assert (wal / "g0-0-100.jsonl.unacked").exists()
+    # ... and one past the retention reclaims it
+    aged = MqttStreamReader(
+        {
+            "group_num": "0",
+            "topic_root": "pump/",
+            "topic_prefix": "g",
+            "poll_timeout_secs": "0.05",
+            "wal_dir": str(wal),
+            "wal_ledger_retention_secs": "0",
+        },
+        client_factory=lambda opts: _OneShotClient([]),
+    )
+    list(aged.read(aged.partitions({"0": 200}, {"0": 300})[0]))
     assert not (wal / "g0-0-100.jsonl.unacked").exists()
 
 
