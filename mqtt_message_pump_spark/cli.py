@@ -169,6 +169,34 @@ def _local_wal_dir(store_path: str) -> str:
     return wal
 
 
+def cmd_maintain(cfg: PumpConfig, keep_last: int, retention_secs: float) -> int:
+    """Maintenance window for manifest-protocol sinks (this repo's
+    extension -- the reference delegates storage maintenance to
+    ClickHouse merges): compact each sink's old batches into one attempt
+    (``sinks.compact_sink``) and reclaim unreferenced attempt dirs and
+    superseded manifests (``sinks.vacuum_sink``).  Run while the pump is
+    STOPPED or rely on the in-line ``compactevery`` cadence instead; the
+    single-writer contract is the operator's responsibility here."""
+    from mqtt_message_pump_spark.sinks import compact_sink, read_sink, vacuum_sink
+
+    spark = get_spark(app_name="pump-maintain")
+    rc = 0
+    for sub in ("raw_message", "json_message"):
+        path = f"{cfg.store.path}/{sub}"
+        try:
+            name = compact_sink(spark, path, keep_last=keep_last)
+            removed = vacuum_sink(spark, path, retention_secs=retention_secs)
+            n = read_sink(spark, path).count()
+            print(
+                f"{sub}: compacted={'none' if name is None else name} "
+                f"vacuumed={len(removed)} rows={n}"
+            )
+        except Exception as e:  # noqa: BLE001 - per-table report
+            print(f"{sub}: maintenance failed: {e}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
 def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     from mqtt_message_pump_spark.sources.mqtt import mqtt_available
     from mqtt_message_pump_spark.streaming.monitor import PumpMonitorListener
@@ -332,7 +360,7 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pump", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
-    for name in ("show", "check", "run"):
+    for name in ("show", "check", "run", "maintain"):
         p = sub.add_parser(name)
         p.add_argument("config")
         if name == "run":
@@ -343,12 +371,29 @@ def main(argv: list[str] | None = None) -> int:
                 default=0,
                 help="stop after N seconds (0 = run until interrupted)",
             )
+        if name == "maintain":
+            p.add_argument(
+                "--keep-last",
+                type=int,
+                default=2,
+                help="most-recent batches left uncompacted (replayable tail)",
+            )
+            p.add_argument(
+                "--retention-secs",
+                type=float,
+                default=0,
+                help="vacuum skips attempt dirs younger than this "
+                "(0 = reclaim everything unreferenced; keep >0 if a "
+                "writer might still be live)",
+            )
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
     if args.command == "show":
         return cmd_show(cfg)
     if args.command == "check":
         return cmd_check(cfg)
+    if args.command == "maintain":
+        return cmd_maintain(cfg, args.keep_last, args.retention_secs)
     return cmd_run(cfg, args.source_dir, args.duration_secs)
 
 

@@ -178,3 +178,40 @@ def test_run_live_broker_end_to_end(spark, tmp_path):
     topic, payload = mon_got[0]
     assert topic == "pump-monitor/pump_g"
     assert b"AvgPeriodSubMsgPerSec" in payload
+
+
+def test_maintain_compacts_and_vacuums_manifest_sinks(spark, tmp_path):
+    """``pump maintain``: the maintenance-window entry point for
+    manifest-protocol sinks -- compacts old batches, vacuums orphans,
+    reports per-table row counts, contents unchanged."""
+    import os
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import read_sink, write_append
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out"
+    store = StoreConf(commit_protocol="manifest")
+    for sub in ("raw_message", "json_message"):
+        for b in range(4):
+            df = spark.createDataFrame(
+                [(f"m{sub[:1]}{b}{i}", "t", "p", "2024-01-02") for i in range(3)],
+                ["mid", "topic", "payload", "d"],
+            ).select(
+                "mid", "topic", "payload",
+                F.to_timestamp("d").alias("collect_datetime"),
+                F.to_date("d").alias("collect_date"),
+            )
+            write_append(df, store, str(out / sub), batch_id=b)
+
+    ini = tmp_path / "pump.ini"
+    ini.write_text(f"[store]\npath = {out}\n")
+    assert main(["maintain", str(ini), "--keep-last", "1"]) == 0
+    for sub in ("raw_message", "json_message"):
+        assert read_sink(spark, str(out / sub)).count() == 12
+        manifests = [
+            n
+            for n in os.listdir(out / sub / "_manifests")
+            if n.endswith(".json")
+        ]
+        assert len(manifests) == 2  # compact + the kept last batch
