@@ -82,6 +82,9 @@ HEADLINE = [
     "q_ewma_smooth",
     "q_latest_snapshot",
     "q_dedup_keep_best",
+    # round-10: the exact-dup pre-collapse twin (cost tracks distinct
+    # content; SCALE.md SS10b)
+    "q_dedup_groups_collapsed",
     "q_bm25_top",
     "q_lm_score",
     "q_audio_energy",
