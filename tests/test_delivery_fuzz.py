@@ -156,7 +156,9 @@ def test_delivery_fuzz_exactly_once(tmp_path, seed):
     n_batches = 12
     for _ in range(n_batches):
         publish_some(rng.randint(0, 4))
-        end = start + 100
+        # budget-capped ranges too: want can be SMALLER than the pending
+        # queue, exercising the over-budget un-acked requeue path
+        end = start + rng.choice([2, 3, 5, 100])
         part = reader.partitions({"0": start}, {"0": end})[0]
         # a batch may be attempted several times (kill -> replay)
         for attempt in range(6):
