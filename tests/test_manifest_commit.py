@@ -453,3 +453,34 @@ def test_manifest_protocol_random_interleaving_matches_model(spark, tmp_path):
     compact_sink(spark, out, keep_last=1)
     vacuum_sink(spark, out)
     check()
+
+
+def test_read_sink_prunes_partitions_through_the_union(spark, tmp_path):
+    """A collect_date filter must reach every per-attempt scan as a
+    PARTITION filter (pruned directories, not post-scan filtering) --
+    the union of per-batch scans must not defeat partition pruning,
+    or manifest sinks would re-read whole batches for point queries."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    write_append(
+        _frame(spark, range(6), dates=("2024-01-02", "2024-01-03")),
+        store, out, batch_id=0,
+    )
+    write_append(
+        _frame(spark, range(6, 12), dates=("2024-01-02", "2024-01-03")),
+        store, out, batch_id=1,
+    )
+    df = read_sink(spark, out).filter(F.col("collect_date") == "2024-01-03")
+    assert df.count() == 6
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert len(pf) >= 2, plan  # one per attempt scan
+    assert all("collect_date" in f for f in pf), pf
