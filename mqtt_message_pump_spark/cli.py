@@ -177,7 +177,12 @@ def cmd_maintain(cfg: PumpConfig, keep_last: int, retention_secs: float) -> int:
     superseded manifests (``sinks.vacuum_sink``).  Run while the pump is
     STOPPED or rely on the in-line ``compactevery`` cadence instead; the
     single-writer contract is the operator's responsibility here."""
-    from mqtt_message_pump_spark.sinks import compact_sink, read_sink, vacuum_sink
+    from mqtt_message_pump_spark.sinks import (
+        compact_sink,
+        read_sink,
+        snapshot_sink,
+        vacuum_sink,
+    )
 
     spark = get_spark(app_name="pump-maintain")
     rc = 0
@@ -185,10 +190,14 @@ def cmd_maintain(cfg: PumpConfig, keep_last: int, retention_secs: float) -> int:
         path = f"{cfg.store.path}/{sub}"
         try:
             name = compact_sink(spark, path, keep_last=keep_last)
+            # snapshot AFTER compacting so the new snapshot embeds the
+            # compact manifest + tail -- the next reader opens one object
+            snap = snapshot_sink(spark, path)
             removed = vacuum_sink(spark, path, retention_secs=retention_secs)
             n = read_sink(spark, path).count()
             print(
                 f"{sub}: compacted={'none' if name is None else name} "
+                f"snapshot={'none' if snap is None else snap} "
                 f"vacuumed={len(removed)} rows={n}"
             )
         except Exception as e:  # noqa: BLE001 - per-table report

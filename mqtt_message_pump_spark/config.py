@@ -99,6 +99,15 @@ class StoreConf:
     # run vacuum/compact from a maintenance window instead.  Only
     # meaningful with commit_protocol="manifest".
     compact_every: int = 0
+    # Snapshot cadence: every N-th micro-batch, fold each sink's live
+    # manifest set into one snapshot object (sinks.snapshot_sink -- the
+    # Delta-checkpoint analog) so the reader's listing opens O(1)
+    # manifest objects instead of one per committed batch.  Metadata-only
+    # (no data rewrite), so it can run far more often than compaction; a
+    # production pump runs snapshot_every small (e.g. 10) and
+    # compact_every large.  0 (default) = off.  INI key:
+    # ``snapshotevery``.  Only meaningful with commit_protocol="manifest".
+    snapshot_every: int = 0
 
 
 @dataclass
@@ -185,6 +194,7 @@ _KEY_MAP = {
     "replacingengine": "replacing",
     "commitprotocol": "commit_protocol",
     "compactevery": "compact_every",
+    "snapshotevery": "snapshot_every",
 }
 
 

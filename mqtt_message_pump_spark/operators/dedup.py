@@ -627,6 +627,59 @@ def near_dup_groups(
     )
 
 
+def near_dup_groups_auto(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    distinct_ratio_threshold: float = 0.8,
+    distinct_ratio: float | None = None,
+) -> DataFrame:
+    """Near-dup clustering with the exact-dup pre-collapse chosen
+    AUTOMATICALLY by a cheap dup-ratio estimate -- so dup-heavy corpora
+    never pay the direct path's cost (the 100x probe measured 34.3x vs
+    1.1x when the caller picks wrong, docs/SCALE.md SS10b) and
+    mostly-distinct corpora never pay the collapse's fixed overhead
+    (~2 s of pure job cost for zero graph shrinkage).
+
+    The estimate is ONE narrow aggregation --
+    ``approx_count_distinct(md5(text)) / count`` -- a single scan with a
+    partial-aggregated HLL sketch (no shuffle of data rows, ~2% relative
+    error: far inside the decision margin, since real corpora sit at
+    ratio ~1.0 or <<0.8, never at the threshold).  Both branches return
+    bit-identical labels (the collapse is exactness-preserving, see
+    :func:`near_dup_groups`), so the choice is purely a physical-plan
+    decision -- the operator-level analog of Catalyst's
+    broadcast-vs-shuffle join pick, driven by a runtime statistic the
+    optimizer cannot see (duplicate multiplicity of a string column).
+
+    ``distinct_ratio`` skips the estimate scan when the caller already
+    knows the corpus shape (e.g. from a profiling pass or a previous
+    pipeline stage's DQ report)."""
+    if distinct_ratio is None:
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.md5(F.col(text_col))).alias("nd"),
+        ).first()
+        n, nd = row["n"], row["nd"]
+        distinct_ratio = (nd / n) if n else 1.0
+    if distinct_ratio < distinct_ratio_threshold:
+        return near_dup_groups(
+            docs, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size,
+        )
+    pairs = minhash_candidate_pairs(
+        docs, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+    )
+    return connected_components(docs, pairs, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

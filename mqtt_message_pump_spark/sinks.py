@@ -601,43 +601,163 @@ def append_batch_manifest(
         "dir": attempt,
         "files": sorted(files),
     }
+    if epoch:
+        # retire a prior attempt's UNSCOPED manifest for this batch id
+        # (epoch transiently unreadable on attempt 1 -- the manifest
+        # twin of the rename protocol's unscoped-prefix sweep) BY
+        # SUPERSEDING it: the standalone file is also deleted below, but
+        # the unscoped twin may by now live only EMBEDDED inside a
+        # snapshot, where no delete can reach it -- the supersedes entry
+        # retires it in either location atomically with this publish.
+        # Superseding a name that never existed filters nothing.
+        manifest["supersedes"] = [f"b{batch_id}.json"]
     mdir = f"{table_path}/_manifests"
     _publish_manifest(
         fs, HPath, mdir, f"{key}.json",
         json.dumps(manifest, sort_keys=True).encode("utf-8"),
     )
     if epoch:
-        # retire a prior attempt's UNSCOPED manifest for this batch id
-        # (epoch transiently unreadable on attempt 1 -- the manifest
-        # twin of the rename protocol's unscoped-prefix sweep)
         unscoped = HPath(f"{mdir}/b{batch_id}.json")
         if fs.exists(unscoped):
             fs.delete(unscoped, False)
 
 
-def _read_manifests(fs, HPath, table_path: str) -> list[dict]:
-    """All manifest objects of a sink, each with its file ``name`` added,
-    minus superseded ones: a compaction manifest carries the TRANSITIVE
-    set of manifest names it replaced (``supersedes``), so the single
-    compact-manifest publish atomically retires every victim -- and a
-    half-finished vacuum (some victims deleted, some not) can never
-    resurrect a victim's rows, because the surviving superseder still
-    names it."""
+class _ManifestVanished(Exception):
+    """A manifest file listed a moment ago no longer exists: a concurrent
+    snapshot/vacuum retired it after embedding its content elsewhere.
+    The whole listing is re-run -- the retirer's replacement (snapshot or
+    surviving superseder) is guaranteed to be visible by then, because
+    every retirement PUBLISHES the replacement before deleting the
+    original (snapshot_sink, vacuum_sink order)."""
+
+
+def _read_json_object(fs, HPath, path: str) -> dict:
+    """Read one small JSON object through the Hadoop FS API; raises
+    :class:`_ManifestVanished` if the file disappeared between the
+    caller's listing and this open (the snapshot-cleanup race)."""
     import json
 
-    out = []
-    for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
-        stream = fs.open(st.getPath())
+    p = HPath(path)
+    try:
+        stream = fs.open(p)
         try:
-            m = json.loads(bytes(stream.readAllBytes()))
+            return json.loads(bytes(stream.readAllBytes()))
         finally:
             stream.close()
-        m["name"] = st.getPath().getName()
-        out.append(m)
-    superseded = set()
-    for m in out:
-        superseded.update(m.get("supersedes", []))
-    return [m for m in out if m["name"] not in superseded]
+    except Exception:
+        if not fs.exists(p):
+            raise _ManifestVanished(path) from None
+        raise
+
+
+def _snap_seq(name: str) -> int | None:
+    """Snapshot sequence number from a ``s-<seq>-<hash>.json`` manifest
+    file name; None for per-batch (``b...``) / compact (``c-...``)
+    manifests."""
+    import re
+
+    m = re.match(r"s-(\d+)-[0-9a-f]+\.json$", name)
+    return int(m.group(1)) if m else None
+
+
+def _load_manifest_state(fs, HPath, table_path: str) -> dict:
+    """One consistent view of a sink's manifest directory.
+
+    Listing protocol (the read side of :func:`snapshot_sink`):
+
+    1. list ``_manifests/*.json`` ONCE;
+    2. open only the LATEST snapshot (highest seq) -- it embeds the full
+       manifest set as of its publish, so older snapshots and the
+       standalone files it covers need no opens at all;
+    3. open every standalone per-batch/compact manifest and OVERLAY it
+       by name -- same name as an embedded entry means a replay
+       republished that batch after the snapshot, and the standalone
+       (newer attempt) wins;
+    4. drop every manifest named in any ``supersedes`` set (compaction
+       victims, epoch-retired unscoped twins) -- embedded or standalone
+       alike, which is what lets a compact/scoped manifest retire a
+       victim that now lives only inside a snapshot.
+
+    A file that vanishes between steps 1 and 3 means maintenance retired
+    it after embedding its content; the listing re-runs (bounded
+    retries) and converges on the retirer's published replacement.
+
+    Returns ``{"live": [manifest dicts], "latest_snap": status-or-None,
+    "latest_snap_seq": int, "embedded": set[str], "stats": [...]}`` --
+    every live manifest carries ``name`` and a ``ts`` publish stamp
+    (file mtime for standalone, recorded at embed time for embedded)."""
+    for _ in range(3):
+        try:
+            stats = list(
+                fs.globStatus(HPath(f"{table_path}/_manifests/*.json"))
+            )
+            snaps = []
+            for st in stats:
+                seq = _snap_seq(st.getPath().getName())
+                if seq is not None:
+                    snaps.append((seq, st.getPath().getName(), st))
+            latest = max(snaps) if snaps else None
+            manifests: dict[str, dict] = {}
+            embedded: set[str] = set()
+            if latest is not None:
+                snap = _read_json_object(
+                    fs, HPath, f"{table_path}/_manifests/{latest[1]}"
+                )
+                for m in snap.get("manifests", []):
+                    manifests[m["name"]] = m
+                    embedded.add(m["name"])
+            for st in stats:
+                name = st.getPath().getName()
+                if _snap_seq(name) is not None:
+                    continue
+                # skip the open when the latest snapshot already embeds
+                # this name AND the file predates the snapshot (embed is
+                # current); a newer mtime means a post-snapshot replay
+                # republish whose content must win
+                if (
+                    name in embedded
+                    and latest is not None
+                    and st.getModificationTime()
+                    <= latest[2].getModificationTime()
+                ):
+                    continue
+                m = _read_json_object(
+                    fs, HPath, f"{table_path}/_manifests/{name}"
+                )
+                m["name"] = name
+                m["ts"] = st.getModificationTime()
+                manifests[name] = m
+            superseded: set[str] = set()
+            for m in manifests.values():
+                superseded.update(m.get("supersedes", []))
+            return {
+                "live": [
+                    m for n, m in manifests.items() if n not in superseded
+                ],
+                "latest_snap": latest[2] if latest else None,
+                "latest_snap_seq": latest[0] if latest else 0,
+                "embedded": embedded,
+                "stats": stats,
+            }
+        except _ManifestVanished:
+            continue
+    raise IOError(
+        f"manifest listing of {table_path} kept changing under the reader "
+        "(3 attempts); concurrent maintenance is deleting manifests "
+        "without publishing replacements first"
+    )
+
+
+def _read_manifests(fs, HPath, table_path: str) -> list[dict]:
+    """All LIVE manifest objects of a sink, each with its file ``name``
+    added: the latest snapshot's embedded set overlaid with standalone
+    manifests, minus superseded ones.  A compaction manifest carries the
+    TRANSITIVE set of manifest names it replaced (``supersedes``), so
+    the single compact-manifest publish atomically retires every victim
+    -- and a half-finished vacuum (some victims deleted, some not) can
+    never resurrect a victim's rows, because the surviving superseder
+    still names it."""
+    return _load_manifest_state(fs, HPath, table_path)["live"]
 
 
 def read_sink(spark: SparkSession, table_path: str) -> DataFrame:
@@ -693,11 +813,26 @@ def vacuum_sink(
     Skipping dirs younger than the retention makes the stale-listing
     race harmless: fresh attempts are always younger; truly orphaned
     dirs age past it and are reclaimed by a later cycle.  Explicit
-    maintenance-window vacuums may pass 0."""
+    maintenance-window vacuums may pass 0.
+
+    **The reader-safety rule** (Delta's VACUUM contract, adopted
+    verbatim): a reader resolves its manifest listing to attempt-dir
+    paths once, then scans those dirs for as long as the query runs --
+    so ``retention_secs`` MUST exceed the longest concurrently-running
+    read of the sink, or a compact+vacuum pair can delete a victim dir
+    mid-scan.  Manifest FILES are exempt from the rule: every manifest
+    retirement publishes its replacement (snapshot / superseder) before
+    the delete, and the listing retries on a vanished file
+    (:func:`_load_manifest_state`), so manifest deletes are always
+    immediate.  Old SNAPSHOT files follow the data rule (a reader may
+    be holding the previous snapshot's listing): superseded snapshots
+    are deleted only past the retention age."""
     fs, HPath = _hadoop_fs(spark, table_path)
-    live = _read_manifests(fs, HPath, table_path)
+    state = _load_manifest_state(fs, HPath, table_path)
+    live = state["live"]
     live_names = {m["name"] for m in live}
     referenced = {m["dir"] for m in live}
+    latest_snap = state["latest_snap"]
     removed = []
     now_ms = None
     if retention_secs > 0:
@@ -710,10 +845,39 @@ def vacuum_sink(
         out.close()
         now_ms = fs.getFileStatus(probe).getModificationTime()
         fs.delete(probe, False)
+    snap_mtime = (
+        latest_snap.getModificationTime() if latest_snap is not None else 0
+    )
     for st in fs.globStatus(HPath(f"{table_path}/_manifests/*.json")):
-        if st.getPath().getName() not in live_names:
+        name = st.getPath().getName()
+        if _snap_seq(name) is not None:
+            # snapshots: keep the latest; older ones age out under the
+            # retention rule (a reader may still be walking their set)
+            if latest_snap is not None and name == latest_snap.getPath().getName():
+                continue
+            if (
+                now_ms is not None
+                and now_ms - st.getModificationTime()
+                < retention_secs * 1000
+            ):
+                continue
             fs.delete(st.getPath(), False)
-            removed.append(f"_manifests/{st.getPath().getName()}")
+            removed.append(f"_manifests/{name}")
+        elif name not in live_names:
+            # superseded victim or retired unscoped twin: its retirer is
+            # already published, so the delete is immediately safe
+            fs.delete(st.getPath(), False)
+            removed.append(f"_manifests/{name}")
+        elif (
+            name in state["embedded"]
+            and st.getModificationTime() <= snap_mtime
+        ):
+            # live but fully covered by the latest snapshot (and not
+            # republished since): the standalone copy is redundant --
+            # this is the crash-completion of snapshot_sink's own
+            # cleanup step
+            fs.delete(st.getPath(), False)
+            removed.append(f"_manifests/{name}")
     for st in fs.globStatus(HPath(f"{table_path}/_data/*")):
         rel = f"_data/{st.getPath().getName()}"
         if rel in referenced:
@@ -767,15 +931,17 @@ def compact_sink(
     manifests = _read_manifests(fs, HPath, table_path)
     stamped = []
     for m in manifests:
-        st = fs.getFileStatus(HPath(f"{table_path}/_manifests/{m['name']}"))
-        # recency = (mtime, numeric batch id): a bare mtime sort breaks
-        # ties lexicographically ("...-10.json" < "...-9.json"), which
-        # under same-millisecond publishes could class the NEWEST batch
-        # as oldest and compact the one manifest a replay may republish;
-        # compact manifests (id -1) always sort oldest within a tie
+        # recency = (publish stamp, numeric batch id): a bare mtime sort
+        # breaks ties lexicographically ("...-10.json" < "...-9.json"),
+        # which under same-millisecond publishes could class the NEWEST
+        # batch as oldest and compact the one manifest a replay may
+        # republish; compact manifests (id -1) always sort oldest within
+        # a tie.  ``ts`` is the loader's stamp: file mtime for standalone
+        # manifests, the embed-time mtime for snapshot-embedded ones
+        # (which by construction predate every standalone manifest).
         bid = re.search(r"-(\d+)\.json$", m["name"])
         stamped.append(
-            (st.getModificationTime(), int(bid.group(1)) if bid else -1,
+            (m.get("ts", 0), int(bid.group(1)) if bid else -1,
              m["name"], m)
         )
     stamped.sort()
@@ -828,6 +994,95 @@ def compact_sink(
             sort_keys=True,
         ).encode("utf-8"),
     )
+    return name
+
+
+def snapshot_sink(
+    spark: SparkSession, table_path: str, min_uncovered: int = 2
+) -> str | None:
+    """Fold a manifest sink's LIVE manifest set into one snapshot object
+    (the Delta-checkpoint analog) so the read-side listing cost is O(1)
+    in committed-batch count: readers open the latest snapshot plus only
+    the manifests published SINCE it, instead of one object per batch
+    ever committed (:func:`_load_manifest_state`).  At 100 TB a year of
+    1-minute micro-batches is ~500k manifest objects -- without this the
+    listing, not the data, is the read bottleneck.
+
+    Contrast with :func:`compact_sink`: compaction bounds the number of
+    DATA scans by rewriting batches (expensive, data-sized); a snapshot
+    bounds the number of MANIFEST opens by re-publishing metadata only
+    (cheap, metadata-sized), so it can run every few batches where
+    compaction runs on a maintenance cadence.  Production runs both.
+
+    Protocol (safe under the single-writer maintenance contract, and
+    crash-safe at every step):
+
+    1. load the live set (snapshot-aware, so snapshots chain);
+    2. publish ``s-<seq>-<hash>.json`` embedding every live manifest
+       verbatim (atomic single-object publish, seq = prior snapshot's
+       + 1, hash over the embedded name set so racing duplicate
+       snapshotters converge on one object);
+    3. delete the standalone files the new snapshot covers -- readers
+       that listed before the delete retry their listing and find the
+       snapshot (:class:`_ManifestVanished`); a crash mid-delete leaves
+       redundant standalone copies that the loader skips (embed-is-
+       current mtime check) and vacuum removes.
+
+    No ``keep_last`` exclusion is needed (unlike compaction): a snapshot
+    never rewrites data, so a REPLAY of an embedded batch republishes
+    its per-batch manifest pointing at the new attempt dir, and the
+    standalone-wins overlay rule swaps the batch atomically -- no
+    duplication window exists.
+
+    Returns the snapshot name, or None when fewer than ``min_uncovered``
+    live manifests are outside the current snapshot (nothing worth
+    folding).  Reference anchor: the single-node txn commit this
+    generalizes, ``data_dbstore.go:190-198``."""
+    import hashlib
+    import json
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        return None
+    state = _load_manifest_state(fs, HPath, table_path)
+    live = state["live"]
+    uncovered = [m for m in live if m["name"] not in state["embedded"]]
+    if len(uncovered) < min_uncovered:
+        return None
+    seq = state["latest_snap_seq"] + 1
+    names = sorted(m["name"] for m in live)
+    name = (
+        f"s-{seq:08d}-"
+        + hashlib.md5("|".join(names).encode()).hexdigest()[:12]
+        + ".json"
+    )
+    _publish_manifest(
+        fs,
+        HPath,
+        f"{table_path}/_manifests",
+        name,
+        json.dumps(
+            {"kind": "snapshot", "seq": seq, "manifests": live},
+            sort_keys=True,
+        ).encode("utf-8"),
+    )
+    covered = {m["name"] for m in live}
+    for st in state["stats"]:
+        fname = st.getPath().getName()
+        if _snap_seq(fname) is not None or fname not in covered:
+            continue
+        p = HPath(f"{table_path}/_manifests/{fname}")
+        try:
+            # skip if republished since our listing (a newer attempt's
+            # manifest must survive -- standalone-wins depends on it)
+            if (
+                fs.getFileStatus(p).getModificationTime()
+                != st.getModificationTime()
+            ):
+                continue
+        except Exception:
+            continue  # already gone
+        fs.delete(p, False)
     return name
 
 

@@ -447,6 +447,30 @@ def start_stream_pump(
             counters.da_pdo_succeed += flat_n
             counters.ado_receive_succeed += flat_n
             counters.ado_commit_succeed += flat_n
+        snap_every = getattr(batch_store, "snapshot_every", 0)
+        if (
+            snap_every
+            and getattr(batch_store, "commit_protocol", "rename") == "manifest"
+            and batch_id > 0
+            and batch_id % snap_every == 0
+        ):
+            # metadata-only maintenance: fold the live manifest set into
+            # one snapshot object so the reader's listing stays O(1) in
+            # batch count (sinks.snapshot_sink).  Safe in-line for the
+            # same reason as compaction (foreachBatch IS the single
+            # writer); unlike compaction it rewrites no data, so a much
+            # tighter cadence costs only one small-object publish.
+            from mqtt_message_pump_spark.sinks import snapshot_sink
+
+            spark_ = batch_df.sparkSession
+            for sub in ("raw_message", "json_message"):
+                try:
+                    snapshot_sink(spark_, f"{out_dir}/{sub}")
+                except Exception as e:  # noqa: BLE001 - maintenance only
+                    print(
+                        f"[pump] sink snapshot skipped for {sub}: {e}",
+                        flush=True,
+                    )
         every = getattr(batch_store, "compact_every", 0)
         if (
             every

@@ -375,10 +375,12 @@ def test_store_ini_keys_route_commit_protocol_and_cadence(tmp_path):
         "path = /tmp/pump-out\n"
         "commitprotocol = manifest\n"
         "compactevery = 50\n"
+        "snapshotevery = 10\n"
     )
     cfg = load_config(str(p))
     assert cfg.store.commit_protocol == "manifest"
     assert cfg.store.compact_every == 50
+    assert cfg.store.snapshot_every == 10
 
 
 def test_manifest_protocol_random_interleaving_matches_model(spark, tmp_path):
@@ -484,3 +486,302 @@ def test_read_sink_prunes_partitions_through_the_union(spark, tmp_path):
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert len(pf) >= 2, plan  # one per attempt scan
     assert all("collect_date" in f for f in pf), pf
+
+
+# ------------------------------------------------------- snapshots (r11) ---
+
+
+def _manifest_files(out):
+    import os
+
+    return sorted(
+        f for f in os.listdir(f"{out}/_manifests") if f.endswith(".json")
+    )
+
+
+def test_snapshot_folds_listing_to_one_object(spark, tmp_path):
+    """snapshot_sink publishes one snapshot embedding every live manifest
+    and deletes the standalone copies: the reader's listing drops from
+    one object per batch to one snapshot (+ post-snapshot manifests),
+    with contents bit-identical before and after -- the O(1)-listing
+    answer to 500k per-batch manifests at 100 TB."""
+    from mqtt_message_pump_spark.sinks import snapshot_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    for b in range(6):
+        write_append(_frame(spark, range(b * 5, b * 5 + 5)), store, out, batch_id=b)
+    before = {r["mid"] for r in read_sink(spark, out).select("mid").collect()}
+    assert len(_manifest_files(out)) == 6
+
+    name = snapshot_sink(spark, out)
+    assert name is not None and name.startswith("s-")
+    # standalone per-batch manifests folded away; only the snapshot remains
+    assert _manifest_files(out) == [name]
+    after = {r["mid"] for r in read_sink(spark, out).select("mid").collect()}
+    assert after == before
+
+    # post-snapshot batches overlay on top of the snapshot
+    write_append(_frame(spark, range(30, 35)), store, out, batch_id=6)
+    assert read_sink(spark, out).count() == 35
+    assert len(_manifest_files(out)) == 2  # snapshot + b6
+
+    # idempotent trigger: nothing new worth folding below min_uncovered
+    assert snapshot_sink(spark, out, min_uncovered=2) is None
+
+
+def test_snapshot_replay_overlay_wins(spark, tmp_path):
+    """A replay of a batch EMBEDDED in the snapshot republishes its
+    per-batch manifest; the standalone-wins overlay swaps the batch to
+    the new attempt with no duplication -- the reason snapshot_sink
+    needs no keep_last exclusion (it rewrites no data)."""
+    from mqtt_message_pump_spark.sinks import snapshot_sink, _hadoop_fs, _read_manifests
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    for b in range(3):
+        write_append(_frame(spark, range(b * 4, b * 4 + 4)), store, out, batch_id=b)
+    assert snapshot_sink(spark, out) is not None
+
+    # Spark replays the latest batch after a crash-before-checkpoint
+    write_append(_frame(spark, range(8, 12)), store, out, batch_id=2)
+    assert read_sink(spark, out).count() == 12  # not 16
+    fs, HPath = _hadoop_fs(spark, out)
+    live = _read_manifests(fs, HPath, out)
+    assert len(live) == 3
+    # the replayed batch resolves to the REPUBLISHED manifest (standalone
+    # file newer than the snapshot), not the embedded stale attempt
+    b2 = [m for m in live if m["name"] == "b2.json"]
+    assert len(b2) == 1
+    import os
+
+    assert os.path.isdir(f"{out}/{b2[0]['dir']}")
+    # stale attempt of b2 is unreferenced -> vacuum reclaims exactly it
+    removed = vacuum_sink(spark, out)
+    assert any(r.startswith("_data/b2-") for r in removed)
+    assert read_sink(spark, out).count() == 12
+
+
+def test_snapshot_epoch_supersedes_embedded_unscoped(spark, tmp_path):
+    """The unscoped-manifest hole, snapshot edition: attempt 1 publishes
+    unscoped b0.json (epoch transiently unreadable), a snapshot EMBEDS
+    it (no file left to delete), then the replay publishes the scoped
+    manifest.  The scoped manifest's ``supersedes: [b0.json]`` retires
+    the embedded copy too -- without it the batch would double."""
+    from mqtt_message_pump_spark.sinks import snapshot_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    write_append(_frame(spark, range(5)), store, out, batch_id=0)  # no epoch
+    write_append(_frame(spark, range(5, 9)), store, out, batch_id=1)
+    assert snapshot_sink(spark, out) is not None
+    # replay of batch 0 with the epoch now readable
+    write_append(_frame(spark, range(5)), store, out, batch_id=0, epoch="aabbccdd")
+    assert read_sink(spark, out).count() == 9  # not 14
+    vacuum_sink(spark, out)
+    assert read_sink(spark, out).count() == 9
+
+
+def test_compact_after_snapshot_retires_embedded_victims(spark, tmp_path):
+    """Compaction victims that live only INSIDE a snapshot are retired
+    by name through the compact manifest's supersedes set; a follow-up
+    snapshot then folds the compact manifest itself, and vacuum reclaims
+    the victim dirs -- the full maintenance cycle chains."""
+    import os
+
+    from mqtt_message_pump_spark.sinks import compact_sink, snapshot_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    for b in range(5):
+        write_append(_frame(spark, range(b * 3, b * 3 + 3)), store, out, batch_id=b)
+    assert snapshot_sink(spark, out) is not None
+    cname = compact_sink(spark, out, keep_last=1)
+    assert cname is not None
+    assert read_sink(spark, out).count() == 15
+    # second snapshot folds compact manifest + kept tail into one object
+    # (min_uncovered=1: only the compact manifest is new since snapshot 1,
+    # so the default threshold would correctly decline as not-worth-it)
+    sname2 = snapshot_sink(spark, out, min_uncovered=1)
+    assert sname2 is not None
+    vacuum_sink(spark, out)  # old snapshot + victims reclaimed (retention 0)
+    assert _manifest_files(out) == [sname2]
+    assert read_sink(spark, out).count() == 15
+    # data dirs: the compact attempt + the one kept batch
+    assert len(os.listdir(f"{out}/_data")) == 2
+
+
+def test_vacuum_retention_keeps_previous_snapshot(spark, tmp_path):
+    """Old snapshots follow the reader-safety retention rule (a reader
+    may still be walking the previous snapshot's listing): kept within
+    retention, reclaimed past it."""
+    from mqtt_message_pump_spark.sinks import snapshot_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    for b in range(2):
+        write_append(_frame(spark, range(b * 3, b * 3 + 3)), store, out, batch_id=b)
+    s1 = snapshot_sink(spark, out)
+    for b in range(2, 4):
+        write_append(_frame(spark, range(b * 3, b * 3 + 3)), store, out, batch_id=b)
+    s2 = snapshot_sink(spark, out)
+    assert s1 != s2
+    vacuum_sink(spark, out, retention_secs=3600)  # within retention: kept
+    assert s1 in _manifest_files(out) and s2 in _manifest_files(out)
+    vacuum_sink(spark, out)  # explicit maintenance window: reclaimed
+    files = _manifest_files(out)
+    assert s1 not in files and s2 in files
+    assert read_sink(spark, out).count() == 12
+
+
+def test_reader_retries_when_snapshot_cleanup_races_listing(spark, tmp_path, monkeypatch):
+    """The vanished-manifest race: a reader lists the per-batch
+    manifests, then snapshot_sink deletes them before the reader opens
+    one.  The listing must retry and converge on the snapshot -- never
+    error, never lose a batch."""
+    from mqtt_message_pump_spark import sinks as S
+    from mqtt_message_pump_spark.sinks import snapshot_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    for b in range(4):
+        write_append(_frame(spark, range(b * 3, b * 3 + 3)), store, out, batch_id=b)
+
+    real = S._read_json_object
+    fired = {"n": 0}
+
+    def race_once(fs, HPath, path):
+        # first standalone-manifest open of the first listing pass: run
+        # the snapshot (which deletes the standalone files), then proceed
+        if fired["n"] == 0 and "/b" in path:
+            fired["n"] = 1
+            monkeypatch.setattr(S, "_read_json_object", real)
+            snapshot_sink(spark, out)
+        return real(fs, HPath, path)
+
+    monkeypatch.setattr(S, "_read_json_object", race_once)
+    assert read_sink(spark, out).count() == 12
+    assert fired["n"] == 1
+
+
+def test_torture_with_snapshots_matches_model(spark, tmp_path):
+    """The round-10 protocol torture extended with snapshot ops in the
+    schedule: appends, latest-batch replays, crash-before-publish,
+    compactions, snapshots, and vacuums in seeded random order, checked
+    against the pure model after every step."""
+    import random
+
+    from mqtt_message_pump_spark import sinks as S
+    from mqtt_message_pump_spark.sinks import compact_sink, snapshot_sink
+
+    rng = random.Random(0x511AB)
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    model: dict[int, set[str]] = {}
+    next_id = 0
+    next_row = 0
+
+    def check():
+        if not model:
+            return
+        got = {r["mid"] for r in read_sink(spark, out).select("mid").collect()}
+        want = set().union(*model.values())
+        assert got == want, f"step diverged: {len(got)} vs {len(want)}"
+
+    crashed: dict[int, list] = {}
+    for step in range(26):
+        op = rng.choice(
+            ["append", "append", "replay", "crash", "compact", "vacuum",
+             "snapshot", "snapshot"]
+        )
+        if op == "append" or (op in ("replay", "crash") and next_id == 0):
+            ids = list(range(next_row, next_row + rng.randint(1, 4)))
+            next_row += len(ids)
+            if next_id in crashed:
+                ids = crashed.pop(next_id)
+            write_append(_frame(spark, ids), store, out, batch_id=next_id)
+            model[next_id] = {f"m{i}" for i in ids}
+            next_id += 1
+        elif op == "replay":
+            bid = next_id - 1
+            ids = sorted(int(m[1:]) for m in model[bid])
+            write_append(_frame(spark, ids), store, out, batch_id=bid)
+        elif op == "crash":
+            ids = list(range(next_row, next_row + rng.randint(1, 3)))
+            next_row += len(ids)
+
+            def boom(*a, **k):
+                raise RuntimeError("crash before publish")
+
+            orig = S._publish_manifest
+            S._publish_manifest = boom
+            try:
+                with pytest.raises(RuntimeError):
+                    write_append(_frame(spark, ids), store, out, batch_id=next_id)
+            finally:
+                S._publish_manifest = orig
+            crashed[next_id] = ids
+        elif op == "compact":
+            compact_sink(spark, out, keep_last=1)
+        elif op == "vacuum":
+            vacuum_sink(spark, out)
+        elif op == "snapshot" and next_id > 0:
+            snapshot_sink(spark, out, min_uncovered=1)
+        check()
+    assert model, "schedule produced no batches"
+    snapshot_sink(spark, out, min_uncovered=1)
+    compact_sink(spark, out, keep_last=1)
+    snapshot_sink(spark, out, min_uncovered=1)
+    vacuum_sink(spark, out)
+    check()
+
+
+def test_stream_pump_auto_snapshot_bounds_listing(spark, tmp_path):
+    """``StoreConf.snapshot_every=N``: every N-th micro-batch the pump
+    folds each sink's live manifests into one snapshot in-line --
+    metadata-only, so the cadence can be tight.  Seven one-file
+    micro-batches with snapshot_every=2 must end with exact contents and
+    a listing of one snapshot + the short post-snapshot tail."""
+    from pyspark.sql import types as T
+
+    from mqtt_message_pump_spark.streaming.pump import start_stream_pump
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    for i in range(7):
+        _write_messages(src, i * 4, 4)
+    schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("received_time", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    store = StoreConf(commit_protocol="manifest", snapshot_every=2)
+    q = start_stream_pump(
+        spark, stream, str(out), str(ckpt), trigger_secs=1, store=store
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    raw = read_sink(spark, str(out / "raw_message"))
+    flat = read_sink(spark, str(out / "json_message"))
+    assert raw.count() == 28 and flat.count() == 56
+    assert raw.select("mid").distinct().count() == 28
+    import os
+
+    for sub in ("raw_message", "json_message"):
+        manifests = [
+            n
+            for n in os.listdir(out / sub / "_manifests")
+            if n.endswith(".json")
+        ]
+        # last snapshot fired at batch 6 (covers b0..b6 minus any later
+        # tail); 7 batches without snapshots would be 7 objects
+        assert len(manifests) <= 3, (sub, manifests)
+        assert any(n.startswith("s-") for n in manifests), (sub, manifests)

@@ -1,0 +1,91 @@
+"""Measure manifest-listing cost vs committed-batch count, before and
+after a snapshot (docs/SCALE.md §9c).
+
+The quantity under test is the read-side LISTING: ``read_sink`` resolves
+the live batch set via ``_load_manifest_state``, which without a
+snapshot opens one small JSON object PER COMMITTED BATCH -- at 100 TB a
+year of 1-minute batches is ~500k objects, and on an object store each
+open is a GET.  ``snapshot_sink`` folds the live set into one object, so
+the listing opens O(1) objects regardless of history length.
+
+Method: fabricate N per-batch manifests (the listing never touches data,
+so the attempt dirs need not exist -- this measures exactly the metadata
+path), time ``_read_manifests`` (median of 5), snapshot, time again.
+Run: ``python tools/manifest_listing_probe.py [counts...]``
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    counts = [int(a) for a in sys.argv[1:]] or [1000, 10000]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("manifest-listing-probe")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    from mqtt_message_pump_spark.sinks import (
+        _hadoop_fs,
+        _read_manifests,
+        snapshot_sink,
+    )
+
+    def timed(fn, reps=5):
+        xs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            xs.append(time.perf_counter() - t0)
+        return statistics.median(xs)
+
+    print(f"{'batches':>8} {'pre-snapshot (s)':>17} {'post-snapshot (s)':>18} {'ratio':>7}")
+    for n in counts:
+        with tempfile.TemporaryDirectory() as tmp:
+            out = f"{tmp}/raw_message"
+            mdir = Path(out) / "_manifests"
+            mdir.mkdir(parents=True)
+            for b in range(n):
+                (mdir / f"b{b}.json").write_text(
+                    json.dumps(
+                        {
+                            "batch_id": b,
+                            "epoch": None,
+                            "dir": f"_data/b{b}-a{b:08x}",
+                            "files": [
+                                f"_data/b{b}-a{b:08x}/collect_date=2024-01-02/part-0.parquet"
+                            ],
+                        }
+                    )
+                )
+            fs, HPath = _hadoop_fs(spark, out)
+            pre = timed(lambda: _read_manifests(fs, HPath, out))
+            assert len(_read_manifests(fs, HPath, out)) == n
+            t0 = time.perf_counter()
+            name = snapshot_sink(spark, out)
+            snap_cost = time.perf_counter() - t0
+            assert name is not None
+            post = timed(lambda: _read_manifests(fs, HPath, out))
+            assert len(_read_manifests(fs, HPath, out)) == n
+            print(
+                f"{n:>8} {pre:>17.3f} {post:>18.3f} {pre / post:>6.1f}x"
+                f"   (snapshot publish itself: {snap_cost:.3f}s)"
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
