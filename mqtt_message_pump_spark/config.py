@@ -108,6 +108,20 @@ class StoreConf:
     # compact_every large.  0 (default) = off.  INI key:
     # ``snapshotevery``.  Only meaningful with commit_protocol="manifest".
     snapshot_every: int = 0
+    # Single-writer fencing: both commit protocols are replay-idempotent
+    # under ONE writer per sink path; two pumps accidentally configured
+    # onto the same path would interleave undetected (the reference's
+    # per-pipe ClickHouse txns serialize at the server -- filesystem
+    # sinks have no server to serialize at).  ``writer_fencing=True``
+    # makes every batch commit verify/renew a lease object
+    # (``_writer.json``: owner = checkpoint epoch, fencing token,
+    # fs-clock expiry) so the second writer raises ``WriterFenced`` on
+    # its first commit; a crashed writer's lease ages out after
+    # ``writer_lease_secs`` (keep it above the trigger interval and
+    # below your restart SLO).  INI keys: ``writerfencing``,
+    # ``writerleasesecs``.
+    writer_fencing: bool = False
+    writer_lease_secs: float = 120.0
 
 
 @dataclass
@@ -195,6 +209,8 @@ _KEY_MAP = {
     "commitprotocol": "commit_protocol",
     "compactevery": "compact_every",
     "snapshotevery": "snapshot_every",
+    "writerfencing": "writer_fencing",
+    "writerleasesecs": "writer_lease_secs",
 }
 
 
@@ -215,6 +231,8 @@ def _set_typed(section, key: str, raw_val: str) -> None:
         return
     if f.type in ("int", int):
         val: object = int(raw_val)
+    elif f.type in ("float", float):
+        val = float(raw_val)
     elif f.type in ("bool", bool):
         val = raw_val.strip().lower() in ("1", "true", "yes", "on")
     else:

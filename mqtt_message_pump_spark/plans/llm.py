@@ -443,6 +443,49 @@ def q_dedup_groups_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_groups_auto",
+    oracle=f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    ), buckets AS (
+      {_sql_band_buckets()}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    )
+    SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_groups_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with the collapse-vs-direct choice made BY THE
+    OPERATOR (``operators.dedup.near_dup_groups_auto``): one cheap
+    ``approx_count_distinct(md5(text))/count`` scan estimates the dup
+    ratio and picks the path -- the 100x probe showed choosing wrong
+    costs 34x (direct on dup-heavy) vs 1.1x (collapsed), and before this
+    key the choice was the caller's to get wrong.  Both branches are
+    label-identical (the collapse is exactness-preserving), so the SAME
+    recursive-CTE oracle checks whichever branch the estimate picks; on
+    this mostly-distinct fixture (4992/5000) it picks direct, and
+    ``tests/test_round11_ops.py`` pins the dup-heavy branch choice +
+    label identity on a duplicated corpus."""
+    docs = table(spark, sf_dir, "documents", split=True)
+    return DD.near_dup_groups_auto(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
+    )
+
+
 # ---------------------------------------------------------- similarity ---
 
 

@@ -321,6 +321,16 @@ def write_append(
     answer on that path: a ReplacingMergeTree keyed on ``mid`` collapses
     replayed rows at merge time."""
     if batch_id is not None and store.format != "jdbc":
+        if getattr(store, "writer_fencing", False):
+            # fail-fast single-writer fence: a second pump misconfigured
+            # onto this table_path raises WriterFenced here, BEFORE any
+            # data or manifest of the interloper lands.  Owner identity
+            # is the checkpoint epoch, so a kill/restart of the same
+            # checkpoint resumes ownership instantly.
+            ensure_writer_lease(
+                df.sparkSession, table_path, owner=epoch,
+                lease_secs=getattr(store, "writer_lease_secs", 120.0),
+            )
         if getattr(store, "commit_protocol", "rename") == "manifest":
             append_batch_manifest(
                 df, store, table_path, batch_id, cluster, epoch=epoch
@@ -480,6 +490,174 @@ def append_batch_idempotent(
 
 def _batch_key(batch_id: int, epoch: str | None) -> str:
     return f"b{epoch}-{batch_id}" if epoch else f"b{batch_id}"
+
+
+class WriterFenced(IOError):
+    """Another writer holds (or took over) this sink's writer lease.
+    Raised by :func:`ensure_writer_lease` so a misconfigured second pump
+    fails its batch FAST instead of silently interleaving manifests with
+    the legitimate writer -- the failure mode both commit protocols
+    would otherwise have, since filesystem sinks have no server to
+    serialize at (the reference's per-pipe ClickHouse txns do,
+    ``data_dbstore.go:190-198``)."""
+
+
+# process-local lease registry: one writer identity per sink path per
+# process (the single-writer unit both commit protocols assume)
+_WRITER_LEASES: dict[str, dict] = {}
+
+
+def _fs_now_ms(fs, HPath, table_path: str) -> int:
+    """The sink filesystem's clock via a probe object (writers on
+    different hosts cannot compare wall clocks; the store's mtime
+    authority is the one clock they share -- same trick as
+    :func:`vacuum_sink`)."""
+    import uuid as _uuid
+
+    probe = HPath(f"{table_path}/.tmp-clock-{_uuid.uuid4().hex[:8]}")
+    fs.mkdirs(HPath(table_path))
+    out = fs.create(probe, True)
+    out.close()
+    now = fs.getFileStatus(probe).getModificationTime()
+    fs.delete(probe, False)
+    return now
+
+
+def ensure_writer_lease(
+    spark: SparkSession,
+    table_path: str,
+    owner: str | None = None,
+    lease_secs: float = 120.0,
+) -> dict:
+    """Acquire / renew / verify the sink's single-writer lease
+    (``<table_path>/_writer.json``), fencing out a second concurrently
+    configured writer.
+
+    Why: both commit protocols are replay-idempotent under ONE writer
+    whose batches are strictly serial; two pumps accidentally pointed at
+    the same ``table_path`` (a copy-pasted INI) would interleave
+    manifests/prefixes undetected and corrupt the exactly-once story.
+    The lease makes the second writer raise :class:`WriterFenced` on its
+    first commit attempt instead.
+
+    Protocol (single small object, atomic publish -- the same primitive
+    as the manifest commit):
+
+    - the lease object carries ``(owner, token, lease_secs)``; its FILE
+      MTIME is the renewal stamp (renewed by republishing every check);
+    - a writer that holds the lease locally verifies ``(owner, token)``
+      is unchanged and republishes to renew; a mismatch means another
+      writer took over -- raise, never re-claim (tokens are fencing
+      tokens: strictly increasing per takeover, losers stop);
+    - claiming requires the current lease to be absent, expired
+      (fs-clock age > its ``lease_secs`` -- the crashed-writer takeover
+      path), or owned by the SAME owner id (a restart: ``owner``
+      defaults to the checkpoint epoch, which is stable across restarts
+      of one checkpoint lineage, so a kill/restart resumes ownership
+      instantly while a different pump -- different checkpoint -- stays
+      fenced until the lease ages out);
+    - the claim is verified by read-after-publish: simultaneous
+      claimants both publish, the last write wins, and the loser sees
+      the winner's object and raises.  (On an eventually-consistent
+      list-after-write store the verify can falsely pass for up to the
+      consistency window; S3 has been strongly consistent since 2020,
+      and the residual exposure is one batch, caught by the next
+      check's token mismatch.)
+
+    The stopped-query hazard is handled by identity, not time: a
+    lingering ``foreachBatch`` callback of a stopped query shares its
+    restart's epoch-owner, so its renewals are harmless to the restart
+    and fence third parties exactly as the live query would."""
+    import socket
+    import uuid as _uuid
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    lease_path = HPath(f"{table_path}/_writer.json")
+    cur, cur_mtime = None, 0
+    if fs.exists(lease_path):
+        try:
+            cur = _read_json_object(fs, HPath, f"{table_path}/_writer.json")
+            cur_mtime = fs.getFileStatus(lease_path).getModificationTime()
+        except _ManifestVanished:
+            cur = None
+    mine = _WRITER_LEASES.get(table_path)
+    if mine is not None:
+        if cur is not None and (
+            cur.get("owner"), cur.get("token")
+        ) != (mine["owner"], mine["token"]):
+            _WRITER_LEASES.pop(table_path, None)
+            raise WriterFenced(
+                f"sink {table_path}: writer lease taken over by "
+                f"{cur.get('owner')} (token {cur.get('token')} > "
+                f"{mine['token']}); this writer must stop"
+            )
+        _publish_writer_lease(fs, HPath, table_path, mine)
+        return mine
+    if owner is None:
+        owner = f"{socket.gethostname()}-{_uuid.uuid4().hex[:8]}"
+    if cur is not None and cur.get("owner") != owner:
+        age_ms = _fs_now_ms(fs, HPath, table_path) - cur_mtime
+        if age_ms <= float(cur.get("lease_secs", lease_secs)) * 1000:
+            raise WriterFenced(
+                f"sink {table_path}: active writer {cur.get('owner')} "
+                f"holds the lease (renewed {age_ms / 1000:.0f}s ago, "
+                f"lease {cur.get('lease_secs')}s); refusing to write"
+            )
+    token = int(cur.get("token", 0)) + 1 if cur is not None else 1
+    if cur is not None and cur.get("owner") == owner:
+        token = int(cur.get("token", 0))  # restart of the same lineage
+    lease = {"owner": owner, "token": token, "lease_secs": lease_secs}
+    _publish_writer_lease(fs, HPath, table_path, lease)
+    after = _read_json_object(fs, HPath, f"{table_path}/_writer.json")
+    if (after.get("owner"), after.get("token")) != (owner, token):
+        raise WriterFenced(
+            f"sink {table_path}: lost the lease claim race to "
+            f"{after.get('owner')}"
+        )
+    _WRITER_LEASES[table_path] = lease
+    return lease
+
+
+def _publish_writer_lease(fs, HPath, table_path: str, lease: dict) -> None:
+    """Atomic single-object publish of the lease at the TABLE ROOT (not
+    under ``_manifests/`` -- the lease is not a manifest and readers
+    must never list it); same write-tmp-then-move shape as
+    :func:`_publish_manifest`."""
+    import json
+    import uuid as _uuid
+
+    payload = json.dumps(lease, sort_keys=True).encode("utf-8")
+    fs.mkdirs(HPath(table_path))
+    tmp = HPath(f"{table_path}/.tmp-writer-{_uuid.uuid4().hex[:8]}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    dest = HPath(f"{table_path}/_writer.json")
+    if fs.exists(dest):
+        fs.delete(dest, False)
+    if not fs.rename(tmp, dest):
+        raise IOError(f"writer lease publish {tmp} -> {dest} failed")
+
+
+def release_writer_lease(spark: SparkSession, table_path: str) -> bool:
+    """Delete the sink's lease if THIS process holds it (operator
+    convenience for planned handover; crash recovery needs nothing --
+    the lease ages out).  Returns True if released."""
+    mine = _WRITER_LEASES.pop(table_path, None)
+    if mine is None:
+        return False
+    fs, HPath = _hadoop_fs(spark, table_path)
+    p = HPath(f"{table_path}/_writer.json")
+    try:
+        cur = _read_json_object(fs, HPath, f"{table_path}/_writer.json")
+    except Exception:
+        return False
+    if (cur.get("owner"), cur.get("token")) == (mine["owner"], mine["token"]):
+        fs.delete(p, False)
+        return True
+    return False
 
 
 def _publish_manifest(fs, HPath, manifest_dir: str, name: str, payload: bytes) -> None:

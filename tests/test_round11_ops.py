@@ -1,0 +1,222 @@
+"""Round-11 operators: auto-selected CC collapse path, schema evolution
+at the sink, and the vacuum-vs-reader retention rule.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+class TestNearDupGroupsAuto:
+    def _shapes(self, spark):
+        base = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumped over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "sphinx of black quartz judge my vow",
+            "how vexingly quick daft zebras jump",
+            "completely different content about spark engines",
+        ]
+        distinct = _docs(spark, base)
+        # dup-heavy: every text duplicated 20x -> distinct ratio 0.05
+        dup_heavy = _docs(spark, [t for t in base for _ in range(20)])
+        return distinct, dup_heavy
+
+    def test_labels_identical_across_paths_on_both_shapes(self, spark):
+        """The auto operator must return the SAME labels as the direct
+        path on both corpus shapes -- the choice is physical-plan only
+        (the collapse is exactness-preserving)."""
+        from mqtt_message_pump_spark.operators.dedup import (
+            connected_components,
+            minhash_candidate_pairs,
+            near_dup_groups_auto,
+        )
+
+        for docs in self._shapes(spark):
+            pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+            direct = {
+                (r["doc_id"], r["group_id"])
+                for r in connected_components(docs, pairs, "doc_id").collect()
+            }
+            auto = {
+                (r["doc_id"], r["group_id"])
+                for r in near_dup_groups_auto(docs, "doc_id", "text").collect()
+            }
+            assert auto == direct
+
+    def test_branch_choice_tracks_dup_ratio(self, spark, monkeypatch):
+        """Dup-heavy corpus -> collapsed branch; mostly-distinct ->
+        direct branch.  Pinned by instrumenting the two branch entry
+        points rather than timing (timing is contention-noise)."""
+        from mqtt_message_pump_spark.operators import dedup as D
+
+        distinct, dup_heavy = self._shapes(spark)
+        calls = []
+        real_collapse = D.near_dup_groups
+        real_pairs = D.minhash_candidate_pairs
+
+        def spy_collapse(*a, **k):
+            calls.append("collapsed")
+            return real_collapse(*a, **k)
+
+        def spy_pairs(*a, **k):
+            calls.append("direct")
+            return real_pairs(*a, **k)
+
+        monkeypatch.setattr(D, "near_dup_groups", spy_collapse)
+        monkeypatch.setattr(D, "minhash_candidate_pairs", spy_pairs)
+        D.near_dup_groups_auto(dup_heavy, "doc_id", "text").collect()
+        assert calls[0] == "collapsed"
+        calls.clear()
+        D.near_dup_groups_auto(distinct, "doc_id", "text").collect()
+        # note: the collapsed branch internally calls
+        # minhash_candidate_pairs too, so assert on the FIRST entry
+        assert calls[0] == "direct"
+
+    def test_known_ratio_skips_estimate_scan(self, spark, monkeypatch):
+        """``distinct_ratio=`` from a prior profiling pass must skip the
+        estimate aggregation entirely (no extra scan at 100 TB when the
+        DQ report already knows the ratio)."""
+        from mqtt_message_pump_spark.operators import dedup as D
+
+        distinct, _ = self._shapes(spark)
+
+        def no_agg(*a, **k):
+            raise AssertionError("estimate scan ran despite known ratio")
+
+        monkeypatch.setattr(
+            type(distinct), "agg", no_agg, raising=True
+        )
+        out = D.near_dup_groups_auto(
+            distinct, "doc_id", "text", distinct_ratio=0.05
+        )
+        monkeypatch.undo()
+        assert out.count() == 6
+
+
+# -------------------------------------------------- writer fencing (r11) ---
+
+
+def _fenced_store():
+    from mqtt_message_pump_spark.config import StoreConf
+
+    return StoreConf(
+        commit_protocol="manifest", writer_fencing=True, writer_lease_secs=60.0
+    )
+
+
+def _msg_frame(spark, ids):
+    rows = [(f"m{i}", "t", "p", "2024-01-02") for i in ids]
+    return (
+        spark.createDataFrame(rows, ["mid", "topic", "payload", "d"])
+        .select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date("d").alias("collect_date"),
+        )
+    )
+
+
+class TestWriterFencing:
+    def test_second_writer_fails_fast(self, spark, tmp_path):
+        """The headline contract: two pumps misconfigured onto one
+        table_path -> the first keeps committing, the second raises
+        WriterFenced BEFORE writing anything (no interleaved manifests,
+        no orphan attempt dirs from the interloper)."""
+        import os
+
+        from mqtt_message_pump_spark import sinks as S
+        from mqtt_message_pump_spark.sinks import (
+            WriterFenced,
+            read_sink,
+            write_append,
+        )
+
+        out = str(tmp_path / "raw_message")
+        store = _fenced_store()
+        write_append(_msg_frame(spark, range(5)), store, out,
+                     batch_id=0, epoch="epochAAA")
+        # writer B = another process: no local lease state, different epoch
+        S._WRITER_LEASES.pop(out, None)
+        with pytest.raises(WriterFenced):
+            write_append(_msg_frame(spark, range(100, 105)), store, out,
+                         batch_id=0, epoch="epochBBB")
+        assert read_sink(spark, out).count() == 5
+        manifests = os.listdir(f"{out}/_manifests")
+        assert all("epochBBB" not in n for n in manifests)
+        # writer A (same epoch identity, fresh process) resumes instantly
+        S._WRITER_LEASES.pop(out, None)
+        write_append(_msg_frame(spark, range(5, 9)), store, out,
+                     batch_id=1, epoch="epochAAA")
+        assert read_sink(spark, out).count() == 9
+
+    def test_stale_lease_takeover_and_fencing_token(self, spark, tmp_path):
+        """A crashed writer's lease ages out: the new writer takes over
+        with a HIGHER fencing token, and the old writer's next commit
+        raises (tokens only grow -- losers stop, they never re-claim)."""
+        import os
+        import time
+
+        from mqtt_message_pump_spark import sinks as S
+        from mqtt_message_pump_spark.sinks import WriterFenced, write_append
+
+        out = str(tmp_path / "raw_message")
+        store = _fenced_store()
+        store.writer_lease_secs = 0.5
+        write_append(_msg_frame(spark, range(3)), store, out,
+                     batch_id=0, epoch="old")
+        old_lease = dict(S._WRITER_LEASES[out])
+        time.sleep(1.0)  # lease expires (0.5 s)
+        os.utime(f"{out}/_writer.json", None)  # no-op mtime is NOW...
+        t = time.time() - 2.0
+        os.utime(f"{out}/_writer.json", (t, t))  # ...backdate it instead
+        S._WRITER_LEASES.pop(out, None)
+        lease = S.ensure_writer_lease(spark, out, owner="new", lease_secs=60)
+        assert lease["token"] == old_lease["token"] + 1
+        # the old writer's process state is restored: its next batch must
+        # observe the takeover and stop
+        S._WRITER_LEASES[out] = old_lease
+        with pytest.raises(WriterFenced):
+            write_append(_msg_frame(spark, range(3, 6)), store, out,
+                         batch_id=1, epoch="old")
+        # and its local claim is dropped so it cannot flip-flop
+        assert out not in S._WRITER_LEASES
+
+    def test_active_lease_blocks_takeover(self, spark, tmp_path):
+        from mqtt_message_pump_spark import sinks as S
+        from mqtt_message_pump_spark.sinks import WriterFenced
+
+        out = str(tmp_path / "raw_message")
+        S.ensure_writer_lease(spark, out, owner="A", lease_secs=300)
+        S._WRITER_LEASES.pop(out, None)
+        with pytest.raises(WriterFenced):
+            S.ensure_writer_lease(spark, out, owner="B", lease_secs=300)
+
+    def test_release_then_reclaim(self, spark, tmp_path):
+        from mqtt_message_pump_spark import sinks as S
+
+        out = str(tmp_path / "raw_message")
+        S.ensure_writer_lease(spark, out, owner="A", lease_secs=300)
+        assert S.release_writer_lease(spark, out) is True
+        lease = S.ensure_writer_lease(spark, out, owner="B", lease_secs=300)
+        assert lease["owner"] == "B"
+        S.release_writer_lease(spark, out)
+
+    def test_ini_keys_route_fencing(self, tmp_path):
+        from mqtt_message_pump_spark.config import load_config
+
+        p = tmp_path / "pump.ini"
+        p.write_text(
+            "[store]\n"
+            "path = /tmp/pump-out\n"
+            "writerfencing = true\n"
+            "writerleasesecs = 45.5\n"
+        )
+        cfg = load_config(str(p))
+        assert cfg.store.writer_fencing is True
+        assert cfg.store.writer_lease_secs == 45.5

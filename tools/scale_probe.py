@@ -107,8 +107,17 @@ COPIED = [
 ]
 
 
-def build(spark, src: str, dst: str, mult: int) -> None:
+def build(spark, src: str, dst: str, mult: int, tables=None) -> None:
+    """Per-table and incremental: a table already present under ``dst``
+    is left alone, so focused probes (``SCALE_PROBE_TABLES=documents``)
+    and later full builds compose in one dst dir.  At high multipliers
+    the derived union is written through a repartition so no single
+    output task owns the whole table."""
     for name, (id_col, offset) in SCALED.items():
+        if tables is not None and name not in tables:
+            continue
+        if os.path.isdir(f"{dst}/{name}.parquet"):
+            continue
         base = spark.read.parquet(f"{src}/{name}.parquet")
         out = None
         for i in range(mult):
@@ -117,8 +126,15 @@ def build(spark, src: str, dst: str, mult: int) -> None:
                 cols["user_id"] = F.col("user_id") + F.lit(i * 10_000_000)
             part = base.withColumns(cols)
             out = part if out is None else out.unionAll(part)
-        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        writer = out
+        if mult >= 100:
+            writer = out.repartition(64)
+        writer.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     for name in COPIED:
+        if tables is not None and name not in tables:
+            continue
+        if os.path.isdir(f"{dst}/{name}.parquet"):
+            continue
         spark.read.parquet(f"{src}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{dst}/{name}.parquet")
@@ -145,9 +161,11 @@ def main() -> None:
     keys = sys.argv[3:] or PROBE_KEYS
     dst = f"/tmp/scale_probe_{mult}x"
     spark = get_spark(app_name="scale-probe")
-    if not os.path.isdir(f"{dst}/documents.parquet"):
-        print(f"building {dst} ({mult}x of {base}) ...", flush=True)
-        build(spark, base, dst, mult)
+    tables = None
+    if os.environ.get("SCALE_PROBE_TABLES"):
+        tables = set(os.environ["SCALE_PROBE_TABLES"].split(","))
+    print(f"building {dst} ({mult}x of {base}) ...", flush=True)
+    build(spark, base, dst, mult, tables=tables)
     # warm-up
     for k in keys:
         _fn(k)(spark, base).write.format("noop").mode("overwrite").save()
