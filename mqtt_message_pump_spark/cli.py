@@ -194,7 +194,10 @@ def cmd_maintain(cfg: PumpConfig, keep_last: int, retention_secs: float) -> int:
             # compact manifest + tail -- the next reader opens one object
             snap = snapshot_sink(spark, path)
             removed = vacuum_sink(spark, path, retention_secs=retention_secs)
-            n = read_sink(spark, path).count()
+            n = read_sink(
+                spark, path,
+                merge_schema=getattr(cfg.store, "schema_evolution", False),
+            ).count()
             print(
                 f"{sub}: compacted={'none' if name is None else name} "
                 f"snapshot={'none' if snap is None else snap} "

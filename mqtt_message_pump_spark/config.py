@@ -122,6 +122,19 @@ class StoreConf:
     # ``writerleasesecs``.
     writer_fencing: bool = False
     writer_lease_secs: float = 120.0
+    # Managed schema evolution at the sink (the upgrade the reference
+    # declines: ``data_adapter.go:114-124`` detects drift and WARNS but
+    # never widens the frozen per-run schema).  When True, readers union
+    # batches by name with parquet mergeSchema so rows written before a
+    # payload schema widened surface with NULLs in the new columns
+    # (``sinks.read_sink(merge_schema=True)``; the pump CLI's sink reads
+    # pass it through), and a restart with a widened ``map_schema``
+    # appends by-name against the existing sink instead of erroring.
+    # Drift is still REPORTED either way (inference cross-check +
+    # monitor counters) -- evolution changes what readers do about it,
+    # not whether the operator hears about it.  INI key:
+    # ``schemaevolution``.
+    schema_evolution: bool = False
 
 
 @dataclass
@@ -211,6 +224,7 @@ _KEY_MAP = {
     "snapshotevery": "snapshot_every",
     "writerfencing": "writer_fencing",
     "writerleasesecs": "writer_lease_secs",
+    "schemaevolution": "schema_evolution",
 }
 
 

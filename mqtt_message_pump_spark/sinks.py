@@ -288,9 +288,12 @@ def write_table(
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     if cluster:
         df = df.repartition("collect_date")
+    if sort_cols:
+        # no-op for frames without the message columns (windowed-
+        # aggregate sinks): zero-col sortWithinPartitions raises
+        df = df.sortWithinPartitions(*sort_cols)
     (
-        df.sortWithinPartitions(*sort_cols)
-        .write.mode(mode)
+        df.write.mode(mode)
         .partitionBy("collect_date")
         .parquet(table_path)
     )
@@ -448,9 +451,10 @@ def append_batch_idempotent(
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     if cluster:
         df = df.repartition("collect_date")
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     (
-        df.sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .partitionBy("collect_date")
         .parquet(stage)
     )
@@ -751,9 +755,10 @@ def append_batch_manifest(
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     if cluster:
         df = df.repartition("collect_date")
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     (
-        df.sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .partitionBy("collect_date")
         .parquet(f"{table_path}/{attempt}")
     )
@@ -938,7 +943,9 @@ def _read_manifests(fs, HPath, table_path: str) -> list[dict]:
     return _load_manifest_state(fs, HPath, table_path)["live"]
 
 
-def read_sink(spark: SparkSession, table_path: str) -> DataFrame:
+def read_sink(
+    spark: SparkSession, table_path: str, merge_schema: bool = False
+) -> DataFrame:
     """Read one sink table regardless of its commit protocol.
 
     Manifest sinks (``_manifests/`` present) load exactly the attempt
@@ -947,10 +954,22 @@ def read_sink(spark: SparkSession, table_path: str) -> DataFrame:
     is the protocol's reader-side guarantee; each attempt dir is its own
     partitioned root, so ``collect_date`` comes back as a column exactly
     as on the rename layout.  Rename-protocol sinks are plain
-    date-partitioned parquet."""
+    date-partitioned parquet.
+
+    ``merge_schema=True`` is the read side of
+    ``StoreConf.schema_evolution``: batches written before a payload
+    schema widened lack the new columns, so each scan merges file
+    schemas (parquet ``mergeSchema``) and the cross-batch union goes
+    by-name with missing columns NULL-filled -- old rows surface as
+    NULL in the new columns, exactly parquet-on-read evolution
+    semantics (the managed-table analog is Delta's mergeSchema write
+    option).  Default False: the reference freezes the inferred schema
+    per run (``data_adapter.go:114-124`` warns on drift, never widens),
+    and an unexpected schema union is better loud than silent."""
     fs, HPath = _hadoop_fs(spark, table_path)
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not fs.exists(HPath(f"{table_path}/_manifests")):
-        return spark.read.parquet(table_path)
+        return reader.parquet(table_path)
     dirs = [
         f"{table_path}/{m['dir']}"
         for m in _read_manifests(fs, HPath, table_path)
@@ -967,8 +986,11 @@ def read_sink(spark: SparkSession, table_path: str) -> DataFrame:
     # exactly Delta/Iceberg's OPTIMIZE story.
     from functools import reduce
 
-    frames = [spark.read.parquet(d) for d in sorted(dirs)]
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    frames = [reader.parquet(d) for d in sorted(dirs)]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
+        frames,
+    )
 
 
 def vacuum_sink(
@@ -1128,14 +1150,25 @@ def compact_sink(
         return None
     df = None
     for m in victims:
-        part = spark.read.parquet(f"{table_path}/{m['dir']}")
-        df = part if df is None else df.unionByName(part)
+        # mergeSchema + by-name union with NULL fill: victims written
+        # before a schema widening (StoreConf.schema_evolution) must
+        # consolidate into the WIDE schema, not fail the maintenance
+        # cycle -- the rows are already committed side by side, so the
+        # loud-failure ship has sailed; compaction is where the sink
+        # physically converges on one schema again
+        part = spark.read.option("mergeSchema", "true").parquet(
+            f"{table_path}/{m['dir']}"
+        )
+        df = part if df is None else df.unionByName(
+            part, allowMissingColumns=True
+        )
     attempt = f"_data/c-{uuid.uuid4().hex[:8]}"
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
+    df = df.repartition("collect_date")
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     (
-        df.repartition("collect_date")
-        .sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .partitionBy("collect_date")
         .parquet(f"{table_path}/{attempt}")
     )

@@ -36,7 +36,14 @@ def rate_message_stream(
     )
 
 
-def file_message_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+def file_message_stream(
+    spark: SparkSession, dir_path: str, max_files: int | None = None
+) -> DataFrame:
     """File-drop message stream: JSON-lines files with the wire schema
-    (topic, payload, received_time) -- the deterministic test source."""
-    return spark.readStream.schema(MESSAGE_SCHEMA).json(dir_path)
+    (topic, payload, received_time) -- the deterministic test source.
+    ``max_files`` caps files per trigger (micro-batch granularity for
+    kill/restart tests)."""
+    reader = spark.readStream.schema(MESSAGE_SCHEMA)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.json(dir_path)

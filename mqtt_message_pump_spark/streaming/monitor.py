@@ -171,7 +171,12 @@ class PumpMonitorListener(StreamingQueryListener):
         # summed across state operators (Spark reports the drop count per
         # stateful operator in the progress JSON; zero when the query has
         # no stateful operator, so the field is always present and
-        # monitorable)
+        # monitorable).  Unit caveat (r11, pinned by the event-time kill
+        # soak): the count is rows reaching the STATE operator, i.e.
+        # post-partial-aggregation groups -- N same-(key,window) late
+        # input rows collapse to ONE counted row in the map-side
+        # combine.  It is exact in late GROUPS, a lower bound in late
+        # input rows.
         late = 0
         for so in p.stateOperators or []:
             try:

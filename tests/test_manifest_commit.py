@@ -785,3 +785,37 @@ def test_stream_pump_auto_snapshot_bounds_listing(spark, tmp_path):
         # tail); 7 batches without snapshots would be 7 objects
         assert len(manifests) <= 3, (sub, manifests)
         assert any(n.startswith("s-") for n in manifests), (sub, manifests)
+
+
+def test_vacuum_retention_rule_protects_inflight_reader(spark, tmp_path):
+    """The reader-safety rule pinned executable (vacuum_sink docstring):
+    a reader resolves manifests to attempt dirs once, then scans for the
+    query's lifetime -- so retention_secs must exceed the longest
+    concurrent read.  Within retention the in-flight frame survives a
+    compact+vacuum; an explicit retention-0 vacuum (maintenance window,
+    operator asserts no readers) is exactly the case that breaks a
+    straggling reader -- which is the rule, demonstrated."""
+    from mqtt_message_pump_spark.sinks import compact_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    for b in range(4):
+        write_append(_frame(spark, range(b * 5, b * 5 + 5)), store, out, batch_id=b)
+
+    df = read_sink(spark, out)  # listing + file index resolved NOW
+    assert compact_sink(spark, out, keep_last=1) is not None
+    vacuum_sink(spark, out, retention_secs=3600)
+    # within retention: victim dirs still on disk, the stale frame reads
+    # clean and complete
+    assert df.count() == 20
+    assert read_sink(spark, out).count() == 20
+
+    vacuum_sink(spark, out, retention_secs=0)
+    # victims gone; a FRESH read is complete via the compact manifest...
+    assert read_sink(spark, out).count() == 20
+    # ...but the pre-vacuum frame now scans deleted dirs: wrong or failed
+    try:
+        n = df.count()
+    except Exception:
+        n = -1
+    assert n != 20

@@ -220,3 +220,108 @@ class TestWriterFencing:
         cfg = load_config(str(p))
         assert cfg.store.writer_fencing is True
         assert cfg.store.writer_lease_secs == 45.5
+
+
+# ------------------------------------------------ schema evolution (r11) ---
+
+
+class TestSchemaEvolution:
+    def _run_pump(self, spark, src, out, ckpt, map_schema, store):
+        from pyspark.sql import types as T
+
+        from mqtt_message_pump_spark.streaming.pump import start_stream_pump
+
+        schema = T.StructType(
+            [
+                T.StructField("topic", T.StringType()),
+                T.StructField("payload", T.StringType()),
+                T.StructField("received_time", T.TimestampType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = start_stream_pump(
+            spark, stream, str(out), str(ckpt), trigger_secs=1,
+            map_schema=map_schema, store=store,
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    def test_widened_payload_mid_stream_null_fills_old_rows(self, spark, tmp_path):
+        """The managed upgrade the reference declines (data_adapter.go:
+        114-124 warns on drift, never widens): run the pump with payload
+        schema v1, restart with a WIDENED v2 over the SAME sink
+        (schema_evolution on), and read back with by-name union -- v1
+        rows NULL-filled in the new column, v2 rows carrying values,
+        exact counts preserved across the boundary."""
+        import json as J
+
+        from pyspark.sql import types as T
+
+        from mqtt_message_pump_spark.config import StoreConf
+        from mqtt_message_pump_spark.sinks import read_sink
+
+        src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+        src.mkdir()
+        store = StoreConf(commit_protocol="manifest", schema_evolution=True)
+
+        def write_batch(name, start, n, extra=False):
+            lines = []
+            for i in range(start, start + n):
+                rec = {"k": i}
+                if extra:
+                    rec["score"] = i / 2.0
+                lines.append(J.dumps({
+                    "topic": "pump/t0",
+                    "payload": J.dumps({"r1": rec}),
+                    "received_time": f"2024-01-01T00:00:{i % 60:02d}.000Z",
+                }))
+            (src / name).write_text("\n".join(lines))
+
+        v1 = T.MapType(
+            T.StringType(), T.StructType([T.StructField("k", T.LongType())])
+        )
+        v2 = T.MapType(
+            T.StringType(),
+            T.StructType([
+                T.StructField("k", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]),
+        )
+        write_batch("a.json", 0, 6, extra=False)
+        self._run_pump(spark, src, out, ckpt, v1, store)
+        write_batch("b.json", 100, 4, extra=True)
+        self._run_pump(spark, src, out, ckpt, v2, store)
+
+        flat = read_sink(spark, str(out / "json_message"), merge_schema=True)
+        assert "score" in flat.columns
+        assert flat.count() == 10
+        old = flat.filter(F.col("k") < 100)
+        new = flat.filter(F.col("k") >= 100)
+        assert old.count() == 6
+        assert old.filter(F.col("score").isNull()).count() == 6
+        assert new.filter(F.col("score").isNotNull()).count() == 4
+        # raw table untouched by evolution (payload stays a string)
+        assert read_sink(spark, str(out / "raw_message")).count() == 10
+
+        # default strict read refuses the silent union (loud beats quiet)
+        with pytest.raises(Exception):
+            read_sink(spark, str(out / "json_message")).collect()
+
+        # compaction converges the sink on the WIDE schema; reads stay
+        # exact afterwards even without merge (one schema remains)
+        from mqtt_message_pump_spark.sinks import compact_sink, vacuum_sink
+
+        # keep_last=0: the pump is stopped, nothing can replay
+        assert compact_sink(spark, str(out / "json_message"), keep_last=0)
+        vacuum_sink(spark, str(out / "json_message"))
+        flat2 = read_sink(spark, str(out / "json_message"), merge_schema=True)
+        assert flat2.count() == 10
+        assert flat2.filter(F.col("score").isNull()).count() == 6
+
+    def test_ini_key_routes_schema_evolution(self, tmp_path):
+        from mqtt_message_pump_spark.config import load_config
+
+        p = tmp_path / "pump.ini"
+        p.write_text("[store]\npath = /tmp/x\nschemaevolution = true\n")
+        assert load_config(str(p)).store.schema_evolution is True

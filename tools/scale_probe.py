@@ -119,16 +119,30 @@ def build(spark, src: str, dst: str, mult: int, tables=None) -> None:
         if os.path.isdir(f"{dst}/{name}.parquet"):
             continue
         base = spark.read.parquet(f"{src}/{name}.parquet")
-        out = None
-        for i in range(mult):
-            cols = {id_col: F.col(id_col) + F.lit(i * offset)}
+        if mult > 100:
+            # a mult-way union plan collapses at 1000x; one broadcast
+            # crossJoin against range(mult) generates the same derived
+            # corpus in a single codegen stage
+            rep = F.broadcast(
+                spark.range(mult).withColumnRenamed("id", "__rep")
+            )
+            cols = {id_col: F.col(id_col) + F.col("__rep") * F.lit(offset)}
             if name == "events":
-                cols["user_id"] = F.col("user_id") + F.lit(i * 10_000_000)
-            part = base.withColumns(cols)
-            out = part if out is None else out.unionAll(part)
+                cols["user_id"] = (
+                    F.col("user_id") + F.col("__rep") * F.lit(10_000_000)
+                )
+            out = base.crossJoin(rep).withColumns(cols).drop("__rep")
+        else:
+            out = None
+            for i in range(mult):
+                cols = {id_col: F.col(id_col) + F.lit(i * offset)}
+                if name == "events":
+                    cols["user_id"] = F.col("user_id") + F.lit(i * 10_000_000)
+                part = base.withColumns(cols)
+                out = part if out is None else out.unionAll(part)
         writer = out
         if mult >= 100:
-            writer = out.repartition(64)
+            writer = out.repartition(max(64, min(512, mult)))
         writer.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     for name in COPIED:
         if tables is not None and name not in tables:
