@@ -1092,6 +1092,12 @@ def vacuum_sink(
     for st in fs.globStatus(HPath(f"{table_path}/_manifests/.tmp-*")):
         fs.delete(st.getPath(), False)
         removed.append(f"_manifests/{st.getPath().getName()}")
+    # stranded writer-lease tmp objects (crash between create and the
+    # rename in _publish_writer_lease); the live _writer.json is never
+    # touched -- lease expiry, not vacuum, retires stale leases
+    for st in fs.globStatus(HPath(f"{table_path}/.tmp-writer-*")):
+        fs.delete(st.getPath(), False)
+        removed.append(st.getPath().getName())
     return removed
 
 

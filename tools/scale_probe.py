@@ -131,7 +131,15 @@ def build(spark, src: str, dst: str, mult: int, tables=None) -> None:
                 cols["user_id"] = (
                     F.col("user_id") + F.col("__rep") * F.lit(10_000_000)
                 )
-            out = base.crossJoin(rep).withColumns(cols).drop("__rep")
+            # spread the base before the multiplying crossJoin: a small
+            # base parquet is one input split, and 1000x-ing it in a
+            # single task serializes the whole build
+            out = (
+                base.repartition(32)
+                .crossJoin(rep)
+                .withColumns(cols)
+                .drop("__rep")
+            )
         else:
             out = None
             for i in range(mult):
