@@ -214,4 +214,8 @@ def test_maintain_compacts_and_vacuums_manifest_sinks(spark, tmp_path):
             for n in os.listdir(out / sub / "_manifests")
             if n.endswith(".json")
         ]
-        assert len(manifests) == 2  # compact + the kept last batch
+        # r11: maintain snapshots after compacting, folding the compact
+        # manifest + the kept last batch into ONE snapshot object -- the
+        # whole listing is a single manifest open afterwards
+        assert len(manifests) == 1, manifests
+        assert manifests[0].startswith("s-")
