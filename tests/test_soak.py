@@ -275,11 +275,17 @@ def test_live_soak_abrupt_kills_exactly_once(spark, tmp_path, commit_protocol):
             spark, stream, str(out), str(ckpt),
             trigger_secs=1, dedupe_watermark="30 seconds",
             # manifest mode also runs in-line maintenance every 3rd
-            # batch -- compaction + vacuum racing the kill/restart
-            # schedule is exactly the everything-on production config
+            # batch (compaction + vacuum) and snapshots every 2nd, with
+            # writer fencing on -- ALL the r10/r11 machinery racing the
+            # kill/restart schedule is exactly the everything-on
+            # production config; the restarted pump must resume the
+            # lease instantly (owner = checkpoint epoch) and the
+            # snapshot overlay must keep replayed batches exactly-once
             store=StoreConf(
                 commit_protocol=commit_protocol,
                 compact_every=3 if commit_protocol == "manifest" else 0,
+                snapshot_every=2 if commit_protocol == "manifest" else 0,
+                writer_fencing=(commit_protocol == "manifest"),
             ),
         )
 

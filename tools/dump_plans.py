@@ -85,6 +85,9 @@ HEADLINE = [
     # round-10: the exact-dup pre-collapse twin (cost tracks distinct
     # content; SCALE.md SS10b)
     "q_dedup_groups_collapsed",
+    # round-11: the auto-selected path (dup-ratio estimate picks
+    # collapse vs direct; SCALE.md SS10b r11 note)
+    "q_dedup_groups_auto",
     "q_bm25_top",
     "q_lm_score",
     "q_audio_energy",

@@ -26,7 +26,76 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def read_mode(n_batches: int) -> None:
+    """End-to-end decomposition at ``n_batches`` REAL committed batches:
+    full ``read_sink`` count (listing + plan + scan) measured raw, after
+    a snapshot (listing folded, plan still one scan per batch), and
+    after compact+snapshot (plan folded too).  The two maintenance ops
+    fix DIFFERENT costs; this prints both fixed."""
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("manifest-read-probe")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import (
+        compact_sink,
+        read_sink,
+        snapshot_sink,
+        vacuum_sink,
+        write_append,
+    )
+
+    def timed(fn, reps=3):
+        xs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            xs.append(time.perf_counter() - t0)
+        return statistics.median(xs)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = f"{tmp}/raw_message"
+        store = StoreConf(commit_protocol="manifest")
+        base = spark.createDataFrame(
+            [(f"m{i}", "t", "p", "2024-01-02") for i in range(4)],
+            ["mid", "topic", "payload", "d"],
+        ).select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date("d").alias("collect_date"),
+        ).coalesce(1).localCheckpoint()
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            write_append(base, store, out, batch_id=b)
+        build = time.perf_counter() - t0
+        n_rows = 4 * n_batches
+        raw = timed(lambda: read_sink(spark, out).count())
+        assert read_sink(spark, out).count() == n_rows
+        snapshot_sink(spark, out)
+        snapped = timed(lambda: read_sink(spark, out).count())
+        assert read_sink(spark, out).count() == n_rows
+        compact_sink(spark, out, keep_last=1)
+        snapshot_sink(spark, out, min_uncovered=1)
+        vacuum_sink(spark, out)
+        compacted = timed(lambda: read_sink(spark, out).count())
+        assert read_sink(spark, out).count() == n_rows
+        print(
+            f"{n_batches} batches ({build:.0f}s to commit): "
+            f"read raw {raw:.2f}s -> +snapshot {snapped:.2f}s "
+            f"-> +compact {compacted:.2f}s"
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--read":
+        read_mode(int(sys.argv[2]))
+        return
     counts = [int(a) for a in sys.argv[1:]] or [1000, 10000]
 
     from pyspark.sql import SparkSession
