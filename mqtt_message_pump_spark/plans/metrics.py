@@ -274,34 +274,72 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     EWMA is a sequential fold -- not expressible with Spark window
     frames (each row depends on the previous OUTPUT, not previous
-    inputs) -- so this is the canonical ``applyInPandas`` custom
-    stateful operator: one Arrow batch per user, ordered locally,
-    O(1) state per key, only (user_id, event_id, ts, value) crossing to
-    Python.  Grouping keys shuffle once; group size is per-user event
-    count (activity-bounded, the q_lead_lag assumption), never corpus
-    size.  Cross-engine exactness: alpha 0.5 halves are exact IEEE ops
-    and the DuckDB oracle's recursive CTE replays the identical fold
-    order, so the doubles match bit-for-bit -- a Pandas-UDF operator
-    under the full value-hash gate, not a rows-only concession."""
+    inputs) -- so it crosses to Python, but NOT via per-group
+    ``applyInPandas``: that calls the UDF once per user, and at 100M
+    rows / ~10M users the per-call pandas construction overhead IS the
+    runtime (the r11 1000x probe measured 54x; the fold itself is C).
+    Instead: hash-repartition by user, sort (user, ts, event_id)
+    within partitions, then ONE ``mapInPandas`` fold whose per-Arrow-
+    batch kernel is a single vectorized ``groupby(...).ewm()`` over
+    the ~thousands of users in the batch -- per-group Python overhead
+    drops from one UDF call per user to one C call per batch.  A
+    user's rows can span Arrow batch boundaries inside a partition, so
+    the kernel holds back the trailing (possibly incomplete) group of
+    each batch and prepends it to the next -- group-boundary realign,
+    not state carry, so every user's fold still runs as ONE contiguous
+    C recursion (groups never span partitions: the repartition is on
+    the group key).  Re-probed at 1000x: 10.7x vs the per-group
+    operator's 54.4x (docs/SCALE.md SS10c).
+
+    Cross-engine exactness: alpha 0.5 halves are exact IEEE ops,
+    ``ewm(adjust=False)`` is the identical y_t = (1-a)y_{t-1} + a*x_t
+    recursion in C, and rows are pre-sorted to the oracle's fold order,
+    so the doubles match the recursive CTE bit-for-bit -- a Pandas-UDF
+    operator under the full value-hash gate, not a rows-only
+    concession."""
     import pandas as pd
 
-    events = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+    events = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
     )
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        # pandas ewm(adjust=False) is the identical recursion
-        # y_t = (1-a)*y_{t-1} + a*x_t computed in C -- bit-for-bit the
-        # Python loop (and the oracle's recursive CTE), ~10x faster
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "ewma": pdf["value"].ewm(alpha=0.5, adjust=False).mean(),
-            }
-        )
+    def fold(batches):
+        def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+            ewma = (
+                pdf.groupby("user_id", sort=False)["value"]
+                .ewm(alpha=0.5, adjust=False)
+                .mean()
+                .reset_index(level=0, drop=True)
+            )
+            return pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "ewma": ewma,
+                }
+            )
 
-    return events.groupBy("user_id").applyInPandas(
-        ewma, "user_id bigint, event_id bigint, ewma double"
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # rows are sorted by user_id, so the last user's rows are
+            # the contiguous tail: hold them back until the next batch
+            # proves the group complete
+            tail_n = int((pdf["user_id"] == pdf["user_id"].iloc[-1]).sum())
+            head = pdf.iloc[: len(pdf) - tail_n]
+            carry = pdf.iloc[len(pdf) - tail_n:]
+            if len(head):
+                yield compute(head)
+        if carry is not None and len(carry):
+            yield compute(carry)
+
+    return events.mapInPandas(
+        fold, "user_id bigint, event_id bigint, ewma double"
     )

@@ -39,7 +39,7 @@ KEYS = [
     "q_cross_dedup",  # fingerprint-window argmin keep rule
     "q_corpus_mix",  # hash-draw vs broadcast per-source rates
     "q_token_budget",  # double shares from windowed integer sums
-    "q_ewma_smooth",  # applyInPandas sequential fold per key
+    "q_ewma_smooth",  # mapInPandas realigned-batch sequential fold per key
     # round-4 second/third batches
     "q_quality_ecdf",  # cumulative window over compacted distinct values
     "q_entropy_score",  # quantized-ln integer sums across two agg levels
