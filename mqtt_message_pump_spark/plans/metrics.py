@@ -177,7 +177,12 @@ def q_stage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages = events.groupBy(F.col("event_type").alias("stage")).agg(
         F.count("*").alias("cnt")
     )
-    w = Window.orderBy("stage")
+    # the lag is inherently global ACROSS stages, but the input is the
+    # aggregated stage frame (one row per event_type -- dimension
+    # cardinality, never SF): the constant partition key states that
+    # boundedness explicitly and silences WindowExec's no-partition
+    # warning without changing the (identical single-partition) plan
+    w = Window.partitionBy(F.lit(0)).orderBy("stage")
     return stages.select(
         "stage",
         "cnt",
