@@ -783,6 +783,15 @@ def append_batch_manifest(
         "epoch": epoch,
         "dir": attempt,
         "files": sorted(files),
+        # partition values present in this batch (from the already-
+        # globbed paths -- zero extra IO): manifest-level pruning lets
+        # read_sink(dates=...) skip entire batches before planning, the
+        # Delta file-skipping idea at manifest granularity.  A year of
+        # 1-minute batches holds ~1440 batches per date -- a point query
+        # plans O(matching batches) scans instead of O(all batches).
+        "dates": sorted(
+            {f.split("collect_date=")[1].split("/")[0] for f in files}
+        ),
     }
     if epoch:
         # retire a prior attempt's UNSCOPED manifest for this batch id
@@ -944,7 +953,10 @@ def _read_manifests(fs, HPath, table_path: str) -> list[dict]:
 
 
 def read_sink(
-    spark: SparkSession, table_path: str, merge_schema: bool = False
+    spark: SparkSession,
+    table_path: str,
+    merge_schema: bool = False,
+    dates: "list[str] | None" = None,
 ) -> DataFrame:
     """Read one sink table regardless of its commit protocol.
 
@@ -965,19 +977,45 @@ def read_sink(
     semantics (the managed-table analog is Delta's mergeSchema write
     option).  Default False: the reference freezes the inferred schema
     per run (``data_adapter.go:114-124`` warns on drift, never widens),
-    and an unexpected schema union is better loud than silent."""
+    and an unexpected schema union is better loud than silent.
+
+    ``dates`` (an iterable of ``collect_date`` strings) is
+    MANIFEST-LEVEL partition pruning: batches whose recorded ``dates``
+    stat (written by the commit and by compaction at zero extra IO --
+    the partition values are in the already-globbed paths) is disjoint
+    from the request are skipped before any scan is planned.  Per-scan
+    partition pruning already keeps non-matching FILES unread, but at
+    a year of 1-minute batches a point query would still PLAN ~500k
+    scans; with the stat it plans only the ~1440 batches containing
+    the date -- Delta file-skipping at manifest granularity.
+    Manifests from before the stat existed carry no ``dates`` field
+    and are conservatively kept (pruning never loses rows on old
+    sinks).  The returned frame is NOT additionally row-filtered --
+    compose with ``.filter(col("collect_date") == ...)`` for exact
+    selection (the filter also drives the per-scan pruning)."""
     fs, HPath = _hadoop_fs(spark, table_path)
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not fs.exists(HPath(f"{table_path}/_manifests")):
         return reader.parquet(table_path)
-    dirs = [
-        f"{table_path}/{m['dir']}"
-        for m in _read_manifests(fs, HPath, table_path)
-    ]
-    if not dirs:
+    live = _read_manifests(fs, HPath, table_path)
+    if not live:
         raise ValueError(
             f"manifest sink {table_path} has no committed batches"
         )
+    kept = live
+    if dates is not None:
+        wanted = set(dates)
+        kept = [
+            m for m in live
+            if m.get("dates") is None or wanted & set(m["dates"])
+        ]
+        if not kept:
+            # every batch pruned: an empty frame with the sink's schema
+            from pyspark.sql import functions as F
+
+            any_dir = f"{table_path}/{live[0]['dir']}"
+            return reader.parquet(any_dir).filter(F.lit(False))
+    dirs = [f"{table_path}/{m['dir']}" for m in kept]
     # One scan per attempt dir, unioned: each dir is its own partitioned
     # root (Spark refuses a single multi-root partition discovery across
     # conflicting structures).  Per-batch micro-scans are the standard
@@ -1207,7 +1245,21 @@ def compact_sink(
         f"{table_path}/_manifests",
         name,
         json.dumps(
-            {"kind": "compact", "dir": attempt, "supersedes": supersedes},
+            {
+                "kind": "compact",
+                "dir": attempt,
+                "supersedes": supersedes,
+                # manifest-level pruning metadata survives compaction:
+                # the consolidated batch's date set is the union of its
+                # victims' partitions (read from the written layout, so
+                # it is true regardless of what the victims recorded)
+                "dates": sorted(
+                    p.getPath().getName().split("=", 1)[1]
+                    for p in fs.globStatus(
+                        HPath(f"{table_path}/{attempt}/collect_date=*")
+                    )
+                ),
+            },
             sort_keys=True,
         ).encode("utf-8"),
     )

@@ -819,3 +819,87 @@ def test_vacuum_retention_rule_protects_inflight_reader(spark, tmp_path):
     except Exception:
         n = -1
     assert n != 20
+
+
+def test_manifest_level_date_pruning(spark, tmp_path):
+    """read_sink(dates=...): batches whose recorded date set misses the
+    request are skipped BEFORE planning -- the union plan holds one
+    scan per matching batch, not per committed batch; rows match an
+    exact filter; stat-less (pre-r11) manifests are conservatively
+    kept; the stat survives compaction."""
+    import json as J
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.sinks import compact_sink, snapshot_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    # batches 0-3 on 01-02, batches 4-5 on 01-03
+    for b in range(4):
+        write_append(
+            _frame(spark, range(b * 3, b * 3 + 3), dates=("2024-01-02",)),
+            store, out, batch_id=b,
+        )
+    for b in range(4, 6):
+        write_append(
+            _frame(spark, range(b * 3, b * 3 + 3), dates=("2024-01-03",)),
+            store, out, batch_id=b,
+        )
+
+    pruned = read_sink(spark, out, dates=["2024-01-03"])
+    assert pruned.count() == 6
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # 2 matching batches -> 2 scans (vs 6 without pruning); count the
+    # per-scan Location lines (the node name appears twice per scan in
+    # formatted output: tree + detail section)
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+    full = read_sink(spark, out)
+    assert (
+        full._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        .count("Location: InMemoryFileIndex")
+        == 6
+    )
+    # all pruned -> empty frame, sink schema, no error
+    none = read_sink(spark, out, dates=["1999-01-01"])
+    assert none.count() == 0
+    assert set(none.columns) == set(full.columns)
+
+    # a pre-r11 manifest without the stat must never be skipped
+    mdir = f"{out}/_manifests"
+    name = sorted(n for n in os.listdir(mdir) if n == "b0.json")[0]
+    m = J.loads(open(f"{mdir}/{name}").read())
+    del m["dates"]
+    open(f"{mdir}/{name}", "w").write(J.dumps(m, sort_keys=True))
+    # drop Hadoop LocalFS's sidecar checksum: the out-of-band rewrite
+    # invalidates it and the next fs.open would throw ChecksumException
+    crc = f"{mdir}/.{name}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    legacy = read_sink(spark, out, dates=["2024-01-03"])
+    assert legacy.count() == 9  # b0 (3 rows of 01-02) kept + the 6
+    assert (
+        legacy.filter(F.col("collect_date") == "2024-01-03").count() == 6
+    )
+
+    # compaction recomputes the stat for the consolidated batch
+    assert compact_sink(spark, out, keep_last=1) is not None
+    snapshot_sink(spark, out, min_uncovered=1)
+    vacuum_sink(spark, out)
+    pruned2 = read_sink(spark, out, dates=["2024-01-03"])
+    # compact dir spans both dates -> kept; plus the kept tail batch if
+    # it matches; correctness is the bar (plan amplification returns to
+    # 1-2 scans either way)
+    assert (
+        pruned2.filter(F.col("collect_date") == "2024-01-03").count() == 6
+    )
+    assert read_sink(spark, out).count() == 18
