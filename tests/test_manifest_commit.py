@@ -664,17 +664,19 @@ def test_reader_retries_when_snapshot_cleanup_races_listing(spark, tmp_path, mon
     assert fired["n"] == 1
 
 
-def test_torture_with_snapshots_matches_model(spark, tmp_path):
+@pytest.mark.parametrize("seed", [0x511AB, 0xB0BCAFE])
+def test_torture_with_snapshots_matches_model(spark, tmp_path, seed):
     """The round-10 protocol torture extended with snapshot ops in the
     schedule: appends, latest-batch replays, crash-before-publish,
     compactions, snapshots, and vacuums in seeded random order, checked
-    against the pure model after every step."""
+    against the pure model after every step.  Two seeds = two distinct
+    interleavings of the maintenance ops vs the replay/crash schedule."""
     import random
 
     from mqtt_message_pump_spark import sinks as S
     from mqtt_message_pump_spark.sinks import compact_sink, snapshot_sink
 
-    rng = random.Random(0x511AB)
+    rng = random.Random(seed)
     out = str(tmp_path / "raw_message")
     store = _manifest_store()
     model: dict[int, set[str]] = {}
