@@ -169,7 +169,12 @@ def _local_wal_dir(store_path: str) -> str:
     return wal
 
 
-def cmd_maintain(cfg: PumpConfig, keep_last: int, retention_secs: float) -> int:
+def cmd_maintain(
+    cfg: PumpConfig,
+    keep_last: int,
+    retention_secs: float,
+    drop_dates: "list[str] | None" = None,
+) -> int:
     """Maintenance window for manifest-protocol sinks (this repo's
     extension -- the reference delegates storage maintenance to
     ClickHouse merges): compact each sink's old batches into one attempt
@@ -179,6 +184,7 @@ def cmd_maintain(cfg: PumpConfig, keep_last: int, retention_secs: float) -> int:
     single-writer contract is the operator's responsibility here."""
     from mqtt_message_pump_spark.sinks import (
         compact_sink,
+        drop_dates_sink,
         read_sink,
         snapshot_sink,
         vacuum_sink,
@@ -189,6 +195,10 @@ def cmd_maintain(cfg: PumpConfig, keep_last: int, retention_secs: float) -> int:
     for sub in ("raw_message", "json_message"):
         path = f"{cfg.store.path}/{sub}"
         try:
+            if drop_dates:
+                dropped = drop_dates_sink(spark, path, drop_dates)
+                print(f"{sub}: dropped {len(dropped)} batch manifests "
+                      f"for dates {sorted(set(drop_dates))}")
             name = compact_sink(spark, path, keep_last=keep_last)
             # snapshot AFTER compacting so the new snapshot embeds the
             # compact manifest + tail -- the next reader opens one object
@@ -398,6 +408,16 @@ def main(argv: list[str] | None = None) -> int:
                 "(0 = reclaim everything unreferenced; keep >0 if a "
                 "writer might still be live)",
             )
+            p.add_argument(
+                "--drop-date",
+                action="append",
+                default=None,
+                metavar="YYYY-MM-DD",
+                help="retention enforcement: remove this collect_date "
+                "from both sinks before compacting (repeatable; "
+                "sinks.drop_dates_sink -- tombstones whole batches, "
+                "rewrites straddlers, atomic per batch)",
+            )
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
     if args.command == "show":
@@ -405,7 +425,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "check":
         return cmd_check(cfg)
     if args.command == "maintain":
-        return cmd_maintain(cfg, args.keep_last, args.retention_secs)
+        return cmd_maintain(
+            cfg, args.keep_last, args.retention_secs,
+            drop_dates=args.drop_date,
+        )
     return cmd_run(cfg, args.source_dir, args.duration_secs)
 
 

@@ -922,10 +922,22 @@ def _load_manifest_state(fs, HPath, table_path: str) -> dict:
             superseded: set[str] = set()
             for m in manifests.values():
                 superseded.update(m.get("supersedes", []))
+            live = [m for n, m in manifests.items() if n not in superseded]
+            # a drop tombstone (dir-less, supersedes-only -- see
+            # drop_dates_sink) stays live only while at least one of
+            # its victims is still REACHABLE (standalone file or
+            # snapshot-embedded): reachable victims need the tombstone
+            # to stay retired, and a crash mid-vacuum must never
+            # resurrect them.  Once every victim is gone the tombstone
+            # is inert -- dropping it here lets the next snapshot stop
+            # embedding it and vacuum reclaim its file.
+            live = [
+                m for m in live
+                if "dir" in m
+                or any(v in manifests for v in m.get("supersedes", []))
+            ]
             return {
-                "live": [
-                    m for n, m in manifests.items() if n not in superseded
-                ],
+                "live": live,
                 "latest_snap": latest[2] if latest else None,
                 "latest_snap_seq": latest[0] if latest else 0,
                 "embedded": embedded,
@@ -997,7 +1009,11 @@ def read_sink(
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not fs.exists(HPath(f"{table_path}/_manifests")):
         return reader.parquet(table_path)
-    live = _read_manifests(fs, HPath, table_path)
+    # dir-less manifests (drop tombstones) carry only a supersedes set;
+    # they contribute no scan
+    live = [
+        m for m in _read_manifests(fs, HPath, table_path) if "dir" in m
+    ]
     if not live:
         raise ValueError(
             f"manifest sink {table_path} has no committed batches"
@@ -1069,7 +1085,7 @@ def vacuum_sink(
     state = _load_manifest_state(fs, HPath, table_path)
     live = state["live"]
     live_names = {m["name"] for m in live}
-    referenced = {m["dir"] for m in live}
+    referenced = {m["dir"] for m in live if "dir" in m}
     latest_snap = state["latest_snap"]
     removed = []
     now_ms = None
@@ -1172,7 +1188,12 @@ def compact_sink(
     import re
 
     fs, HPath = _hadoop_fs(spark, table_path)
-    manifests = _read_manifests(fs, HPath, table_path)
+    # drop tombstones (dir-less) are metadata, not data: never
+    # compaction victims -- they expire via the loader's inert-tombstone
+    # rule once their victims are unreachable
+    manifests = [
+        m for m in _read_manifests(fs, HPath, table_path) if "dir" in m
+    ]
     stamped = []
     for m in manifests:
         # recency = (publish stamp, numeric batch id): a bare mtime sort
@@ -1353,6 +1374,94 @@ def snapshot_sink(
             continue  # already gone
         fs.delete(p, False)
     return name
+
+
+def drop_dates_sink(
+    spark: SparkSession, table_path: str, dates: "list[str]"
+) -> list[str]:
+    """Retention enforcement on a manifest sink: remove every row whose
+    ``collect_date`` is in ``dates``, atomically per batch, with no
+    torn-read window -- the GDPR/right-to-erasure shape the reference
+    delegates to ClickHouse ``ALTER TABLE DROP PARTITION``
+    (``data_dbstore.go`` has no analog; ClickHouse merges do it
+    server-side).  Run from the maintenance window (single-writer
+    contract, same as compact/vacuum).
+
+    Per live batch (via the ``dates`` pruning stat, so untouched batches
+    cost one manifest read and nothing else):
+
+    - batch entirely inside the drop set: publish a ``kind: "drop"``
+      tombstone manifest superseding it -- no data rewrite at all, the
+      whole batch disappears at one atomic publish;
+    - batch straddling the drop set: rewrite the attempt dir WITHOUT the
+      dropped date partitions into a fresh attempt, republish the SAME
+      batch key pointing at it -- the standard atomic batch swap, so a
+      concurrent reader sees the old rows or none of them, never half.
+
+    Data files are only ever deleted later by :func:`vacuum_sink` under
+    the retention rule, so in-flight readers finish their scans.
+    Returns the names of the manifests republished or tombstoned."""
+    import json
+    import uuid
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    drop = set(dates)
+    touched = []
+    for m in _read_manifests(fs, HPath, table_path):
+        mdates = m.get("dates")
+        if mdates is None:
+            # pre-stat manifest: derive from the layout (one glob)
+            mdates = [
+                p.getPath().getName().split("=", 1)[1]
+                for p in fs.globStatus(
+                    HPath(f"{table_path}/{m['dir']}/collect_date=*")
+                )
+            ]
+        hit = drop & set(mdates)
+        if not hit:
+            continue
+        keep = sorted(set(mdates) - drop)
+        if not keep:
+            tomb = f"d-{uuid.uuid4().hex[:12]}.json"
+            _publish_manifest(
+                fs, HPath, f"{table_path}/_manifests", tomb,
+                json.dumps(
+                    {"kind": "drop", "supersedes": [m["name"]]},
+                    sort_keys=True,
+                ).encode("utf-8"),
+            )
+            touched.append(tomb)
+            continue
+        from pyspark.sql import functions as F
+
+        kept_df = spark.read.parquet(f"{table_path}/{m['dir']}").filter(
+            ~F.col("collect_date").isin(sorted(hit))
+        )
+        attempt = f"_data/r-{uuid.uuid4().hex[:8]}"
+        (
+            kept_df.repartition("collect_date")
+            .write.mode("overwrite")
+            .partitionBy("collect_date")
+            .parquet(f"{table_path}/{attempt}")
+        )
+        files = sorted(
+            f"{attempt}/{p.getPath().getParent().getName()}/"
+            f"{p.getPath().getName()}"
+            for p in fs.globStatus(
+                HPath(f"{table_path}/{attempt}/collect_date=*/*")
+            )
+            if not p.getPath().getName().startswith(("_", "."))
+        )
+        payload = dict(m)
+        payload.pop("ts", None)
+        name = payload.pop("name")
+        payload.update({"dir": attempt, "files": files, "dates": keep})
+        _publish_manifest(
+            fs, HPath, f"{table_path}/_manifests", name,
+            json.dumps(payload, sort_keys=True).encode("utf-8"),
+        )
+        touched.append(name)
+    return touched
 
 
 def write_training_shards(

@@ -905,3 +905,86 @@ def test_manifest_level_date_pruning(spark, tmp_path):
         pruned2.filter(F.col("collect_date") == "2024-01-03").count() == 6
     )
     assert read_sink(spark, out).count() == 18
+
+
+def test_drop_dates_sink_retention_enforcement(spark, tmp_path):
+    """GDPR-style date removal through the manifest protocol
+    (``drop_dates_sink``): a batch entirely inside the drop set
+    disappears via ONE tombstone publish (zero data rewrite); a
+    straddling batch is rewritten without the dropped partitions and
+    atomically swapped under its own key; untouched batches are not
+    rewritten; vacuum then reclaims the old attempts, and once a
+    tombstone's victims are unreachable the tombstone itself expires."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.sinks import drop_dates_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    # b0: pure 01-02 (tombstone case); b1: straddles 01-02/01-03
+    # (rewrite case); b2: pure 01-03 (untouched)
+    write_append(_frame(spark, range(4), dates=("2024-01-02",)),
+                 store, out, batch_id=0)
+    write_append(
+        _frame(spark, range(4, 10), dates=("2024-01-02", "2024-01-03")),
+        store, out, batch_id=1,
+    )
+    write_append(_frame(spark, range(10, 13), dates=("2024-01-03",)),
+                 store, out, batch_id=2)
+    assert read_sink(spark, out).count() == 13
+    b2_dir_before = json.loads(
+        open(f"{out}/_manifests/b2.json").read()
+    )["dir"]
+
+    touched = drop_dates_sink(spark, out, ["2024-01-02"])
+    assert len(touched) == 2  # tombstone for b0 + republished b1
+
+    after = read_sink(spark, out)
+    assert after.count() == 6  # b1's three 01-03 rows + b2's three
+    assert after.filter(F.col("collect_date") == "2024-01-02").count() == 0
+    # untouched batch not rewritten (same attempt dir)
+    assert json.loads(
+        open(f"{out}/_manifests/b2.json").read()
+    )["dir"] == b2_dir_before
+    # pruning stat reflects the drop
+    assert read_sink(spark, out, dates=["2024-01-02"]).count() == 0
+
+    # old attempts reclaimed; the tombstone survives while its victim
+    # manifest file still exists... (vacuum deletes victim file + dirs)
+    removed = vacuum_sink(spark, out)
+    assert any(r.startswith("_data/b0-") for r in removed)
+    assert read_sink(spark, out).count() == 6
+    # ...and once the victim is unreachable the tombstone expires too
+    removed2 = vacuum_sink(spark, out)
+    tombs = [n for n in os.listdir(f"{out}/_manifests") if n.startswith("d-")]
+    assert tombs == [], (removed, removed2, tombs)
+    assert read_sink(spark, out).count() == 6
+
+
+def test_drop_dates_after_snapshot_retires_embedded_batch(spark, tmp_path):
+    """Drop interplay with snapshots: the victim lives only INSIDE a
+    snapshot (no standalone file), so the tombstone's supersedes is the
+    only thing that can retire it -- and it does, atomically."""
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.sinks import drop_dates_sink, snapshot_sink
+
+    out = str(tmp_path / "raw_message")
+    store = _manifest_store()
+    write_append(_frame(spark, range(5), dates=("2024-01-02",)),
+                 store, out, batch_id=0)
+    write_append(_frame(spark, range(5, 8), dates=("2024-01-03",)),
+                 store, out, batch_id=1)
+    assert snapshot_sink(spark, out) is not None  # b0/b1 embedded only
+
+    drop_dates_sink(spark, out, ["2024-01-02"])
+    after = read_sink(spark, out)
+    assert after.count() == 3
+    assert after.filter(F.col("collect_date") == "2024-01-02").count() == 0
+    # a later snapshot + vacuum converge to a clean single-object state
+    snapshot_sink(spark, out, min_uncovered=1)
+    vacuum_sink(spark, out)
+    vacuum_sink(spark, out)
+    assert read_sink(spark, out).count() == 3
