@@ -307,6 +307,7 @@ def write_append(
     cluster: bool = True,
     batch_id: int | None = None,
     epoch: str | None = None,
+    lease_owner: str | None = None,
 ) -> None:
     """Append a batch to one sink table (streaming ``foreachBatch`` path).
 
@@ -327,11 +328,16 @@ def write_append(
         if getattr(store, "writer_fencing", False):
             # fail-fast single-writer fence: a second pump misconfigured
             # onto this table_path raises WriterFenced here, BEFORE any
-            # data or manifest of the interloper lands.  Owner identity
-            # is the checkpoint epoch, so a kill/restart of the same
+            # data or manifest of the interloper lands.  Owner identity:
+            # ``lease_owner`` (the pump derives a DETERMINISTIC id from
+            # its checkpoint dir path, stable even when the checkpoint
+            # epoch is transiently unreadable -- ADVICE r11: an
+            # epoch-None fallback to a random uuid made a restarted pump
+            # fence ITSELF against its own still-fresh lease for up to
+            # lease_secs), else the epoch, so a kill/restart of the same
             # checkpoint resumes ownership instantly.
             ensure_writer_lease(
-                df.sparkSession, table_path, owner=epoch,
+                df.sparkSession, table_path, owner=lease_owner or epoch,
                 lease_secs=getattr(store, "writer_lease_secs", 120.0),
             )
         if getattr(store, "commit_protocol", "rename") == "manifest":
@@ -573,17 +579,24 @@ def ensure_writer_lease(
     restart's epoch-owner, so its renewals are harmless to the restart
     and fence third parties exactly as the live query would."""
     import socket
+    import time as _time
     import uuid as _uuid
 
     fs, HPath = _hadoop_fs(spark, table_path)
     lease_path = HPath(f"{table_path}/_writer.json")
-    cur, cur_mtime = None, 0
-    if fs.exists(lease_path):
+
+    def _read_lease():
+        if not fs.exists(lease_path):
+            return None, 0
         try:
-            cur = _read_json_object(fs, HPath, f"{table_path}/_writer.json")
-            cur_mtime = fs.getFileStatus(lease_path).getModificationTime()
+            return (
+                _read_json_object(fs, HPath, f"{table_path}/_writer.json"),
+                fs.getFileStatus(lease_path).getModificationTime(),
+            )
         except _ManifestVanished:
-            cur = None
+            return None, 0
+
+    cur, cur_mtime = _read_lease()
     mine = _WRITER_LEASES.get(table_path)
     if mine is not None:
         if cur is not None and (
@@ -595,8 +608,20 @@ def ensure_writer_lease(
                 f"{cur.get('owner')} (token {cur.get('token')} > "
                 f"{mine['token']}); this writer must stop"
             )
-        _publish_writer_lease(fs, HPath, table_path, mine)
+        _renew_writer_lease(fs, HPath, table_path, mine)
         return mine
+    if cur is None:
+        # Absence-window guard (ADVICE r11): a renewal that has to fall
+        # back to delete-then-rename makes _writer.json vanish for a
+        # moment on EVERY batch of the legitimate writer.  A claimant
+        # whose read lands in that window would skip the active-lease
+        # age check, claim token 1, and fence out the live writer on
+        # its next check.  One delayed re-read outlasts the window
+        # (renewals on stores without setTimes are two metadata ops):
+        # if a lease reappears, it is an ACTIVE writer mid-renewal and
+        # the normal age check below applies to it.
+        _time.sleep(0.2)
+        cur, cur_mtime = _read_lease()
     if owner is None:
         owner = f"{socket.gethostname()}-{_uuid.uuid4().hex[:8]}"
     if cur is not None and cur.get("owner") != owner:
@@ -643,6 +668,22 @@ def _publish_writer_lease(fs, HPath, table_path: str, lease: dict) -> None:
         fs.delete(dest, False)
     if not fs.rename(tmp, dest):
         raise IOError(f"writer lease publish {tmp} -> {dest} failed")
+
+
+def _renew_writer_lease(fs, HPath, table_path: str, lease: dict) -> None:
+    """Renew the holder's lease WITHOUT an absence window.  The lease
+    content (owner, token, lease_secs) never changes on renewal -- only
+    the file mtime is the renewal stamp -- so the primary path bumps the
+    mtime in place (``FileSystem.setTimes``: atomic, the file never
+    vanishes; supported on local FS and HDFS).  Stores that reject
+    setTimes (S3A) fall back to the delete-then-rename republish, whose
+    brief absence window is covered by the claimant-side delayed re-read
+    in :func:`ensure_writer_lease` (ADVICE r11)."""
+    try:
+        now = _fs_now_ms(fs, HPath, table_path)
+        fs.setTimes(HPath(f"{table_path}/_writer.json"), now, -1)
+    except Exception:
+        _publish_writer_lease(fs, HPath, table_path, lease)
 
 
 def release_writer_lease(spark: SparkSession, table_path: str) -> bool:
@@ -747,10 +788,38 @@ def append_batch_manifest(
     manifest-table design.
     """
     import json
+    import re
     import uuid
 
     spark = df.sparkSession
     key = _batch_key(batch_id, epoch)
+    if epoch is None:
+        # Epoch-blind guard (the write-side twin of the loader's
+        # time-scoped supersedes, ADVICE r11): if a SCOPED manifest for
+        # this batch id is already live, this attempt is a replay whose
+        # checkpoint-epoch read transiently failed.  Publishing an
+        # unscoped twin now would leave BOTH live (the scoped manifest's
+        # supersedes entry is time-scoped and cannot retire a newer
+        # file), duplicating the batch.  Fail the batch instead -- the
+        # replay re-runs, by which time the epoch (persisted checkpoint
+        # metadata) is readable and the republish swaps the scoped key
+        # atomically.  A lineage that NEVER uses epochs has no scoped
+        # manifests, so this listing (O(1) under snapshots) passes.
+        fs0, HPath0 = _hadoop_fs(spark, table_path)
+        if fs0.exists(HPath0(f"{table_path}/_manifests")):
+            pat = re.compile(rf"^b[0-9a-f]+-{batch_id}\.json$")
+            clash = [
+                m["name"]
+                for m in _read_manifests(fs0, HPath0, table_path)
+                if pat.match(m.get("name", ""))
+            ]
+            if clash:
+                raise IOError(
+                    f"batch {batch_id}: epoch-scoped manifest "
+                    f"{clash[0]} is live but this attempt cannot read "
+                    "the checkpoint epoch; failing the batch for replay "
+                    "rather than publishing an unscoped twin"
+                )
     attempt = f"_data/{key}-a{uuid.uuid4().hex[:8]}"
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     if cluster:
@@ -921,7 +990,29 @@ def _load_manifest_state(fs, HPath, table_path: str) -> dict:
                 manifests[name] = m
             superseded: set[str] = set()
             for m in manifests.values():
-                superseded.update(m.get("supersedes", []))
+                for victim in m.get("supersedes", []):
+                    # A plain BATCH manifest's supersedes entry (the
+                    # epoch-retired unscoped twin, append_batch_manifest)
+                    # is TIME-SCOPED: it retires only a twin published at
+                    # or before its own publish.  The entry lives forever
+                    # (snapshots embed it), and a FUTURE unscoped manifest
+                    # with the same batch id -- a checkpoint-reset lineage
+                    # whose epoch is also unreadable publishing b0.json,
+                    # b1.json... -- must stay visible, not be silently
+                    # retired by the old lineage's lingering entry
+                    # (ADVICE r11).  Compact/drop manifests (``kind``
+                    # present) retire unconditionally: compaction victims
+                    # always predate the compact publish, and a drop
+                    # tombstone must keep retiring even a replay's LATER
+                    # republish of its victim (dropped rows never
+                    # resurrect).
+                    if (
+                        "kind" not in m
+                        and victim in manifests
+                        and manifests[victim].get("ts", 0) > m.get("ts", 0)
+                    ):
+                        continue
+                    superseded.add(victim)
             live = [m for n, m in manifests.items() if n not in superseded]
             # a drop tombstone (dir-less, supersedes-only -- see
             # drop_dates_sink) stays live only while at least one of
@@ -964,11 +1055,40 @@ def _read_manifests(fs, HPath, table_path: str) -> list[dict]:
     return _load_manifest_state(fs, HPath, table_path)["live"]
 
 
+def list_snapshots(spark: SparkSession, table_path: str) -> list[dict]:
+    """The sink's published snapshots, oldest first: ``[{"seq", "name",
+    "ts"}]`` -- the pinnable corpus versions for
+    :func:`read_sink`'s ``as_of``.  Only snapshots still on disk are
+    listed (older ones age out under :func:`vacuum_sink`'s retention
+    rule), so an entry here is a version a reader can still open."""
+    fs, HPath = _hadoop_fs(spark, table_path)
+    out = []
+    for st in fs.globStatus(HPath(f"{table_path}/_manifests/s-*.json")):
+        name = st.getPath().getName()
+        seq = _snap_seq(name)
+        if seq is not None:
+            out.append(
+                {"seq": seq, "name": name, "ts": st.getModificationTime()}
+            )
+    return sorted(out, key=lambda s: s["seq"])
+
+
+class SnapshotUnreadable(IOError):
+    """A pinned snapshot (``read_sink(as_of=...)``) cannot be served:
+    either the snapshot object itself was vacuumed past retention, or
+    one of the attempt directories it names was reclaimed (a
+    compaction's victims aged out).  Pinned reads are only guaranteed
+    within the vacuum retention window -- size ``retention_secs`` to
+    cover the longest-lived pin (the same rule as in-flight readers,
+    :func:`vacuum_sink`)."""
+
+
 def read_sink(
     spark: SparkSession,
     table_path: str,
     merge_schema: bool = False,
     dates: "list[str] | None" = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Read one sink table regardless of its commit protocol.
 
@@ -1004,16 +1124,70 @@ def read_sink(
     and are conservatively kept (pruning never loses rows on old
     sinks).  The returned frame is NOT additionally row-filtered --
     compose with ``.filter(col("collect_date") == ...)`` for exact
-    selection (the filter also drives the per-scan pruning)."""
+    selection (the filter also drives the per-scan pruning).
+
+    ``as_of`` pins the read to one SNAPSHOT's exact batch set (the
+    ``seq`` from :func:`list_snapshots` / :func:`snapshot_sink`):
+    the snapshot's embedded manifests are resolved verbatim, with NO
+    standalone-manifest overlay -- concurrent appends, replay
+    republishes, compactions and drops published after the snapshot are
+    all invisible, so every epoch of a training run reading the same
+    pin sees bit-identical rows (Delta/Iceberg time travel, reduced to
+    the snapshot log).  The pin is only servable within the vacuum
+    retention window: a missing snapshot object or a reclaimed attempt
+    dir raises :class:`SnapshotUnreadable` LOUDLY up front (never a
+    partial corpus) -- size ``vacuum_sink(retention_secs=...)`` to
+    exceed the longest-lived pin, exactly the in-flight-reader rule."""
     fs, HPath = _hadoop_fs(spark, table_path)
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not fs.exists(HPath(f"{table_path}/_manifests")):
+        if as_of is not None:
+            raise SnapshotUnreadable(
+                f"{table_path} is not a manifest sink; as_of requires "
+                "the manifest commit protocol"
+            )
         return reader.parquet(table_path)
-    # dir-less manifests (drop tombstones) carry only a supersedes set;
-    # they contribute no scan
-    live = [
-        m for m in _read_manifests(fs, HPath, table_path) if "dir" in m
-    ]
+    if as_of is not None:
+        snaps = [
+            st
+            for st in fs.globStatus(
+                HPath(f"{table_path}/_manifests/s-*.json")
+            )
+            if _snap_seq(st.getPath().getName()) == as_of
+        ]
+        if not snaps:
+            have = [s["seq"] for s in list_snapshots(spark, table_path)]
+            raise SnapshotUnreadable(
+                f"snapshot seq {as_of} of {table_path} not found "
+                f"(available: {have or 'none'}); it may have aged out "
+                "under the vacuum retention rule -- pinned reads must "
+                "finish (or re-pin) within retention_secs of the pin"
+            )
+        snap = _read_json_object(
+            fs, HPath,
+            f"{table_path}/_manifests/{snaps[0].getPath().getName()}",
+        )
+        live = [m for m in snap.get("manifests", []) if "dir" in m]
+        # fail loudly up front if any pinned attempt dir was reclaimed
+        # (a post-pin compaction's victims vacuumed past retention):
+        # a partial corpus must never be silently served to a training
+        # run that asked for an exact version
+        gone = [
+            m["dir"] for m in live
+            if not fs.exists(HPath(f"{table_path}/{m['dir']}"))
+        ]
+        if gone:
+            raise SnapshotUnreadable(
+                f"snapshot seq {as_of} of {table_path} references "
+                f"{len(gone)} vacuumed attempt dir(s) (e.g. {gone[0]}); "
+                "increase vacuum retention_secs beyond the pin lifetime"
+            )
+    else:
+        # dir-less manifests (drop tombstones) carry only a supersedes
+        # set; they contribute no scan
+        live = [
+            m for m in _read_manifests(fs, HPath, table_path) if "dir" in m
+        ]
     if not live:
         raise ValueError(
             f"manifest sink {table_path} has no committed batches"
@@ -1146,10 +1320,13 @@ def vacuum_sink(
     for st in fs.globStatus(HPath(f"{table_path}/_manifests/.tmp-*")):
         fs.delete(st.getPath(), False)
         removed.append(f"_manifests/{st.getPath().getName()}")
-    # stranded writer-lease tmp objects (crash between create and the
-    # rename in _publish_writer_lease); the live _writer.json is never
-    # touched -- lease expiry, not vacuum, retires stale leases
-    for st in fs.globStatus(HPath(f"{table_path}/.tmp-writer-*")):
+    # stranded root-level probe/tmp objects: writer-lease tmp files
+    # (crash between create and rename in _publish_writer_lease) AND
+    # clock probes (_fs_now_ms crash between create and delete --
+    # ADVICE r11: these previously accumulated forever).  The live
+    # _writer.json is never touched (no .tmp- prefix) -- lease expiry,
+    # not vacuum, retires stale leases.
+    for st in fs.globStatus(HPath(f"{table_path}/.tmp-*")):
         fs.delete(st.getPath(), False)
         removed.append(st.getPath().getName())
     return removed
@@ -1408,6 +1585,12 @@ def drop_dates_sink(
     drop = set(dates)
     touched = []
     for m in _read_manifests(fs, HPath, table_path):
+        if "dir" not in m:
+            # a still-live drop tombstone from a prior retention pass
+            # (victims not yet vacuumed): metadata only, nothing to drop
+            # -- same filter as read_sink/compact_sink (ADVICE r11: the
+            # dir-less fallback below would KeyError and abort the pass)
+            continue
         mdates = m.get("dates")
         if mdates is None:
             # pre-stat manifest: derive from the layout (one glob)

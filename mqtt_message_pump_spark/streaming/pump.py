@@ -404,9 +404,25 @@ def start_stream_pump(
         # file is readable.
         epoch = _epoch_cache.get("epoch")
         if epoch is None:
-            epoch = checkpoint_epoch(batch_df.sparkSession, checkpoint_dir)
-            if epoch is not None:
-                _epoch_cache["epoch"] = epoch
+            # brief retry: the metadata file is written by Spark at query
+            # start, so an unreadable read here is a races-the-first-
+            # batch transient -- two short retries close it in practice
+            # and keep every batch key epoch-scoped (ADVICE r11)
+            import time as _t
+
+            for _ in range(3):
+                epoch = checkpoint_epoch(batch_df.sparkSession, checkpoint_dir)
+                if epoch is not None:
+                    _epoch_cache["epoch"] = epoch
+                    break
+                _t.sleep(0.1)
+        # lease identity must be stable across restarts AND across epoch
+        # readability (a random fallback made a restarted pump fence
+        # itself -- ADVICE r11); the checkpoint dir path is both: one
+        # lineage keeps it, a different pump has a different one
+        import hashlib as _h
+
+        lease_owner = "cp-" + _h.md5(checkpoint_dir.encode()).hexdigest()[:12]
         raw, flat = build_dual_path(batch_df, map_schema)
         obs_raw, obs_flat = Observation(), Observation()
         raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))
@@ -417,7 +433,7 @@ def start_stream_pump(
         write_append(
             raw, batch_store, f"{out_dir}/raw_message",
             batch_store.raw_table_name, cluster=False, batch_id=batch_id,
-            epoch=epoch,
+            epoch=epoch, lease_owner=lease_owner,
         )
         raw_n = obs_raw.get["n"]
         import os as _os
@@ -437,7 +453,7 @@ def start_stream_pump(
         write_append(
             flat, batch_store, f"{out_dir}/json_message",
             batch_store.adapter_table_name, cluster=False,
-            batch_id=batch_id, epoch=epoch,
+            batch_id=batch_id, epoch=epoch, lease_owner=lease_owner,
         )
         if counters is not None:
             flat_n = obs_flat.get["n"]
