@@ -662,9 +662,17 @@ class IvfPqIndex:
         so a loaded index is search-result-IDENTICAL to the in-session
         one (asserted in ``tests/test_round7_ops.py``).  Only the
         KB-sized coarse/codebook tables are collected; the codes stay a
-        lazy distributed scan."""
+        lazy distributed scan.
+
+        Versioned layout (:func:`save_index_versioned` /
+        :func:`reindex_ivfpq`): if ``<path>/_current.json`` exists, it
+        names the live generation subdirectory and the load resolves it
+        -- a crash mid-reindex leaves the pointer (and therefore every
+        reader) on the old generation.  A legacy flat layout (no
+        pointer) loads exactly as before."""
         import numpy as np
 
+        path = _resolve_index_generation(spark, path)
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         coarse_rows = spark.read.parquet(f"{path}/coarse").collect()
         coarse = np.array(
@@ -753,6 +761,121 @@ def ivfpq_build(
     return IvfPqIndex(
         coarse, pq_centers, codebooks, codes, id_col, vec_col, m
     )
+
+
+def _resolve_index_generation(spark, path: str) -> str:
+    """Resolve a versioned index root to its live generation dir via the
+    ``_current.json`` pointer; a flat (legacy) layout resolves to
+    itself."""
+    from mqtt_message_pump_spark.sinks import _hadoop_fs, _read_json_object
+
+    fs, HPath = _hadoop_fs(spark, path)
+    ptr = HPath(f"{path}/_current.json")
+    if not fs.exists(ptr):
+        return path
+    cur = _read_json_object(fs, HPath, f"{path}/_current.json")
+    return f"{path}/{cur['gen']}"
+
+
+def save_index_versioned(index: IvfPqIndex, path: str) -> str:
+    """Persist ``index`` as a NEW GENERATION under ``path`` and swap the
+    ``_current.json`` pointer to it atomically (the manifest-publish
+    primitive from the sink protocol: single small object, write-tmp-
+    then-move -- atomic destination appearance on every store class).
+
+    Readers (:meth:`IvfPqIndex.load`) resolve the pointer, so:
+    - a crash BEFORE the pointer publish leaves an unreferenced
+      generation dir -- the old index stays fully readable;
+    - a crash AFTER it leaves the new index live and the old dir
+      intact for in-flight readers (reclaimed by the next
+      :func:`reindex_ivfpq`'s ``keep_generations`` sweep).
+
+    Returns the generation directory name."""
+    import json
+    import uuid
+
+    from mqtt_message_pump_spark.sinks import (
+        _hadoop_fs,
+        _publish_manifest,
+        _read_json_object,
+    )
+
+    spark = index.codes.sparkSession
+    fs, HPath = _hadoop_fs(spark, path)
+    seq = 0
+    if fs.exists(HPath(f"{path}/_current.json")):
+        seq = int(
+            _read_json_object(fs, HPath, f"{path}/_current.json").get(
+                "seq", 0
+            )
+        )
+    gen = f"_gen-{seq + 1:06d}-{uuid.uuid4().hex[:8]}"
+    index.save(f"{path}/{gen}")
+    _publish_manifest(
+        fs, HPath, path, "_current.json",
+        json.dumps({"gen": gen, "seq": seq + 1}, sort_keys=True).encode(),
+    )
+    return gen
+
+
+def reindex_ivfpq(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    keep_generations: int = 2,
+    **build_kw,
+) -> IvfPqIndex:
+    """Execute the retrain the drift monitor (:func:`ivfpq_drift`)
+    requests: re-train coarse centers + residual codebooks on a bounded
+    sample of the CURRENT corpus (``vectors`` -- the float embeddings
+    the codes were built from, e.g. the embeddings sink; codes alone
+    are lossy and cannot retrain), re-encode the corpus in one map-only
+    Arrow pass, and swap the persisted index atomically
+    (:func:`save_index_versioned`).  An append-only index whose new
+    vectors fall outside the build-time distribution degrades silently;
+    this closes the monitor's loop.
+
+    Cost shape at 100 TB: one ``max_train``-bounded driver sample +
+    one full encode pass over ``vectors`` (identical to the original
+    build -- the encode IS the corpus-proportional stage) + the
+    KB-sized metadata writes; nothing quadratic, no shuffle beyond the
+    codes write.  Old generations beyond ``keep_generations`` are
+    reclaimed AFTER the pointer swap, so in-flight readers of the
+    previous generation finish their scans (same retention posture as
+    ``vacuum_sink``).
+
+    ``build_kw`` are :func:`ivfpq_build` knobs (id_col, vec_col,
+    n_centroids, m, nbits, seed, max_train...).  Deterministic for a
+    given (vectors, seed): rebuilding on an unshifted corpus yields a
+    search-result-identical index."""
+    import re
+
+    from mqtt_message_pump_spark.sinks import _hadoop_fs
+
+    build_kw.setdefault("persist", False)
+    new_index = ivfpq_build(vectors, **build_kw)
+    current = save_index_versioned(new_index, path)
+    # reclaim old generations: a dir without a meta table is a crash
+    # orphan (a reindex died before its pointer publish) -- delete
+    # immediately; complete generations keep the newest
+    # keep_generations-1 besides the current one (in-flight readers of
+    # the previous generation finish their scans)
+    fs, HPath = _hadoop_fs(spark, path)
+    complete = []
+    for st in fs.globStatus(HPath(f"{path}/_gen-*")):
+        name = st.getPath().getName()
+        if name == current or not re.match(
+            r"_gen-\d{6}-[0-9a-f]+$", name
+        ):
+            continue
+        if not fs.exists(HPath(f"{path}/{name}/meta")):
+            fs.delete(HPath(f"{path}/{name}"), True)
+            continue
+        complete.append(name)
+    complete.sort()
+    for old in complete[: max(0, len(complete) - max(1, keep_generations) + 1)]:
+        fs.delete(HPath(f"{path}/{old}"), True)
+    return IvfPqIndex.load(spark, path)
 
 
 def ivfpq_quantization_error(

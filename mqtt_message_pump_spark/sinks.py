@@ -826,6 +826,25 @@ def append_batch_manifest(
         df = df.repartition("collect_date")
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
+    # per-column min/max stats ride the WRITE job via observe() -- zero
+    # extra scan (the Iceberg/Delta file-stats idea at manifest
+    # granularity); collected for the identity/ordering columns whose
+    # stringified order equals value order, so read_sink(ranges=...)
+    # can prune whole batches lexicographically
+    stat_cols = [
+        c for c in ("mid", "topic", "collect_datetime") if c in df.columns
+    ]
+    obs = None
+    if stat_cols:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        aggs = []
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        df = df.observe(obs, *aggs)
     (
         df.write.mode("overwrite")
         .partitionBy("collect_date")
@@ -862,6 +881,17 @@ def append_batch_manifest(
             {f.split("collect_date=")[1].split("/")[0] for f in files}
         ),
     }
+    if obs is not None:
+        vals = obs.get
+        stats = {}
+        for c in stat_cols:
+            lo, hi = vals.get(f"min_{c}"), vals.get(f"max_{c}")
+            if lo is not None and hi is not None:
+                # stringified: JSON-safe, and lexicographic order equals
+                # value order for these columns (strings, ISO timestamps)
+                stats[c] = [str(lo), str(hi)]
+        if stats:
+            manifest["stats"] = stats
     if epoch:
         # retire a prior attempt's UNSCOPED manifest for this batch id
         # (epoch transiently unreadable on attempt 1 -- the manifest
@@ -1089,6 +1119,7 @@ def read_sink(
     merge_schema: bool = False,
     dates: "list[str] | None" = None,
     as_of: int | None = None,
+    ranges: "dict[str, tuple[str, str]] | None" = None,
 ) -> DataFrame:
     """Read one sink table regardless of its commit protocol.
 
@@ -1196,15 +1227,36 @@ def read_sink(
     if dates is not None:
         wanted = set(dates)
         kept = [
-            m for m in live
+            m for m in kept
             if m.get("dates") is None or wanted & set(m["dates"])
         ]
-        if not kept:
-            # every batch pruned: an empty frame with the sink's schema
-            from pyspark.sql import functions as F
+    if ranges is not None:
+        # general min/max data skipping (``ranges={"col": (lo, hi)}``,
+        # stringified bounds): a batch is skipped only when its recorded
+        # stat interval is DISJOINT from the request -- Iceberg-style
+        # file skipping at manifest granularity.  Batches without the
+        # stat (pre-r12, or an all-NULL column) are conservatively kept;
+        # the frame is NOT row-filtered -- compose with .filter(...) for
+        # exact selection (which also drives per-scan pushdown).
+        def _overlaps(m: dict) -> bool:
+            stats = m.get("stats") or {}
+            for col, (lo, hi) in ranges.items():
+                st = stats.get(col)
+                if st is None:
+                    continue
+                if (hi is not None and st[0] > str(hi)) or (
+                    lo is not None and st[1] < str(lo)
+                ):
+                    return False
+            return True
 
-            any_dir = f"{table_path}/{live[0]['dir']}"
-            return reader.parquet(any_dir).filter(F.lit(False))
+        kept = [m for m in kept if _overlaps(m)]
+    if (dates is not None or ranges is not None) and not kept:
+        # every batch pruned: an empty frame with the sink's schema
+        from pyspark.sql import functions as F
+
+        any_dir = f"{table_path}/{live[0]['dir']}"
+        return reader.parquet(any_dir).filter(F.lit(False))
     dirs = [f"{table_path}/{m['dir']}" for m in kept]
     # One scan per attempt dir, unioned: each dir is its own partitioned
     # root (Spark refuses a single multi-root partition discovery across
@@ -1219,6 +1271,169 @@ def read_sink(
         lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
         frames,
     )
+
+
+class TailLost(IOError):
+    """An incremental tail (:func:`read_sink_since`) can no longer be
+    served from this cursor: a compaction folded batches the tail had
+    not yet delivered into a consolidated attempt, where their rows are
+    no longer separable.  Restart from a full scan (``cursor=None``) --
+    the same retention semantics as Delta's change data feed.  Prevent
+    it by sizing ``compact_sink(keep_last=...)`` (or the compaction
+    cadence) to exceed the tail's maximum lag in batches."""
+
+
+def _batch_name_key(name: str) -> "tuple[str, int] | None":
+    """``(epoch, batch_id)`` identity of a per-batch manifest file name
+    (``b<id>.json`` -> ``("", id)``; ``b<epoch>-<id>.json`` ->
+    ``(epoch, id)``); None for compact/snapshot/drop names."""
+    if not (name.startswith("b") and name.endswith(".json")):
+        return None
+    core = name[1:-5]
+    if "-" in core:
+        e, i = core.rsplit("-", 1)
+        return (e, int(i)) if i.isdigit() else None
+    return ("", int(core)) if core.isdigit() else None
+
+
+def read_sink_since(
+    spark: SparkSession,
+    table_path: str,
+    cursor: "dict | None" = None,
+    merge_schema: bool = False,
+) -> "tuple[DataFrame | None, dict]":
+    """Incremental tail of a manifest sink (change-data-feed): return
+    ``(new_rows_df_or_None, new_cursor)`` where the frame holds exactly
+    the batches committed since ``cursor`` and the cursor is a small
+    JSON-safe dict the caller checkpoints between calls.  Downstream
+    stages (dedup-index append, incremental ANN indexing, tokenize/
+    pack) consume appends without re-scanning the sink -- the pump's
+    own dual-sink fan-out (``data_processor.go:78-79``) one hop
+    downstream.
+
+    Cursor = the max delivered batch id PER CHECKPOINT LINEAGE
+    (``{"epochs": {"<epoch>": id}}``): batch ids are monotonic within a
+    lineage, so the state is O(lineages), not O(batches).  The
+    semantics under the sink's own lifecycle events:
+
+    - **replay republish** of a delivered batch (same key, new attempt
+      dir, identical rows -- replays are deterministic): skipped, no
+      double-delivery;
+    - **epoch-twin swap** (a scoped manifest superseding the unscoped
+      twin of its own first attempt): if the superseded twin was
+      already delivered, the scoped manifest is a same-rows replacement
+      -- marked delivered, not re-delivered;
+    - **compaction**: delivers nothing (rows already delivered as the
+      original batches); but if it folded batches the tail had NOT yet
+      seen, their rows are inseparable inside the consolidated attempt
+      -- raise :class:`TailLost` loudly (never silently skip data);
+    - **retention drops**: never delivered -- a row dropped before the
+      tail reached it stays dropped (delivering it downstream would
+      resurrect erased data); tombstone victims are marked consumed;
+    - **checkpoint reset** (new lineage, ids restart at 0): a new
+      lineage key starts at -1, so its batches all deliver;
+    - **bootstrap** (``cursor=None``): the full current live set
+      delivers (including consolidated attempts), and the cursor is
+      primed from both batch manifests and compact victims.
+
+    First-call + per-call cost is one manifest listing -- O(1) in
+    committed batches under snapshots (:func:`snapshot_sink`) -- plus
+    one scan per NEW batch; steady-state tailing is therefore
+    incremental in batch size, not corpus size."""
+    from functools import reduce
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        raise ValueError(
+            f"{table_path} is not a manifest sink; read_sink_since "
+            "requires the manifest commit protocol"
+        )
+    live = _read_manifests(fs, HPath, table_path)
+    # decisions are made against the PRIOR cursor only (the live
+    # listing's order is arbitrary -- a mark made for batch j must not
+    # make batch i<j of the same lineage look already-delivered within
+    # this call); marks accumulate into the NEW cursor
+    prior: dict[str, int] = dict((cursor or {}).get("epochs", {}))
+    epochs: dict[str, int] = dict(prior)
+    bootstrap = cursor is None
+
+    def _seen(e: str, i: int) -> bool:
+        return i <= prior.get(e, -1)
+
+    def _mark(e: str, i: int) -> None:
+        if i > epochs.get(e, -1):
+            epochs[e] = i
+
+    new_dirs: list[str] = []
+    for m in live:
+        kind = m.get("kind")
+        if kind == "drop":
+            for v in m.get("supersedes", []):
+                k = _batch_name_key(v)
+                if k:
+                    _mark(*k)
+            continue
+        if kind == "compact":
+            victims = [
+                k
+                for k in (
+                    _batch_name_key(v) for v in m.get("supersedes", [])
+                )
+                if k
+            ]
+            # a compact manifest folds its victims' own supersedes
+            # entries, which include the UNSCOPED epoch-twin names of
+            # scoped batches (``b0.json`` retired by ``be1-0.json``) --
+            # retirement echoes, not batches that ever delivered: drop
+            # an unscoped id when a scoped victim with the same id is
+            # in the set
+            scoped_ids = {i for e, i in victims if e}
+            victims = [
+                (e, i) for e, i in victims if e or i not in scoped_ids
+            ]
+            if bootstrap:
+                new_dirs.append(m["dir"])
+                for k in victims:
+                    _mark(*k)
+                continue
+            lost = [k for k in victims if not _seen(*k)]
+            if lost:
+                raise TailLost(
+                    f"sink {table_path}: compaction {m['name']} folded "
+                    f"{len(lost)} undelivered batch(es) (e.g. epoch="
+                    f"{lost[0][0] or '<none>'} id={lost[0][1]}); restart "
+                    "the tail from a full scan (cursor=None)"
+                )
+            continue
+        if "dir" not in m:
+            continue
+        key = _batch_name_key(m["name"])
+        if key is None:
+            continue
+        e, i = key
+        if _seen(e, i):
+            continue
+        # same-rows replacement of an already-delivered twin (the
+        # epoch-retired unscoped manifest): mark, don't re-deliver
+        replaced = [
+            k
+            for k in (_batch_name_key(v) for v in m.get("supersedes", []))
+            if k
+        ]
+        _mark(e, i)
+        if any(_seen(ke, ki) for ke, ki in replaced):
+            continue
+        new_dirs.append(m["dir"])
+    new_cursor = {"epochs": epochs}
+    if not new_dirs:
+        return None, new_cursor
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+    frames = [reader.parquet(f"{table_path}/{d}") for d in sorted(new_dirs)]
+    df = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
+        frames,
+    )
+    return df, new_cursor
 
 
 def vacuum_sink(
@@ -1432,6 +1647,25 @@ def compact_sink(
         "c-" + hashlib.md5("|".join(supersedes).encode()).hexdigest()[:12]
         + ".json"
     )
+    # consolidated min/max stats = fold of the victims' stats (the
+    # consolidated batch is exactly their union, so min-of-mins /
+    # max-of-maxes is true with ZERO extra IO); a column any victim
+    # lacks is omitted (conservative: read_sink(ranges=...) keeps
+    # stat-less batches)
+    merged_stats: dict = {}
+    for i, m in enumerate(victims):
+        vstats = m.get("stats") or {}
+        if i == 0:
+            merged_stats = {c: list(v) for c, v in vstats.items()}
+            continue
+        for c in list(merged_stats):
+            if c not in vstats:
+                del merged_stats[c]
+            else:
+                merged_stats[c] = [
+                    min(merged_stats[c][0], vstats[c][0]),
+                    max(merged_stats[c][1], vstats[c][1]),
+                ]
     dest = HPath(f"{table_path}/_manifests/{name}")
     if fs.exists(dest):
         # same victim set already compacted (we lost the race): leave
@@ -1457,6 +1691,7 @@ def compact_sink(
                         HPath(f"{table_path}/{attempt}/collect_date=*")
                     )
                 ),
+                **({"stats": merged_stats} if merged_stats else {}),
             },
             sort_keys=True,
         ).encode("utf-8"),

@@ -360,6 +360,381 @@ class TestSnapshotPinnedReads:
             read_sink(spark, out, as_of=999)
 
 
+# ----------------------------------- per-column min/max manifest stats ---
+
+
+class TestManifestColumnStats:
+    def test_stats_written_merged_and_preserved(self, spark, tmp_path):
+        """Commit records min/max for mid/topic/collect_datetime (zero
+        extra scan: observe() on the write job); compaction folds the
+        victims' stats; a drop straddler rewrite keeps conservative
+        bounds."""
+        from mqtt_message_pump_spark.sinks import compact_sink
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(10, 20)), store, out, batch_id=0)
+        write_append(_frame(spark, range(30, 40)), store, out, batch_id=1)
+        write_append(_frame(spark, range(50, 60)), store, out, batch_id=2)
+        m0 = json.load(open(f"{out}/_manifests/b0.json"))
+        assert m0["stats"]["mid"] == ["m10", "m19"]
+        assert m0["stats"]["topic"] == ["t", "t"]
+        assert m0["stats"]["collect_datetime"][0].startswith("2024-01-02")
+        compact_sink(spark, out, keep_last=1)
+        cname = [
+            n for n in os.listdir(f"{out}/_manifests") if n.startswith("c-")
+        ][0]
+        cm = json.load(open(f"{out}/_manifests/{cname}"))
+        assert cm["stats"]["mid"] == ["m10", "m39"]  # fold of b0+b1
+
+    def test_ranges_pruning_skips_disjoint_batches(self, spark, tmp_path):
+        """read_sink(ranges={"mid": (lo, hi)}) plans one scan per
+        OVERLAPPING batch only; stat-less manifests are kept; an
+        all-pruned request returns an empty frame with the sink
+        schema."""
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        # disjoint mid ranges per batch (zero-padded: lexicographic)
+        for b, lo in enumerate((100, 300, 500)):
+            write_append(_frame(spark, range(lo, lo + 10)),
+                         store, out, batch_id=b)
+
+        def _scans(df):
+            return (
+                df._jdf.queryExecution()
+                .explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted")
+                )
+                .count("Location: InMemoryFileIndex")
+            )
+
+        hit = read_sink(spark, out, ranges={"mid": ("m300", "m309")})
+        assert _scans(hit) == 1
+        assert hit.count() == 10
+        assert _scans(read_sink(spark, out)) == 3
+        # half-open range: everything >= m500
+        top = read_sink(spark, out, ranges={"mid": ("m500", None)})
+        assert _scans(top) == 1 and top.count() == 10
+        none = read_sink(spark, out, ranges={"mid": ("zzz", "zzzz")})
+        assert none.count() == 0
+        assert set(none.columns) == set(hit.columns)
+        # a stat-less manifest (pre-r12) is conservatively kept
+        m = json.load(open(f"{out}/_manifests/b0.json"))
+        del m["stats"]
+        with open(f"{out}/_manifests/b0.json", "w") as f:
+            json.dump(m, f)
+        crc = f"{out}/_manifests/.b0.json.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        legacy = read_sink(spark, out, ranges={"mid": ("m300", "m309")})
+        assert _scans(legacy) == 2  # b0 (no stat) + b1 (overlap)
+        assert legacy.count() == 20
+
+
+# --------------------------------------- incremental tail (change feed) ---
+
+
+class TestReadSinkSince:
+    @staticmethod
+    def _mids(df):
+        return sorted(r["mid"] for r in df.select("mid").collect())
+
+    def test_tail_equals_full_across_appends_replay_and_restart(
+        self, spark, tmp_path
+    ):
+        """Tail-vs-full equivalence over N appends with one injected
+        replay republish, a snapshot fold mid-stream, and a restart
+        from a JSON-round-tripped (checkpointed) cursor."""
+        from mqtt_message_pump_spark.sinks import (
+            read_sink_since,
+            snapshot_sink,
+        )
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(10)), store, out,
+                     batch_id=0, epoch="e1")
+        write_append(_frame(spark, range(10, 20)), store, out,
+                     batch_id=1, epoch="e1")
+        df, cur = read_sink_since(spark, out)  # bootstrap
+        delivered = self._mids(df)
+        assert len(delivered) == 20
+        # nothing new -> (None, same cursor)
+        df2, cur = read_sink_since(spark, out, cur)
+        assert df2 is None
+        # injected replay republish of batch 1 (same rows, new attempt)
+        write_append(_frame(spark, range(10, 20)), store, out,
+                     batch_id=1, epoch="e1")
+        df3, cur = read_sink_since(spark, out, cur)
+        assert df3 is None  # no double-delivery
+        # checkpoint the cursor (JSON round-trip = restart)
+        cur = json.loads(json.dumps(cur))
+        write_append(_frame(spark, range(20, 30)), store, out,
+                     batch_id=2, epoch="e1")
+        snapshot_sink(spark, out, min_uncovered=1)
+        write_append(_frame(spark, range(30, 35)), store, out,
+                     batch_id=3, epoch="e1")
+        df4, cur = read_sink_since(spark, out, cur)
+        delivered += self._mids(df4)
+        assert len(self._mids(df4)) == 15  # batches 2 + 3 only
+        assert sorted(delivered) == self._mids(read_sink(spark, out))
+
+    def test_new_lineage_after_checkpoint_reset_delivers(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sinks import read_sink_since
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(5)), store, out,
+                     batch_id=0, epoch="e1")
+        df, cur = read_sink_since(spark, out)
+        assert len(self._mids(df)) == 5
+        # checkpoint reset: new lineage, ids restart at 0
+        write_append(_frame(spark, range(100, 104)), store, out,
+                     batch_id=0, epoch="f2")
+        df2, cur = read_sink_since(spark, out, cur)
+        assert self._mids(df2) == [f"m{i}" for i in range(100, 104)]
+
+    def test_compaction_past_the_cursor_raises_tail_lost(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sinks import (
+            TailLost,
+            compact_sink,
+            read_sink_since,
+        )
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(5)), store, out,
+                     batch_id=0, epoch="e1")
+        _, cur = read_sink_since(spark, out)
+        # two more batches land, then compaction folds batch 1 (which
+        # the tail never saw) before the next poll
+        write_append(_frame(spark, range(5, 10)), store, out,
+                     batch_id=1, epoch="e1")
+        write_append(_frame(spark, range(10, 15)), store, out,
+                     batch_id=2, epoch="e1")
+        assert compact_sink(spark, out, keep_last=1) is not None
+        with pytest.raises(TailLost, match="undelivered batch"):
+            read_sink_since(spark, out, cur)
+        # restart from a full scan recovers everything exactly once
+        df, _ = read_sink_since(spark, out)
+        assert len(self._mids(df)) == 15
+
+    def test_compaction_of_delivered_batches_is_silent(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sinks import (
+            compact_sink,
+            read_sink_since,
+        )
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(3):
+            write_append(_frame(spark, range(b * 5, b * 5 + 5)),
+                         store, out, batch_id=b, epoch="e1")
+        _, cur = read_sink_since(spark, out)
+        assert compact_sink(spark, out, keep_last=1) is not None
+        df, cur = read_sink_since(spark, out, cur)
+        assert df is None  # compaction re-delivers nothing
+        write_append(_frame(spark, range(90, 93)), store, out,
+                     batch_id=3, epoch="e1")
+        df2, _ = read_sink_since(spark, out, cur)
+        assert len(self._mids(df2)) == 3
+
+    def test_dropped_rows_are_never_delivered(self, spark, tmp_path):
+        """A retention drop that lands before the tail reaches a batch:
+        the erased rows must NOT flow downstream; the straddler's
+        surviving rows deliver post-rewrite."""
+        from mqtt_message_pump_spark.sinks import read_sink_since
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(4), dates=("2024-01-02",)),
+                     store, out, batch_id=0, epoch="e1")
+        _, cur = read_sink_since(spark, out)
+        write_append(
+            _frame(spark, range(10, 16),
+                   dates=("2024-01-02", "2024-01-03")),
+            store, out, batch_id=1, epoch="e1",
+        )  # 3 rows on each date, not yet tailed
+        drop_dates_sink(spark, out, ["2024-01-02"])
+        df, _ = read_sink_since(spark, out, cur)
+        got = self._mids(df)
+        assert len(got) == 3  # only batch 1's surviving 01-03 rows
+        assert all(
+            r["collect_date"].isoformat() == "2024-01-03"
+            for r in df.select("collect_date").collect()
+        )
+
+
+# ----------------------------------------------- ANN reindex execution ---
+
+
+class TestReindexIvfPq:
+    """``reindex_ivfpq``: execute the retrain ``ivfpq_drift`` requests --
+    retrain on a bounded sample, re-encode, swap the persisted index
+    atomically via a generation pointer (the manifest-publish
+    primitive), crash-safe at every step."""
+
+    DIM = 16
+    KNOBS = dict(
+        id_col="vec_id", vec_col="embedding",
+        m=8, nbits=4, seed=42, max_iter=10,
+    )
+
+    def _vec_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+
+    def _clusters(self, rng, centers, n_per, id0):
+        rows = []
+        vid = id0
+        for c in centers:
+            for _ in range(n_per):
+                rows.append(
+                    (vid, [float(x) for x in c + rng.normal(0, 0.05, self.DIM)])
+                )
+                vid += 1
+        return rows
+
+    @staticmethod
+    def _recall(results, truth, k):
+        got = {}
+        for r in results.collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        per_q = [
+            len(got.get(q, set()) & truth[q]) / k for q in truth
+        ]
+        return sum(per_q) / len(per_q)
+
+    def test_reindex_recovers_recall_on_shifted_distribution(
+        self, spark, tmp_path
+    ):
+        import numpy as np
+
+        from mqtt_message_pump_spark.operators import similarity as SIM
+
+        rng = np.random.default_rng(7)
+        centers_a = rng.normal(0, 1, (4, self.DIM))
+        centers_b = rng.normal(0, 1, (4, self.DIM)) + 25.0
+        rows_a = self._clusters(rng, centers_a, 50, 0)
+        rows_b = self._clusters(rng, centers_b, 50, 1000)
+        A = self._vec_df(spark, rows_a)
+        U = self._vec_df(spark, rows_a + rows_b)
+        k = 5
+        # queries: perturbed B points, ids disjoint from the corpus
+        q_rows = [
+            (
+                -(i + 1),
+                [
+                    float(x)
+                    for x in np.array(rows_b[(i * 37) % len(rows_b)][1])
+                    + rng.normal(0, 0.01, self.DIM)
+                ],
+            )
+            for i in range(10)
+        ]
+        Q = self._vec_df(spark, q_rows)
+        # exact L2 ground truth (test-scale, driver-side numpy)
+        ids = np.array([r[0] for r in rows_a + rows_b])
+        X = np.array([r[1] for r in rows_a + rows_b])
+        truth = {}
+        for qid, qv in q_rows:
+            d = ((X - np.array(qv)[None, :]) ** 2).sum(1)
+            truth[qid] = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+
+        # frozen index built on A only; B appended under frozen codebooks
+        # (the incremental-encode twin) -- the drift scenario
+        idx_a = SIM.ivfpq_build(A, n_centroids=4, persist=False,
+                                **self.KNOBS)
+        codes_b = SIM.ivfpq_encode(
+            self._vec_df(spark, rows_b), idx_a.coarse, idx_a.codebooks,
+            "vec_id", "embedding",
+        )
+        frozen = SIM.IvfPqIndex(
+            idx_a.coarse, idx_a.pq_centers, idx_a.codebooks,
+            idx_a.codes.unionByName(codes_b), "vec_id", "embedding",
+            self.KNOBS["m"],
+        )
+        recall_frozen = self._recall(
+            SIM.ivfpq_search(Q, frozen, k=k, n_probe=4), truth, k
+        )
+
+        # the monitor would flag this batch (proven in round 8); now
+        # EXECUTE the retrain: versioned save + reindex on the full
+        # corpus, atomic pointer swap
+        path = str(tmp_path / "ann_index")
+        SIM.save_index_versioned(frozen, path)
+        new_idx = SIM.reindex_ivfpq(
+            spark, path, U, n_centroids=8, **self.KNOBS
+        )
+        recall_new = self._recall(
+            SIM.ivfpq_search(Q, new_idx, k=k, n_probe=4), truth, k
+        )
+        assert recall_new >= recall_frozen + 0.3, (
+            f"reindex did not recover recall: {recall_frozen} -> {recall_new}"
+        )
+        assert recall_new >= 0.65
+
+    def test_reindex_unshifted_is_result_identical(self, spark, tmp_path):
+        import numpy as np
+
+        from mqtt_message_pump_spark.operators import similarity as SIM
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(0, 1, (4, self.DIM))
+        rows = self._clusters(rng, centers, 40, 0)
+        A = self._vec_df(spark, rows)
+        Q = self._vec_df(
+            spark,
+            [(-(i + 1), rows[i * 13][1]) for i in range(6)],
+        )
+        path = str(tmp_path / "ann_index")
+        idx1 = SIM.ivfpq_build(A, n_centroids=4, persist=False, **self.KNOBS)
+        SIM.save_index_versioned(idx1, path)
+        before = sorted(
+            map(tuple,
+                SIM.ivfpq_search(
+                    Q, SIM.IvfPqIndex.load(spark, path), k=3, n_probe=2
+                ).collect())
+        )
+        idx2 = SIM.reindex_ivfpq(spark, path, A, n_centroids=4, **self.KNOBS)
+        after = sorted(
+            map(tuple, SIM.ivfpq_search(Q, idx2, k=3, n_probe=2).collect())
+        )
+        assert before == after  # same corpus + same seed = same index
+
+    def test_pointer_swap_is_crash_safe(self, spark, tmp_path):
+        """A generation dir WITHOUT a pointer publish (crash mid-reindex)
+        leaves the old index fully readable; generations beyond
+        keep_generations are reclaimed only after the swap."""
+        import numpy as np
+
+        from mqtt_message_pump_spark.operators import similarity as SIM
+
+        rng = np.random.default_rng(3)
+        rows = self._clusters(rng, rng.normal(0, 1, (2, self.DIM)), 30, 0)
+        A = self._vec_df(spark, rows)
+        path = str(tmp_path / "ann_index")
+        idx = SIM.ivfpq_build(A, n_centroids=2, persist=False, **self.KNOBS)
+        gen1 = SIM.save_index_versioned(idx, path)
+        n1 = SIM.IvfPqIndex.load(spark, path).codes.count()
+        # simulated crash: a half-written new generation, no pointer
+        os.makedirs(f"{path}/_gen-000002-deadbeef/codes", exist_ok=True)
+        loaded = SIM.IvfPqIndex.load(spark, path)
+        assert loaded._source_path.endswith(gen1)
+        assert loaded.codes.count() == n1
+        # two real reindexes: the crash orphan (no meta) is reclaimed,
+        # keep_generations=2 keeps current + one predecessor, gen1 goes
+        SIM.reindex_ivfpq(spark, path, A, n_centroids=2, **self.KNOBS)
+        SIM.reindex_ivfpq(spark, path, A, n_centroids=2, **self.KNOBS)
+        gens = sorted(n for n in os.listdir(path) if n.startswith("_gen-"))
+        assert gen1 not in gens
+        assert not any("deadbeef" in g for g in gens)
+        assert len(gens) == 2
+        assert SIM.IvfPqIndex.load(spark, path).codes.count() == n1
+
+
 # ---------------------------------------------- 5. vacuum sweeps .tmp-* ---
 
 
