@@ -355,6 +355,225 @@ def simhash_candidate_pairs(
     )
 
 
+def _exact_dup_classes(
+    df: DataFrame, id_col: str, text_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Exact-duplicate classes for the collapse-aware pair generators:
+    returns ``(classed, classes)`` where ``classed`` is (id, __cls) and
+    ``classes`` is (__cls, __rep, __mult, text) with one MIN-id
+    representative and the class multiplicity.  ``classes`` is
+    materialized once (it feeds the signature scan, the weighted cap,
+    and the expansion -- Catalyst has no common-subplan reuse)."""
+    classed = df.select(
+        F.col(id_col),
+        # md5(NULL) = NULL; groupBy keys NULLs together, mirroring how
+        # NULL signatures co-bucket in the full graph (near_dup_groups)
+        F.md5(F.col(text_col)).alias("__cls"),
+        F.col(text_col),
+    )
+    classes = (
+        classed.groupBy("__cls")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.count(F.lit(1)).alias("__mult"),
+            F.first(text_col).alias(text_col),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return classed, classes
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    classed: DataFrame,
+    classes: DataFrame,
+    id_col: str,
+    carry: "list[str]" = (),
+) -> DataFrame:
+    """Expand representative-level pairs (``rep_a``, ``rep_b``,
+    ``rep_a <= rep_b``; equal reps = intra-class) through the exact-dup
+    class map into id-level pairs (id_a < id_b), exactly the pairs the
+    direct generator emits.  Member lists are built ONLY for reps that
+    appear in some pair, and every surviving class has multiplicity <=
+    the bucket cap (a heavier class alone exceeds any bucket it is in),
+    so each ``collect_list`` is cap-bounded.  No final distinct is
+    needed: a cross-class id pair arises from exactly one rep pair
+    (classes partition ids) and intra-class pairs are emitted oriented."""
+    used = (
+        rep_pairs.select(F.col("rep_a").alias("__rep"))
+        .unionByName(rep_pairs.select(F.col("rep_b").alias("__rep")))
+        .distinct()
+    )
+    cls_map = classes.select(
+        F.col("__cls").alias("__cls_r"), "__rep"
+    )
+    with_rep = (
+        classed.select(id_col, "__cls")
+        .join(cls_map, F.col("__cls").eqNullSafe(F.col("__cls_r")))
+        .select(id_col, "__rep")
+    )
+    members = (
+        with_rep.join(used, "__rep")
+        .groupBy("__rep")
+        .agg(F.collect_list(id_col).alias("__ids"))
+    )
+    carry = list(carry)
+    return (
+        rep_pairs.join(
+            members.select(
+                F.col("__rep").alias("rep_a"), F.col("__ids").alias("__ids_a")
+            ),
+            "rep_a",
+        )
+        .join(
+            members.select(
+                F.col("__rep").alias("rep_b"), F.col("__ids").alias("__ids_b")
+            ),
+            "rep_b",
+        )
+        .select(
+            "rep_a", "rep_b", *carry,
+            F.explode("__ids_a").alias("__id_a"), "__ids_b",
+        )
+        .select(
+            "rep_a", "rep_b", *carry,
+            "__id_a", F.explode("__ids_b").alias("__id_b"),
+        )
+        # cross-class (rep_a < rep_b): every member combo appears once,
+        # orient with least/greatest; intra-class (rep_a == rep_b): the
+        # self cross product double-counts, keep the oriented half
+        .filter(
+            (F.col("rep_a") < F.col("rep_b"))
+            | (F.col("__id_a") < F.col("__id_b"))
+        )
+        .select(
+            F.least("__id_a", "__id_b").alias("id_a"),
+            F.greatest("__id_a", "__id_b").alias("id_b"),
+            *carry,
+        )
+    )
+
+
+def minhash_candidate_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash32: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`minhash_candidate_pairs` with the exact-duplicate
+    pre-collapse -- OUTPUT-IDENTICAL (same pairs, same cap semantics),
+    cost tracking DISTINCT content instead of row count.
+
+    Why: on dup-heavy corpora the direct generator hashes/buckets every
+    duplicate row and the cap pass counts them all -- the r11 1000x
+    probe's worst row (72x on a uniformly-duplicated corpus) is pure
+    duplicate multiplicity.  Identical text means identical signature
+    and identical buckets, so banding needs ONE representative per
+    distinct text; the only corpus-sized work left is the narrow md5
+    class aggregation (the proven ``near_dup_groups`` pre-collapse).
+
+    Exactness of the cap: the direct cap counts id-level rows per
+    (band, bucket); here each rep carries its class multiplicity and
+    the cap applies to ``sum(__mult)`` -- the same number, so the same
+    buckets survive.  Bucket eligibility is weighted too (``>= 2``
+    id-level rows: a singleton class of multiplicity 3 alone in a
+    bucket must still emit its intra-class pairs).  Surviving pairs
+    expand through the class map, bounded by cap^2 per bucket exactly
+    like the direct output."""
+    classed, classes = _exact_dup_classes(df, id_col, text_col)
+    rep_docs = classes.select(F.col("__rep").alias(id_col), text_col)
+    buckets = minhash_band_buckets(
+        rep_docs, id_col, text_col, num_hashes, bands, shingle_n, hash32
+    )
+    wb = buckets.join(
+        classes.select(F.col("__rep").alias(id_col), "__mult"), id_col
+    )
+    ok = wb.groupBy("band", "bucket").agg(F.sum("__mult").alias("__n"))
+    ok = ok.filter(F.col("__n") >= 2)
+    if max_bucket_size is not None:
+        ok = ok.filter(F.col("__n") <= max_bucket_size)
+    kept = wb.join(ok.select("band", "bucket"), ["band", "bucket"])
+    rep_pairs = (
+        kept.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("__reps"))
+        .select(F.explode("__reps").alias("rep_a"), "__reps")
+        .select("rep_a", F.explode("__reps").alias("rep_b"))
+        .filter(F.col("rep_a") <= F.col("rep_b"))
+        .distinct()
+    )
+    return _expand_rep_pairs(rep_pairs, classed, classes, id_col)
+
+
+def simhash_candidate_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash32: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`simhash_candidate_pairs` with the exact-duplicate
+    pre-collapse -- output-identical (pairs + hamming), cost tracking
+    distinct content (see :func:`minhash_candidate_pairs_collapsed`;
+    identical text implies identical simhash, so intra-class pairs have
+    hamming 0 and cross-class hamming equals the representatives')."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "exact recall requires max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    classed, classes = _exact_dup_classes(df, id_col, text_col)
+    rep_docs = classes.select(F.col("__rep").alias(id_col), text_col)
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    sigs = simhash_signatures(rep_docs, id_col, text_col, bits, hash32)
+    band_vals = [
+        F.shiftright(F.col("simhash"), b * rows).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*band_vals)).alias("band", "bucket"),
+    )
+    wb = buckets.join(
+        classes.select(F.col("__rep").alias(id_col), "__mult"), id_col
+    )
+    ok = wb.groupBy("band", "bucket").agg(F.sum("__mult").alias("__n"))
+    ok = ok.filter(F.col("__n") >= 2)
+    if max_bucket_size is not None:
+        ok = ok.filter(F.col("__n") <= max_bucket_size)
+    kept = wb.join(ok.select("band", "bucket"), ["band", "bucket"])
+    rep_pairs = (
+        kept.groupBy("band", "bucket")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("simhash"))
+            ).alias("__ds")
+        )
+        .select(F.explode("__ds").alias("a"), "__ds")
+        .select("a", F.explode("__ds").alias("b"))
+        .filter(F.col("a.id") <= F.col("b.id"))
+        .select(
+            F.col("a.id").alias("rep_a"),
+            F.col("b.id").alias("rep_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return _expand_rep_pairs(
+        rep_pairs, classed, classes, id_col, carry=["hamming"]
+    )
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",

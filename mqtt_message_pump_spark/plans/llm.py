@@ -346,9 +346,15 @@ def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     them bounds every bucket's output at cap^2 at a documented recall
     cost, while exact duplicates still pair through q_dedup.  The
     fixture cap of {_SIMP_CAP} binds hard at every SF (725 -> 24 pairs
-    at sf0.01), so the key oracle-checks the cap semantics themselves."""
+    at sf0.01), so the key oracle-checks the cap semantics themselves.
+
+    r12: realized by the COLLAPSE-AWARE generator (bands one
+    representative per distinct text, multiplicity-weighted cap,
+    class-map pair expansion -- output-identical under the same oracle;
+    see ``minhash_candidate_pairs_collapsed``), closing the r11 probe's
+    duplicate-multiplicity cost on dup-heavy corpora."""
     docs = table(spark, sf_dir, "documents", split=True)
-    return DD.simhash_candidate_pairs(
+    return DD.simhash_candidate_pairs_collapsed(
         docs, "doc_id", "text", bits=_SIMP_BITS, bands=_SIMP_BANDS,
         max_hamming=_SIMP_HAMMING, max_bucket_size=_SIMP_CAP,
     )
@@ -1550,9 +1556,17 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's output at cap^2 while exact duplicates still pair through
     q_dedup/q_media_dedup.  The fixture cap of 3 binds (the sf0.01
     corpus has buckets of 4), so this key oracle-checks the cap
-    semantics themselves, not just the uncapped path."""
+    semantics themselves, not just the uncapped path.
+
+    r12: realized by the COLLAPSE-AWARE generator -- the r11 1000x
+    probe's worst row (72x on a uniformly-duplicated corpus) was pure
+    duplicate multiplicity in the direct generator's banding; banding
+    one representative per distinct text with a multiplicity-weighted
+    cap and expanding pairs through the class map is output-identical
+    (same oracle, cap still binding) with cost tracking distinct
+    content (``minhash_candidate_pairs_collapsed``)."""
     docs = table(spark, sf_dir, "documents", split=True)
-    return DD.minhash_candidate_pairs(
+    return DD.minhash_candidate_pairs_collapsed(
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS,
         shingle_n=_SHN, max_bucket_size=_PAIR_CAP,
     )

@@ -1273,6 +1273,47 @@ def read_sink(
     )
 
 
+def read_sink_fanin(
+    spark: SparkSession,
+    table_paths: "list[str]",
+    merge_schema: bool = False,
+    dates: "list[str] | None" = None,
+    ranges: "dict[str, tuple[str, str]] | None" = None,
+) -> DataFrame:
+    """One logical table over a PARTITIONED MULTI-WRITER layout -- the
+    supported answer to legitimate concurrent writers (two pumps on
+    disjoint topic groups feeding one analytic table, the reference's
+    per-pipe parallelism, ``main.go:110-121``).
+
+    Writer fencing (:func:`ensure_writer_lease`) makes the two-pumps-
+    ONE-path misconfiguration fail fast, because both commit protocols
+    are correct only under strictly-serial batches per path.  The
+    legitimate version does not weaken that contract: each writer owns
+    its OWN ``table_path`` (own lease, own manifest log, own
+    snapshot/compact/vacuum cadence -- every per-path invariant intact
+    and independently testable), and readers union the paths by name.
+    This is also the scalable shape: writer parallelism is a pure
+    layout choice (add a path, add a pump), manifest listings stay
+    O(1) per path under snapshots, and ``dates``/``ranges`` pruning
+    applies per path before any scan is planned.  Contrast with
+    optimistic multi-writer commits on one log (Delta-style):
+    correct but serializing -- every committer re-validates and
+    retries on clash, which a pub/sub fan-in layout simply never
+    pays."""
+    from functools import reduce
+
+    if not table_paths:
+        raise ValueError("read_sink_fanin needs at least one table path")
+    frames = [
+        read_sink(spark, p, merge_schema, dates=dates, ranges=ranges)
+        for p in table_paths
+    ]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
+        frames,
+    )
+
+
 class TailLost(IOError):
     """An incremental tail (:func:`read_sink_since`) can no longer be
     served from this cursor: a compaction folded batches the tail had

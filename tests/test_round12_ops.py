@@ -566,6 +566,114 @@ class TestReadSinkSince:
         )
 
 
+# ------------------------------------------ concurrent disjoint writers ---
+
+
+class TestDisjointWriters:
+    def test_two_fenced_writers_disjoint_paths_union_read(
+        self, spark, tmp_path
+    ):
+        """The legitimate two-pumps-one-table shape: one table_path per
+        writer (own lease + manifest log), interleaved commits, one
+        union view -- while the one-path misconfiguration stays fenced."""
+        from mqtt_message_pump_spark.sinks import read_sink_fanin
+
+        store = _manifest_store(writer_fencing=True,
+                                writer_lease_secs=300.0)
+        pa, pb = str(tmp_path / "g_a"), str(tmp_path / "g_b")
+        # interleaved batches from two writers, each on its own path
+        write_append(_frame(spark, range(5)), store, pa, batch_id=0,
+                     epoch="ea", lease_owner="cp-pump-a")
+        write_append(_frame(spark, range(100, 104)), store, pb, batch_id=0,
+                     epoch="eb", lease_owner="cp-pump-b")
+        write_append(_frame(spark, range(5, 8)), store, pa, batch_id=1,
+                     epoch="ea", lease_owner="cp-pump-a")
+        write_append(_frame(spark, range(104, 110)), store, pb, batch_id=1,
+                     epoch="eb", lease_owner="cp-pump-b")
+        union = read_sink_fanin(spark, [pa, pb])
+        assert union.count() == 18
+        assert read_sink(spark, pa).count() == 8
+        # overlapping batch ids across paths never clashed (per-path
+        # logs); the SAME path is still single-writer
+        S._WRITER_LEASES.pop(pa, None)
+        with pytest.raises(WriterFenced):
+            write_append(_frame(spark, range(999, 1002)), store, pa,
+                         batch_id=2, epoch="eb", lease_owner="cp-pump-b")
+        # pruning composes through the fan-in (manifest-level skip is
+        # conservative; the row filter makes the selection exact)
+        assert read_sink_fanin(
+            spark, [pa, pb], ranges={"mid": ("m100", "m109")}
+        ).filter(F.col("mid").between("m100", "m109")).count() == 10
+
+
+# ------------------------------------ collapse-aware capped pair makers ---
+
+
+class TestCollapsedPairGenerators:
+    """``minhash_candidate_pairs_collapsed`` / ``simhash_candidate_
+    pairs_collapsed``: band over one representative per distinct text
+    with a multiplicity-WEIGHTED cap, expand pairs through the class
+    map -- output-identical to the direct generators (the r11 1000x
+    probe's 72x row was duplicate multiplicity in the direct banding)."""
+
+    def _docs(self, spark):
+        # dup-heavy: classes of size 1/2/5/9, near-dup variants, a NULL
+        # text, and an over-cap class (size 9 > cap) that must vanish
+        # exactly as the direct cap drops its buckets
+        rows = []
+        did = 0
+        texts = {
+            "alpha beta gamma delta epsilon zeta": 2,
+            "alpha beta gamma delta epsilon eta": 1,  # near-dup of ^
+            "one two three four five six seven": 5,
+            "one two three four five six eight": 2,  # near-dup of ^
+            "totally different content here now ok": 1,
+            "boilerplate boilerplate boilerplate xx": 9,  # over cap
+        }
+        for t, n in texts.items():
+            for _ in range(n):
+                rows.append((did, t))
+                did += 1
+        rows.append((did, None))
+        rows.append((did + 1, None))
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    @pytest.mark.parametrize("cap", [None, 3, 6, 100])
+    def test_minhash_collapsed_output_identical(self, spark, cap):
+        from mqtt_message_pump_spark.operators import dedup as DD
+
+        docs = self._docs(spark)
+        kw = dict(num_hashes=8, bands=4, shingle_n=3, max_bucket_size=cap)
+        direct = sorted(
+            map(tuple, DD.minhash_candidate_pairs(docs, "doc_id", "text", **kw).collect())
+        )
+        collapsed = sorted(
+            map(tuple, DD.minhash_candidate_pairs_collapsed(docs, "doc_id", "text", **kw).collect())
+        )
+        assert direct == collapsed
+        if cap == 3:
+            # the cap binds: the 9-strong exact-dup class is gone, the
+            # 2-strong class still pairs (weighted bucket size 2 <= 3)
+            ids = {i for p in collapsed for i in p}
+            assert not any(11 <= i <= 19 for i in ids)  # 9-strong class
+            assert (0, 1) in collapsed
+
+    @pytest.mark.parametrize("cap", [None, 4, 100])
+    def test_simhash_collapsed_output_identical(self, spark, cap):
+        from mqtt_message_pump_spark.operators import dedup as DD
+
+        docs = self._docs(spark)
+        kw = dict(bits=16, bands=4, max_hamming=3, max_bucket_size=cap)
+        direct = sorted(
+            map(tuple, DD.simhash_candidate_pairs(docs, "doc_id", "text", **kw).collect())
+        )
+        collapsed = sorted(
+            map(tuple, DD.simhash_candidate_pairs_collapsed(docs, "doc_id", "text", **kw).collect())
+        )
+        assert direct == collapsed
+        assert all(len(p) == 3 for p in collapsed)  # hamming carried
+
+
 # ----------------------------------------------- ANN reindex execution ---
 
 
