@@ -107,6 +107,12 @@ HEADLINE = [
     # persist), so the timed runs measure pure search (cell pruning + ADC
     # + re-rank), the faiss build-once/search-many production number
     "q_ann_ivfpq_search",
+    # round-12 addition (VERDICT r11 #8): per-key EWMA, cheap since the
+    # r11 mapInPandas rewrite (0.73 s at sf0.1) and the one Python-seam
+    # keyed-state representative not yet benched.  NOTE: this is the
+    # 48th slot -- slot TOTALS before r12 cover 47 slots and are not
+    # directly comparable; per-slot comparisons are unaffected.
+    "q_ewma_smooth",
 ]
 
 RUNS = 3

@@ -540,6 +540,64 @@ class TestReadSinkSince:
         df2, _ = read_sink_since(spark, out, cur)
         assert len(self._mids(df2)) == 3
 
+    def test_tail_feeds_incremental_ann_encode(self, spark, tmp_path):
+        """The change feed chained into a downstream index-append stage
+        (the VERDICT r11 use case): each tailed batch is PQ-encoded
+        under frozen codebooks and appended to the codes table; after N
+        appends the accumulated codes equal one full-corpus encode --
+        no re-scan of the sink ever happens."""
+        import numpy as np
+
+        from mqtt_message_pump_spark.operators import similarity as SIM
+        from mqtt_message_pump_spark.sinks import read_sink_since
+
+        rng = np.random.default_rng(5)
+        out = str(tmp_path / "emb_sink")
+        store = _manifest_store()
+
+        def emb_frame(ids):
+            rows = [
+                (int(i), [float(x) for x in rng.normal(0, 1, 16)],
+                 "2024-01-02")
+                for i in ids
+            ]
+            return spark.createDataFrame(
+                rows, "vec_id bigint, embedding array<double>, d string"
+            ).select(
+                "vec_id", "embedding",
+                F.to_date("d").alias("collect_date"),
+            )
+
+        write_append(emb_frame(range(40)), store, out, batch_id=0,
+                     epoch="e1")
+        # codebooks trained once on the first batch, frozen thereafter
+        # (the incremental contract, streaming/vectors.py)
+        first = read_sink(spark, out)
+        idx = SIM.ivfpq_build(
+            first, "vec_id", "embedding", n_centroids=4, m=4, nbits=3,
+            max_iter=10, persist=False,
+        )
+        cursor = None
+        codes = None
+        for b in range(1, 4):
+            write_append(emb_frame(range(b * 40, b * 40 + 40)), store,
+                         out, batch_id=b, epoch="e1")
+        while True:
+            df, cursor = read_sink_since(spark, out, cursor)
+            if df is None:
+                break
+            enc = SIM.ivfpq_encode(
+                df, idx.coarse, idx.codebooks, "vec_id", "embedding"
+            )
+            codes = enc if codes is None else codes.unionByName(enc)
+        full = SIM.ivfpq_encode(
+            read_sink(spark, out), idx.coarse, idx.codebooks,
+            "vec_id", "embedding",
+        )
+        assert sorted(map(tuple, codes.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
     def test_dropped_rows_are_never_delivered(self, spark, tmp_path):
         """A retention drop that lands before the tail reaches a batch:
         the erased rows must NOT flow downstream; the straddler's

@@ -71,12 +71,15 @@ def prepare_chunks(spark, events_path: str, n_chunks: int) -> str:
     ev = spark.read.parquet(events_path).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    # event-time range chunking: quantile cut points once, then one
-    # filtered slice per chunk (N bounded scans; keeps each output file
-    # a contiguous time range so the stream replays like a live feed)
-    qs = ev.approxQuantile(
-        "ts", [i / n_chunks for i in range(1, n_chunks)], 0.001
-    )
+    # event-time range chunking: even time slices between min and max
+    # (approxQuantile rejects timestamp columns), one filtered slice per
+    # chunk -- N bounded scans; each output file is a contiguous time
+    # range so the stream replays like a live feed
+    lohi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span = lohi["hi"] - lohi["lo"]
+    qs = [lohi["lo"] + span * i / n_chunks for i in range(1, n_chunks)]
     bounds = [None, *qs, None]
     now = time.time()
     for i in range(n_chunks):
