@@ -398,7 +398,15 @@ def _expand_rep_pairs(
     the bucket cap (a heavier class alone exceeds any bucket it is in),
     so each ``collect_list`` is cap-bounded.  No final distinct is
     needed: a cross-class id pair arises from exactly one rep pair
-    (classes partition ids) and intra-class pairs are emitted oriented."""
+    (classes partition ids) and intra-class pairs are emitted oriented.
+
+    ``rep_pairs`` (consumed three times: both sides of ``used`` and the
+    expansion join) and ``members`` (both expansion joins) are
+    materialized once -- Catalyst has no common-subplan reuse
+    (docs/SCALE.md SS5b), and without this the whole banding subplan
+    re-runs per consumer.  Both frames are output-scale-bounded (pair
+    count, and used-reps x cap)."""
+    rep_pairs = rep_pairs.localCheckpoint(eager=True)
     used = (
         rep_pairs.select(F.col("rep_a").alias("__rep"))
         .unionByName(rep_pairs.select(F.col("rep_b").alias("__rep")))
@@ -416,6 +424,7 @@ def _expand_rep_pairs(
         with_rep.join(used, "__rep")
         .groupBy("__rep")
         .agg(F.collect_list(id_col).alias("__ids"))
+        .localCheckpoint(eager=True)
     )
     carry = list(carry)
     return (
