@@ -342,6 +342,28 @@ class TestSnapshotPinnedReads:
         with pytest.raises(SnapshotUnreadable, match="vacuumed attempt"):
             read_sink(spark, out, as_of=seq)
 
+    def test_pin_composes_with_pruning(self, spark, tmp_path):
+        """as_of + dates/ranges: pruning applies within the pinned
+        batch set (manifest stats are embedded in the snapshot)."""
+        from mqtt_message_pump_spark.sinks import _snap_seq, snapshot_sink
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(10), dates=("2024-01-02",)),
+                     store, out, batch_id=0, epoch="e1")
+        write_append(_frame(spark, range(100, 105), dates=("2024-01-03",)),
+                     store, out, batch_id=1, epoch="e1")
+        seq = _snap_seq(snapshot_sink(spark, out, min_uncovered=1))
+        write_append(_frame(spark, range(500, 520), dates=("2024-01-03",)),
+                     store, out, batch_id=2, epoch="e1")
+        pinned = read_sink(spark, out, as_of=seq, dates=["2024-01-03"])
+        assert pinned.count() == 5  # batch 1 only: batch 0 pruned, batch 2 unpinned
+        ranged = read_sink(spark, out, as_of=seq,
+                           ranges={"mid": ("m100", "m104")})
+        assert ranged.filter(
+            F.col("mid").between("m100", "m104")
+        ).count() == 5
+
     def test_pin_unknown_seq_and_listing(self, spark, tmp_path):
         from mqtt_message_pump_spark.sinks import (
             SnapshotUnreadable,
