@@ -620,6 +620,74 @@ class TestReadSinkSince:
             map(tuple, full.collect())
         )
 
+    def test_tail_races_live_pump_with_snapshots(self, spark, tmp_path):
+        """The tail polled CONCURRENTLY with a live streaming pump whose
+        in-line snapshot cadence is folding manifests under the reader:
+        every poll sees a consistent listing (vanished-manifest retry +
+        snapshot overlay), nothing is double-delivered, and after the
+        pump drains the tailed union equals the sink exactly."""
+        import json as J
+
+        from mqtt_message_pump_spark.config import StoreConf
+        from mqtt_message_pump_spark.sinks import read_sink_since
+        from mqtt_message_pump_spark.sources.testing import (
+            file_message_stream,
+        )
+        from mqtt_message_pump_spark.streaming.pump import start_stream_pump
+
+        src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+        src.mkdir(parents=True)
+
+        def feed(start, n):
+            lines = [
+                J.dumps(
+                    {
+                        "topic": f"t{i % 3}",
+                        "payload": J.dumps({"k": i}),
+                        "received_time":
+                            f"2024-01-01T00:00:{i % 60:02d}.000Z",
+                    }
+                )
+                for i in range(start, start + n)
+            ]
+            (src / f"b{start}.json").write_text("\n".join(lines))
+
+        store = StoreConf(commit_protocol="manifest", snapshot_every=2)
+        feed(0, 10)
+        q = start_stream_pump(
+            spark, file_message_stream(spark, str(src)), str(out),
+            str(ckpt), trigger_secs=1, store=store,
+        )
+        raw_path = str(out / "raw_message")
+        try:
+            mids, cursor = [], None
+            for step in range(1, 7):
+                feed(step * 100, 7)
+                q.processAllAvailable()
+                df, cursor = read_sink_since(spark, raw_path, cursor)
+                if df is not None:
+                    mids += [r["mid"] for r in df.select("mid").collect()]
+        finally:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+        df, cursor = read_sink_since(spark, raw_path, cursor)
+        if df is not None:
+            mids += [r["mid"] for r in df.select("mid").collect()]
+        sink_mids = [
+            r["mid"]
+            for r in read_sink(spark, raw_path).select("mid").collect()
+        ]
+        assert sorted(mids) == sorted(sink_mids)
+        assert len(mids) == len(set(mids))  # no double delivery
+        assert len(mids) == 10 + 6 * 7
+        # the snapshot cadence actually folded under the tail
+        snaps = [
+            n for n in os.listdir(f"{raw_path}/_manifests")
+            if n.startswith("s-")
+        ]
+        assert snaps
+
     def test_dropped_rows_are_never_delivered(self, spark, tmp_path):
         """A retention drop that lands before the tail reaches a batch:
         the erased rows must NOT flow downstream; the straddler's

@@ -92,9 +92,66 @@ def read_mode(n_batches: int) -> None:
     spark.stop()
 
 
+def tail_mode(counts: list[int]) -> None:
+    """Steady-state cost of one caught-up ``read_sink_since`` poll (the
+    change-data-feed's per-call overhead when nothing is new: pure
+    listing + cursor diff, zero scans) at N committed batches, before
+    and after a snapshot.  Pins the SCALE 9e claim that tailing is O(1)
+    in committed-batch count under snapshots."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("tail-poll-probe")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    from mqtt_message_pump_spark.sinks import read_sink_since, snapshot_sink
+
+    def timed(fn, reps=5):
+        xs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            xs.append(time.perf_counter() - t0)
+        return statistics.median(xs)
+
+    print(f"{'batches':>8} {'poll pre-snap (s)':>18} {'poll post-snap (s)':>19} {'ratio':>7}")
+    for n in counts:
+        with tempfile.TemporaryDirectory() as tmp:
+            out = f"{tmp}/raw_message"
+            mdir = Path(out) / "_manifests"
+            mdir.mkdir(parents=True)
+            for b in range(n):
+                (mdir / f"b{b}.json").write_text(
+                    json.dumps(
+                        {
+                            "batch_id": b,
+                            "epoch": None,
+                            "dir": f"_data/b{b}-a{b:08x}",
+                            "files": [
+                                f"_data/b{b}-a{b:08x}/collect_date=2024-01-02/part-0.parquet"
+                            ],
+                        }
+                    )
+                )
+            _, cursor = None, {"epochs": {"": n - 1}}  # caught up
+            df, _ = read_sink_since(spark, out, cursor)
+            assert df is None
+            pre = timed(lambda: read_sink_since(spark, out, cursor))
+            assert snapshot_sink(spark, out) is not None
+            post = timed(lambda: read_sink_since(spark, out, cursor))
+            print(f"{n:>8} {pre:>18.3f} {post:>19.3f} {pre / post:>6.1f}x")
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--read":
         read_mode(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--tail":
+        tail_mode([int(a) for a in sys.argv[2:]] or [1000, 10000])
         return
     counts = [int(a) for a in sys.argv[1:]] or [1000, 10000]
 
