@@ -951,117 +951,130 @@ def _snap_seq(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def _resolve_manifest_entries(entries, read_json) -> dict:
+    """The PURE core of the manifest listing protocol, shared by the
+    Hadoop-FS loader (:func:`_load_manifest_state`) and the Python-
+    native loader the streaming tail source uses on the driver
+    (``sources/sinktail.py`` -- no JVM there).
+
+    ``entries``: ``[(name, mtime_ms)]`` of ``_manifests/*.json``;
+    ``read_json(name) -> dict`` (raising :class:`_ManifestVanished` on
+    a concurrent retirement).  Steps (the read side of
+    :func:`snapshot_sink`):
+
+    1. open only the LATEST snapshot (highest seq) -- it embeds the
+       full manifest set as of its publish;
+    2. open every standalone per-batch/compact manifest and OVERLAY it
+       by name -- a standalone newer than the snapshot is a replay
+       republish whose content must win;
+    3. drop every manifest named in a ``supersedes`` set (time-scoped
+       for plain batch manifests, unconditional for compact/drop);
+    4. keep a dir-less drop tombstone live only while a victim is
+       still reachable.
+
+    Returns ``{"live", "embedded", "latest": (seq, name, mtime)|None}``
+    -- every live manifest carries ``name`` and a ``ts`` publish stamp
+    (file mtime for standalone, recorded at embed time for embedded)."""
+    snaps = []
+    for name, mt in entries:
+        seq = _snap_seq(name)
+        if seq is not None:
+            snaps.append((seq, name, mt))
+    latest = max(snaps) if snaps else None
+    manifests: dict[str, dict] = {}
+    embedded: set[str] = set()
+    if latest is not None:
+        snap = read_json(latest[1])
+        for m in snap.get("manifests", []):
+            manifests[m["name"]] = m
+            embedded.add(m["name"])
+    for name, mt in entries:
+        if _snap_seq(name) is not None:
+            continue
+        # skip the open when the latest snapshot already embeds this
+        # name AND the file predates the snapshot (embed is current);
+        # a newer mtime means a post-snapshot replay republish whose
+        # content must win
+        if name in embedded and latest is not None and mt <= latest[2]:
+            continue
+        m = read_json(name)
+        m["name"] = name
+        m["ts"] = mt
+        manifests[name] = m
+    superseded: set[str] = set()
+    for m in manifests.values():
+        for victim in m.get("supersedes", []):
+            # A plain BATCH manifest's supersedes entry (the
+            # epoch-retired unscoped twin, append_batch_manifest)
+            # is TIME-SCOPED: it retires only a twin published at
+            # or before its own publish.  The entry lives forever
+            # (snapshots embed it), and a FUTURE unscoped manifest
+            # with the same batch id -- a checkpoint-reset lineage
+            # whose epoch is also unreadable publishing b0.json,
+            # b1.json... -- must stay visible, not be silently
+            # retired by the old lineage's lingering entry
+            # (ADVICE r11).  Compact/drop manifests (``kind``
+            # present) retire unconditionally: compaction victims
+            # always predate the compact publish, and a drop
+            # tombstone must keep retiring even a replay's LATER
+            # republish of its victim (dropped rows never
+            # resurrect).
+            if (
+                "kind" not in m
+                and victim in manifests
+                and manifests[victim].get("ts", 0) > m.get("ts", 0)
+            ):
+                continue
+            superseded.add(victim)
+    live = [m for n, m in manifests.items() if n not in superseded]
+    # a drop tombstone (dir-less, supersedes-only -- see
+    # drop_dates_sink) stays live only while at least one of its
+    # victims is still REACHABLE (standalone file or snapshot-
+    # embedded): reachable victims need the tombstone to stay retired,
+    # and a crash mid-vacuum must never resurrect them.  Once every
+    # victim is gone the tombstone is inert -- dropping it here lets
+    # the next snapshot stop embedding it and vacuum reclaim its file.
+    live = [
+        m for m in live
+        if "dir" in m
+        or any(v in manifests for v in m.get("supersedes", []))
+    ]
+    return {"live": live, "embedded": embedded, "latest": latest}
+
+
 def _load_manifest_state(fs, HPath, table_path: str) -> dict:
-    """One consistent view of a sink's manifest directory.
+    """One consistent view of a sink's manifest directory, through the
+    Hadoop FS API (see :func:`_resolve_manifest_entries` for the
+    protocol).
 
-    Listing protocol (the read side of :func:`snapshot_sink`):
-
-    1. list ``_manifests/*.json`` ONCE;
-    2. open only the LATEST snapshot (highest seq) -- it embeds the full
-       manifest set as of its publish, so older snapshots and the
-       standalone files it covers need no opens at all;
-    3. open every standalone per-batch/compact manifest and OVERLAY it
-       by name -- same name as an embedded entry means a replay
-       republished that batch after the snapshot, and the standalone
-       (newer attempt) wins;
-    4. drop every manifest named in any ``supersedes`` set (compaction
-       victims, epoch-retired unscoped twins) -- embedded or standalone
-       alike, which is what lets a compact/scoped manifest retire a
-       victim that now lives only inside a snapshot.
-
-    A file that vanishes between steps 1 and 3 means maintenance retired
-    it after embedding its content; the listing re-runs (bounded
-    retries) and converges on the retirer's published replacement.
+    A file that vanishes between the listing and an open means
+    maintenance retired it after embedding its content; the listing
+    re-runs (bounded retries) and converges on the retirer's published
+    replacement.
 
     Returns ``{"live": [manifest dicts], "latest_snap": status-or-None,
-    "latest_snap_seq": int, "embedded": set[str], "stats": [...]}`` --
-    every live manifest carries ``name`` and a ``ts`` publish stamp
-    (file mtime for standalone, recorded at embed time for embedded)."""
+    "latest_snap_seq": int, "embedded": set[str], "stats": [...]}``."""
     for _ in range(3):
         try:
             stats = list(
                 fs.globStatus(HPath(f"{table_path}/_manifests/*.json"))
             )
-            snaps = []
-            for st in stats:
-                seq = _snap_seq(st.getPath().getName())
-                if seq is not None:
-                    snaps.append((seq, st.getPath().getName(), st))
-            latest = max(snaps) if snaps else None
-            manifests: dict[str, dict] = {}
-            embedded: set[str] = set()
-            if latest is not None:
-                snap = _read_json_object(
-                    fs, HPath, f"{table_path}/_manifests/{latest[1]}"
-                )
-                for m in snap.get("manifests", []):
-                    manifests[m["name"]] = m
-                    embedded.add(m["name"])
-            for st in stats:
-                name = st.getPath().getName()
-                if _snap_seq(name) is not None:
-                    continue
-                # skip the open when the latest snapshot already embeds
-                # this name AND the file predates the snapshot (embed is
-                # current); a newer mtime means a post-snapshot replay
-                # republish whose content must win
-                if (
-                    name in embedded
-                    and latest is not None
-                    and st.getModificationTime()
-                    <= latest[2].getModificationTime()
-                ):
-                    continue
-                m = _read_json_object(
-                    fs, HPath, f"{table_path}/_manifests/{name}"
-                )
-                m["name"] = name
-                m["ts"] = st.getModificationTime()
-                manifests[name] = m
-            superseded: set[str] = set()
-            for m in manifests.values():
-                for victim in m.get("supersedes", []):
-                    # A plain BATCH manifest's supersedes entry (the
-                    # epoch-retired unscoped twin, append_batch_manifest)
-                    # is TIME-SCOPED: it retires only a twin published at
-                    # or before its own publish.  The entry lives forever
-                    # (snapshots embed it), and a FUTURE unscoped manifest
-                    # with the same batch id -- a checkpoint-reset lineage
-                    # whose epoch is also unreadable publishing b0.json,
-                    # b1.json... -- must stay visible, not be silently
-                    # retired by the old lineage's lingering entry
-                    # (ADVICE r11).  Compact/drop manifests (``kind``
-                    # present) retire unconditionally: compaction victims
-                    # always predate the compact publish, and a drop
-                    # tombstone must keep retiring even a replay's LATER
-                    # republish of its victim (dropped rows never
-                    # resurrect).
-                    if (
-                        "kind" not in m
-                        and victim in manifests
-                        and manifests[victim].get("ts", 0) > m.get("ts", 0)
-                    ):
-                        continue
-                    superseded.add(victim)
-            live = [m for n, m in manifests.items() if n not in superseded]
-            # a drop tombstone (dir-less, supersedes-only -- see
-            # drop_dates_sink) stays live only while at least one of
-            # its victims is still REACHABLE (standalone file or
-            # snapshot-embedded): reachable victims need the tombstone
-            # to stay retired, and a crash mid-vacuum must never
-            # resurrect them.  Once every victim is gone the tombstone
-            # is inert -- dropping it here lets the next snapshot stop
-            # embedding it and vacuum reclaim its file.
-            live = [
-                m for m in live
-                if "dir" in m
-                or any(v in manifests for v in m.get("supersedes", []))
-            ]
+            by_name = {st.getPath().getName(): st for st in stats}
+            core = _resolve_manifest_entries(
+                [
+                    (n, st.getModificationTime())
+                    for n, st in by_name.items()
+                ],
+                lambda n: _read_json_object(
+                    fs, HPath, f"{table_path}/_manifests/{n}"
+                ),
+            )
+            latest = core["latest"]
             return {
-                "live": live,
-                "latest_snap": latest[2] if latest else None,
+                "live": core["live"],
+                "latest_snap": by_name[latest[1]] if latest else None,
                 "latest_snap_seq": latest[0] if latest else 0,
-                "embedded": embedded,
+                "embedded": core["embedded"],
                 "stats": stats,
             }
         except _ManifestVanished:
@@ -1337,6 +1350,92 @@ def _batch_name_key(name: str) -> "tuple[str, int] | None":
     return ("", int(core)) if core.isdigit() else None
 
 
+def _tail_delta(
+    live: "list[dict]", cursor: "dict | None", table_path: str = ""
+) -> "tuple[list[dict], dict]":
+    """The PURE core of the change-data-feed: given the LIVE manifest
+    set and a cursor, return ``(new_batch_manifests, new_cursor)`` --
+    shared by :func:`read_sink_since` and the streaming tail source
+    (``sources/sinktail.py``).  Semantics documented on
+    :func:`read_sink_since`; decisions are made against the PRIOR
+    cursor only (the live listing's order is arbitrary -- a mark made
+    for batch j must not make batch i<j of the same lineage look
+    already-delivered within this call); marks accumulate into the NEW
+    cursor."""
+    prior: dict[str, int] = dict((cursor or {}).get("epochs", {}))
+    epochs: dict[str, int] = dict(prior)
+    bootstrap = cursor is None
+
+    def _seen(e: str, i: int) -> bool:
+        return i <= prior.get(e, -1)
+
+    def _mark(e: str, i: int) -> None:
+        if i > epochs.get(e, -1):
+            epochs[e] = i
+
+    new: list[dict] = []
+    for m in live:
+        kind = m.get("kind")
+        if kind == "drop":
+            for v in m.get("supersedes", []):
+                k = _batch_name_key(v)
+                if k:
+                    _mark(*k)
+            continue
+        if kind == "compact":
+            victims = [
+                k
+                for k in (
+                    _batch_name_key(v) for v in m.get("supersedes", [])
+                )
+                if k
+            ]
+            # a compact manifest folds its victims' own supersedes
+            # entries, which include the UNSCOPED epoch-twin names of
+            # scoped batches (``b0.json`` retired by ``be1-0.json``) --
+            # retirement echoes, not batches that ever delivered: drop
+            # an unscoped id when a scoped victim with the same id is
+            # in the set
+            scoped_ids = {i for e, i in victims if e}
+            victims = [
+                (e, i) for e, i in victims if e or i not in scoped_ids
+            ]
+            if bootstrap:
+                new.append(m)
+                for k in victims:
+                    _mark(*k)
+                continue
+            lost = [k for k in victims if not _seen(*k)]
+            if lost:
+                raise TailLost(
+                    f"sink {table_path}: compaction {m['name']} folded "
+                    f"{len(lost)} undelivered batch(es) (e.g. epoch="
+                    f"{lost[0][0] or '<none>'} id={lost[0][1]}); restart "
+                    "the tail from a full scan (cursor=None)"
+                )
+            continue
+        if "dir" not in m:
+            continue
+        key = _batch_name_key(m["name"])
+        if key is None:
+            continue
+        e, i = key
+        if _seen(e, i):
+            continue
+        # same-rows replacement of an already-delivered twin (the
+        # epoch-retired unscoped manifest): mark, don't re-deliver
+        replaced = [
+            k
+            for k in (_batch_name_key(v) for v in m.get("supersedes", []))
+            if k
+        ]
+        _mark(e, i)
+        if any(_seen(ke, ki) for ke, ki in replaced):
+            continue
+        new.append(m)
+    return new, {"epochs": epochs}
+
+
 def read_sink_since(
     spark: SparkSession,
     table_path: str,
@@ -1390,82 +1489,8 @@ def read_sink_since(
             "requires the manifest commit protocol"
         )
     live = _read_manifests(fs, HPath, table_path)
-    # decisions are made against the PRIOR cursor only (the live
-    # listing's order is arbitrary -- a mark made for batch j must not
-    # make batch i<j of the same lineage look already-delivered within
-    # this call); marks accumulate into the NEW cursor
-    prior: dict[str, int] = dict((cursor or {}).get("epochs", {}))
-    epochs: dict[str, int] = dict(prior)
-    bootstrap = cursor is None
-
-    def _seen(e: str, i: int) -> bool:
-        return i <= prior.get(e, -1)
-
-    def _mark(e: str, i: int) -> None:
-        if i > epochs.get(e, -1):
-            epochs[e] = i
-
-    new_dirs: list[str] = []
-    for m in live:
-        kind = m.get("kind")
-        if kind == "drop":
-            for v in m.get("supersedes", []):
-                k = _batch_name_key(v)
-                if k:
-                    _mark(*k)
-            continue
-        if kind == "compact":
-            victims = [
-                k
-                for k in (
-                    _batch_name_key(v) for v in m.get("supersedes", [])
-                )
-                if k
-            ]
-            # a compact manifest folds its victims' own supersedes
-            # entries, which include the UNSCOPED epoch-twin names of
-            # scoped batches (``b0.json`` retired by ``be1-0.json``) --
-            # retirement echoes, not batches that ever delivered: drop
-            # an unscoped id when a scoped victim with the same id is
-            # in the set
-            scoped_ids = {i for e, i in victims if e}
-            victims = [
-                (e, i) for e, i in victims if e or i not in scoped_ids
-            ]
-            if bootstrap:
-                new_dirs.append(m["dir"])
-                for k in victims:
-                    _mark(*k)
-                continue
-            lost = [k for k in victims if not _seen(*k)]
-            if lost:
-                raise TailLost(
-                    f"sink {table_path}: compaction {m['name']} folded "
-                    f"{len(lost)} undelivered batch(es) (e.g. epoch="
-                    f"{lost[0][0] or '<none>'} id={lost[0][1]}); restart "
-                    "the tail from a full scan (cursor=None)"
-                )
-            continue
-        if "dir" not in m:
-            continue
-        key = _batch_name_key(m["name"])
-        if key is None:
-            continue
-        e, i = key
-        if _seen(e, i):
-            continue
-        # same-rows replacement of an already-delivered twin (the
-        # epoch-retired unscoped manifest): mark, don't re-deliver
-        replaced = [
-            k
-            for k in (_batch_name_key(v) for v in m.get("supersedes", []))
-            if k
-        ]
-        _mark(e, i)
-        if any(_seen(ke, ki) for ke, ki in replaced):
-            continue
-        new_dirs.append(m["dir"])
-    new_cursor = {"epochs": epochs}
+    new_manifests, new_cursor = _tail_delta(live, cursor, table_path)
+    new_dirs = [m["dir"] for m in new_manifests]
     if not new_dirs:
         return None, new_cursor
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())

@@ -714,6 +714,89 @@ class TestReadSinkSince:
         )
 
 
+# -------------------------------------------- streaming tail DataSource ---
+
+
+class TestSinkTailSource:
+    def test_stream_tail_exactly_once_with_restart(self, spark, tmp_path):
+        """format("sink_tail"): the change-feed cursor as a native
+        streaming source -- backlog bootstrap, live appends, a replay
+        republish and a snapshot fold under the stream deliver exactly
+        once; a checkpoint restart resumes from the offset log and
+        delivers only new batches."""
+        from mqtt_message_pump_spark.sinks import snapshot_sink
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        store = _manifest_store()
+        write_append(_frame(spark, range(10)), store, out,
+                     batch_id=0, epoch="e1")
+        write_append(_frame(spark, range(10, 15)), store, out,
+                     batch_id=1, epoch="e1")
+        got: list[str] = []
+
+        def sink_batch(df, _bid):
+            got.extend(r["mid"] for r in df.select("mid").collect())
+
+        def run_stream():
+            q = (
+                spark.readStream.format("sink_tail")
+                .option("path", out)
+                .load()
+                .writeStream.foreachBatch(sink_batch)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            return q
+
+        q = run_stream()
+        # live appends under the running stream: a replay republish of
+        # batch 1 (same rows, new attempt), a new batch, a snapshot fold
+        write_append(_frame(spark, range(10, 15)), store, out,
+                     batch_id=1, epoch="e1")
+        write_append(_frame(spark, range(15, 22)), store, out,
+                     batch_id=2, epoch="e1")
+        snapshot_sink(spark, out, min_uncovered=1)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        sink_mids = [
+            r["mid"]
+            for r in read_sink(spark, out).select("mid").collect()
+        ]
+        assert sorted(got) == sorted(sink_mids)  # exactly once, 22 rows
+        # restart from the checkpoint: only the NEW batch delivers
+        write_append(_frame(spark, range(100, 103)), store, out,
+                     batch_id=3, epoch="e1")
+        q2 = run_stream()
+        q2.stop()
+        q2.awaitTermination(30)
+        assert len(got) == 25
+        assert sorted(got) == sorted(
+            r["mid"]
+            for r in read_sink(spark, out).select("mid").collect()
+        )
+
+    def test_stream_tail_schema_and_columns(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out = str(tmp_path / "sink")
+        write_append(_frame(spark, range(4)), _manifest_store(), out,
+                     batch_id=0)
+        stream = (
+            spark.readStream.format("sink_tail").option("path", out).load()
+        )
+        assert {"mid", "topic", "payload", "collect_datetime",
+                "collect_date"} == set(stream.columns)
+
+
 # ------------------------------------------ concurrent disjoint writers ---
 
 
