@@ -781,6 +781,64 @@ class TestSinkTailSource:
             for r in read_sink(spark, out).select("mid").collect()
         )
 
+    def test_two_hop_exactly_once_with_forced_replay(self, spark, tmp_path):
+        """The full downstream-pipeline contract: upstream manifest sink
+        -> sink_tail stream -> foreachBatch -> SECOND manifest sink via
+        the replay-idempotent append.  A forced micro-batch replay
+        (deleting the newest commit marker, Spark's crash-between-sink-
+        and-commit window) must leave the downstream sink EXACTLY equal
+        to the upstream one -- exactly-once across two hops."""
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        up = str(tmp_path / "up")
+        down = str(tmp_path / "down")
+        ck = str(tmp_path / "ck")
+        store = _manifest_store()
+        for b in range(3):
+            write_append(_frame(spark, range(b * 10, b * 10 + 10)),
+                         store, up, batch_id=b, epoch="e1")
+
+        def fb(df, bid):
+            write_append(df, store, down, batch_id=bid, epoch="down")
+
+        def run():
+            q = (
+                spark.readStream.format("sink_tail")
+                .option("path", up)
+                .load()
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()
+        mids = lambda p: sorted(
+            r["mid"] for r in read_sink(spark, p).select("mid").collect()
+        )
+        assert mids(down) == mids(up)
+        # forced replay: drop the newest commit marker -- on restart
+        # Spark re-runs that micro-batch with the SAME batch id, and the
+        # downstream manifest republish swaps it idempotently
+        commits = sorted(
+            n for n in os.listdir(f"{ck}/commits")
+            if not n.startswith(".")
+        )
+        os.remove(f"{ck}/commits/{commits[-1]}")
+        crc = f"{ck}/commits/.{commits[-1]}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        write_append(_frame(spark, range(100, 104)), store, up,
+                     batch_id=3, epoch="e1")
+        run()
+        assert mids(down) == mids(up)
+        assert len(mids(down)) == 34
+
     def test_stream_tail_schema_and_columns(self, spark, tmp_path):
         from mqtt_message_pump_spark.sources.sinktail import (
             register_sink_tail_source,
