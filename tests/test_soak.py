@@ -514,3 +514,152 @@ def test_event_time_soak_kills_window_totals_and_late_drops_reproducible(
     assert totals and max(totals) == TAIL_FILES * STRAGGLERS_PER_TAIL_FILE
 
     shutil.rmtree(str(src))
+
+
+def test_live_soak_two_hop_tail_pipeline_exactly_once(spark, tmp_path):
+    """The r12 downstream-pipeline soak: publisher -> MQTT pump (hop 1,
+    manifest sink with in-line snapshots + fencing + WAL) -> sink_tail
+    stream (hop 2, the change-feed cursor as checkpointed offsets) ->
+    replay-idempotent manifest append into a SECOND sink.  BOTH hops are
+    blind-killed mid-load and restarted from their checkpoints; the
+    downstream sink must end bit-equal to the upstream one, which must
+    hold the full publish set exactly once -- exactly-once across the
+    whole two-hop pipeline, under kills landing anywhere (including
+    between a tail foreachBatch sink write and its offset commit, the
+    window the downstream manifest republish closes)."""
+    if not mqtt_available():
+        pytest.skip("Spark 4 Python data source API unavailable")
+    from mqtt_message_pump_spark.sources.sinktail import (
+        register_sink_tail_source,
+    )
+
+    n_msgs = 1200
+    broker = MiniBroker()
+    register_mqtt_source(spark)
+    register_sink_tail_source(spark)
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    down = str(tmp_path / "down")
+    tail_ck = str(tmp_path / "tail_ck")
+    pub_done = threading.Event()
+
+    def publisher():
+        assert broker.wait_for_subscription("pump/g/1", timeout=180)
+        pub = MiniMqttClient("127.0.0.1", broker.port, client_id="h2-pub")
+        for chunk in range(0, n_msgs, CHUNK):
+            for i in range(chunk, chunk + CHUNK):
+                pub.publish(
+                    "pump/g/1",
+                    f'{{"r1": {{"k": {i}}}, "r2": {{"k": {i + n_msgs}}}}}'
+                    .encode(),
+                    qos=1,
+                )
+            time.sleep(CHUNK_EVERY)
+        pub.disconnect()
+        pub_done.set()
+
+    def start_pump():
+        stream = (
+            spark.readStream.format("mqtt_pump")
+            .option("server", f"tcp://127.0.0.1:{broker.port}")
+            .option("group_num", "0")
+            .option("topic_root", "pump/")
+            .option("topic_prefix", "g")
+            .option("qos", "1")
+            .option("clean_session", "false")
+            .option("client_name", "h2-sub")
+            .option("poll_timeout_secs", "1")
+            .option("wal_dir", str(ckpt / "_mqtt_wal"))
+            .load()
+        )
+        return start_stream_pump(
+            spark, stream, str(out), str(ckpt),
+            trigger_secs=1, dedupe_watermark="30 seconds",
+            store=StoreConf(
+                commit_protocol="manifest",
+                snapshot_every=2,
+                writer_fencing=True,
+            ),
+        )
+
+    down_store = StoreConf(commit_protocol="manifest")
+
+    def tail_batch(df, bid):
+        from mqtt_message_pump_spark.sinks import write_append
+
+        write_append(df, down_store, down, batch_id=bid, epoch="tail")
+
+    def start_tail():
+        return (
+            spark.readStream.format("sink_tail")
+            .option("path", str(out / "raw_message"))
+            .option(
+                "schema",
+                "mid string, topic string, payload string, "
+                "collect_datetime timestamp, collect_date date",
+            )
+            .load()
+            .writeStream.foreachBatch(tail_batch)
+            .option("checkpointLocation", tail_ck)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def count(path) -> int:
+        try:
+            return read_sink(spark, path).count()
+        except Exception:
+            return 0
+
+    threading.Thread(target=publisher, daemon=True).start()
+    qp, qt = start_pump(), None
+    try:
+        time.sleep(6)
+        qt = start_tail()
+        time.sleep(4)
+        # blind kill hop 1, keep hop 2 tailing through the gap
+        qp.stop()
+        try:
+            qp.awaitTermination(30)
+        except Exception:
+            pass
+        time.sleep(1)
+        qp = start_pump()
+        time.sleep(4)
+        # blind kill hop 2 while hop 1 keeps committing
+        qt.stop()
+        try:
+            qt.awaitTermination(30)
+        except Exception:
+            pass
+        time.sleep(1)
+        qt = start_tail()
+
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if pub_done.is_set() and count(str(out / "raw_message")) >= n_msgs:
+                break
+            time.sleep(1)
+        drain_and_stop(qp)
+        # let the tail drain the final upstream batches
+        deadline = time.time() + 120
+        while time.time() < deadline and count(down) < n_msgs:
+            time.sleep(1)
+        qt.processAllAvailable()
+        qt.stop()
+        qt.awaitTermination(30)
+    finally:
+        broker.stop()
+        for q in (qp, qt):
+            try:
+                if q is not None:
+                    q.stop()
+            except Exception:
+                pass
+
+    raw = read_sink(spark, str(out / "raw_message"))
+    assert raw.count() == n_msgs
+    up_mids = sorted(r["mid"] for r in raw.select("mid").collect())
+    down_df = read_sink(spark, down)
+    down_mids = sorted(r["mid"] for r in down_df.select("mid").collect())
+    assert down_mids == up_mids  # two-hop exactly-once
