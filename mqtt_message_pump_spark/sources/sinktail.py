@@ -128,7 +128,11 @@ class SinkTailDataSource(DataSource):
     - ``path`` (required): the manifest sink's table_path;
     - ``schema`` (optional DDL): the output schema; inferred from the
       first live data file (+ the ``collect_date`` partition column)
-      when omitted.
+      when omitted;
+    - ``max_batches_per_trigger`` (optional, default unbounded): at most
+      this many new sink batches per lineage per micro-batch after the
+      bootstrap trigger -- the ``maxFilesPerTrigger`` analog for
+      draining a backlog in bounded steps.
     """
 
     @classmethod
@@ -184,13 +188,30 @@ class SinkTailStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema) -> None:
         self.path = options["path"]
         self._schema = schema
+        # trigger sizing: at most this many NEW batches per lineage per
+        # micro-batch (0 = unbounded).  A tail started against a year of
+        # backlog should drain it in bounded triggers, not one giant
+        # micro-batch -- the maxFilesPerTrigger analog.  Clamping needs
+        # the committed position, which commit() hands us; the FIRST
+        # trigger after a (re)start has no committed end yet and falls
+        # back to the bootstrap-everything window (matching
+        # read_sink_since's bootstrap), after which triggers are clamped.
+        self._max_batches = int(options.get("max_batches_per_trigger", "0"))
+        self._committed: dict | None = None
 
     def initialOffset(self):
         return {}
 
     def latestOffset(self):
         _, cur = _tail_delta(_local_live(self.path), None, self.path)
-        return {"epochs": cur["epochs"]}
+        epochs = cur["epochs"]
+        if self._max_batches > 0 and self._committed is not None:
+            last = self._committed.get("epochs", {})
+            epochs = {
+                e: min(i, last.get(e, -1) + self._max_batches)
+                for e, i in epochs.items()
+            }
+        return {"epochs": epochs}
 
     def partitions(self, start, end):
         live = _local_live(self.path)
@@ -257,9 +278,10 @@ class SinkTailStreamReader(DataSourceStreamReader):
         return parts or [_ManifestPartition(self.path, [])]
 
     def commit(self, end) -> None:
-        # nothing to reclaim: manifests are retired by the sink's own
-        # maintenance (snapshot/compact/vacuum), never by readers
-        pass
+        # nothing to reclaim (manifests are retired by the sink's own
+        # maintenance, never by readers); remember the committed
+        # position so latestOffset can clamp the next trigger's window
+        self._committed = end
 
     def read(self, partition):
         import datetime

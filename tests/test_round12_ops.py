@@ -839,6 +839,49 @@ class TestSinkTailSource:
         assert mids(down) == mids(up)
         assert len(mids(down)) == 34
 
+    def test_stream_tail_rate_limit(self, spark, tmp_path):
+        """max_batches_per_trigger: after the bootstrap trigger, new
+        sink batches drain in bounded micro-batches (never one giant
+        catch-up batch), with the total still exact."""
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        store = _manifest_store()
+        write_append(_frame(spark, range(5)), store, out,
+                     batch_id=0, epoch="e1")
+        sizes: list[int] = []
+
+        def fb(df, _bid):
+            n = df.count()
+            if n:
+                sizes.append(n)
+
+        q = (
+            spark.readStream.format("sink_tail")
+            .option("path", out)
+            .option("max_batches_per_trigger", "2")
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        # a 6-batch backlog lands while the stream runs: drained in
+        # ceil(6/2)=3 clamped triggers of <=10 rows each
+        for b in range(1, 7):
+            write_append(_frame(spark, range(b * 5, b * 5 + 5)),
+                         store, out, batch_id=b, epoch="e1")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        assert sum(sizes) == 35
+        assert sizes[0] == 5  # bootstrap
+        assert all(n <= 10 for n in sizes[1:])  # clamped at 2 batches
+        assert len(sizes) >= 4
+
     def test_stream_tail_schema_and_columns(self, spark, tmp_path):
         from mqtt_message_pump_spark.sources.sinktail import (
             register_sink_tail_source,
