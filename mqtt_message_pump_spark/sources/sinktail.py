@@ -130,9 +130,10 @@ class SinkTailDataSource(DataSource):
       first live data file (+ the ``collect_date`` partition column)
       when omitted;
     - ``max_batches_per_trigger`` (optional, default unbounded): at most
-      this many new sink batches per lineage per micro-batch after the
-      bootstrap trigger -- the ``maxFilesPerTrigger`` analog for
-      draining a backlog in bounded steps.
+      this many new sink batches per lineage per micro-batch, backlog
+      included -- the ``maxFilesPerTrigger`` analog for draining a
+      backlog in bounded steps (consolidated compact attempts are
+      unsplittable and always ride the window they appear in).
     """
 
     @classmethod
@@ -189,31 +190,51 @@ class SinkTailStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self._schema = schema
         # trigger sizing: at most this many NEW batches per lineage per
-        # micro-batch (0 = unbounded).  A tail started against a year of
-        # backlog should drain it in bounded triggers, not one giant
-        # micro-batch -- the maxFilesPerTrigger analog.  Clamping needs
-        # the committed position, which commit() hands us; the FIRST
-        # trigger after a (re)start has no committed end yet and falls
-        # back to the bootstrap-everything window (matching
-        # read_sink_since's bootstrap), after which triggers are clamped.
+        # micro-batch (0 = unbounded) -- the maxFilesPerTrigger analog,
+        # so a year of backlog drains in bounded triggers instead of one
+        # giant micro-batch.  The clamp advances from the last COMMITTED
+        # position (handed to commit() each trigger and on restart
+        # restore; partitions() also folds the authoritative end in as a
+        # belt-and-suspenders against offset regression).  Compact-dir
+        # and tombstone marks cannot be split, so they floor the window
+        # regardless of the clamp.
         self._max_batches = int(options.get("max_batches_per_trigger", "0"))
-        self._committed: dict | None = None
+        self._committed: dict = {}
 
     def initialOffset(self):
         return {}
 
+    def _observe_committed(self, end: dict) -> None:
+        cur = self._committed
+        for e, i in end.get("epochs", {}).items():
+            if i > cur.get(e, -1):
+                cur[e] = i
+
     def latestOffset(self):
-        _, cur = _tail_delta(_local_live(self.path), None, self.path)
-        epochs = cur["epochs"]
-        if self._max_batches > 0 and self._committed is not None:
-            last = self._committed.get("epochs", {})
+        live = _local_live(self.path)
+        _, cur = _tail_delta(live, None, self.path)
+        epochs = dict(cur["epochs"])
+        if self._max_batches > 0:
+            floor: dict[str, int] = {}
+            for m in live:
+                if m.get("kind") in ("compact", "drop"):
+                    for v in m.get("supersedes", []):
+                        k = _batch_name_key(v)
+                        if k and k[1] > floor.get(k[0], -1):
+                            floor[k[0]] = k[1]
+            last = self._committed
             epochs = {
-                e: min(i, last.get(e, -1) + self._max_batches)
+                e: max(
+                    min(i, last.get(e, -1) + self._max_batches),
+                    floor.get(e, -1),
+                    last.get(e, -1),
+                )
                 for e, i in epochs.items()
             }
         return {"epochs": epochs}
 
     def partitions(self, start, end):
+        self._observe_committed(end)
         live = _local_live(self.path)
         bootstrap = "epochs" not in start
         prior = dict(start.get("epochs", {}))
@@ -238,10 +259,11 @@ class SinkTailStreamReader(DataSourceStreamReader):
                 if bootstrap and all(
                     i <= upper.get(e, -1) for e, i in victims
                 ):
-                    parts.append(
-                        _ManifestPartition(
-                            self.path, _manifest_files(self.path, m)
-                        )
+                    # one partition PER FILE: executor-side read
+                    # parallelism scales with data, not batch count
+                    parts.extend(
+                        _ManifestPartition(self.path, [f])
+                        for f in _manifest_files(self.path, m)
                     )
                     continue
                 lost = [
@@ -270,8 +292,9 @@ class SinkTailStreamReader(DataSourceStreamReader):
             ]
             if any(ki <= prior.get(ke, -1) for ke, ki in replaced):
                 continue  # same-rows replacement of a delivered twin
-            parts.append(
-                _ManifestPartition(self.path, _manifest_files(self.path, m))
+            parts.extend(
+                _ManifestPartition(self.path, [f])
+                for f in _manifest_files(self.path, m)
             )
         # Spark requires a non-empty partition list per batch; an empty
         # window reads zero rows through one no-op partition
@@ -281,7 +304,7 @@ class SinkTailStreamReader(DataSourceStreamReader):
         # nothing to reclaim (manifests are retired by the sink's own
         # maintenance, never by readers); remember the committed
         # position so latestOffset can clamp the next trigger's window
-        self._committed = end
+        self._observe_committed(end)
 
     def read(self, partition):
         import datetime

@@ -207,6 +207,48 @@ def main() -> None:
     )
     report("interval_join_stream", _run("ij", ij))
 
+    # 3. sink_tail drain: the backlog committed as manifest-sink batches,
+    # tailed one batch per trigger (max_batches_per_trigger=1) -- the
+    # change-feed source's own per-micro-batch cost (python-native
+    # manifest listing + per-file Arrow reads)
+    from pyspark.sql import functions as F2
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import snapshot_sink, write_append
+    from mqtt_message_pump_spark.sources.sinktail import (
+        register_sink_tail_source,
+    )
+
+    register_sink_tail_source(spark)
+    sink = f"{WORK}/tail_sink"
+    if not os.path.isdir(f"{sink}/_manifests"):
+        store = StoreConf(commit_protocol="manifest", snapshot_every=5)
+        for i in range(n_chunks):
+            batch = (
+                spark.read.parquet(f"{src_dir}/chunk-{i:04d}.parquet")
+                .select(
+                    F2.concat(F2.lit("m"), F2.col("event_id")).alias("mid"),
+                    F2.col("event_type").alias("topic"),
+                    F2.col("props").alias("payload"),
+                    F2.col("ts").alias("collect_datetime"),
+                    F2.to_date("ts").alias("collect_date"),
+                )
+            )
+            write_append(batch, store, sink, batch_id=i, epoch="probe")
+        snapshot_sink(spark, sink, min_uncovered=1)
+    tail = (
+        spark.readStream.format("sink_tail")
+        .option("path", sink)
+        .option("max_batches_per_trigger", "1")
+        .option(
+            "schema",
+            "mid string, topic string, payload string, "
+            "collect_datetime timestamp, collect_date date",
+        )
+        .load()
+    )
+    report("sink_tail_drain", _run("tail", tail))
+
 
 if __name__ == "__main__":
     main()
