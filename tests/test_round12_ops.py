@@ -882,6 +882,45 @@ class TestSinkTailSource:
         assert all(n <= 10 for n in sizes[1:])  # clamped at 2 batches
         assert len(sizes) >= 4
 
+    def test_stream_tail_compaction_past_offset_fails_loudly(
+        self, spark, tmp_path
+    ):
+        """A compaction folding batches beyond the stream's committed
+        offset fails the query with TailLost -- never a silent skip."""
+        from mqtt_message_pump_spark.sinks import compact_sink
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        store = _manifest_store()
+        write_append(_frame(spark, range(5)), store, out,
+                     batch_id=0, epoch="e1")
+
+        def run():
+            q = (
+                spark.readStream.format("sink_tail")
+                .option("path", out)
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()  # delivered batch 0
+        # two more batches land and get compacted before the next poll
+        write_append(_frame(spark, range(5, 10)), store, out,
+                     batch_id=1, epoch="e1")
+        write_append(_frame(spark, range(10, 15)), store, out,
+                     batch_id=2, epoch="e1")
+        assert compact_sink(spark, out, keep_last=0) is not None
+        with pytest.raises(Exception, match="undelivered batch"):
+            run()
+
     def test_stream_tail_schema_and_columns(self, spark, tmp_path):
         from mqtt_message_pump_spark.sources.sinktail import (
             register_sink_tail_source,
