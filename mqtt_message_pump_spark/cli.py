@@ -219,6 +219,76 @@ def cmd_maintain(
     return rc
 
 
+def cmd_tail(
+    cfg: PumpConfig,
+    source_table: str,
+    to_path: str,
+    checkpoint: str | None,
+    trigger_secs: float,
+    max_batches: int,
+    once: bool,
+    duration: float,
+) -> int:
+    """Downstream pipeline stage as a one-liner: tail one of the pump's
+    manifest sinks through the ``sink_tail`` streaming source into a
+    SECOND manifest sink via the replay-idempotent append -- exactly-once
+    across both hops (the reference's dual-sink fan-out,
+    ``data_processor.go:78-79``, one hop downstream).  The change-feed
+    cursor is the stream's checkpointed offset; restarting with the same
+    ``--checkpoint`` resumes exactly where it stopped, and a compaction
+    that outruns the tail fails LOUDLY (``sinks.TailLost``) rather than
+    skipping data."""
+    import hashlib
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import read_sink, write_append
+    from mqtt_message_pump_spark.sources.sinktail import (
+        register_sink_tail_source,
+    )
+
+    spark = get_spark(app_name="pump-tail")
+    register_sink_tail_source(spark)
+    src = f"{cfg.store.path}/{source_table}"
+    ckpt = checkpoint or f"{to_path}_checkpoint"
+    # downstream batch-key lineage: stable per checkpoint (a restart
+    # resumes it; a different tail job gets its own)
+    epoch = "t" + hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:8]
+    store = StoreConf(commit_protocol="manifest")
+
+    def _append(df, batch_id: int) -> None:
+        write_append(df, store, to_path, batch_id=batch_id, epoch=epoch)
+
+    reader = spark.readStream.format("sink_tail").option("path", src)
+    if max_batches:
+        reader = reader.option("max_batches_per_trigger", str(max_batches))
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime=f"{max(trigger_secs, 0.1)} seconds")
+        .start()
+    )
+    try:
+        if once:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+        elif duration > 0:
+            q.awaitTermination(duration)
+            q.stop()
+            q.awaitTermination(30)
+        else:  # pragma: no cover - interactive mode
+            q.awaitTermination()
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    n = read_sink(spark, to_path).count()
+    print(f"tail {src} -> {to_path}: {n} rows")
+    return 0
+
+
 def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     from mqtt_message_pump_spark.sources.mqtt import mqtt_available
     from mqtt_message_pump_spark.streaming.monitor import PumpMonitorListener
@@ -382,7 +452,7 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pump", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
-    for name in ("show", "check", "run", "maintain"):
+    for name in ("show", "check", "run", "maintain", "tail"):
         p = sub.add_parser(name)
         p.add_argument("config")
         if name == "run":
@@ -418,8 +488,41 @@ def main(argv: list[str] | None = None) -> int:
                 "sinks.drop_dates_sink -- tombstones whole batches, "
                 "rewrites straddlers, atomic per batch)",
             )
+        if name == "tail":
+            p.add_argument(
+                "--from", dest="source_table", default="raw_message",
+                choices=("raw_message", "json_message"),
+                help="which pump sink to tail",
+            )
+            p.add_argument(
+                "--to", dest="to_path", required=True,
+                help="downstream manifest-sink table path",
+            )
+            p.add_argument(
+                "--checkpoint", default=None,
+                help="stream checkpoint dir (default: <to>_checkpoint)",
+            )
+            p.add_argument("--trigger-secs", type=float, default=1.0)
+            p.add_argument(
+                "--max-batches", type=int, default=0,
+                help="sink batches per trigger (0 = unbounded)",
+            )
+            p.add_argument(
+                "--once", action="store_true",
+                help="drain everything available, then exit",
+            )
+            p.add_argument(
+                "--duration-secs", type=float, default=0,
+                help="stop after N seconds (0 = run until interrupted)",
+            )
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
+    if args.command == "tail":
+        return cmd_tail(
+            cfg, args.source_table, args.to_path, args.checkpoint,
+            args.trigger_secs, args.max_batches, args.once,
+            args.duration_secs,
+        )
     if args.command == "show":
         return cmd_show(cfg)
     if args.command == "check":

@@ -219,3 +219,47 @@ def test_maintain_compacts_and_vacuums_manifest_sinks(spark, tmp_path):
         # whole listing is a single manifest open afterwards
         assert len(manifests) == 1, manifests
         assert manifests[0].startswith("s-")
+
+
+def test_tail_once_drains_into_downstream_sink(spark, tmp_path, capsys):
+    """``pump tail --once``: the downstream pipeline stage as a CLI
+    one-liner -- drains the pump's raw sink into a second manifest sink
+    exactly once; a second invocation (same checkpoint) delivers only
+    batches committed in between."""
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import read_sink, write_append
+
+    out = tmp_path / "out"
+    down = str(tmp_path / "down")
+    store = StoreConf(commit_protocol="manifest")
+
+    def batch(b, n=4):
+        df = spark.createDataFrame(
+            [(f"m{b}-{i}", "t", "p", "2024-01-02") for i in range(n)],
+            ["mid", "topic", "payload", "d"],
+        ).select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date("d").alias("collect_date"),
+        )
+        write_append(df, store, str(out / "raw_message"),
+                     batch_id=b, epoch="e1")
+
+    for b in range(3):
+        batch(b)
+    ini = tmp_path / "pump.ini"
+    ini.write_text(f"[store]\npath = {out}\n")
+    assert main([
+        "tail", str(ini), "--to", down, "--once",
+    ]) == 0
+    assert read_sink(spark, down).count() == 12
+    # incremental second run: only the new batch delivers
+    batch(3)
+    batch(3)  # replay republish: must not double
+    assert main(["tail", str(ini), "--to", down, "--once"]) == 0
+    got = read_sink(spark, down)
+    assert got.count() == 16
+    assert got.select("mid").distinct().count() == 16
+    assert "16 rows" in capsys.readouterr().out
