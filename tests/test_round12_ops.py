@@ -714,6 +714,90 @@ class TestReadSinkSince:
         )
 
 
+# ------------------------------------------------------- tail torture ---
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_tail_torture_random_interleaving_exactly_once(
+    spark, tmp_path, seed
+):
+    """Randomized interleaving of appends, replay republishes, snapshot
+    folds and compactions against the change-feed's exactly-once model:
+    after EVERY successful poll the accumulated delivered set equals the
+    sink's current content exactly (sink mids are append-only under
+    these ops); no poll ever re-delivers a mid; a compaction that
+    outruns the tail raises TailLost, and the modeled consumer restart
+    (fresh bootstrap) converges back to equality."""
+    import random
+
+    from mqtt_message_pump_spark.sinks import (
+        TailLost,
+        compact_sink,
+        read_sink_since,
+        snapshot_sink,
+    )
+
+    rng = random.Random(seed)
+    out = str(tmp_path / "t")
+    store = _manifest_store()
+
+    def mk(b):
+        return _frame(spark, range(b * 10, b * 10 + 10),
+                      dates=("2024-01-02", "2024-01-03"))
+
+    next_id = 0
+    write_append(mk(next_id), store, out, batch_id=next_id, epoch="e1")
+    next_id += 1
+    cursor = None
+    delivered: set[str] = set()
+    polls = resets = 0
+    for _ in range(28):
+        op = rng.choices(
+            ["append", "replay", "snapshot", "compact", "poll"],
+            weights=[5, 2, 2, 2, 5],
+        )[0]
+        if op == "append":
+            write_append(mk(next_id), store, out,
+                         batch_id=next_id, epoch="e1")
+            next_id += 1
+        elif op == "replay":
+            b = next_id - 1  # only the last batch can replay
+            write_append(mk(b), store, out, batch_id=b, epoch="e1")
+        elif op == "snapshot":
+            snapshot_sink(spark, out, min_uncovered=1)
+        elif op == "compact":
+            compact_sink(spark, out, keep_last=rng.choice([1, 2, 3]))
+        else:
+            try:
+                df, cursor = read_sink_since(spark, out, cursor)
+            except TailLost:
+                cursor, delivered = None, set()
+                resets += 1
+                df, cursor = read_sink_since(spark, out, cursor)
+            polls += 1
+            if df is not None:
+                new = {r["mid"] for r in df.select("mid").collect()}
+                assert not (new & delivered), "double delivery"
+                delivered |= new
+            sink_now = {
+                r["mid"]
+                for r in read_sink(spark, out).select("mid").collect()
+            }
+            assert delivered == sink_now
+    # final convergence poll
+    try:
+        df, cursor = read_sink_since(spark, out, cursor)
+    except TailLost:
+        cursor, delivered = None, set()
+        df, cursor = read_sink_since(spark, out, cursor)
+    if df is not None:
+        delivered |= {r["mid"] for r in df.select("mid").collect()}
+    assert delivered == {
+        r["mid"] for r in read_sink(spark, out).select("mid").collect()
+    }
+    assert polls >= 3  # the schedule actually exercised the tail
+
+
 # -------------------------------------------- streaming tail DataSource ---
 
 
