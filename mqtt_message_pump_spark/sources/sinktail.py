@@ -325,6 +325,15 @@ class SinkTailStreamReader(DataSourceStreamReader):
                         type=pa.date32(),
                     ),
                 )
+            # by-name alignment with NULL fill: batches written before a
+            # schema widening (StoreConf.schema_evolution) lack the new
+            # columns -- the same semantics as read_sink(merge_schema)
+            for name in target.names:
+                if name not in tbl.column_names:
+                    tbl = tbl.append_column(
+                        name,
+                        pa.nulls(len(tbl), type=target.field(name).type),
+                    )
             tbl = tbl.select(target.names).cast(target)
             for batch in tbl.to_batches():
                 yield batch

@@ -1005,6 +1005,48 @@ class TestSinkTailSource:
         with pytest.raises(Exception, match="undelivered batch"):
             run()
 
+    def test_stream_tail_null_fills_pre_widening_batches(
+        self, spark, tmp_path
+    ):
+        """Schema evolution through the stream: a batch written before a
+        column existed delivers with that column NULL (the merge_schema
+        read semantics), not a failed query."""
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        store = _manifest_store()
+        narrow = _frame(spark, range(3)).drop("payload")
+        write_append(narrow, store, out, batch_id=0, epoch="e1")
+        write_append(_frame(spark, range(3, 6)), store, out,
+                     batch_id=1, epoch="e1")
+        rows: list = []
+
+        def fb(df, _bid):
+            rows.extend(df.select("mid", "payload").collect())
+
+        q = (
+            spark.readStream.format("sink_tail")
+            .option("path", out)
+            .option(
+                "schema",
+                "mid string, topic string, payload string, "
+                "collect_datetime timestamp, collect_date date",
+            )
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        by_mid = {r["mid"]: r["payload"] for r in rows}
+        assert len(by_mid) == 6
+        assert by_mid["m0"] is None and by_mid["m3"] == "p"
+
     def test_stream_tail_schema_and_columns(self, spark, tmp_path):
         from mqtt_message_pump_spark.sources.sinktail import (
             register_sink_tail_source,
