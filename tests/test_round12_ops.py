@@ -1005,6 +1005,50 @@ class TestSinkTailSource:
         with pytest.raises(Exception, match="undelivered batch"):
             run()
 
+    def test_stream_tail_never_delivers_dropped_rows(self, spark, tmp_path):
+        """A retention drop landing between triggers: erased rows never
+        flow downstream; a straddler's surviving rows deliver
+        post-rewrite (the pull-API semantics, now through the stream)."""
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        store = _manifest_store()
+        write_append(_frame(spark, range(4), dates=("2024-01-02",)),
+                     store, out, batch_id=0, epoch="e1")
+        mids: list[str] = []
+
+        def fb(df, _bid):
+            mids.extend(r["mid"] for r in df.select("mid").collect())
+
+        def run():
+            q = (
+                spark.readStream.format("sink_tail")
+                .option("path", out)
+                .load()
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()
+        assert len(mids) == 4
+        # a straddler batch lands, then the drop, all before the next run
+        write_append(
+            _frame(spark, range(10, 16),
+                   dates=("2024-01-02", "2024-01-03")),
+            store, out, batch_id=1, epoch="e1",
+        )
+        drop_dates_sink(spark, out, ["2024-01-02"])
+        run()
+        assert len(mids) == 7  # 4 delivered-before-drop + 3 survivors
+        assert set(mids[4:]) == {"m11", "m13", "m15"}
+
     def test_stream_tail_null_fills_pre_widening_batches(
         self, spark, tmp_path
     ):
