@@ -1091,6 +1091,58 @@ class TestSinkTailSource:
         assert len(by_mid) == 6
         assert by_mid["m0"] is None and by_mid["m3"] == "p"
 
+    def test_stream_tail_fanin_union_of_two_sinks(self, spark, tmp_path):
+        """The disjoint-writer layout, streamed: two sink_tail readers
+        (one per writer's table_path) unioned in ONE query deliver both
+        writers' appends exactly once -- the streaming twin of
+        read_sink_fanin."""
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        pa_, pb = str(tmp_path / "g_a"), str(tmp_path / "g_b")
+        ck = str(tmp_path / "ck")
+        store = _manifest_store()
+        write_append(_frame(spark, range(5)), store, pa_,
+                     batch_id=0, epoch="ea")
+        write_append(_frame(spark, range(100, 104)), store, pb,
+                     batch_id=0, epoch="eb")
+        mids: list[str] = []
+
+        def fb(df, _bid):
+            mids.extend(r["mid"] for r in df.select("mid").collect())
+
+        def run():
+            a = (
+                spark.readStream.format("sink_tail")
+                .option("path", pa_).load()
+            )
+            b = (
+                spark.readStream.format("sink_tail")
+                .option("path", pb).load()
+            )
+            q = (
+                a.unionByName(b)
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()
+        assert len(mids) == 9
+        write_append(_frame(spark, range(5, 8)), store, pa_,
+                     batch_id=1, epoch="ea")
+        write_append(_frame(spark, range(104, 106)), store, pb,
+                     batch_id=1, epoch="eb")
+        run()
+        assert sorted(mids) == sorted(
+            [f"m{i}" for i in range(8)] + [f"m{i}" for i in range(100, 106)]
+        )
+
     def test_stream_tail_schema_and_columns(self, spark, tmp_path):
         from mqtt_message_pump_spark.sources.sinktail import (
             register_sink_tail_source,
