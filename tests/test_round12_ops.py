@@ -1143,6 +1143,49 @@ class TestSinkTailSource:
             [f"m{i}" for i in range(8)] + [f"m{i}" for i in range(100, 106)]
         )
 
+    def test_stream_tail_timestamps_match_batch_under_non_utc_tz(
+        self, spark, tmp_path
+    ):
+        """The driver-TZ gotcha, pinned for the Arrow read path: stream
+        and batch reads of the same sink return identical timestamp and
+        date values under a non-UTC session time zone."""
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            write_append(_frame(spark, range(3)), _manifest_store(), out,
+                         batch_id=0, epoch="e1")
+            rows: list = []
+            q = (
+                spark.readStream.format("sink_tail")
+                .option("path", out)
+                .load()
+                .writeStream.foreachBatch(
+                    lambda b, _: rows.extend(b.collect())
+                )
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+            batch = {
+                r["mid"]: (r["collect_datetime"], r["collect_date"])
+                for r in read_sink(spark, out).collect()
+            }
+            stream = {
+                r["mid"]: (r["collect_datetime"], r["collect_date"])
+                for r in rows
+            }
+            assert stream == batch
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
     def test_stream_tail_schema_and_columns(self, spark, tmp_path):
         from mqtt_message_pump_spark.sources.sinktail import (
             register_sink_tail_source,
