@@ -1186,6 +1186,98 @@ class TestSinkTailSource:
         finally:
             spark.conf.set("spark.sql.session.timeZone", old_tz)
 
+    def test_watermarked_window_agg_downstream_of_tail(
+        self, spark, tmp_path
+    ):
+        """The production downstream shape: a watermarked tumbling-window
+        aggregation running ON TOP of the sink_tail stream (append mode,
+        windows finalized by the watermark), restarted across triggers,
+        equals the batch recompute over the sink -- the tail's
+        batch-id-ordered delivery keeps event time monotone enough for
+        the watermark, and a straggler inside the watermark is merged,
+        not dropped."""
+        from pyspark.sql import functions as F2
+
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        store = _manifest_store()
+
+        def ev_frame(rows):
+            # (mid, minute, topic): event time = collect_datetime
+            return spark.createDataFrame(
+                [(m, f"2024-01-02 10:{mi:02d}:00", t) for m, mi, t in rows],
+                ["mid", "ts", "topic"],
+            ).select(
+                "mid", "topic", F2.lit("p").alias("payload"),
+                F2.to_timestamp("ts").alias("collect_datetime"),
+                F2.to_date("ts").alias("collect_date"),
+            )
+
+        write_append(ev_frame([("a", 0, "t1"), ("b", 1, "t1"),
+                               ("c", 5, "t2")]), store, out,
+                     batch_id=0, epoch="e1")
+        finalized: list = []
+
+        def run():
+            agg = (
+                spark.readStream.format("sink_tail")
+                .option("path", out)
+                .load()
+                .withWatermark("collect_datetime", "10 minutes")
+                .groupBy(
+                    F2.window("collect_datetime", "5 minutes").alias("w"),
+                    "topic",
+                )
+                .agg(F2.count("*").alias("n"))
+                .select(F2.col("w.start").alias("ws"), "topic", "n")
+            )
+            q = (
+                agg.writeStream.outputMode("append")
+                .foreachBatch(lambda b, _: finalized.extend(b.collect()))
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()
+        # later batch advances event time past the first windows AND
+        # carries an in-watermark straggler for window 0
+        write_append(ev_frame([("d", 2, "t1"), ("e", 30, "t2"),
+                               ("f", 31, "t1")]), store, out,
+                     batch_id=1, epoch="e1")
+        run()
+        write_append(ev_frame([("g", 55, "t2")]), store, out,
+                     batch_id=2, epoch="e1")
+        run()
+        got = {
+            (r["ws"].isoformat(), r["topic"]): r["n"] for r in finalized
+        }
+        batch = {
+            (r["ws"].isoformat(), r["topic"]): r["n"]
+            for r in (
+                read_sink(spark, out)
+                .groupBy(
+                    F2.window("collect_datetime", "5 minutes").alias("w"),
+                    "topic",
+                )
+                .agg(F2.count("*").alias("n"))
+                .select(F2.col("w.start").alias("ws"), "topic", "n")
+                .collect()
+            )
+        }
+        # every FINALIZED window matches the batch recompute exactly
+        # (the last windows may still be open -- not yet emitted)
+        assert got
+        assert all(batch[k] == v for k, v in got.items())
+        assert ("2024-01-02T10:00:00", "t1") in got
+        assert got[("2024-01-02T10:00:00", "t1")] == 3  # straggler merged
+
     def test_stream_tail_schema_and_columns(self, spark, tmp_path):
         from mqtt_message_pump_spark.sources.sinktail import (
             register_sink_tail_source,
