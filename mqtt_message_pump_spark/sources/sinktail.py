@@ -318,12 +318,13 @@ class SinkTailStreamReader(DataSourceStreamReader):
             tbl = pq.read_table(os.path.join(partition.table_path, rel))
             if "collect_date=" in rel and "collect_date" in target.names:
                 val = rel.split("collect_date=")[1].split("/")[0]
+                try:
+                    d = datetime.date.fromisoformat(val)
+                except ValueError:
+                    d = None  # __HIVE_DEFAULT_PARTITION__: NULL date
                 tbl = tbl.append_column(
                     "collect_date",
-                    pa.array(
-                        [datetime.date.fromisoformat(val)] * len(tbl),
-                        type=pa.date32(),
-                    ),
+                    pa.array([d] * len(tbl), type=pa.date32()),
                 )
             # by-name alignment with NULL fill: batches written before a
             # schema widening (StoreConf.schema_evolution) lack the new
