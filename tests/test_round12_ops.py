@@ -1278,6 +1278,49 @@ class TestSinkTailSource:
         assert ("2024-01-02T10:00:00", "t1") in got
         assert got[("2024-01-02T10:00:00", "t1")] == 3  # straggler merged
 
+    def test_two_independent_consumers_each_get_everything(
+        self, spark, tmp_path
+    ):
+        """Readers never mutate the sink, so any number of consumers
+        (separate checkpoints = separate cursors) tail it independently
+        and each sees the full set exactly once."""
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out = str(tmp_path / "sink")
+        store = _manifest_store()
+        write_append(_frame(spark, range(6)), store, out,
+                     batch_id=0, epoch="e1")
+        got = {"a": [], "b": []}
+
+        def run(name):
+            q = (
+                spark.readStream.format("sink_tail")
+                .option("path", out)
+                .load()
+                .writeStream.foreachBatch(
+                    lambda df, _bid, _n=name: got[_n].extend(
+                        r["mid"] for r in df.select("mid").collect()
+                    )
+                )
+                .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run("a")
+        write_append(_frame(spark, range(6, 10)), store, out,
+                     batch_id=1, epoch="e1")
+        run("b")  # late-starting consumer bootstraps the full set
+        run("a")  # first consumer picks up only the new batch
+        want = sorted(f"m{i}" for i in range(10))
+        assert sorted(got["a"]) == want
+        assert sorted(got["b"]) == want
+
     def test_stream_tail_schema_and_columns(self, spark, tmp_path):
         from mqtt_message_pump_spark.sources.sinktail import (
             register_sink_tail_source,
