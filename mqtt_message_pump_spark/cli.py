@@ -18,6 +18,7 @@ Usage: ``python -m mqtt_message_pump_spark.cli <command> <config.ini>``.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -251,8 +252,11 @@ def cmd_tail(
     src = f"{cfg.store.path}/{source_table}"
     ckpt = checkpoint or f"{to_path}_checkpoint"
     # downstream batch-key lineage: stable per checkpoint (a restart
-    # resumes it; a different tail job gets its own)
-    epoch = "t" + hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:8]
+    # resumes it; a different tail job gets its own).  Resolved path,
+    # not the raw string: two tails with the same relative checkpoint
+    # on different hosts must be distinct lineages (ADVICE r12).
+    _cp = ckpt if "://" in ckpt else os.path.abspath(ckpt)
+    epoch = "t" + hashlib.md5(_cp.encode("utf-8")).hexdigest()[:8]
     store = StoreConf(commit_protocol="manifest")
 
     def _append(df, batch_id: int) -> None:

@@ -766,15 +766,37 @@ def ivfpq_build(
 def _resolve_index_generation(spark, path: str) -> str:
     """Resolve a versioned index root to its live generation dir via the
     ``_current.json`` pointer; a flat (legacy) layout resolves to
-    itself."""
+    itself.
+
+    Pointer-absence window (ADVICE r12): ``_publish_manifest`` over an
+    EXISTING destination is delete-then-rename, so a concurrent
+    :func:`save_index_versioned` swap makes ``_current.json`` vanish for
+    a moment.  A load landing in that window must NOT fall back to the
+    flat layout (there is no flat ``meta`` in a versioned root) -- when
+    ``_gen-*`` dirs exist, the layout IS versioned, so re-read briefly
+    until the swapper's rename lands (same claimant-side delayed re-read
+    as the writer lease)."""
+    import time as _time
+
     from mqtt_message_pump_spark.sinks import _hadoop_fs, _read_json_object
 
     fs, HPath = _hadoop_fs(spark, path)
-    ptr = HPath(f"{path}/_current.json")
-    if not fs.exists(ptr):
-        return path
-    cur = _read_json_object(fs, HPath, f"{path}/_current.json")
-    return f"{path}/{cur['gen']}"
+    for attempt in range(5):
+        ptr = HPath(f"{path}/_current.json")
+        if fs.exists(ptr):
+            try:
+                cur = _read_json_object(fs, HPath, f"{path}/_current.json")
+                return f"{path}/{cur['gen']}"
+            except Exception:
+                pass  # vanished between exists and open: mid-swap
+        if not list(fs.globStatus(HPath(f"{path}/_gen-*"))):
+            return path  # flat legacy layout
+        _time.sleep(0.1)
+    raise IOError(
+        f"index root {path} has generation dirs but no readable "
+        "_current.json pointer (5 attempts); a versioned swap appears "
+        "stuck mid-publish"
+    )
 
 
 def save_index_versioned(index: IvfPqIndex, path: str) -> str:
@@ -823,6 +845,7 @@ def reindex_ivfpq(
     path: str,
     vectors: DataFrame,
     keep_generations: int = 2,
+    orphan_retention_secs: float = 3600.0,
     **build_kw,
 ) -> IvfPqIndex:
     """Execute the retrain the drift monitor (:func:`ivfpq_drift`)
@@ -856,11 +879,19 @@ def reindex_ivfpq(
     new_index = ivfpq_build(vectors, **build_kw)
     current = save_index_versioned(new_index, path)
     # reclaim old generations: a dir without a meta table is a crash
-    # orphan (a reindex died before its pointer publish) -- delete
-    # immediately; complete generations keep the newest
-    # keep_generations-1 besides the current one (in-flight readers of
-    # the previous generation finish their scans)
+    # orphan (a reindex died before its pointer publish) -- but only
+    # past ``orphan_retention_secs``: ``meta`` is written LAST by
+    # IvfPqIndex.save, so a meta-less dir may be a CONCURRENT reindex
+    # mid-save, and deleting it would fail that writer (ADVICE r12).
+    # The age gate is the vacuum retention rule applied here: fresh
+    # dirs are in-flight saves, truly orphaned ones age past it and a
+    # later reindex reclaims them.  Complete generations keep the
+    # newest keep_generations-1 besides the current one (in-flight
+    # readers of the previous generation finish their scans).
+    from mqtt_message_pump_spark.sinks import _fs_now_ms
+
     fs, HPath = _hadoop_fs(spark, path)
+    now_ms = _fs_now_ms(fs, HPath, path)
     complete = []
     for st in fs.globStatus(HPath(f"{path}/_gen-*")):
         name = st.getPath().getName()
@@ -869,7 +900,11 @@ def reindex_ivfpq(
         ):
             continue
         if not fs.exists(HPath(f"{path}/{name}/meta")):
-            fs.delete(HPath(f"{path}/{name}"), True)
+            if (
+                now_ms - st.getModificationTime()
+                > orphan_retention_secs * 1000
+            ):
+                fs.delete(HPath(f"{path}/{name}"), True)
             continue
         complete.append(name)
     complete.sort()

@@ -788,7 +788,6 @@ def append_batch_manifest(
     manifest-table design.
     """
     import json
-    import re
     import uuid
 
     spark = df.sparkSession
@@ -807,11 +806,16 @@ def append_batch_manifest(
         # manifests, so this listing (O(1) under snapshots) passes.
         fs0, HPath0 = _hadoop_fs(spark, table_path)
         if fs0.exists(HPath0(f"{table_path}/_manifests")):
-            pat = re.compile(rf"^b[0-9a-f]+-{batch_id}\.json$")
+            # identity via _batch_name_key, NOT a hex-epoch regex: epochs
+            # derived outside checkpoint metadata (cli.py cmd_tail uses
+            # "t<md5>") are not pure hex, and a guard that missed them
+            # would let an unscoped twin publish anyway (ADVICE r12)
             clash = [
                 m["name"]
                 for m in _read_manifests(fs0, HPath0, table_path)
-                if pat.match(m.get("name", ""))
+                if (k := _batch_name_key(m.get("name", ""))) is not None
+                and k[0] != ""
+                and k[1] == batch_id
             ]
             if clash:
                 raise IOError(

@@ -144,24 +144,45 @@ class SinkTailDataSource(DataSource):
         ddl = self.options.get("schema")
         if ddl:
             return ddl
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import DateType, StructField
 
         path = self.options["path"]
-        for m in _local_live(path):
+        # Merge schemas ACROSS live manifests, newest batch first: under
+        # live-set ordering the first manifest is typically the OLDEST
+        # batch, so inferring from it alone silently dropped every
+        # column added by a later schema widening (ADVICE r12) -- the
+        # stream's select(target.names) never surfaced them.  Newest-
+        # first keeps the widened batch's field order and types
+        # (permissive promotion unifies int32/int64 etc.); pre-widening
+        # batches NULL-fill at read exactly as before.
+        schemas, first_file = [], None
+        for m in sorted(
+            _local_live(path), key=lambda m: m.get("ts", 0), reverse=True
+        ):
             files = _manifest_files(path, m)
             if not files:
                 continue
-            pa_schema = pq.read_schema(os.path.join(path, files[0]))
-            st = from_arrow_schema(pa_schema)
-            if "collect_date=" in files[0]:
-                st = st.add(StructField("collect_date", DateType()))
-            return st
-        raise ValueError(
-            f"sink_tail: {path} has no committed batches to infer a "
-            "schema from; pass .option('schema', '<ddl>')"
-        )
+            if first_file is None:
+                first_file = files[0]
+            schemas.append(pq.read_schema(os.path.join(path, files[0])))
+        if not schemas:
+            raise ValueError(
+                f"sink_tail: {path} has no committed batches to infer a "
+                "schema from; pass .option('schema', '<ddl>')"
+            )
+        try:
+            pa_schema = pa.unify_schemas(
+                schemas, promote_options="permissive"
+            )
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+            pa_schema = schemas[0]  # newest batch wins on conflict
+        st = from_arrow_schema(pa_schema)
+        if "collect_date=" in first_file:
+            st = st.add(StructField("collect_date", DateType()))
+        return st
 
     def streamReader(self, schema):
         if not _DS_OK:  # pragma: no cover - pyspark < 4

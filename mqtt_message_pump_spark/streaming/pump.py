@@ -292,6 +292,25 @@ def windowed_rates(
     )
 
 
+def lease_owner_for(checkpoint_dir: str) -> str:
+    """Deterministic writer-lease identity of one checkpoint lineage.
+
+    Hashes a RESOLVED path, not the raw config string: two pumps on
+    different hosts both configured with a relative ``ckpt`` onto one
+    shared table_path would otherwise hash to the same owner and
+    silently defeat the writer fence they were meant to trip (ADVICE
+    r12).  URIs are already absolute and pass through unchanged."""
+    import hashlib as _h
+    import os.path as _osp
+
+    cp = (
+        checkpoint_dir
+        if "://" in checkpoint_dir
+        else _osp.abspath(checkpoint_dir)
+    )
+    return "cp-" + _h.md5(cp.encode()).hexdigest()[:12]
+
+
 def start_stream_pump(
     spark: SparkSession,
     messages: DataFrame,
@@ -420,9 +439,7 @@ def start_stream_pump(
         # readability (a random fallback made a restarted pump fence
         # itself -- ADVICE r11); the checkpoint dir path is both: one
         # lineage keeps it, a different pump has a different one
-        import hashlib as _h
-
-        lease_owner = "cp-" + _h.md5(checkpoint_dir.encode()).hexdigest()[:12]
+        lease_owner = lease_owner_for(checkpoint_dir)
         raw, flat = build_dual_path(batch_df, map_schema)
         obs_raw, obs_flat = Observation(), Observation()
         raw = raw.observe(obs_raw, F.count(F.lit(1)).alias("n"))

@@ -1603,10 +1603,16 @@ class TestReindexIvfPq:
         loaded = SIM.IvfPqIndex.load(spark, path)
         assert loaded._source_path.endswith(gen1)
         assert loaded.codes.count() == n1
-        # two real reindexes: the crash orphan (no meta) is reclaimed,
+        # two real reindexes: the crash orphan (no meta) is reclaimed
+        # once past the orphan retention age (0 here: anything already
+        # on disk is "old" -- ADVICE r12 age-gates the delete so a
+        # CONCURRENT mid-save generation is never killed),
         # keep_generations=2 keeps current + one predecessor, gen1 goes
-        SIM.reindex_ivfpq(spark, path, A, n_centroids=2, **self.KNOBS)
-        SIM.reindex_ivfpq(spark, path, A, n_centroids=2, **self.KNOBS)
+        time.sleep(0.05)
+        SIM.reindex_ivfpq(spark, path, A, n_centroids=2,
+                          orphan_retention_secs=0, **self.KNOBS)
+        SIM.reindex_ivfpq(spark, path, A, n_centroids=2,
+                          orphan_retention_secs=0, **self.KNOBS)
         gens = sorted(n for n in os.listdir(path) if n.startswith("_gen-"))
         assert gen1 not in gens
         assert not any("deadbeef" in g for g in gens)
