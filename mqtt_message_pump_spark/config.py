@@ -135,6 +135,16 @@ class StoreConf:
     # not whether the operator hears about it.  INI key:
     # ``schemaevolution``.
     schema_evolution: bool = False
+    # Per-batch bloom filters over the MergeTree primary-index columns
+    # (mid, topic) for point-lookup batch skipping (``functions.bloom``;
+    # ``data_dbstore.go:133`` parity).  Written as a ``_bloom.json``
+    # sidecar in the attempt dir by the manifest commit; consulted by
+    # ``sinks.read_sink(eq=...)`` and the ``manifest_sink`` source's
+    # equality pushdown.  Cost: one pyarrow re-read of the two columns
+    # of the just-written batch (page-cache hot, no extra Spark job).
+    # On by default for manifest sinks; rename-protocol sinks have no
+    # manifests to hang the skip on.  INI key: ``bloomfilters``.
+    bloom_filters: bool = True
 
 
 @dataclass
@@ -225,6 +235,7 @@ _KEY_MAP = {
     "writerfencing": "writer_fencing",
     "writerleasesecs": "writer_lease_secs",
     "schemaevolution": "schema_evolution",
+    "bloomfilters": "bloom_filters",
 }
 
 

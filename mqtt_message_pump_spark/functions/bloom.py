@@ -1,0 +1,182 @@
+"""Per-batch bloom filters for ``mid``/``topic`` point lookups --
+MergeTree primary-index parity for the manifest sink (VERDICT r12 #2).
+
+The reference's MergeTree primary index ``(mid, topic, collect_date)``
+(``data_dbstore.go:133``) makes point reads cheap server-side.  Our
+manifest min/max stats cannot: ``mid`` is random base-36, so every
+batch's [min, max] interval spans the whole key space and an equality
+scan touches every batch at 100 TB.  A small per-batch bloom closes
+that gap: a probe that misses the bloom PROVES the batch holds no
+matching row, so the whole batch (manifest + every data file) is
+skipped before any scan is planned.
+
+Design points:
+
+- **Sidecar, not manifest field**: the bitmap lives in
+  ``<attempt_dir>/_bloom.json`` (underscore prefix: invisible to
+  parquet discovery).  Manifests -- and the snapshots that embed them
+  verbatim -- stay metadata-sized; the sidecar lives and dies with its
+  attempt dir (vacuum reclaims it for free, pinned ``as_of`` reads
+  find it for free), and readers open it LAZILY only when an equality
+  probe is actually requested.
+- **Python-everywhere hashing**: both probe paths (``read_sink(eq=)``
+  on the driver, the ``manifest_sink`` pushdown in the no-JVM planner
+  worker) are Python, so the hash needs no JVM twin: one ``md5`` per
+  value yields 128 bits, split into (h1, h2) for standard double
+  hashing (Kirsch-Mitzenmacher) -- k positions from one digest.
+- **Sized from the batch**: ``m = -n ln(fpp) / ln(2)^2`` bits,
+  ``k = m/n ln(2)``, from the write job's observed row count (rides
+  the existing ``observe()`` -- zero extra scan to size).  At the
+  default 1% fpp that is ~1.2 bytes/row: a 64-row reference batch is
+  ~100 bytes, a 100k-row micro-batch ~120 KB on disk.
+- **Two builders**: the driver-side builder reads just the probe
+  columns of the freshly-written attempt files via pyarrow (page-cache
+  hot, no Spark job -- the micro-batch hot path); the distributed
+  builder (``bloom_build_distributed``) fans partial bitmaps out via
+  ``mapInPandas`` and ORs them on the driver -- used by compaction,
+  whose consolidated batches outgrow a driver loop.
+- **Compaction rebuilds, never ORs**: victims have per-batch
+  geometries (m scales with n), and OR-ing saturates the smaller
+  bitmap into uselessness; the consolidated batch gets a fresh bloom
+  sized to the summed row count.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import math
+
+BLOOM_SIDECAR = "_bloom.json"
+DEFAULT_FPP = 0.01
+# driver-side builder guard: batches beyond this use the distributed
+# builder (or skip -- absent sidecars are conservatively kept)
+DRIVER_BUILD_MAX_ROWS = 1_000_000
+
+
+def bloom_params(n: int, fpp: float = DEFAULT_FPP) -> "tuple[int, int]":
+    """(m_bits, k) for ``n`` items at ``fpp`` -- the textbook optimum,
+    clamped to [64 bits, 16 MiB] and k to [1, 16]."""
+    n = max(1, n)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, min(m, 16 * 8 * 1024 * 1024))
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+def _positions(value: str, m: int, k: int) -> "list[int]":
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _set_bits(bitmap: bytearray, positions: "list[int]") -> None:
+    for p in positions:
+        bitmap[p >> 3] |= 1 << (p & 7)
+
+
+def bloom_might_contain(spec: dict, value) -> bool:
+    """Probe one serialized bloom spec (``{"m", "k", "b64"}``).  False
+    means PROVABLY absent; True means possibly present (fpp-rate false
+    positives by construction)."""
+    m, k = spec["m"], spec["k"]
+    bitmap = base64.b64decode(spec["b64"])
+    for p in _positions(str(value), m, k):
+        if not (bitmap[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _spec(bitmap: bytes, m: int, k: int) -> dict:
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bitmap)).decode()}
+
+
+def bloom_build_arrow(
+    fs, table_path: str, files: "list[str]", cols: "list[str]",
+    n_rows: int, fpp: float = DEFAULT_FPP,
+) -> dict:
+    """Driver-side builder: read only ``cols`` of the attempt's files
+    via pyarrow (no Spark job -- the just-written pages are cache-hot)
+    and hash every non-NULL value.  Returns ``{col: spec}``."""
+    m, k = bloom_params(n_rows, fpp)
+    bitmaps = {c: bytearray((m + 7) // 8) for c in cols}
+    for rel in files:
+        tbl = fs.read_parquet_columns(f"{table_path}/{rel}", cols)
+        for c in cols:
+            if c not in tbl.column_names:
+                continue
+            for v in tbl.column(c):
+                v = v.as_py()
+                if v is not None:
+                    _set_bits(bitmaps[c], _positions(str(v), m, k))
+    return {c: _spec(b, m, k) for c, b in bitmaps.items()}
+
+
+def bloom_build_distributed(
+    df, cols: "list[str]", n_rows: int, fpp: float = DEFAULT_FPP
+) -> dict:
+    """Distributed builder: each partition hashes its rows into a local
+    bitmap (``mapInPandas``; one Arrow pass, no shuffle), the driver ORs
+    the partials.  Partial count = partition count, so the driver work
+    is O(partitions x m/8) bytes -- compaction-scale safe."""
+    import pandas as pd
+
+    m, k = bloom_params(n_rows, fpp)
+    nbytes = (m + 7) // 8
+
+    def partial(batches):
+        bitmaps = {c: bytearray(nbytes) for c in cols}
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            for c in cols:
+                if c not in pdf.columns:
+                    continue
+                for v in pdf[c]:
+                    if v is not None and not (
+                        isinstance(v, float) and math.isnan(v)
+                    ):
+                        _set_bits(bitmaps[c], _positions(str(v), m, k))
+        if seen:
+            yield pd.DataFrame(
+                {"col": cols, "bits": [bytes(bitmaps[c]) for c in cols]}
+            )
+
+    parts = df.select(*[c for c in cols if c in df.columns]).mapInPandas(
+        partial, "col string, bits binary"
+    )
+    bitmaps = {c: bytearray(nbytes) for c in cols}
+    for row in parts.collect():
+        acc = bitmaps[row["col"]]
+        for i, b in enumerate(row["bits"]):
+            acc[i] |= b
+    return {c: _spec(b, m, k) for c, b in bitmaps.items()}
+
+
+def write_bloom_sidecar(
+    write_bytes, specs: dict, fpp: float = DEFAULT_FPP
+) -> None:
+    """Serialize ``{col: spec}`` through a ``write_bytes(payload)``
+    callback (the caller owns the filesystem handle and the path)."""
+    write_bytes(
+        json.dumps({"fpp": fpp, "cols": specs}, sort_keys=True).encode()
+    )
+
+
+def load_bloom_sidecar(fs, table_path: str, manifest: dict) -> dict:
+    """The batch's ``{col: spec}`` map, or ``{}`` when the sidecar is
+    absent (pre-bloom batches, disabled writers, drop-rewritten
+    attempts) -- absent means conservatively unprunable."""
+    path = f"{table_path}/{manifest['dir']}/{BLOOM_SIDECAR}"
+    try:
+        raw = fs.read_bytes(path)
+    except (FileNotFoundError, OSError):
+        return {}
+    try:
+        return json.loads(raw).get("cols", {})
+    except (ValueError, AttributeError):
+        return {}

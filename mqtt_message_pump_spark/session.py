@@ -33,6 +33,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the manifest_sink batch source implements pushFilters; Spark 4
+        # fails a pushdown-capable Python source LOUDLY unless this is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         # don't let shuffle/broadcast cleanup RPCs stall the next job
         # (observed multi-second pauses after shuffle-heavy queries)

@@ -738,6 +738,59 @@ def _publish_manifest(fs, HPath, manifest_dir: str, name: str, payload: bytes) -
         )
 
 
+def _write_batch_bloom(
+    spark, fs, HPath, table_path: str, attempt: str,
+    files: "list[str]", df: DataFrame, n_rows: int,
+) -> None:
+    """Build and publish one attempt dir's ``_bloom.json`` sidecar (see
+    :mod:`functions.bloom`); failures are swallowed -- a missing sidecar
+    only costs pruning, never correctness."""
+    from mqtt_message_pump_spark.functions import bloom as B
+
+    cols = [c for c in ("mid", "topic") if c in df.columns]
+    if not cols:
+        return
+    try:
+        if n_rows <= B.DRIVER_BUILD_MAX_ROWS:
+            from mqtt_message_pump_spark.sources._fsio import fs_for
+
+            pfs, ppath = fs_for(table_path)
+            specs = B.bloom_build_arrow(pfs, ppath, files, cols, n_rows)
+        else:
+            specs = B.bloom_build_distributed(
+                spark.read.parquet(f"{table_path}/{attempt}").select(*cols),
+                cols, n_rows,
+            )
+        B.write_bloom_sidecar(
+            lambda payload: _publish_manifest(
+                fs, HPath, f"{table_path}/{attempt}",
+                B.BLOOM_SIDECAR, payload,
+            ),
+            specs,
+        )
+    except Exception:
+        pass  # absent sidecar = conservatively unprunable
+
+
+class _JvmFsReader:
+    """Minimal Python-native-reader facade over a Hadoop ``FileSystem``
+    (just enough surface for :func:`functions.bloom.load_bloom_sidecar`
+    on the JVM-backed :func:`read_sink` path)."""
+
+    def __init__(self, fs, HPath) -> None:
+        self._fs, self._HPath = fs, HPath
+
+    def read_bytes(self, path: str) -> bytes:
+        p = self._HPath(path)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = self._fs.open(p)
+        try:
+            return bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+
+
 def append_batch_manifest(
     df: DataFrame,
     store: StoreConf,
@@ -838,17 +891,15 @@ def append_batch_manifest(
     stat_cols = [
         c for c in ("mid", "topic", "collect_datetime") if c in df.columns
     ]
-    obs = None
-    if stat_cols:
-        from pyspark.sql import Observation
-        from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
 
-        obs = Observation()
-        aggs = []
-        for c in stat_cols:
-            aggs.append(F.min(c).alias(f"min_{c}"))
-            aggs.append(F.max(c).alias(f"max_{c}"))
-        df = df.observe(obs, *aggs)
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    df = df.observe(obs, *aggs)
     (
         df.write.mode("overwrite")
         .partitionBy("collect_date")
@@ -885,17 +936,36 @@ def append_batch_manifest(
             {f.split("collect_date=")[1].split("/")[0] for f in files}
         ),
     }
-    if obs is not None:
-        vals = obs.get
-        stats = {}
-        for c in stat_cols:
-            lo, hi = vals.get(f"min_{c}"), vals.get(f"max_{c}")
-            if lo is not None and hi is not None:
-                # stringified: JSON-safe, and lexicographic order equals
-                # value order for these columns (strings, ISO timestamps)
-                stats[c] = [str(lo), str(hi)]
-        if stats:
-            manifest["stats"] = stats
+    vals = obs.get
+    n_rows = int(vals.get("n_rows") or 0)
+    manifest["rows"] = n_rows
+    # the batch's exact write schema, recorded for the evolution audit
+    # trail: a widened sink's manifests show WHEN each type/column
+    # changed, and tooling can diff schemas without touching parquet
+    # footers.  Readers still merge from footers (authoritative).
+    manifest["schema"] = json.loads(df.schema.json())
+    stats = {}
+    for c in stat_cols:
+        lo, hi = vals.get(f"min_{c}"), vals.get(f"max_{c}")
+        if lo is not None and hi is not None:
+            # stringified: JSON-safe, and lexicographic order equals
+            # value order for these columns (strings, ISO timestamps)
+            stats[c] = [str(lo), str(hi)]
+    if stats:
+        manifest["stats"] = stats
+    # per-batch bloom sidecar for mid/topic point lookups (MergeTree
+    # primary-index parity, data_dbstore.go:133): written INSIDE the
+    # attempt dir before the manifest publish, so it is atomic with the
+    # batch and vacuum/snapshot/pinned reads handle it for free.  Sized
+    # from the observed row count (zero extra scan to size); built by a
+    # driver-side pyarrow re-read of just the two columns (page-cache
+    # hot) below the size guard, distributed above it.  Any failure
+    # skips the sidecar -- absent blooms are conservatively unprunable.
+    if getattr(store, "bloom_filters", True) and n_rows > 0:
+        _write_batch_bloom(
+            spark, fs, HPath, table_path, attempt, files, df, n_rows
+        )
+
     if epoch:
         # retire a prior attempt's UNSCOPED manifest for this batch id
         # (epoch transiently unreadable on attempt 1 -- the manifest
@@ -1120,6 +1190,126 @@ def list_snapshots(spark: SparkSession, table_path: str) -> list[dict]:
     return sorted(out, key=lambda s: s["seq"])
 
 
+class SchemaWideningError(ValueError):
+    """Two batch schemas cannot be merged by SAFE widening: the same
+    column holds unrelated types (e.g. string vs int), or a lossy
+    narrowing would be required.  Raised LOUDLY by
+    :func:`read_sink(merge_schema=True)` instead of letting engine
+    union coercion silently pick a side (the reference only ever WARNS
+    on drift, ``data_adapter.go:114-124`` -- we widen what is safe and
+    refuse what is not)."""
+
+
+_INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def _widen_two(a, b, col: str):
+    """Join of two Spark DataTypes on the SAFE widening lattice:
+    byte < short < int < long -> double; float -> double;
+    date -> timestamp; NullType yields to anything; structs/arrays/maps
+    recurse.  Unrelated types raise :class:`SchemaWideningError`."""
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _INT_RANK and bn in _INT_RANK:
+        return a if _INT_RANK[an] >= _INT_RANK[bn] else b
+    numeric = set(_INT_RANK) | {"float", "double"}
+    if an in numeric and bn in numeric:
+        # mixed integral/fractional: double (the lattice top; long ->
+        # double is the documented lossy-above-2^53 Spark standard)
+        return T.DoubleType()
+    dateish = {"date", "timestamp", "timestamp_ntz"}
+    if an in dateish and bn in dateish:
+        if "timestamp" in (an, bn):
+            return a if an == "timestamp" else b
+        return a if an != "date" else b
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        return _widen_struct(a, b, prefix=f"{col}.")
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(
+            _widen_two(a.elementType, b.elementType, f"{col}[]"),
+            a.containsNull or b.containsNull,
+        )
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        return T.MapType(
+            _widen_two(a.keyType, b.keyType, f"{col}<key>"),
+            _widen_two(a.valueType, b.valueType, f"{col}<value>"),
+            a.valueContainsNull or b.valueContainsNull,
+        )
+    raise SchemaWideningError(
+        f"column '{col}': {a.simpleString()} and {b.simpleString()} have "
+        "no safe widening (lattice: int->long->double, float->double, "
+        "date->timestamp); rewrite one side explicitly"
+    )
+
+
+def _widen_struct(a, b, prefix: str = ""):
+    """Widened union of two StructTypes: a's field order, b's new fields
+    appended; common fields widened via :func:`_widen_two`."""
+    from pyspark.sql import types as T
+
+    b_by_name = {f.name: f for f in b.fields}
+    fields = []
+    for f in a.fields:
+        g = b_by_name.pop(f.name, None)
+        if g is None:
+            fields.append(T.StructField(f.name, f.dataType, True))
+        else:
+            fields.append(
+                T.StructField(
+                    f.name,
+                    _widen_two(f.dataType, g.dataType, prefix + f.name),
+                    f.nullable or g.nullable,
+                )
+            )
+    for f in b.fields:
+        if f.name in b_by_name:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)
+
+
+def _cast_to_struct(df: DataFrame, target) -> DataFrame:
+    """Project ``df`` onto the widened target schema: present columns
+    cast up, missing ones NULL-filled -- the read-side half of managed
+    type evolution (old int batches surface as long/double under the
+    widened schema, old pre-column batches as NULL)."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in target.fields
+        ]
+    )
+
+
+def _stat_str(v) -> str:
+    """Stringify a probe value the way the write-side manifest stats
+    are stringified (``str()`` of the collected Python value under a
+    UTC session): lexicographic order equals value order for strings,
+    ISO dates and ISO timestamps, so interval tests stay exact."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return str(v)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
 class SnapshotUnreadable(IOError):
     """A pinned snapshot (``read_sink(as_of=...)``) cannot be served:
     either the snapshot object itself was vacuumed past retention, or
@@ -1137,6 +1327,7 @@ def read_sink(
     dates: "list[str] | None" = None,
     as_of: int | None = None,
     ranges: "dict[str, tuple[str, str]] | None" = None,
+    eq: "dict[str, object] | None" = None,
 ) -> DataFrame:
     """Read one sink table regardless of its commit protocol.
 
@@ -1268,7 +1459,51 @@ def read_sink(
             return True
 
         kept = [m for m in kept if _overlaps(m)]
-    if (dates is not None or ranges is not None) and not kept:
+    if eq is not None:
+        # point-lookup batch skipping (``eq={"mid": value_or_list}``):
+        # a batch is dropped when its min/max interval excludes EVERY
+        # probed value, or when its bloom sidecar (functions.bloom,
+        # written by the manifest commit) proves every probe absent --
+        # the MergeTree primary-index parity path
+        # (``data_dbstore.go:133``).  Stat-less/bloom-less batches are
+        # conservatively kept; the frame is NOT row-filtered -- compose
+        # with ``.filter(col == value)`` for exact selection.
+        from mqtt_message_pump_spark.functions.bloom import (
+            bloom_might_contain,
+            load_bloom_sidecar,
+        )
+
+        jfs = _JvmFsReader(fs, HPath)
+        probes = {
+            col: [
+                _stat_str(v)
+                for v in (
+                    vals if isinstance(vals, (list, tuple, set)) else [vals]
+                )
+            ]
+            for col, vals in eq.items()
+        }
+
+        def _eq_keep(m: dict) -> bool:
+            stats = m.get("stats") or {}
+            blooms = None
+            for col, svals in probes.items():
+                st = stats.get(col)
+                if st is not None and not any(
+                    st[0] <= s <= st[1] for s in svals
+                ):
+                    return False
+                if blooms is None:
+                    blooms = load_bloom_sidecar(jfs, table_path, m)
+                spec = blooms.get(col)
+                if spec is not None and not any(
+                    bloom_might_contain(spec, s) for s in svals
+                ):
+                    return False
+            return True
+
+        kept = [m for m in kept if _eq_keep(m)]
+    if (dates is not None or ranges is not None or eq is not None) and not kept:
         # every batch pruned: an empty frame with the sink's schema
         from pyspark.sql import functions as F
 
@@ -1284,6 +1519,16 @@ def read_sink(
     from functools import reduce
 
     frames = [reader.parquet(d) for d in sorted(dirs)]
+    if merge_schema and len(frames) > 1:
+        # managed TYPE evolution, not just added columns: fold every
+        # batch's schema through the safe widening lattice (int->long->
+        # double, float->double, date->timestamp -- loud
+        # SchemaWideningError on unrelated types) and cast each frame
+        # up, instead of trusting engine union coercion to pick a side
+        # silently.  Schemas are free here (parquet footers already
+        # read to plan the frames).
+        target = reduce(_widen_struct, [f.schema for f in frames])
+        frames = [_cast_to_struct(f, target) for f in frames]
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
         frames,
@@ -1741,6 +1986,41 @@ def compact_sink(
         # same victim set already compacted (we lost the race): leave
         # the winner alone; our attempt dir ages out via vacuum
         return name
+    # consolidated row count: sum of victim counts when all recorded
+    # one (zero extra IO), else one metadata-cheap parquet count
+    if all("rows" in m for m in victims):
+        total_rows = sum(int(m["rows"]) for m in victims)
+    else:
+        total_rows = spark.read.parquet(f"{table_path}/{attempt}").count()
+    # bloom sidecars are REBUILT, never OR-folded: victims carry
+    # per-batch geometries (m scales with n) and OR-ing saturates the
+    # smaller bitmap; the consolidated batch gets a fresh bloom sized
+    # to the summed count, built distributed (consolidated attempts
+    # outgrow the driver-side loop).  Built only when at least one
+    # victim had one (a bloom-disabled table stays bloom-free).
+    bloom_cols = [c for c in ("mid", "topic") if c in df.columns]
+    if bloom_cols and total_rows > 0 and any(
+        fs.exists(HPath(f"{table_path}/{m['dir']}/_bloom.json"))
+        for m in victims
+    ):
+        try:
+            from mqtt_message_pump_spark.functions import bloom as B
+
+            specs = B.bloom_build_distributed(
+                spark.read.parquet(f"{table_path}/{attempt}").select(
+                    *bloom_cols
+                ),
+                bloom_cols, total_rows,
+            )
+            B.write_bloom_sidecar(
+                lambda payload: _publish_manifest(
+                    fs, HPath, f"{table_path}/{attempt}",
+                    B.BLOOM_SIDECAR, payload,
+                ),
+                specs,
+            )
+        except Exception:
+            pass  # absent sidecar = conservatively unprunable
     _publish_manifest(
         fs,
         HPath,
@@ -1750,6 +2030,7 @@ def compact_sink(
             {
                 "kind": "compact",
                 "dir": attempt,
+                "rows": total_rows,
                 "supersedes": supersedes,
                 # manifest-level pruning metadata survives compaction:
                 # the consolidated batch's date set is the union of its
@@ -1942,6 +2223,10 @@ def drop_dates_sink(
         )
         payload = dict(m)
         payload.pop("ts", None)
+        # the rewritten attempt has fewer rows and no bloom sidecar;
+        # stale counts would missize a later compaction's bloom (the
+        # superset min/max stats stay -- wider intervals are safe)
+        payload.pop("rows", None)
         name = payload.pop("name")
         payload.update({"dir": attempt, "files": files, "dates": keep})
         _publish_manifest(

@@ -1,0 +1,178 @@
+"""Shared Python-native manifest-sink IO for the no-JVM reader
+processes: the ``sink_tail`` stream reader and the ``manifest_sink``
+batch reader both resolve the sink's live manifest set, list a
+manifest's data files, infer the merged schema, and read data files as
+Arrow batches through these helpers -- over a pluggable filesystem
+handle (:mod:`mqtt_message_pump_spark.sources._fsio`), so the same code
+runs on local paths and on s3://hdfs:// URIs.
+
+The resolution semantics are NOT re-implemented here: the pure core
+(:func:`sinks._resolve_manifest_entries` -- snapshot overlay,
+time-scoped supersedes, tombstone rule) is shared with the JVM-side
+loader, so the two paths cannot diverge.  Reference anchor for the
+storage surface being read: ``data_dbstore.go:122-147``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from mqtt_message_pump_spark.sinks import (
+    SnapshotUnreadable,
+    _ManifestVanished,
+    _resolve_manifest_entries,
+    _snap_seq,
+)
+
+
+def live_set(fs, table_path: str) -> "list[dict]":
+    """The sink's LIVE manifest set via the Python-native handle -- the
+    :func:`sinks._load_manifest_state` twin for no-JVM reader
+    processes.  Applies the same vanished-manifest retry as the JVM
+    loader, so a concurrent snapshot fold re-lists and converges."""
+    mdir = f"{table_path}/_manifests"
+    if not fs.isdir(mdir):
+        return []
+    for _ in range(3):
+        try:
+            try:
+                entries = [
+                    (n, mt)
+                    for n, mt in fs.listdir_mtime(mdir)
+                    if n.endswith(".json") and not n.startswith(".")
+                ]
+            except FileNotFoundError as e:
+                raise _ManifestVanished(str(e)) from None
+
+            def read_json(name: str) -> dict:
+                try:
+                    return json.loads(fs.read_bytes(f"{mdir}/{name}"))
+                except FileNotFoundError:
+                    raise _ManifestVanished(name) from None
+
+            return _resolve_manifest_entries(entries, read_json)["live"]
+        except _ManifestVanished:
+            time.sleep(0.05)
+            continue
+    raise IOError(
+        f"manifest listing of {table_path} kept changing under the "
+        "reader (3 attempts); concurrent maintenance is deleting "
+        "manifests without publishing replacements first"
+    )
+
+
+def snapshot_set(fs, table_path: str, as_of: int) -> "list[dict]":
+    """One SNAPSHOT's embedded manifest set, verbatim (the pinned-read
+    twin of :func:`sinks.read_sink`'s ``as_of`` path): no standalone
+    overlay, loud :class:`sinks.SnapshotUnreadable` when the snapshot
+    or any attempt dir it names was vacuumed past retention."""
+    mdir = f"{table_path}/_manifests"
+    names = [
+        n
+        for n, _mt in (fs.listdir_mtime(mdir) if fs.isdir(mdir) else [])
+        if _snap_seq(n) == as_of
+    ]
+    if not names:
+        raise SnapshotUnreadable(
+            f"snapshot seq {as_of} of {table_path} not found; it may "
+            "have aged out under the vacuum retention rule -- pinned "
+            "reads must finish (or re-pin) within retention_secs"
+        )
+    snap = json.loads(fs.read_bytes(f"{mdir}/{names[0]}"))
+    live = [m for m in snap.get("manifests", []) if "dir" in m]
+    gone = [
+        m["dir"] for m in live if not fs.isdir(f"{table_path}/{m['dir']}")
+    ]
+    if gone:
+        raise SnapshotUnreadable(
+            f"snapshot seq {as_of} of {table_path} references "
+            f"{len(gone)} vacuumed attempt dir(s) (e.g. {gone[0]}); "
+            "increase vacuum retention_secs beyond the pin lifetime"
+        )
+    return live
+
+
+def manifest_files(fs, table_path: str, m: dict) -> "list[str]":
+    """Data files of one live manifest, sink-relative.  Batch manifests
+    record them; compact manifests are listed from the attempt dir."""
+    if m.get("files"):
+        return list(m["files"])
+    root = f"{table_path}/{m['dir']}"
+    prefix = table_path.rstrip("/") + "/"
+    out = []
+    for p in fs.walk_files(root):
+        name = p.rsplit("/", 1)[-1]
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append(p[len(prefix):] if p.startswith(prefix) else p)
+    return sorted(out)
+
+
+def infer_sink_schema(fs, table_path: str, live: "list[dict]"):
+    """Merged Spark schema of a sink's live batches, NEWEST batch first:
+    under live-set ordering the first manifest is typically the OLDEST,
+    so single-file inference silently dropped post-widening columns
+    (ADVICE r12).  Permissive promotion unifies widened types
+    (int32/int64, float/double); on an ununifiable conflict the newest
+    batch's schema wins."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import DateType, StructField
+
+    schemas, first_file = [], None
+    for m in sorted(live, key=lambda m: m.get("ts", 0), reverse=True):
+        if "dir" not in m:
+            continue  # drop tombstone: metadata only, no files
+        files = manifest_files(fs, table_path, m)
+        if not files:
+            continue
+        if first_file is None:
+            first_file = files[0]
+        schemas.append(
+            fs.read_parquet_schema(f"{table_path}/{files[0]}")
+        )
+    if not schemas:
+        raise ValueError(
+            f"{table_path} has no committed batches to infer a schema "
+            "from; pass .option('schema', '<ddl>')"
+        )
+    try:
+        pa_schema = pa.unify_schemas(schemas, promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        pa_schema = schemas[0]  # newest batch wins on conflict
+    st = from_arrow_schema(pa_schema)
+    if "collect_date=" in first_file:
+        st = st.add(StructField("collect_date", DateType()))
+    return st
+
+
+def read_files_arrow(fs, table_path: str, rel_files, target):
+    """Yield Arrow record batches of ``rel_files`` aligned to the
+    ``target`` Arrow schema: the hive ``collect_date`` partition value
+    is reattached from the path, pre-widening batches NULL-fill missing
+    columns (the ``merge_schema`` read semantics), and the final cast
+    widens promoted types (int32 files under an int64 target)."""
+    import datetime
+
+    import pyarrow as pa
+
+    for rel in rel_files:
+        tbl = fs.read_parquet(f"{table_path}/{rel}")
+        if "collect_date=" in rel and "collect_date" in target.names:
+            val = rel.split("collect_date=")[1].split("/")[0]
+            try:
+                d = datetime.date.fromisoformat(val)
+            except ValueError:
+                d = None  # __HIVE_DEFAULT_PARTITION__: NULL date
+            tbl = tbl.append_column(
+                "collect_date",
+                pa.array([d] * len(tbl), type=pa.date32()),
+            )
+        for name in target.names:
+            if name not in tbl.column_names:
+                tbl = tbl.append_column(
+                    name, pa.nulls(len(tbl), type=target.field(name).type)
+                )
+        tbl = tbl.select(target.names).cast(target)
+        for batch in tbl.to_batches():
+            yield batch

@@ -26,21 +26,16 @@ Semantics (inherited from the delta core, ``sinks.read_sink_since``):
   consolidated compact attempts) -- the backlog bootstrap.
 
 Driver/executor IO note: the stream reader runs in a plain Python
-process (no JVM), so the manifest log and the data files are read with
-Python-native IO (``os`` + ``pyarrow``).  That covers local and
-NFS-mounted paths -- this environment -- and the adapter surface is two
-small functions (:func:`_local_live` and the per-file reads in
-``read``), which is where an ``fsspec``/``pyarrow.fs`` handle for
-s3a/HDFS plugs in on a cluster.  The listing applies the SAME
-vanished-manifest retry as the JVM loader, so a concurrent snapshot
-fold under the tail re-lists and converges.
+process (no JVM), so the manifest log and the data files are read
+through the pluggable Python-native filesystem seam
+(:mod:`sources._fsio` -- ``os``+pyarrow for local/NFS paths,
+``pyarrow.fs`` for s3://hdfs:// URIs, picked from the path's scheme)
+via the shared manifest-IO helpers (:mod:`sources.manifestio`).  The
+listing applies the SAME vanished-manifest retry as the JVM loader, so
+a concurrent snapshot fold under the tail re-lists and converges.
 """
 
 from __future__ import annotations
-
-import json
-import os
-import time
 
 try:  # Spark >= 4 Python data source API
     from pyspark.sql.datasource import (
@@ -61,74 +56,25 @@ except ImportError as e:  # pragma: no cover - pyspark < 4
 from mqtt_message_pump_spark.sinks import (
     TailLost,
     _batch_name_key,
-    _ManifestVanished,
-    _resolve_manifest_entries,
     _tail_delta,
 )
-
-
-def _local_live(table_path: str) -> list[dict]:
-    """The sink's LIVE manifest set via Python-native IO -- the
-    :func:`sinks._load_manifest_state` twin for the no-JVM stream-reader
-    process, sharing the pure resolution core (snapshot overlay,
-    time-scoped supersedes, tombstone rule) so the two loaders cannot
-    diverge."""
-    mdir = os.path.join(table_path, "_manifests")
-    if not os.path.isdir(mdir):
-        return []
-    for _ in range(3):
-        try:
-            entries = []
-            for n in sorted(os.listdir(mdir)):
-                if not n.endswith(".json") or n.startswith("."):
-                    continue
-                try:
-                    mt = int(os.stat(os.path.join(mdir, n)).st_mtime * 1000)
-                except FileNotFoundError:
-                    raise _ManifestVanished(n) from None
-                entries.append((n, mt))
-
-            def read_json(name: str) -> dict:
-                try:
-                    with open(os.path.join(mdir, name)) as f:
-                        return json.load(f)
-                except FileNotFoundError:
-                    raise _ManifestVanished(name) from None
-
-            return _resolve_manifest_entries(entries, read_json)["live"]
-        except _ManifestVanished:
-            time.sleep(0.05)
-            continue
-    raise IOError(
-        f"manifest listing of {table_path} kept changing under the tail "
-        "(3 attempts); concurrent maintenance is deleting manifests "
-        "without publishing replacements first"
-    )
-
-
-def _manifest_files(table_path: str, m: dict) -> list[str]:
-    """Data files of one live manifest, sink-relative.  Batch manifests
-    record them; compact manifests (bootstrap-only delivery) are listed
-    from the attempt dir."""
-    if m.get("files"):
-        return list(m["files"])
-    out = []
-    root = os.path.join(table_path, m["dir"])
-    for dirpath, _dirs, names in os.walk(root):
-        for n in names:
-            if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                rel = os.path.relpath(os.path.join(dirpath, n), table_path)
-                out.append(rel)
-    return sorted(out)
+from mqtt_message_pump_spark.sources._fsio import fs_for
+from mqtt_message_pump_spark.sources.manifestio import (
+    infer_sink_schema,
+    live_set,
+    manifest_files,
+    read_files_arrow,
+)
 
 
 class SinkTailDataSource(DataSource):
     """``format("sink_tail")``.  Options:
 
-    - ``path`` (required): the manifest sink's table_path;
-    - ``schema`` (optional DDL): the output schema; inferred from the
-      first live data file (+ the ``collect_date`` partition column)
-      when omitted;
+    - ``path`` (required): the manifest sink's table_path (local path
+      or any ``pyarrow.fs``-resolvable URI -- s3://, hdfs://...);
+    - ``schema`` (optional DDL): the output schema; inferred by merging
+      the live batches' file schemas (newest first, + the
+      ``collect_date`` partition column) when omitted;
     - ``max_batches_per_trigger`` (optional, default unbounded): at most
       this many new sink batches per lineage per micro-batch, backlog
       included -- the ``maxFilesPerTrigger`` analog for draining a
@@ -144,45 +90,8 @@ class SinkTailDataSource(DataSource):
         ddl = self.options.get("schema")
         if ddl:
             return ddl
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import from_arrow_schema
-        from pyspark.sql.types import DateType, StructField
-
-        path = self.options["path"]
-        # Merge schemas ACROSS live manifests, newest batch first: under
-        # live-set ordering the first manifest is typically the OLDEST
-        # batch, so inferring from it alone silently dropped every
-        # column added by a later schema widening (ADVICE r12) -- the
-        # stream's select(target.names) never surfaced them.  Newest-
-        # first keeps the widened batch's field order and types
-        # (permissive promotion unifies int32/int64 etc.); pre-widening
-        # batches NULL-fill at read exactly as before.
-        schemas, first_file = [], None
-        for m in sorted(
-            _local_live(path), key=lambda m: m.get("ts", 0), reverse=True
-        ):
-            files = _manifest_files(path, m)
-            if not files:
-                continue
-            if first_file is None:
-                first_file = files[0]
-            schemas.append(pq.read_schema(os.path.join(path, files[0])))
-        if not schemas:
-            raise ValueError(
-                f"sink_tail: {path} has no committed batches to infer a "
-                "schema from; pass .option('schema', '<ddl>')"
-            )
-        try:
-            pa_schema = pa.unify_schemas(
-                schemas, promote_options="permissive"
-            )
-        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
-            pa_schema = schemas[0]  # newest batch wins on conflict
-        st = from_arrow_schema(pa_schema)
-        if "collect_date=" in first_file:
-            st = st.add(StructField("collect_date", DateType()))
-        return st
+        fs, path = fs_for(self.options["path"])
+        return infer_sink_schema(fs, path, live_set(fs, path))
 
     def streamReader(self, schema):
         if not _DS_OK:  # pragma: no cover - pyspark < 4
@@ -193,7 +102,8 @@ class SinkTailDataSource(DataSource):
 
 
 class _ManifestPartition(InputPartition):
-    def __init__(self, table_path: str, files: list[str]) -> None:
+    def __init__(self, fs, table_path: str, files: list[str]) -> None:
+        self.fs = fs
         self.table_path = table_path
         self.files = files
 
@@ -208,7 +118,7 @@ class SinkTailStreamReader(DataSourceStreamReader):
     monotone as the sink grows and identical after a driver restart."""
 
     def __init__(self, options, schema) -> None:
-        self.path = options["path"]
+        self._fs, self.path = fs_for(options["path"])
         self._schema = schema
         # trigger sizing: at most this many NEW batches per lineage per
         # micro-batch (0 = unbounded) -- the maxFilesPerTrigger analog,
@@ -232,7 +142,7 @@ class SinkTailStreamReader(DataSourceStreamReader):
                 cur[e] = i
 
     def latestOffset(self):
-        live = _local_live(self.path)
+        live = live_set(self._fs, self.path)
         _, cur = _tail_delta(live, None, self.path)
         epochs = dict(cur["epochs"])
         if self._max_batches > 0:
@@ -256,7 +166,7 @@ class SinkTailStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         self._observe_committed(end)
-        live = _local_live(self.path)
+        live = live_set(self._fs, self.path)
         bootstrap = "epochs" not in start
         prior = dict(start.get("epochs", {}))
         upper = dict(end.get("epochs", {}))
@@ -283,8 +193,8 @@ class SinkTailStreamReader(DataSourceStreamReader):
                     # one partition PER FILE: executor-side read
                     # parallelism scales with data, not batch count
                     parts.extend(
-                        _ManifestPartition(self.path, [f])
-                        for f in _manifest_files(self.path, m)
+                        _ManifestPartition(self._fs, self.path, [f])
+                        for f in manifest_files(self._fs, self.path, m)
                     )
                     continue
                 lost = [
@@ -314,12 +224,12 @@ class SinkTailStreamReader(DataSourceStreamReader):
             if any(ki <= prior.get(ke, -1) for ke, ki in replaced):
                 continue  # same-rows replacement of a delivered twin
             parts.extend(
-                _ManifestPartition(self.path, [f])
-                for f in _manifest_files(self.path, m)
+                _ManifestPartition(self._fs, self.path, [f])
+                for f in manifest_files(self._fs, self.path, m)
             )
         # Spark requires a non-empty partition list per batch; an empty
         # window reads zero rows through one no-op partition
-        return parts or [_ManifestPartition(self.path, [])]
+        return parts or [_ManifestPartition(self._fs, self.path, [])]
 
     def commit(self, end) -> None:
         # nothing to reclaim (manifests are retired by the sink's own
@@ -328,37 +238,12 @@ class SinkTailStreamReader(DataSourceStreamReader):
         self._observe_committed(end)
 
     def read(self, partition):
-        import datetime
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        for rel in partition.files:
-            tbl = pq.read_table(os.path.join(partition.table_path, rel))
-            if "collect_date=" in rel and "collect_date" in target.names:
-                val = rel.split("collect_date=")[1].split("/")[0]
-                try:
-                    d = datetime.date.fromisoformat(val)
-                except ValueError:
-                    d = None  # __HIVE_DEFAULT_PARTITION__: NULL date
-                tbl = tbl.append_column(
-                    "collect_date",
-                    pa.array([d] * len(tbl), type=pa.date32()),
-                )
-            # by-name alignment with NULL fill: batches written before a
-            # schema widening (StoreConf.schema_evolution) lack the new
-            # columns -- the same semantics as read_sink(merge_schema)
-            for name in target.names:
-                if name not in tbl.column_names:
-                    tbl = tbl.append_column(
-                        name,
-                        pa.nulls(len(tbl), type=target.field(name).type),
-                    )
-            tbl = tbl.select(target.names).cast(target)
-            for batch in tbl.to_batches():
-                yield batch
+        yield from read_files_arrow(
+            partition.fs, partition.table_path, partition.files, target
+        )
 
 
 def register_sink_tail_source(spark) -> None:
