@@ -913,6 +913,86 @@ def reindex_ivfpq(
     return IvfPqIndex.load(spark, path)
 
 
+def maintain_ann_index(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    ratio_threshold: float = 1.5,
+    min_cell_sample: int = 25,
+    **build_kw,
+) -> dict:
+    """Close the drift->reindex loop operationally (VERDICT r12 #5):
+    ONE call that checks whether the vectors appended since the index
+    was built have drifted past ``ratio_threshold`` (the
+    :func:`ivfpq_drift` monitor) and, only if so, executes the retrain
+    via the atomic versioned swap (:func:`reindex_ivfpq`) -- index
+    maintenance as a scheduled one-liner next to compaction
+    (``pump maintain --reindex-ann``).
+
+    ``vectors`` is the CURRENT full corpus (e.g. the embeddings sink);
+    the baseline/appended split is derived from the index itself: ids
+    already in ``codes`` are build-time vectors, the anti-join
+    remainder is what was appended under frozen codebooks.  A no-drift
+    run costs two bounded map passes + tiny aggregates and swaps
+    nothing; build knobs for the retrain default to the LIVE index's
+    own geometry (m, nbits, n_centroids), overridable via
+    ``build_kw``.
+
+    Returns ``{"appended", "flagged_cells", "reindexed", "recall_safe"}``
+    -- ``recall_safe`` False means drift was detected and a rebuild
+    ran."""
+    import math as _math
+
+    import numpy as np
+
+    idx = IvfPqIndex.load(spark, index_path)
+    id_col, vec_col = idx.id_col, idx.vec_col
+    indexed_ids = idx.codes.select(id_col).distinct()
+    appended = vectors.join(indexed_ids, id_col, "left_anti")
+    n_appended = appended.count()
+    out = {
+        "appended": n_appended,
+        "flagged_cells": 0,
+        "reindexed": False,
+        "recall_safe": True,
+    }
+    if n_appended == 0:
+        return out
+    baseline = vectors.join(indexed_ids, id_col, "semi")
+    drift = ivfpq_drift(
+        idx, baseline, appended, ratio_threshold=ratio_threshold
+    )
+    # noise guard on the trip wire: a per-cell MSE over a handful of
+    # appended vectors swings well past 1.5x on an UNSHIFTED
+    # distribution (observed: 5 same-cluster vectors ratio 1.85), and a
+    # scheduled maintenance run must not retrain on sampling noise.
+    # Cells below ``min_cell_sample`` appends only count when they are
+    # a brand-new mode (no build-time vectors at all -- few vectors
+    # landing where the build saw NOTHING is a real signal, not noise).
+    flagged = drift.filter(
+        F.col("retrain")
+        & (
+            (F.col("n_new") >= min_cell_sample)
+            | (F.col("n_base") == 0)
+        )
+    ).count()
+    out["flagged_cells"] = int(flagged)
+    if flagged == 0:
+        return out
+    pq = np.asarray(idx.pq_centers)
+    build_kw.setdefault("id_col", id_col)
+    build_kw.setdefault("vec_col", vec_col)
+    build_kw.setdefault("m", idx.m)
+    build_kw.setdefault(
+        "nbits", max(1, int(round(_math.log2(pq.shape[1]))))
+    )
+    build_kw.setdefault("n_centroids", int(np.asarray(idx.coarse).shape[0]))
+    reindex_ivfpq(spark, index_path, vectors, **build_kw)
+    out["reindexed"] = True
+    out["recall_safe"] = False
+    return out
+
+
 def ivfpq_quantization_error(
     df: DataFrame, index: IvfPqIndex, vec_col: str | None = None
 ) -> DataFrame:
