@@ -234,3 +234,673 @@ def test_lease_owner_resolves_relative_checkpoint_paths(tmp_path):
     assert lease_owner_for(uri) == lease_owner_for(uri)
     assert lease_owner_for(uri) != rel
     assert rel.startswith("cp-")
+
+
+# ----------------------------- manifest_sink batch source -----------------
+
+
+def _register_ms(spark):
+    from mqtt_message_pump_spark.sources.manifestsink import (
+        register_manifest_sink_source,
+    )
+
+    register_manifest_sink_source(spark)
+
+
+def _canon(df):
+    return sorted(map(tuple, df.select("mid", "payload").collect()))
+
+
+class TestManifestSinkSource:
+    """``spark.read.format("manifest_sink")`` (VERDICT r12 #1): the
+    pruned, snapshot-consistent read path as a native Spark source with
+    manifest-level filter pushdown."""
+
+    def test_superseded_batches_invisible_vs_raw_parquet(
+        self, spark, tmp_path
+    ):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(5)), store, out, batch_id=0,
+                     epoch="e1")
+        # replay republish: same batch key, new attempt dir, same rows
+        write_append(_frame(spark, range(5, 10)), store, out, batch_id=1,
+                     epoch="e1")
+        write_append(_frame(spark, range(5, 10)), store, out, batch_id=1,
+                     epoch="e1")
+        df = (
+            spark.read.format("manifest_sink").option("path", out).load()
+        )
+        assert df.count() == 10
+        # a raw parquet read of the data root sees the superseded
+        # attempt too -- the misread this source exists to prevent
+        raw = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{out}/_data"
+        )
+        assert raw.count() == 15
+        assert _canon(df) == _canon(read_sink(spark, out))
+
+    def test_date_pushdown_reduces_planned_partitions(
+        self, spark, tmp_path
+    ):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(4):
+            write_append(
+                _frame(spark, range(b * 5, (b + 1) * 5),
+                       dates=(f"2024-01-0{b + 1}",)),
+                store, out, batch_id=b, epoch="e1",
+            )
+        df = (
+            spark.read.format("manifest_sink").option("path", out).load()
+        )
+        assert df.rdd.getNumPartitions() == 4  # one per batch file
+        hit = df.filter(F.col("collect_date") == "2024-01-02")
+        assert hit.rdd.getNumPartitions() == 1  # three batches pruned
+        assert hit.count() == 5
+        rng = df.filter(F.col("collect_date") >= "2024-01-03")
+        assert rng.rdd.getNumPartitions() == 2
+        assert rng.count() == 10
+        # residual filters stay exact: values match the helper read
+        exp = (
+            read_sink(spark, out, dates=["2024-01-02"])
+            .filter(F.col("collect_date") == "2024-01-02")
+        )
+        assert _canon(hit) == _canon(exp)
+
+    def test_stats_range_pushdown_prunes_batches(self, spark, tmp_path):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(3):
+            write_append(
+                _frame(spark, range(b * 5, (b + 1) * 5),
+                       dates=(f"2024-01-0{b + 1}",)),
+                store, out, batch_id=b, epoch="e1",
+            )
+        df = (
+            spark.read.format("manifest_sink").option("path", out).load()
+        )
+        hit = df.filter(
+            F.col("collect_datetime") >= F.lit("2024-01-03 00:00:00")
+        )
+        assert hit.rdd.getNumPartitions() == 1
+        assert hit.count() == 5
+
+    def test_point_lookup_bloom_prunes_absent_mid(self, spark, tmp_path):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(3):
+            write_append(_frame(spark, range(b * 5, (b + 1) * 5)),
+                         store, out, batch_id=b, epoch="e1")
+        df = (
+            spark.read.format("manifest_sink").option("path", out).load()
+        )
+        # "m12a" is INSIDE two batches' min/max intervals -- only the
+        # bloom can skip them; every batch pruned -> one no-op partition
+        absent = df.filter(F.col("mid") == "m12a")
+        assert absent.rdd.getNumPartitions() == 1
+        assert absent.count() == 0
+        present = df.filter(F.col("mid") == "m7")
+        assert present.count() == 1
+        # no false negatives over every written mid
+        mids = [r["mid"] for r in df.select("mid").collect()]
+        for m in mids:
+            assert df.filter(F.col("mid") == m).count() == 1
+
+    def test_as_of_bit_identity_with_read_sink(self, spark, tmp_path):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(3):
+            write_append(_frame(spark, range(b * 5, (b + 1) * 5)),
+                         store, out, batch_id=b, epoch="e1")
+        assert S.snapshot_sink(spark, out) is not None
+        write_append(_frame(spark, range(15, 20)), store, out,
+                     batch_id=3, epoch="e1")
+        pinned = (
+            spark.read.format("manifest_sink")
+            .option("path", out).option("as_of", "1").load()
+        )
+        exp = read_sink(spark, out, as_of=1)
+        assert _canon(pinned) == _canon(exp)
+        assert pinned.count() == 15
+        live = (
+            spark.read.format("manifest_sink").option("path", out).load()
+        )
+        assert live.count() == 20
+        with pytest.raises(Exception, match="snapshot seq 99"):
+            (
+                spark.read.format("manifest_sink")
+                .option("path", out).option("as_of", "99").load()
+                .count()
+            )
+
+    def test_sql_surface_over_manifest_sink(self, spark, tmp_path):
+        """SQL users get the pruned path too: register as a temp view,
+        query with WHERE -- the delegated SELECT surface
+        (data_dbstore.go:229) over the native source."""
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(2):
+            write_append(
+                _frame(spark, range(b * 5, (b + 1) * 5),
+                       dates=(f"2024-01-0{b + 1}",)),
+                store, out, batch_id=b, epoch="e1",
+            )
+        (
+            spark.read.format("manifest_sink").option("path", out).load()
+            .createOrReplaceTempView("sink_v")
+        )
+        got = spark.sql(
+            "SELECT count(*) AS n FROM sink_v "
+            "WHERE collect_date = DATE'2024-01-02'"
+        ).collect()
+        assert got[0]["n"] == 5
+
+
+# ----------------------------- bloom sidecars ------------------------------
+
+
+class TestBloomSidecars:
+    def test_sidecar_written_and_skips_whole_batches(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(3):
+            write_append(_frame(spark, range(b * 5, (b + 1) * 5)),
+                         store, out, batch_id=b, epoch="e1")
+        sidecars = [
+            p for p in os.listdir(f"{out}/_data")
+        ]
+        assert all(
+            os.path.exists(f"{out}/_data/{d}/_bloom.json") for d in sidecars
+        )
+        # IO-count check: an absent-mid lookup plans ZERO files; a
+        # present one plans only its batch's files
+        full = read_sink(spark, out)
+        assert len(full.inputFiles()) == 3
+        # "m12a" sits INSIDE the min/max intervals of two batches
+        # (random-ish keys span the key space -- the exact gap the
+        # bloom exists for): only the bloom can prune these
+        absent = read_sink(spark, out, eq={"mid": "m12a"})
+        assert len(absent.inputFiles()) == 0
+        assert absent.count() == 0
+        one = read_sink(spark, out, eq={"mid": "m12"})
+        assert len(one.inputFiles()) == 1
+        assert one.filter(F.col("mid") == "m12").count() == 1
+        # multi-probe: list form keeps every batch containing any value
+        two = read_sink(spark, out, eq={"mid": ["m2", "m12"]})
+        assert len(two.inputFiles()) == 2
+
+    def test_no_false_negatives(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(200)), store, out, batch_id=0,
+                     epoch="e1")
+        full = read_sink(spark, out)
+        for r in full.select("mid").collect():
+            got = read_sink(spark, out, eq={"mid": r["mid"]})
+            assert len(got.inputFiles()) == 1
+
+    def test_blooms_rebuilt_through_compaction(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(4):
+            write_append(_frame(spark, range(b * 5, (b + 1) * 5)),
+                         store, out, batch_id=b, epoch="e1")
+        name = S.compact_sink(spark, out, keep_last=1)
+        assert name is not None
+        S.vacuum_sink(spark, out)
+        # consolidated attempt carries a fresh (re-sized) bloom
+        live = read_sink(spark, out)
+        assert live.count() == 20
+        # in-interval absent probe: only the REBUILT bloom can prune it
+        assert (
+            len(read_sink(spark, out, eq={"mid": "m12a"}).inputFiles()) == 0
+        )
+        got = read_sink(spark, out, eq={"mid": "m3"})
+        assert got.filter(F.col("mid") == "m3").count() == 1
+        # and the compact manifest records the consolidated row count
+        mans = [
+            json.load(open(f"{out}/_manifests/{n}"))
+            for n in os.listdir(f"{out}/_manifests")
+            if n.startswith("c-")
+        ]
+        assert mans and mans[0]["rows"] == 15
+
+    def test_blooms_survive_snapshot_and_compose_with_as_of(
+        self, spark, tmp_path
+    ):
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(3):
+            write_append(_frame(spark, range(b * 5, (b + 1) * 5)),
+                         store, out, batch_id=b, epoch="e1")
+        assert S.snapshot_sink(spark, out) is not None
+        write_append(_frame(spark, range(15, 20)), store, out,
+                     batch_id=3, epoch="e1")
+        pinned = read_sink(spark, out, as_of=1, eq={"mid": "m7"})
+        assert len(pinned.inputFiles()) == 1
+        assert pinned.filter(F.col("mid") == "m7").count() == 1
+        # a value only in the post-pin batch: invisible AND fully pruned
+        gone = read_sink(spark, out, as_of=1, eq={"mid": "m17"})
+        assert len(gone.inputFiles()) == 0
+
+    def test_bloom_disabled_store_still_correct(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        store = _manifest_store(bloom_filters=False)
+        write_append(_frame(spark, range(5)), store, out, batch_id=0,
+                     epoch="e1")
+        assert not any(
+            os.path.exists(f"{out}/_data/{d}/_bloom.json")
+            for d in os.listdir(f"{out}/_data")
+        )
+        # conservative: a probe INSIDE the min/max interval with no
+        # bloom to consult keeps the batch ("zz" would be min/max-
+        # pruned; "m1x" sits between m1 and m2) -- and row filtering
+        # stays exact
+        got = read_sink(spark, out, eq={"mid": "m1x"})
+        assert len(got.inputFiles()) == 1
+        assert got.filter(F.col("mid") == "m1x").count() == 0
+
+
+# ----------------------------- fs seam (_fsio) -----------------------------
+
+
+class TestFsSeam:
+    def test_live_set_retries_vanished_manifest(self, spark, tmp_path):
+        """A manifest deleted between the listing and its open (the
+        concurrent snapshot fold) re-lists and converges -- through the
+        fs-handle indirection, with injected vanish-then-reappear."""
+        from mqtt_message_pump_spark.sources._fsio import LocalFs
+        from mqtt_message_pump_spark.sources.manifestio import live_set
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(5)), store, out, batch_id=0,
+                     epoch="e1")
+
+        class FlakyFs(LocalFs):
+            def __init__(self):
+                self.failures = 2
+
+            def read_bytes(self, path):
+                if self.failures > 0 and path.endswith(".json"):
+                    self.failures -= 1
+                    raise FileNotFoundError(path)
+                return super().read_bytes(path)
+
+        live = live_set(FlakyFs(), out)
+        assert len(live) == 1
+
+    def test_live_set_fails_loudly_when_listing_never_settles(
+        self, spark, tmp_path
+    ):
+        from mqtt_message_pump_spark.sources._fsio import LocalFs
+        from mqtt_message_pump_spark.sources.manifestio import live_set
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(_frame(spark, range(5)), store, out, batch_id=0,
+                     epoch="e1")
+
+        class AlwaysVanishing(LocalFs):
+            def read_bytes(self, path):
+                raise FileNotFoundError(path)
+
+        with pytest.raises(IOError, match="kept changing"):
+            live_set(AlwaysVanishing(), out)
+
+    def test_arrowfs_handle_reads_manifest_sink(self, spark, tmp_path):
+        """The pyarrow.fs implementation of the seam serves the same
+        live set and data bytes as LocalFs (exercised here over a
+        file:// URI -- the s3://hdfs:// deployment path shares every
+        line of this code)."""
+        from mqtt_message_pump_spark.sources._fsio import ArrowFs, LocalFs
+        from mqtt_message_pump_spark.sources.manifestio import (
+            live_set,
+            manifest_files,
+        )
+
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        for b in range(2):
+            write_append(_frame(spark, range(b * 5, (b + 1) * 5)),
+                         store, out, batch_id=b, epoch="e1")
+        afs = ArrowFs(f"file://{out}")
+        lfs = LocalFs()
+        a_live = live_set(afs, out)
+        l_live = live_set(lfs, out)
+        assert sorted(m["name"] for m in a_live) == sorted(
+            m["name"] for m in l_live
+        )
+        for m in a_live:
+            files = manifest_files(afs, out, m)
+            assert files == manifest_files(lfs, out, m)
+            for f in files:
+                assert afs.read_parquet(f"{out}/{f}").num_rows == (
+                    lfs.read_parquet(f"{out}/{f}").num_rows
+                )
+        # pickling round-trip (the reader ships handles to workers)
+        import pickle
+
+        afs2 = pickle.loads(pickle.dumps(afs))
+        assert len(live_set(afs2, out)) == 2
+
+
+# ----------------------------- type widening (schema evolution) -----------
+
+
+class TestTypeWidening:
+    """VERDICT r12 #4: the safe widening lattice (int->long->double,
+    float->double, date->timestamp) across batches written before/after
+    an inferred-type upgrade -- widened at read with old batches cast
+    up, unrelated types rejected LOUDLY."""
+
+    def _vframe(self, spark, ids, vtype, date="2024-01-02"):
+        rows = [(f"m{i}", i, date) for i in ids]
+        return (
+            spark.createDataFrame(rows, ["mid", "v", "d"])
+            .select(
+                "mid",
+                F.col("v").cast(vtype).alias("v"),
+                F.to_timestamp("d").alias("collect_datetime"),
+                F.to_date("d").alias("collect_date"),
+            )
+        )
+
+    def test_widening_matrix_int_long_double(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(self._vframe(spark, range(3), "int"), store, out,
+                     batch_id=0, epoch="e1")
+        write_append(self._vframe(spark, range(3, 6), "bigint"), store,
+                     out, batch_id=1, epoch="e1")
+        df = read_sink(spark, out, merge_schema=True)
+        assert dict(df.dtypes)["v"] == "bigint"
+        assert sorted(r["v"] for r in df.collect()) == list(range(6))
+        write_append(self._vframe(spark, range(6, 9), "double"), store,
+                     out, batch_id=2, epoch="e1")
+        df = read_sink(spark, out, merge_schema=True)
+        assert dict(df.dtypes)["v"] == "double"
+        assert sorted(r["v"] for r in df.collect()) == [
+            float(i) for i in range(9)
+        ]
+
+    def test_widen_float_to_double_and_date_to_timestamp(
+        self, spark, tmp_path
+    ):
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        a = self._vframe(spark, range(3), "float").withColumn(
+            "seen", F.lit("2024-01-01").cast("date")
+        )
+        b = self._vframe(spark, range(3, 6), "double").withColumn(
+            "seen", F.lit("2024-01-02 03:00:00").cast("timestamp")
+        )
+        write_append(a, store, out, batch_id=0, epoch="e1")
+        write_append(b, store, out, batch_id=1, epoch="e1")
+        df = read_sink(spark, out, merge_schema=True)
+        types = dict(df.dtypes)
+        assert types["v"] == "double" and types["seen"] == "timestamp"
+        assert df.filter(F.col("seen").isNotNull()).count() == 6
+
+    def test_reject_narrowing_unrelated_types(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(self._vframe(spark, range(3), "int"), store, out,
+                     batch_id=0, epoch="e1")
+        s = self._vframe(spark, range(3, 6), "int").withColumn(
+            "v", F.concat(F.lit("x"), F.col("v"))
+        )
+        write_append(s, store, out, batch_id=1, epoch="e1")
+        with pytest.raises(S.SchemaWideningError, match="column 'v'"):
+            read_sink(spark, out, merge_schema=True)
+
+    def test_widening_composes_with_added_columns(self, spark, tmp_path):
+        """The r11 added-column evolution and the r13 type widening in
+        one sink: old batches NULL-fill the new column AND cast up the
+        widened one."""
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(self._vframe(spark, range(3), "int"), store, out,
+                     batch_id=0, epoch="e1")
+        wide = self._vframe(spark, range(3, 6), "bigint").withColumn(
+            "extra", F.lit("new")
+        )
+        write_append(wide, store, out, batch_id=1, epoch="e1")
+        df = read_sink(spark, out, merge_schema=True)
+        types = dict(df.dtypes)
+        assert types["v"] == "bigint" and types["extra"] == "string"
+        by_mid = {r["mid"]: (r["v"], r["extra"]) for r in df.collect()}
+        assert by_mid["m0"] == (0, None) and by_mid["m4"] == (4, "new")
+
+    def test_widened_sink_streams_through_sink_tail(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        out, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        store = _manifest_store()
+        write_append(self._vframe(spark, range(3), "int"), store, out,
+                     batch_id=0, epoch="e1")
+        time.sleep(0.05)
+        write_append(self._vframe(spark, range(3, 6), "bigint"), store,
+                     out, batch_id=1, epoch="e1")
+        rows: list = []
+
+        def fb(df, _bid):
+            assert dict(df.dtypes)["v"] == "bigint"
+            rows.extend(df.select("mid", "v").collect())
+
+        q = (
+            spark.readStream.format("sink_tail")
+            .option("path", out)
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        assert sorted(r["v"] for r in rows) == list(range(6))
+
+    def test_widened_sink_through_manifest_sink_source(
+        self, spark, tmp_path
+    ):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(self._vframe(spark, range(3), "int"), store, out,
+                     batch_id=0, epoch="e1")
+        time.sleep(0.05)
+        write_append(self._vframe(spark, range(3, 6), "bigint"), store,
+                     out, batch_id=1, epoch="e1")
+        df = (
+            spark.read.format("manifest_sink").option("path", out).load()
+        )
+        assert dict(df.dtypes)["v"] == "bigint"
+        assert sorted(r["v"] for r in df.collect()) == list(range(6))
+
+    def test_schema_recorded_in_manifests(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        store = _manifest_store()
+        write_append(self._vframe(spark, range(3), "int"), store, out,
+                     batch_id=0, epoch="e1")
+        write_append(self._vframe(spark, range(3, 6), "bigint"), store,
+                     out, batch_id=1, epoch="e1")
+        schemas = {}
+        for n in os.listdir(f"{out}/_manifests"):
+            if not n.endswith(".json") or n.startswith("."):
+                continue  # Hadoop local-fs .crc sidecars
+            m = json.load(open(f"{out}/_manifests/{n}"))
+            vf = [f for f in m["schema"]["fields"] if f["name"] == "v"]
+            schemas[n] = vf[0]["type"]
+            assert m["rows"] == 3
+        assert sorted(schemas.values()) == ["integer", "long"]
+
+
+# ----------------------------- drift-gated ANN maintenance ----------------
+
+
+class TestAnnMaintain:
+    """VERDICT r12 #5: ``maintain_ann_index`` / ``pump maintain
+    --reindex-ann`` connects the drift monitor to the executed retrain:
+    no appends or unshifted appends are cheap no-ops; a shifted append
+    trips the monitor, rebuilds through the versioned swap, and search
+    recall recovers."""
+
+    DIM = 16
+    KNOBS = dict(id_col="vec_id", vec_col="embedding",
+                 m=8, nbits=4, seed=42, max_iter=10)
+
+    def _vec_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+
+    def _clusters(self, rng, centers, n_per, id0):
+        rows, vid = [], id0
+        for c in centers:
+            for _ in range(n_per):
+                rows.append(
+                    (vid,
+                     [float(x) for x in c + rng.normal(0, 0.05, self.DIM)])
+                )
+                vid += 1
+        return rows
+
+    def _setup(self, spark, tmp_path):
+        import numpy as np
+
+        from mqtt_message_pump_spark.operators import similarity as SIM
+
+        rng = np.random.default_rng(7)
+        centers_a = rng.normal(0, 1, (4, self.DIM))
+        rows_a = self._clusters(rng, centers_a, 50, 0)
+        A = self._vec_df(spark, rows_a)
+        idx = SIM.ivfpq_build(A, n_centroids=4, persist=False, **self.KNOBS)
+        path = str(tmp_path / "ann")
+        SIM.save_index_versioned(idx, path)
+        return rng, centers_a, rows_a, A, path
+
+    def test_no_appends_is_a_noop(self, spark, tmp_path):
+        from mqtt_message_pump_spark.operators import similarity as SIM
+
+        _rng, _ca, _rows, A, path = self._setup(spark, tmp_path)
+        gens_before = sorted(
+            n for n in os.listdir(path) if n.startswith("_gen-")
+        )
+        status = SIM.maintain_ann_index(spark, path, A)
+        assert status == {
+            "appended": 0, "flagged_cells": 0,
+            "reindexed": False, "recall_safe": True,
+        }
+        assert gens_before == sorted(
+            n for n in os.listdir(path) if n.startswith("_gen-")
+        )
+
+    def test_unshifted_appends_do_not_trip(self, spark, tmp_path):
+        from mqtt_message_pump_spark.operators import similarity as SIM
+
+        rng, centers_a, rows_a, _A, path = self._setup(spark, tmp_path)
+        more = self._clusters(rng, centers_a, 10, 5000)
+        U = self._vec_df(spark, rows_a + more)
+        status = SIM.maintain_ann_index(spark, path, U)
+        assert status["appended"] == 40
+        assert status["reindexed"] is False
+
+    def test_shifted_appends_trip_rebuild_and_recall_recovers(
+        self, spark, tmp_path
+    ):
+        import numpy as np
+
+        from mqtt_message_pump_spark.operators import similarity as SIM
+
+        rng, _centers_a, rows_a, _A, path = self._setup(spark, tmp_path)
+        centers_b = rng.normal(0, 1, (4, self.DIM)) + 25.0
+        rows_b = self._clusters(rng, centers_b, 50, 1000)
+        U = self._vec_df(spark, rows_a + rows_b)
+        k = 5
+        q_rows = [
+            (
+                -(i + 1),
+                [
+                    float(x)
+                    for x in np.array(rows_b[(i * 37) % len(rows_b)][1])
+                    + rng.normal(0, 0.01, self.DIM)
+                ],
+            )
+            for i in range(10)
+        ]
+        Q = self._vec_df(spark, q_rows)
+        ids = np.array([r[0] for r in rows_a + rows_b])
+        X = np.array([r[1] for r in rows_a + rows_b])
+        truth = {}
+        for qid, qv in q_rows:
+            d = ((X - np.array(qv)[None, :]) ** 2).sum(1)
+            truth[qid] = set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+
+        def recall(index):
+            got = {}
+            for r in SIM.ivfpq_search(Q, index, k=k, n_probe=4).collect():
+                got.setdefault(r["query_id"], set()).add(r["cand_id"])
+            return sum(
+                len(got.get(q, set()) & truth[q]) / k for q in truth
+            ) / len(truth)
+
+        # the stale index has no B codes at all: queries near B recall
+        # almost nothing -- the baseline the rebuild must beat
+        recall_before = recall(SIM.IvfPqIndex.load(spark, path))
+        status = SIM.maintain_ann_index(
+            spark, path, U, n_centroids=8
+        )
+        assert status["appended"] == 200
+        assert status["flagged_cells"] > 0
+        assert status["reindexed"] is True
+        new_idx = SIM.IvfPqIndex.load(spark, path)
+        recall_after = recall(new_idx)
+        assert recall_after >= recall_before + 0.3
+        assert recall_after >= 0.6
+
+    def test_cli_maintain_reindex_ann(self, spark, tmp_path, capsys):
+        import numpy as np
+
+        from mqtt_message_pump_spark.cli import main
+        from mqtt_message_pump_spark.operators import similarity as SIM
+
+        rng, _ca, rows_a, _A, path = self._setup(spark, tmp_path)
+        centers_b = rng.normal(0, 1, (4, self.DIM)) + 25.0
+        rows_b = self._clusters(rng, centers_b, 50, 1000)
+        U = self._vec_df(spark, rows_a + rows_b)
+        vec_path = str(tmp_path / "vectors")
+        U.write.parquet(vec_path)
+        # minimal sinks so the table-maintenance half succeeds too
+        out = tmp_path / "out"
+        store = _manifest_store()
+        for sub in ("raw_message", "json_message"):
+            write_append(_frame(spark, range(3)), store,
+                         str(out / sub), batch_id=0, epoch="e1")
+        ini = tmp_path / "pump.ini"
+        ini.write_text(f"[store]\npath = {out}\n")
+        rc = main([
+            "maintain", str(ini),
+            "--reindex-ann", path, "--ann-vectors", vec_path,
+        ])
+        assert rc == 0
+        txt = capsys.readouterr().out
+        assert "reindexed=True" in txt
+        # second run: corpus unchanged, everything already indexed
+        rc = main([
+            "maintain", str(ini),
+            "--reindex-ann", path, "--ann-vectors", vec_path,
+        ])
+        assert rc == 0
+        txt = capsys.readouterr().out
+        assert "appended=0" in txt and "reindexed=False" in txt
