@@ -904,3 +904,30 @@ class TestAnnMaintain:
         assert rc == 0
         txt = capsys.readouterr().out
         assert "appended=0" in txt and "reindexed=False" in txt
+
+
+def test_bloom_builders_agree_and_probe_matches(spark, tmp_path):
+    """The driver-side pyarrow builder and the distributed mapInPandas
+    builder produce IDENTICAL bitmaps for the same input -- the
+    size-guard switch between them can never change lookup results --
+    and every written value probes positive."""
+    import glob
+
+    from mqtt_message_pump_spark.functions import bloom as B
+    from mqtt_message_pump_spark.sources._fsio import LocalFs
+
+    out = str(tmp_path / "p")
+    df = _frame(spark, range(500)).select("mid", "topic")
+    df.coalesce(2).write.parquet(out)
+    rels = [
+        os.path.relpath(p, out)
+        for p in glob.glob(f"{out}/*.parquet")
+    ]
+    driver = B.bloom_build_arrow(LocalFs(), out, rels, ["mid", "topic"], 500)
+    dist = B.bloom_build_distributed(
+        spark.read.parquet(out), ["mid", "topic"], 500
+    )
+    assert driver == dist
+    for v in ("m0", "m250", "m499"):
+        assert B.bloom_might_contain(driver["mid"], v)
+    assert B.bloom_might_contain(driver["topic"], "t")

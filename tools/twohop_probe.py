@@ -126,6 +126,8 @@ def report(name: str, prog: list[dict]) -> dict:
     third = max(1, len(body) // 3)
     first = statistics.mean(p["ms"] for p in body[:third])
     last = statistics.mean(p["ms"] for p in body[-third:])
+    med_first = statistics.median(p["ms"] for p in body[:third])
+    med_last = statistics.median(p["ms"] for p in body[-third:])
     med_ms = statistics.median(p["ms"] for p in body)
     med_rows = statistics.median(p["rows"] for p in body)
     out = {
@@ -133,14 +135,19 @@ def report(name: str, prog: list[dict]) -> dict:
         "median_batch_ms": med_ms,
         "rows_per_batch": med_rows,
         "rows_per_s": 1000 * med_rows / med_ms if med_ms else 0,
-        "flatness": last / first if first else 0,
+        # mean flatness includes the scheduled in-line maintenance
+        # spikes (compaction cost scales with the DOWNSTREAM corpus by
+        # design); median flatness is the steady-state per-trigger claim
+        "flatness_mean": last / first if first else 0,
+        "flatness_median": med_last / med_first if med_first else 0,
     }
     print(
         f"{name}: batches={out['batches']} "
         f"median_batch={out['median_batch_ms']:.0f}ms "
         f"rows/batch={out['rows_per_batch']:.0f} "
         f"steady_rows_per_s={out['rows_per_s']:.0f} "
-        f"flatness={out['flatness']:.2f}",
+        f"flatness_mean={out['flatness_mean']:.2f} "
+        f"flatness_median={out['flatness_median']:.2f}",
         flush=True,
     )
     return out
