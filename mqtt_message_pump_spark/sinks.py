@@ -1541,6 +1541,7 @@ def read_sink_fanin(
     merge_schema: bool = False,
     dates: "list[str] | None" = None,
     ranges: "dict[str, tuple[str, str]] | None" = None,
+    eq: "dict[str, object] | None" = None,
 ) -> DataFrame:
     """One logical table over a PARTITIONED MULTI-WRITER layout -- the
     supported answer to legitimate concurrent writers (two pumps on
@@ -1567,7 +1568,7 @@ def read_sink_fanin(
     if not table_paths:
         raise ValueError("read_sink_fanin needs at least one table path")
     frames = [
-        read_sink(spark, p, merge_schema, dates=dates, ranges=ranges)
+        read_sink(spark, p, merge_schema, dates=dates, ranges=ranges, eq=eq)
         for p in table_paths
     ]
     return reduce(

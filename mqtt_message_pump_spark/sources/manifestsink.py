@@ -52,7 +52,20 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
 )
+
+
+def _prefix_upper(prefix: str) -> "str | None":
+    """Exclusive upper bound of the set of strings starting with
+    ``prefix``: the prefix with its last non-maximal character
+    incremented (every string with the prefix sorts in
+    ``[prefix, upper)``).  None when no finite bound exists."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
 
 from mqtt_message_pump_spark.sinks import _stat_str
 from mqtt_message_pump_spark.sources._fsio import fs_for
@@ -209,6 +222,24 @@ class ManifestSinkReader(DataSourceReader):
             LessThanOrEqual: "lte",
         }
         for f in filters:
+            if (
+                isinstance(f, StringStartsWith)
+                and len(f.attribute) == 1
+                and f.attribute[0] in _STAT_COLS
+            ):
+                # prefix predicate (the MQTT topic-filter shape) as a
+                # half-open range on the min/max stats: matches live in
+                # [prefix, prefix-with-last-char-incremented)
+                col, p = f.attribute[0], str(f.value)
+                self._stat_constraints.setdefault(col, []).append(
+                    ("gte", p)
+                )
+                upper = _prefix_upper(p)
+                if upper is not None:
+                    self._stat_constraints.setdefault(col, []).append(
+                        ("lt", upper)
+                    )
+                continue
             op = ops.get(type(f))
             if op is None or len(getattr(f, "attribute", ())) != 1:
                 continue

@@ -931,3 +931,39 @@ def test_bloom_builders_agree_and_probe_matches(spark, tmp_path):
     for v in ("m0", "m250", "m499"):
         assert B.bloom_might_contain(driver["mid"], v)
     assert B.bloom_might_contain(driver["topic"], "t")
+
+
+def test_topic_prefix_pushdown_prunes_batches(spark, tmp_path):
+    """startswith on topic (the MQTT topic-filter shape) pushes down as
+    a half-open min/max range: batches of other topic families are
+    never planned."""
+    from mqtt_message_pump_spark.sources.manifestsink import _prefix_upper
+
+    assert _prefix_upper("sensors/") == "sensors0"
+    assert _prefix_upper("a") == "b"
+    _register_ms(spark)
+    out = str(tmp_path / "t")
+    store = _manifest_store()
+    for b, fam in enumerate(["alpha", "beta", "gamma"]):
+        df = _frame(spark, range(b * 5, (b + 1) * 5)).withColumn(
+            "topic", F.concat(F.lit(f"{fam}/"), F.col("mid"))
+        )
+        write_append(df, store, out, batch_id=b, epoch="e1")
+    df = spark.read.format("manifest_sink").option("path", out).load()
+    hit = df.filter(F.col("topic").startswith("beta/"))
+    assert hit.rdd.getNumPartitions() == 1
+    assert hit.count() == 5
+    assert df.filter(F.col("topic").startswith("zeta/")).count() == 0
+
+
+def test_fanin_eq_passthrough(spark, tmp_path):
+    """Point-lookup pruning applies per path in the multi-writer union
+    view."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    store = _manifest_store()
+    write_append(_frame(spark, range(5)), store, a, batch_id=0, epoch="e1")
+    write_append(_frame(spark, range(5, 10)), store, b, batch_id=0,
+                 epoch="e1")
+    got = S.read_sink_fanin(spark, [a, b], eq={"mid": "m7"})
+    assert len(got.inputFiles()) == 1
+    assert got.filter(F.col("mid") == "m7").count() == 1
