@@ -76,6 +76,36 @@ class LocalFs:
 
         return pq.read_schema(path)
 
+    # ---- write surface (the native manifest_sink writer) ----
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        import shutil
+
+        if recursive and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def write_parquet(self, path: str, table) -> None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, path)
+
+    def parquet_writer(self, path: str, schema):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetWriter(path, schema)
+
 
 class ArrowFs:
     """A ``pyarrow.fs.FileSystem`` behind the same surface -- the
@@ -165,6 +195,39 @@ class ArrowFs:
         import pyarrow.parquet as pq
 
         return pq.read_schema(path, filesystem=self.fs)
+
+    # ---- write surface (the native manifest_sink writer) ----
+
+    def mkdirs(self, path: str) -> None:
+        self.fs.create_dir(path, recursive=True)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self.fs.open_output_stream(path) as f:
+            f.write(data)
+
+    def rename(self, src: str, dst: str) -> None:
+        self.fs.move(src, dst)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        from pyarrow.fs import FileType
+
+        info = self._info(path)
+        if info is None:
+            return
+        if info.type == FileType.Directory:
+            self.fs.delete_dir(path)
+        else:
+            self.fs.delete_file(path)
+
+    def write_parquet(self, path: str, table) -> None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, path, filesystem=self.fs)
+
+    def parquet_writer(self, path: str, schema):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetWriter(path, schema, filesystem=self.fs)
 
 
 def fs_for(path: str) -> "tuple[object, str]":

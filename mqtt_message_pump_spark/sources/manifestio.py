@@ -146,6 +146,27 @@ def infer_sink_schema(fs, table_path: str, live: "list[dict]"):
     return st
 
 
+def publish_object(fs, dirpath: str, name: str, payload: bytes) -> None:
+    """Atomic single-object publish through a Python-native handle --
+    the :func:`sinks._publish_manifest` twin for the no-JVM writer
+    processes: write a uniquely-named tmp object, then move it over the
+    destination (the destination is one small object, so its appearance
+    is atomic-in-effect on every store class)."""
+    import uuid
+
+    fs.mkdirs(dirpath)
+    tmp = f"{dirpath}/.tmp-{name}-{uuid.uuid4().hex[:8]}"
+    fs.write_bytes(tmp, payload)
+    dest = f"{dirpath}/{name}"
+    try:
+        if fs.exists(dest):
+            fs.delete(dest)
+        fs.rename(tmp, dest)
+    except Exception:
+        fs.delete(tmp)
+        raise
+
+
 def read_files_arrow(fs, table_path: str, rel_files, target):
     """Yield Arrow record batches of ``rel_files`` aligned to the
     ``target`` Arrow schema: the hive ``collect_date`` partition value

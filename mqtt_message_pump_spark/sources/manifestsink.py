@@ -56,17 +56,6 @@ from pyspark.sql.datasource import (
 )
 
 
-def _prefix_upper(prefix: str) -> "str | None":
-    """Exclusive upper bound of the set of strings starting with
-    ``prefix``: the prefix with its last non-maximal character
-    incremented (every string with the prefix sorts in
-    ``[prefix, upper)``).  None when no finite bound exists."""
-    for i in range(len(prefix) - 1, -1, -1):
-        cp = ord(prefix[i])
-        if cp < 0x10FFFF:
-            return prefix[:i] + chr(cp + 1)
-    return None
-
 from mqtt_message_pump_spark.sinks import _stat_str
 from mqtt_message_pump_spark.sources._fsio import fs_for
 from mqtt_message_pump_spark.sources.manifestio import (
@@ -79,6 +68,18 @@ from mqtt_message_pump_spark.sources.manifestio import (
 
 # columns with write-side min/max manifest stats (append_batch_manifest)
 _STAT_COLS = ("mid", "topic", "collect_datetime")
+
+
+def _prefix_upper(prefix: str) -> "str | None":
+    """Exclusive upper bound of the set of strings starting with
+    ``prefix``: the prefix with its last non-maximal character
+    incremented (every string with the prefix sorts in
+    ``[prefix, upper)``).  None when no finite bound exists."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
 
 
 def _keep_by_dates(m: dict, constraints: "list[tuple[str, object]]") -> bool:
@@ -181,6 +182,12 @@ class ManifestSinkDataSource(DataSource):
 
     def reader(self, schema):
         return ManifestSinkReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool):
+        return ManifestSinkBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ManifestSinkStreamWriter(self.options, schema, overwrite)
 
 
 class _SinkPartition(InputPartition):
@@ -312,3 +319,337 @@ def register_manifest_sink_source(spark) -> None:
     except Exception:
         pass  # non-runtime-settable on some builds: get_spark sets it
     spark.dataSource.register(ManifestSinkDataSource)
+
+
+# --------------------------------------------------------------------------
+# Native WRITE path: df.write / df.writeStream .format("manifest_sink")
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass, field  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from mqtt_message_pump_spark.sources.manifestio import (  # noqa: E402
+    publish_object,
+)
+
+
+@dataclass
+class _SinkWriteMessage(WriterCommitMessage):
+    """Per-task result: files written (sink-relative, with their date),
+    row count, and stringified min/max stats -- folded by the driver's
+    ``commit`` into ONE manifest."""
+
+    files: "list[tuple[str, str]]" = field(default_factory=list)
+    rows: int = 0
+    stats: "dict[str, list[str]]" = field(default_factory=dict)
+
+
+_WRITE_STAT_COLS = ("mid", "topic", "collect_datetime")
+
+
+def _write_task_files(fs, table_path: str, dest_dir: str, batches):
+    """Task-side body shared by the batch and streaming writers: split
+    incoming Arrow batches by ``collect_date`` into hive-partition
+    parquet files under ``dest_dir`` (one file per date per task,
+    rows sorted by (mid, topic) per Arrow batch -- the MergeTree
+    ORDER BY locality at batch granularity), tracking rows and
+    min/max stats."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mqtt_message_pump_spark.sinks import _stat_str
+
+    task_id = uuid.uuid4().hex[:8]
+    writers: dict = {}
+    msg = _SinkWriteMessage()
+    lo: dict = {}
+    hi: dict = {}
+    try:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if "collect_date" not in tbl.column_names:
+                raise ValueError(
+                    "manifest_sink writer requires a collect_date column "
+                    "(the sink layout is date-partitioned)"
+                )
+            if len(tbl) == 0:
+                continue
+            sort_keys = [
+                (c, "ascending")
+                for c in ("mid", "topic")
+                if c in tbl.column_names
+            ]
+            if sort_keys:
+                tbl = tbl.sort_by(sort_keys)
+            msg.rows += len(tbl)
+            for c in _WRITE_STAT_COLS:
+                if c not in tbl.column_names:
+                    continue
+                mm = pc.min_max(tbl.column(c))
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                if mn is None or mx is None:
+                    continue
+                mn, mx = _stat_str(mn), _stat_str(mx)
+                if c not in lo or mn < lo[c]:
+                    lo[c] = mn
+                if c not in hi or mx > hi[c]:
+                    hi[c] = mx
+            dcol = tbl.column("collect_date")
+            for d in pc.unique(dcol):
+                dval = d.as_py()
+                if dval is None:
+                    dstr = "__HIVE_DEFAULT_PARTITION__"
+                    mask = pc.is_null(dcol)
+                else:
+                    dstr = dval.isoformat()
+                    mask = pc.equal(dcol, d)
+                sub = tbl.filter(mask).drop_columns(["collect_date"])
+                if dstr not in writers:
+                    pdir = f"{dest_dir}/collect_date={dstr}"
+                    fs.mkdirs(f"{table_path}/{pdir}")
+                    rel = f"{pdir}/part-{task_id}.parquet"
+                    writers[dstr] = (
+                        rel,
+                        fs.parquet_writer(f"{table_path}/{rel}", sub.schema),
+                    )
+                    msg.files.append((rel, dstr))
+                writers[dstr][1].write_table(sub)
+    finally:
+        for _rel, w in writers.values():
+            w.close()
+    msg.stats = {c: [lo[c], hi[c]] for c in lo if c in hi}
+    return msg
+
+
+def _fold_messages(messages):
+    files, dates, rows = [], set(), 0
+    stats: dict = {}
+    for m in messages:
+        if m is None:
+            continue
+        rows += m.rows
+        for rel, dstr in m.files:
+            files.append(rel)
+            dates.add(dstr)
+        for c, (mn, mx) in m.stats.items():
+            if c not in stats:
+                stats[c] = [mn, mx]
+            else:
+                stats[c][0] = min(stats[c][0], mn)
+                stats[c][1] = max(stats[c][1], mx)
+    return sorted(files), sorted(dates), rows, stats
+
+
+def _driver_bloom(fs, table_path: str, files, rows: int, schema) -> "dict | None":
+    """Bloom sidecar specs for a just-committed batch, built by the
+    driver-side pyarrow pass under the size guard (the commit runs in a
+    plain Python worker -- no SparkSession to fan the build out, so
+    above the guard the batch ships without a bloom: conservative,
+    never wrong)."""
+    from mqtt_message_pump_spark.functions import bloom as B
+
+    cols = [c for c in ("mid", "topic") if c in schema.fieldNames()]
+    if not cols or rows == 0 or rows > B.DRIVER_BUILD_MAX_ROWS:
+        return None
+    try:
+        return B.bloom_build_arrow(fs, table_path, files, cols, rows)
+    except Exception:
+        return None
+
+
+def _publish_batch_manifest(
+    fs, table_path: str, name: str, manifest: dict, bloom_specs,
+) -> None:
+    import json as _json
+
+    from mqtt_message_pump_spark.functions import bloom as B
+
+    if bloom_specs:
+        publish_object(
+            fs,
+            f"{table_path}/{manifest['dir']}",
+            B.BLOOM_SIDECAR,
+            _json.dumps(
+                {"fpp": B.DEFAULT_FPP, "cols": bloom_specs}, sort_keys=True
+            ).encode(),
+        )
+    publish_object(
+        fs,
+        f"{table_path}/_manifests",
+        name,
+        _json.dumps(manifest, sort_keys=True).encode("utf-8"),
+    )
+
+
+class ManifestSinkBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("manifest_sink").option("path", p).save()``:
+    every task writes its rows ONCE into a unique attempt dir (never
+    renamed), and the driver-side ``commit`` publishes ONE per-batch
+    manifest -- the exact commit protocol of
+    :func:`sinks.append_batch_manifest`, expressed natively through
+    Spark's writer API (task writes -> commit messages -> atomic
+    driver publish).  A task failure or job abort leaves only an
+    unreferenced attempt dir (vacuum reclaims it); readers never see a
+    partial batch.
+
+    Options: ``path`` (required); ``epoch``/``batch_id`` to place the
+    batch in an existing lineage (idempotent republish semantics);
+    default is a fresh single-batch lineage per save.
+    ``mode("overwrite")`` publishes a consolidated manifest that
+    supersedes every live batch -- an atomic replace-table; a
+    concurrent tail that had not fully drained the old contents fails
+    loudly with ``TailLost``, exactly the compaction contract."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        import uuid
+
+        self._fs, self.path = fs_for(options["path"])
+        self._schema = schema
+        self._overwrite = overwrite
+        self._epoch = options.get("epoch") or f"w{uuid.uuid4().hex[:8]}"
+        self._batch_id = int(options.get("batch_id", "0"))
+        key = f"b{self._epoch}-{self._batch_id}"
+        self._attempt = f"_data/{key}-a{uuid.uuid4().hex[:8]}"
+
+    def write(self, iterator):
+        return _write_task_files(
+            self._fs, self.path, self._attempt, iterator
+        )
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import uuid
+
+        files, dates, rows, stats = _fold_messages(messages)
+        if not files:
+            return  # empty frame: nothing to commit
+        manifest = {
+            "batch_id": self._batch_id,
+            "epoch": self._epoch,
+            "dir": self._attempt,
+            "files": files,
+            "dates": dates,
+            "rows": rows,
+            "schema": _json.loads(self._schema.json()),
+        }
+        if stats:
+            manifest["stats"] = stats
+        name = f"b{self._epoch}-{self._batch_id}.json"
+        if self._overwrite:
+            live = live_set(self._fs, self.path)
+            victims = sorted(
+                {m["name"] for m in live}
+                | {v for m in live for v in m.get("supersedes", [])}
+            )
+            if victims:
+                # atomic replace-table: ONE consolidated manifest whose
+                # unconditional supersedes retires every live batch
+                manifest["kind"] = "compact"
+                manifest["supersedes"] = victims
+                name = f"c-ow-{uuid.uuid4().hex[:12]}.json"
+                manifest.pop("batch_id")
+                manifest.pop("epoch")
+        bloom = _driver_bloom(
+            self._fs, self.path, files, rows, self._schema
+        )
+        _publish_batch_manifest(self._fs, self.path, name, manifest, bloom)
+
+    def abort(self, messages) -> None:
+        self._fs.delete(f"{self.path}/{self._attempt}", recursive=True)
+
+
+class ManifestSinkStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("manifest_sink")``: replay-idempotent
+    exactly-once streaming appends WITHOUT ``foreachBatch`` -- tasks
+    stage each micro-batch's files once, and the driver-side
+    ``commit(messages, batchId)`` moves them into a per-batch attempt
+    dir and publishes the ``b<epoch>-<batchId>`` manifest atomically.
+    A replayed micro-batch republishes the same key pointing at its new
+    attempt; the old attempt is unreferenced and vacuumed -- identical
+    semantics to :func:`sinks.write_append` under the manifest
+    protocol.
+
+    The lineage ``epoch`` comes from ``.option("epoch", ...)`` or is
+    derived from ``checkpointLocation``, so a restart of the same
+    checkpoint keeps its batch keys and a different query gets its own
+    lineage.  The file moves happen BEFORE the manifest publish and are
+    invisible until it (visibility is controlled solely by the
+    manifest), so multi-file rename atomicity is not relied upon."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        import hashlib
+
+        self._fs, self.path = fs_for(options["path"])
+        self._schema = schema
+        ck = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        )
+        self._epoch = options.get("epoch") or (
+            "sw" + hashlib.md5(ck.encode()).hexdigest()[:8]
+            if ck
+            else "sw-default"
+        )
+
+    def write(self, iterator):
+        import uuid
+
+        stage = f"_data/.stage-{self._epoch}-{uuid.uuid4().hex[:8]}"
+        return _write_task_files(self._fs, self.path, stage, iterator)
+
+    def _stage_dirs(self, messages) -> "set[str]":
+        return {
+            rel.split("/collect_date=")[0]
+            for m in messages
+            if m is not None
+            for rel, _d in m.files
+        }
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import uuid
+
+        files, dates, rows, stats = _fold_messages(messages)
+        if not files:
+            return
+        key = f"b{self._epoch}-{batchId}"
+        attempt = f"_data/{key}-a{uuid.uuid4().hex[:8]}"
+        moved = []
+        for rel in files:
+            dpart = rel.split("/")[-2]  # collect_date=<d>
+            fname = rel.split("/")[-1]
+            dest_rel = f"{attempt}/{dpart}/{fname}"
+            self._fs.mkdirs(f"{self.path}/{attempt}/{dpart}")
+            self._fs.rename(
+                f"{self.path}/{rel}", f"{self.path}/{dest_rel}"
+            )
+            moved.append(dest_rel)
+        for sd in self._stage_dirs(messages):
+            self._fs.delete(f"{self.path}/{sd}", recursive=True)
+        manifest = {
+            "batch_id": batchId,
+            "epoch": self._epoch,
+            "dir": attempt,
+            "files": sorted(moved),
+            "dates": dates,
+            "rows": rows,
+            "schema": _json.loads(self._schema.json()),
+        }
+        if stats:
+            manifest["stats"] = stats
+        bloom = _driver_bloom(
+            self._fs, self.path, sorted(moved), rows, self._schema
+        )
+        _publish_batch_manifest(
+            self._fs, self.path, f"{key}.json", manifest, bloom
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for sd in self._stage_dirs(messages):
+            self._fs.delete(f"{self.path}/{sd}", recursive=True)

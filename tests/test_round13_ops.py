@@ -967,3 +967,257 @@ def test_fanin_eq_passthrough(spark, tmp_path):
     got = S.read_sink_fanin(spark, [a, b], eq={"mid": "m7"})
     assert len(got.inputFiles()) == 1
     assert got.filter(F.col("mid") == "m7").count() == 1
+
+
+# ----------------------------- native manifest_sink WRITERS ---------------
+
+
+class TestManifestSinkWriters:
+    """The write half of ``format("manifest_sink")``: task writes ->
+    commit messages -> ONE atomic driver-side manifest publish -- the
+    sink's commit protocol expressed through Spark's native writer API,
+    for batch (``df.write``) and streaming (``df.writeStream``) alike."""
+
+    def test_batch_append_roundtrip_with_stats_and_bloom(
+        self, spark, tmp_path
+    ):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        (
+            _frame(spark, range(10), dates=("2024-01-01",))
+            .repartition(2)
+            .write.format("manifest_sink")
+            .option("path", out).mode("append").save()
+        )
+        (
+            _frame(spark, range(10, 20), dates=("2024-01-02",))
+            .repartition(2)
+            .write.format("manifest_sink")
+            .option("path", out).mode("append").save()
+        )
+        assert read_sink(spark, out).count() == 20
+        mans = [
+            json.load(open(f"{out}/_manifests/{n}"))
+            for n in sorted(os.listdir(f"{out}/_manifests"))
+            if n.endswith(".json") and not n.startswith(".")
+        ]
+        assert len(mans) == 2
+        for m in mans:
+            assert m["rows"] == 10
+            assert set(m["stats"]) == {"mid", "topic", "collect_datetime"}
+            assert m["dates"] in (["2024-01-01"], ["2024-01-02"])
+            assert os.path.exists(f"{out}/{m['dir']}/_bloom.json")
+            assert "schema" in m
+        # native read parity + bloom point lookup ("m1x" is inside
+        # batch 1's [m0,m9] interval -- only the bloom prunes it)
+        native = (
+            spark.read.format("manifest_sink").option("path", out).load()
+        )
+        assert native.count() == 20
+        assert len(read_sink(spark, out, eq={"mid": "m1x"}).inputFiles()) == 0
+        one = read_sink(spark, out, eq={"mid": "m15"})
+        assert one.filter(F.col("mid") == "m15").count() == 1
+
+    def test_batch_write_requires_collect_date(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        with pytest.raises(Exception, match="collect_date"):
+            (
+                _frame(spark, range(3)).drop("collect_date")
+                .write.format("manifest_sink")
+                .option("path", out).mode("append").save()
+            )
+
+    def test_batch_republish_same_key_is_idempotent(self, spark, tmp_path):
+        """Explicit (epoch, batch_id) options give write_append's replay
+        semantics: a second save of the same key atomically swaps the
+        batch to the new attempt instead of duplicating it."""
+        out = str(tmp_path / "t")
+        for _ in range(2):
+            (
+                _frame(spark, range(5))
+                .write.format("manifest_sink")
+                .option("path", out)
+                .option("epoch", "e9").option("batch_id", "3")
+                .mode("append").save()
+            )
+        assert read_sink(spark, out).count() == 5
+        names = [
+            n for n in os.listdir(f"{out}/_manifests")
+            if n.endswith(".json") and not n.startswith(".")
+        ]
+        assert names == ["be9-3.json"]
+        # the superseded first attempt is unreferenced -> vacuumed
+        assert len(os.listdir(f"{out}/_data")) == 2
+        S.vacuum_sink(spark, out)
+        assert len(os.listdir(f"{out}/_data")) == 1
+
+    def test_overwrite_replaces_contents_atomically(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        for b in range(2):
+            (
+                _frame(spark, range(b * 5, (b + 1) * 5))
+                .write.format("manifest_sink")
+                .option("path", out).mode("append").save()
+            )
+        assert read_sink(spark, out).count() == 10
+        (
+            _frame(spark, range(100, 103))
+            .write.format("manifest_sink")
+            .option("path", out).mode("overwrite").save()
+        )
+        got = read_sink(spark, out)
+        assert got.count() == 3
+        assert sorted(r["mid"] for r in got.select("mid").collect()) == [
+            "m100", "m101", "m102"
+        ]
+        # a tail that had not drained the replaced batches fails loudly
+        with pytest.raises(S.TailLost):
+            S.read_sink_since(spark, out, cursor={"epochs": {}})
+
+    def test_empty_frame_commits_nothing(self, spark, tmp_path):
+        out = str(tmp_path / "t")
+        (
+            _frame(spark, range(3)).filter(F.lit(False))
+            .write.format("manifest_sink")
+            .option("path", out).mode("append").save()
+        )
+        assert not os.path.isdir(f"{out}/_manifests") or not [
+            n for n in os.listdir(f"{out}/_manifests")
+            if n.endswith(".json") and not n.startswith(".")
+        ]
+
+    def test_stream_writer_exactly_once_across_restart(
+        self, spark, tmp_path
+    ):
+        """df.writeStream.format("manifest_sink"): per-micro-batch
+        manifests keyed by (checkpoint-derived epoch, batchId); a
+        restart with the same checkpoint delivers only NEW source data,
+        and a restart with the checkpoint's last commit erased replays
+        the batch to the SAME key (republish swap, no duplication)."""
+        src = str(tmp_path / "src")
+        out, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        schema = (
+            "mid string, topic string, payload string, "
+            "collect_datetime timestamp, collect_date date"
+        )
+        _frame(spark, range(10)).coalesce(1).write.parquet(src)
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .writeStream.format("manifest_sink")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()
+        assert read_sink(spark, out).count() == 10
+        # restart with MORE source data: only the new file delivers
+        _frame(spark, range(10, 14)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+        got = read_sink(spark, out)
+        assert got.count() == 14
+        assert got.select("mid").distinct().count() == 14
+        # no stage dirs left behind
+        assert not [
+            d for d in os.listdir(f"{out}/_data") if d.startswith(".stage")
+        ]
+        # every batch manifest is epoch-scoped to this checkpoint
+        names = [
+            n for n in os.listdir(f"{out}/_manifests")
+            if n.endswith(".json") and not n.startswith(".")
+        ]
+        assert all(n.startswith("bsw") for n in names), names
+
+    def test_stream_writer_forced_replay_is_idempotent(
+        self, spark, tmp_path
+    ):
+        """Erase the checkpoint's latest commit marker (the classic
+        crash-between-sink-and-commit window): the replayed micro-batch
+        republishes its key and sink contents stay exactly-once."""
+        import glob
+
+        src = str(tmp_path / "src")
+        out, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        schema = (
+            "mid string, topic string, payload string, "
+            "collect_datetime timestamp, collect_date date"
+        )
+        _frame(spark, range(6)).coalesce(1).write.parquet(src)
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .writeStream.format("manifest_sink")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()
+        assert read_sink(spark, out).count() == 6
+        commits = sorted(
+            p for p in glob.glob(f"{ck}/commits/*")
+            if not p.endswith(".crc")
+        )
+        os.remove(commits[-1])
+        crc = f"{ck}/commits/.{os.path.basename(commits[-1])}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        run()  # replays the last micro-batch
+        assert read_sink(spark, out).count() == 6
+
+    def test_stream_writer_feeds_sink_tail_downstream(
+        self, spark, tmp_path
+    ):
+        """Native writer -> sink_tail -> foreachBatch: the fully-native
+        two-hop lineage delivers exactly once."""
+        from mqtt_message_pump_spark.sources.sinktail import (
+            register_sink_tail_source,
+        )
+
+        register_sink_tail_source(spark)
+        src = str(tmp_path / "src")
+        a, ck1, ck2 = (
+            str(tmp_path / "a"), str(tmp_path / "ck1"), str(tmp_path / "ck2")
+        )
+        schema = (
+            "mid string, topic string, payload string, "
+            "collect_datetime timestamp, collect_date date"
+        )
+        _frame(spark, range(8)).coalesce(1).write.parquet(src)
+        q1 = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("manifest_sink")
+            .option("path", a).option("checkpointLocation", ck1)
+            .start()
+        )
+        q1.processAllAvailable()
+        q1.stop()
+        q1.awaitTermination(30)
+        rows: list = []
+        q2 = (
+            spark.readStream.format("sink_tail").option("path", a).load()
+            .writeStream.foreachBatch(
+                lambda df, _b: rows.extend(df.select("mid").collect())
+            )
+            .option("checkpointLocation", ck2)
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination(30)
+        assert sorted(r["mid"] for r in rows) == sorted(
+            f"m{i}" for i in range(8)
+        )
