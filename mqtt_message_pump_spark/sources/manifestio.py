@@ -146,6 +146,115 @@ def infer_sink_schema(fs, table_path: str, live: "list[dict]"):
     return st
 
 
+def fs_now_ms(fs, table_path: str) -> int:
+    """The sink filesystem's clock via a probe object -- the
+    :func:`sinks._fs_now_ms` twin for no-JVM writer processes (writers
+    on different hosts cannot compare wall clocks; the store's mtime
+    authority is the one clock they share)."""
+    import uuid
+
+    probe = f".tmp-clock-{uuid.uuid4().hex[:8]}"
+    fs.mkdirs(table_path)
+    fs.write_bytes(f"{table_path}/{probe}", b"")
+    try:
+        for name, mt in fs.listdir_mtime(table_path):
+            if name == probe:
+                return mt
+        raise IOError(f"clock probe {probe} vanished under {table_path}")
+    finally:
+        fs.delete(f"{table_path}/{probe}")
+
+
+def ensure_writer_lease_py(
+    fs,
+    table_path: str,
+    owner: str,
+    lease_secs: float = 120.0,
+    held: "dict | None" = None,
+) -> dict:
+    """Single-writer fencing through the Python-native handle -- the
+    :func:`sinks.ensure_writer_lease` twin for the native
+    ``manifest_sink`` writers (their ``commit`` runs in a plain Python
+    worker, no SparkSession).  Shares the SAME lease object
+    (``<table_path>/_writer.json``: owner, fencing token, lease_secs,
+    mtime = renewal stamp), so a JVM-side pump and a native writer
+    fence each other symmetrically.
+
+    ``held`` is the caller's previously returned lease (the writer
+    instance keeps it across micro-batches): verified-and-renewed when
+    still current, :class:`sinks.WriterFenced` raised on takeover.
+    Renewal republishes the object (no ``setTimes`` in the seam); the
+    brief delete-rename absence window is covered by the claimant-side
+    delayed re-read, exactly the documented S3A posture."""
+    import time as _time
+
+    from mqtt_message_pump_spark.sinks import WriterFenced
+
+    lease_path = f"{table_path}/_writer.json"
+
+    def _read():
+        try:
+            raw = fs.read_bytes(lease_path)
+        except (FileNotFoundError, OSError):
+            return None, 0
+        mt = 0
+        try:
+            for name, m in fs.listdir_mtime(table_path):
+                if name == "_writer.json":
+                    mt = m
+                    break
+        except FileNotFoundError:
+            return None, 0
+        try:
+            return json.loads(raw), mt
+        except ValueError:
+            return None, 0
+
+    cur, cur_mtime = _read()
+    if held is not None:
+        if cur is not None and (cur.get("owner"), cur.get("token")) != (
+            held["owner"], held["token"]
+        ):
+            raise WriterFenced(
+                f"sink {table_path}: writer lease taken over by "
+                f"{cur.get('owner')} (token {cur.get('token')}); this "
+                "writer must stop"
+            )
+        publish_object(
+            fs, table_path, "_writer.json",
+            json.dumps(held, sort_keys=True).encode(),
+        )
+        return held
+    if cur is None:
+        _time.sleep(0.2)  # mid-renewal absence window: re-read
+        cur, cur_mtime = _read()
+    if cur is not None and cur.get("owner") != owner:
+        age_ms = fs_now_ms(fs, table_path) - cur_mtime
+        if age_ms <= float(cur.get("lease_secs", lease_secs)) * 1000:
+            raise WriterFenced(
+                f"sink {table_path}: active writer {cur.get('owner')} "
+                f"holds the lease (renewed {age_ms / 1000:.0f}s ago); "
+                "refusing to write"
+            )
+    token = int(cur.get("token", 0)) + 1 if cur is not None else 1
+    if cur is not None and cur.get("owner") == owner:
+        token = int(cur.get("token", 0))  # restart of the same lineage
+    lease = {"owner": owner, "token": token, "lease_secs": lease_secs}
+    publish_object(
+        fs, table_path, "_writer.json",
+        json.dumps(lease, sort_keys=True).encode(),
+    )
+    after, _ = _read()
+    if after is None or (after.get("owner"), after.get("token")) != (
+        owner, token
+    ):
+        raise WriterFenced(
+            f"sink {table_path}: lost the lease claim race to "
+            f"{after.get('owner') if after else '<vanished>'}"
+        )
+    return lease
+
+
 def publish_object(fs, dirpath: str, name: str, payload: bytes) -> None:
     """Atomic single-object publish through a Python-native handle --
     the :func:`sinks._publish_manifest` twin for the no-JVM writer

@@ -334,6 +334,7 @@ from pyspark.sql.datasource import (  # noqa: E402
 )
 
 from mqtt_message_pump_spark.sources.manifestio import (  # noqa: E402
+    ensure_writer_lease_py,
     publish_object,
 )
 
@@ -517,6 +518,9 @@ class ManifestSinkBatchWriter(DataSourceArrowWriter):
         self._batch_id = int(options.get("batch_id", "0"))
         key = f"b{self._epoch}-{self._batch_id}"
         self._attempt = f"_data/{key}-a{uuid.uuid4().hex[:8]}"
+        self._fencing = options.get("writer_fencing", "false").lower() == "true"
+        self._lease_secs = float(options.get("writer_lease_secs", "120"))
+        self._lease = None
 
     def write(self, iterator):
         return _write_task_files(
@@ -530,6 +534,13 @@ class ManifestSinkBatchWriter(DataSourceArrowWriter):
         files, dates, rows, stats = _fold_messages(messages)
         if not files:
             return  # empty frame: nothing to commit
+        if self._fencing:
+            # same _writer.json object as sinks.ensure_writer_lease, so
+            # native and JVM-side writers fence each other symmetrically
+            self._lease = ensure_writer_lease_py(
+                self._fs, self.path, owner=self._epoch,
+                lease_secs=self._lease_secs, held=self._lease,
+            )
         manifest = {
             "batch_id": self._batch_id,
             "epoch": self._epoch,
@@ -596,6 +607,9 @@ class ManifestSinkStreamWriter(DataSourceStreamArrowWriter):
             if ck
             else "sw-default"
         )
+        self._fencing = options.get("writer_fencing", "false").lower() == "true"
+        self._lease_secs = float(options.get("writer_lease_secs", "120"))
+        self._lease = None
 
     def write(self, iterator):
         import uuid
@@ -618,6 +632,14 @@ class ManifestSinkStreamWriter(DataSourceStreamArrowWriter):
         files, dates, rows, stats = _fold_messages(messages)
         if not files:
             return
+        if self._fencing:
+            # owner = the checkpoint-derived epoch: a restart of the
+            # same checkpoint resumes its own lease instantly, a second
+            # query onto this path raises WriterFenced on first commit
+            self._lease = ensure_writer_lease_py(
+                self._fs, self.path, owner=self._epoch,
+                lease_secs=self._lease_secs, held=self._lease,
+            )
         key = f"b{self._epoch}-{batchId}"
         attempt = f"_data/{key}-a{uuid.uuid4().hex[:8]}"
         moved = []

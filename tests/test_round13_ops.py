@@ -1221,3 +1221,87 @@ class TestManifestSinkWriters:
         assert sorted(r["mid"] for r in rows) == sorted(
             f"m{i}" for i in range(8)
         )
+
+
+class TestNativeWriterFencing:
+    """The native writers honor the SAME ``_writer.json`` lease as the
+    JVM-side pump (``sinks.ensure_writer_lease``): a second writer onto
+    one path is fenced symmetrically across the two stacks."""
+
+    def test_native_stream_fenced_by_jvm_lease(self, spark, tmp_path):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        S.ensure_writer_lease(spark, out, owner="pump-A", lease_secs=300)
+        src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+        _frame(spark, range(4)).coalesce(1).write.parquet(src)
+        schema = (
+            "mid string, topic string, payload string, "
+            "collect_datetime timestamp, collect_date date"
+        )
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("manifest_sink")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .option("writer_fencing", "true")
+            .start()
+        )
+        with pytest.raises(Exception, match="active writer pump-A"):
+            q.processAllAvailable()
+        q.stop()
+        S.release_writer_lease(spark, out)
+        # no manifest was published by the fenced writer
+        assert not os.path.isdir(f"{out}/_manifests") or not [
+            n for n in os.listdir(f"{out}/_manifests")
+            if n.endswith(".json") and not n.startswith(".")
+        ]
+
+    def test_jvm_append_fenced_by_native_lease(self, spark, tmp_path):
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        (
+            _frame(spark, range(4))
+            .write.format("manifest_sink")
+            .option("path", out)
+            .option("epoch", "native-B")
+            .option("writer_fencing", "true")
+            .mode("append").save()
+        )
+        store = _manifest_store(writer_fencing=True, writer_lease_secs=300)
+        with pytest.raises(S.WriterFenced, match="native-B"):
+            write_append(_frame(spark, range(4, 8)), store, out,
+                         batch_id=0, epoch="other")
+
+    def test_native_restart_resumes_own_lease(self, spark, tmp_path):
+        """Same checkpoint (= same derived epoch-owner) restarts
+        instantly; contents stay exactly-once."""
+        _register_ms(spark)
+        out = str(tmp_path / "t")
+        src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+        schema = (
+            "mid string, topic string, payload string, "
+            "collect_datetime timestamp, collect_date date"
+        )
+        _frame(spark, range(5)).coalesce(1).write.parquet(src)
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .writeStream.format("manifest_sink")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .option("writer_fencing", "true")
+                .option("writer_lease_secs", "300")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        run()
+        _frame(spark, range(5, 9)).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        run()  # restart: same owner, lease still fresh -- must resume
+        assert read_sink(spark, out).count() == 9
