@@ -277,14 +277,17 @@ def cmd_tail(
     skipping data."""
     import hashlib
 
-    from mqtt_message_pump_spark.config import StoreConf
-    from mqtt_message_pump_spark.sinks import read_sink, write_append
+    from mqtt_message_pump_spark.sinks import read_sink
+    from mqtt_message_pump_spark.sources.manifestsink import (
+        register_manifest_sink_source,
+    )
     from mqtt_message_pump_spark.sources.sinktail import (
         register_sink_tail_source,
     )
 
     spark = get_spark(app_name="pump-tail")
     register_sink_tail_source(spark)
+    register_manifest_sink_source(spark)
     src = f"{cfg.store.path}/{source_table}"
     ckpt = checkpoint or f"{to_path}_checkpoint"
     # downstream batch-key lineage: stable per checkpoint (a restart
@@ -293,17 +296,19 @@ def cmd_tail(
     # on different hosts must be distinct lineages (ADVICE r12).
     _cp = ckpt if "://" in ckpt else os.path.abspath(ckpt)
     epoch = "t" + hashlib.md5(_cp.encode("utf-8")).hexdigest()[:8]
-    store = StoreConf(commit_protocol="manifest")
-
-    def _append(df, batch_id: int) -> None:
-        write_append(df, store, to_path, batch_id=batch_id, epoch=epoch)
 
     reader = spark.readStream.format("sink_tail").option("path", src)
     if max_batches:
         reader = reader.option("max_batches_per_trigger", str(max_batches))
+    # the fully-native lineage: sink_tail source -> manifest_sink stream
+    # writer (replay-idempotent per-batch manifest publish, no
+    # foreachBatch); the explicit epoch keeps the pre-r13 batch-key
+    # lineage, so existing downstream sinks resume seamlessly
     q = (
         reader.load()
-        .writeStream.foreachBatch(_append)
+        .writeStream.format("manifest_sink")
+        .option("path", to_path)
+        .option("epoch", epoch)
         .option("checkpointLocation", ckpt)
         .trigger(processingTime=f"{max(trigger_secs, 0.1)} seconds")
         .start()
