@@ -663,3 +663,100 @@ def test_live_soak_two_hop_tail_pipeline_exactly_once(spark, tmp_path):
     down_df = read_sink(spark, down)
     down_mids = sorted(r["mid"] for r in down_df.select("mid").collect())
     assert down_mids == up_mids  # two-hop exactly-once
+
+
+def test_live_soak_native_stream_writer_kills_exactly_once(spark, tmp_path):
+    """The r13 native writer under blind kills: a file stream feeding
+    chunks while ``df.writeStream.format("manifest_sink")`` (fencing on)
+    is stopped mid-load and restarted from its checkpoint TWICE.  Kills
+    land anywhere -- including between a micro-batch's manifest publish
+    and its checkpoint commit, the window the same-key republish closes
+    -- and the sink must end with every row exactly once."""
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.sources.manifestsink import (
+        register_manifest_sink_source,
+    )
+
+    register_manifest_sink_source(spark)
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    n_chunks, rows_per = 24, 50
+    schema = (
+        "mid string, topic string, payload string, "
+        "collect_datetime timestamp, collect_date date"
+    )
+    feed_done = threading.Event()
+
+    def chunk(c):
+        rows = [
+            (f"m{c}-{i}", "t", "p", "2024-01-02")
+            for i in range(rows_per)
+        ]
+        return (
+            spark.createDataFrame(
+                rows, ["mid", "topic", "payload", "d"]
+            ).select(
+                "mid", "topic", "payload",
+                F.to_timestamp("d").alias("collect_datetime"),
+                F.to_date("d").alias("collect_date"),
+            )
+        )
+
+    def feeder():
+        for c in range(n_chunks):
+            chunk(c).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(0.25)
+        feed_done.set()
+
+    chunk(-1).coalesce(1).write.parquet(src)  # dir exists before stream
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .writeStream.format("manifest_sink")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .option("writer_fencing", "true")
+            .option("writer_lease_secs", "300")
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+
+    total = (n_chunks + 1) * rows_per
+    threading.Thread(target=feeder, daemon=True).start()
+    q = start()
+    try:
+        for _ in range(2):  # two blind mid-load kills
+            time.sleep(2.5)
+            q.stop()
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass
+            q = start()  # same checkpoint: same lease owner, resumes
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if feed_done.is_set():
+                q.processAllAvailable()
+                try:
+                    if read_sink(spark, out).count() >= total:
+                        break
+                except ValueError:
+                    pass
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = read_sink(spark, out)
+    assert got.count() == total
+    assert got.select("mid").distinct().count() == total
+    # one lineage throughout: every manifest keyed to this checkpoint
+    import os as _os
+
+    names = [
+        n for n in _os.listdir(f"{out}/_manifests")
+        if n.endswith(".json") and not n.startswith(".")
+    ]
+    assert names and all(n.startswith("bsw") for n in names)
