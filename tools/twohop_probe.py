@@ -203,6 +203,32 @@ def main() -> None:
     q1.stop()
     q1.awaitTermination(30)
 
+    # ---- hop 1b: same ingest through the NATIVE stream writer
+    # (df.writeStream.format("manifest_sink")) -- no foreachBatch, no
+    # JVM-side helper; blooms are skipped above the driver-build guard
+    # (the commit runs in a plain Python worker), so this row also
+    # bounds the bloom build's share of hop 1's cost
+    from mqtt_message_pump_spark.sources.manifestsink import (
+        register_manifest_sink_source,
+    )
+
+    register_manifest_sink_source(spark)
+    sink_a2 = f"{WORK}/sink_a_native"
+    shutil.rmtree(sink_a2, ignore_errors=True)
+    shutil.rmtree(f"{WORK}/ck1b", ignore_errors=True)
+    q1b = (
+        msgs.writeStream.format("manifest_sink")
+        .option("path", sink_a2)
+        .option("checkpointLocation", f"{WORK}/ck1b")
+        .start()
+    )
+    q1b.processAllAvailable()
+    r1b = report("hop1b_native_writer", _progress(q1b))
+    q1b.stop()
+    q1b.awaitTermination(30)
+    a2_rows = read_sink(spark, sink_a2).count()
+    print(f"hop1b verify: {a2_rows} rows (expect {total})", flush=True)
+
     # ---- hop 2: sink_tail(A) -> per-batch aggregate -> manifest sink B
     def hop2(df, batch_id: int) -> None:
         agg = (
@@ -258,6 +284,7 @@ def main() -> None:
                 "ok": ok,
                 "total_rows": total,
                 "hop1": r1,
+                "hop1b_native": r1b,
                 "hop2": r2,
             }
         ),
