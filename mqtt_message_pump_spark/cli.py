@@ -187,6 +187,7 @@ def cmd_maintain(
     STOPPED or rely on the in-line ``compactevery`` cadence instead; the
     single-writer contract is the operator's responsibility here."""
     from mqtt_message_pump_spark.sinks import (
+        backfill_blooms,
         compact_sink,
         drop_dates_sink,
         read_sink,
@@ -208,6 +209,10 @@ def cmd_maintain(
             # compact manifest + tail -- the next reader opens one object
             snap = snapshot_sink(spark, path)
             removed = vacuum_sink(spark, path, retention_secs=retention_secs)
+            # complete the point-lookup index: batches whose bloom
+            # sidecar is missing (pre-bloom, native-writer large
+            # batches, drop rewrites) get one built distributed here
+            bloomed = backfill_blooms(spark, path)
             n = read_sink(
                 spark, path,
                 merge_schema=getattr(cfg.store, "schema_evolution", False),
@@ -215,7 +220,8 @@ def cmd_maintain(
             print(
                 f"{sub}: compacted={'none' if name is None else name} "
                 f"snapshot={'none' if snap is None else snap} "
-                f"vacuumed={len(removed)} rows={n}"
+                f"vacuumed={len(removed)} blooms_backfilled={len(bloomed)} "
+                f"rows={n}"
             )
         except Exception as e:  # noqa: BLE001 - per-table report
             print(f"{sub}: maintenance failed: {e}", file=sys.stderr)

@@ -1752,6 +1752,54 @@ def read_sink_since(
     return df, new_cursor
 
 
+def backfill_blooms(
+    spark: SparkSession, table_path: str
+) -> list[str]:
+    """Build the ``_bloom.json`` sidecar for every LIVE batch that lacks
+    one -- the maintenance-window completion of the point-lookup index
+    (:mod:`functions.bloom`).  Batches can lack a sidecar for three
+    legitimate reasons: written before blooms existed, written by the
+    native stream writer above the driver-build size guard (its commit
+    has no SparkSession to fan the build out), or rewritten by a
+    retention drop.  Because readers load sidecars LAZILY and absence
+    is merely conservative, adding one later is always safe -- no
+    manifest republish, no read-side coordination.  Builds run
+    distributed over just the probe columns; returns the attempt dirs
+    backfilled.  Wired into ``pump maintain`` next to compaction."""
+    from mqtt_message_pump_spark.functions import bloom as B
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        return []
+    done = []
+    for m in _read_manifests(fs, HPath, table_path):
+        if "dir" not in m:
+            continue
+        sidecar = HPath(f"{table_path}/{m['dir']}/{B.BLOOM_SIDECAR}")
+        if fs.exists(sidecar):
+            continue
+        df = spark.read.parquet(f"{table_path}/{m['dir']}")
+        cols = [c for c in ("mid", "topic") if c in df.columns]
+        if not cols:
+            continue
+        n = int(m["rows"]) if "rows" in m else df.count()
+        if n == 0:
+            continue
+        try:
+            specs = B.bloom_build_distributed(df.select(*cols), cols, n)
+            B.write_bloom_sidecar(
+                lambda payload, _m=m: _publish_manifest(
+                    fs, HPath, f"{table_path}/{_m['dir']}",
+                    B.BLOOM_SIDECAR, payload,
+                ),
+                specs,
+            )
+            done.append(m["dir"])
+        except Exception:
+            continue  # absent stays conservative
+    return done
+
+
 def vacuum_sink(
     spark: SparkSession, table_path: str, retention_secs: float = 0.0
 ) -> list[str]:

@@ -1305,3 +1305,34 @@ class TestNativeWriterFencing:
         )
         run()  # restart: same owner, lease still fresh -- must resume
         assert read_sink(spark, out).count() == 9
+
+
+def test_backfill_blooms_completes_the_point_lookup_index(
+    spark, tmp_path
+):
+    """Sidecars can be added AFTER commit (readers load them lazily,
+    absence is conservative): `backfill_blooms` builds one distributed
+    for every live batch that lacks it -- pre-bloom batches, native
+    large-batch writes, drop rewrites -- and a complete sink is a
+    no-op."""
+    out = str(tmp_path / "t")
+    store = _manifest_store()
+    for b in range(3):
+        write_append(_frame(spark, range(b * 5, (b + 1) * 5)), store, out,
+                     batch_id=b, epoch="e1")
+    # simulate a sidecar-less batch (native writer above the guard):
+    # batch 0's interval [m0,m4] CONTAINS the probe "m12a", so only its
+    # bloom can prune it
+    victims = sorted(os.listdir(f"{out}/_data"))
+    os.remove(f"{out}/_data/{victims[0]}/_bloom.json")
+    crc = f"{out}/_data/{victims[0]}/._bloom.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert len(read_sink(spark, out, eq={"mid": "m12a"}).inputFiles()) == 1
+    done = S.backfill_blooms(spark, out)
+    assert len(done) == 1 and victims[0] in done[0]
+    assert len(read_sink(spark, out, eq={"mid": "m12a"}).inputFiles()) == 0
+    assert read_sink(spark, out, eq={"mid": "m7"}).filter(
+        F.col("mid") == "m7"
+    ).count() == 1
+    assert S.backfill_blooms(spark, out) == []  # complete: no-op
