@@ -79,7 +79,13 @@ class SinkTailDataSource(DataSource):
       this many new sink batches per lineage per micro-batch, backlog
       included -- the ``maxFilesPerTrigger`` analog for draining a
       backlog in bounded steps (consolidated compact attempts are
-      unsplittable and always ride the window they appear in).
+      unsplittable and always ride the window they appear in);
+    - ``start`` (optional, default ``earliest``): ``earliest`` delivers
+      the full current live set as the first micro-batch (the backlog
+      bootstrap); ``latest`` primes the initial cursor from the live
+      set at stream start, so only batches committed AFTER the stream
+      starts deliver -- Kafka's ``startingOffsets`` analog for
+      monitoring taps that must not replay history.
     """
 
     @classmethod
@@ -130,9 +136,24 @@ class SinkTailStreamReader(DataSourceStreamReader):
         # and tombstone marks cannot be split, so they floor the window
         # regardless of the clamp.
         self._max_batches = int(options.get("max_batches_per_trigger", "0"))
+        self._start = options.get("start", "earliest").lower()
+        if self._start not in ("earliest", "latest"):
+            raise ValueError(
+                f"sink_tail: start={self._start!r} is not one of "
+                "'earliest'/'latest'"
+            )
         self._committed: dict = {}
 
     def initialOffset(self):
+        if self._start == "latest":
+            # prime the cursor from the CURRENT live set: everything
+            # already committed is marked delivered, so only batches
+            # published after stream start flow.  Called once per
+            # checkpoint lifetime (Spark persists the result), so a
+            # restart keeps the original stream-start horizon.
+            live = live_set(self._fs, self.path)
+            _, cur = _tail_delta(live, None, self.path)
+            return cur
         return {}
 
     def _observe_committed(self, end: dict) -> None:

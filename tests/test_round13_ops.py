@@ -1336,3 +1336,102 @@ def test_backfill_blooms_completes_the_point_lookup_index(
         F.col("mid") == "m7"
     ).count() == 1
     assert S.backfill_blooms(spark, out) == []  # complete: no-op
+
+
+def test_sink_tail_start_latest_skips_backlog(spark, tmp_path):
+    """.option("start", "latest"): the initial cursor is primed from the
+    live set at stream start, so only batches committed AFTER the
+    stream exists deliver (and the horizon is checkpointed -- a restart
+    does not replay the skipped backlog)."""
+    from mqtt_message_pump_spark.sources.sinktail import (
+        register_sink_tail_source,
+    )
+
+    register_sink_tail_source(spark)
+    out, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    store = _manifest_store()
+    for b in range(2):
+        write_append(_frame(spark, range(b * 5, (b + 1) * 5)), store, out,
+                     batch_id=b, epoch="e1")
+    rows: list = []
+
+    def run():
+        q = (
+            spark.readStream.format("sink_tail")
+            .option("path", out).option("start", "latest")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: rows.extend(df.select("mid").collect())
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    run()
+    assert rows == []  # backlog skipped
+    write_append(_frame(spark, range(10, 13)), store, out, batch_id=2,
+                 epoch="e1")
+    run()
+    assert sorted(r["mid"] for r in rows) == ["m10", "m11", "m12"]
+    with pytest.raises(Exception, match="earliest.*latest|not one of"):
+        (
+            spark.readStream.format("sink_tail")
+            .option("path", out).option("start", "nonsense")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+            .processAllAvailable()
+        )
+
+
+def test_widening_lattice_properties():
+    """Algebraic sanity of the safe-widening join (pure function, no
+    Spark): commutative, associative, idempotent over every pair/triple
+    of the supported scalar types; unrelated types always raise -- so
+    the batch order a sink accumulated its schemas in can never change
+    (or silently corrupt) the merged read schema."""
+    import itertools
+
+    from pyspark.sql import types as T
+
+    from mqtt_message_pump_spark.sinks import (
+        SchemaWideningError,
+        _widen_two,
+    )
+
+    lattice = [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(),
+    ]
+    dateish = [T.DateType(), T.TimestampType(), T.TimestampNTZType()]
+    others = [T.StringType(), T.BooleanType(), T.BinaryType()]
+
+    def widen(a, b):
+        return _widen_two(a, b, "c")
+
+    for a, b in itertools.product(lattice, lattice):
+        assert widen(a, b) == widen(b, a)
+        assert widen(a, a) == a
+    for a, b, c in itertools.product(lattice, repeat=3):
+        assert widen(widen(a, b), c) == widen(a, widen(b, c))
+    for a, b in itertools.product(dateish, dateish):
+        assert widen(a, b) == widen(b, a)
+    # date joins either timestamp flavor at the timestamp side
+    assert widen(T.DateType(), T.TimestampType()) == T.TimestampType()
+    assert widen(T.DateType(), T.TimestampNTZType()) == T.TimestampNTZType()
+    # NullType yields to anything
+    for t in lattice + dateish + others:
+        assert widen(T.NullType(), t) == t
+        assert widen(t, T.NullType()) == t
+    # cross-family pairs are always loud
+    for a, b in itertools.product(lattice + dateish, others):
+        with pytest.raises(SchemaWideningError):
+            widen(a, b)
+    for a in lattice:
+        for b in dateish:
+            with pytest.raises(SchemaWideningError):
+                widen(a, b)
