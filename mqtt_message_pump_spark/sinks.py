@@ -1817,6 +1817,10 @@ def vacuum_sink(
     ``query.stop()`` interrupts the JVM stream thread but the Python
     ``foreachBatch`` callback keeps executing) must never delete an
     attempt dir that a manifest published AFTER the listing references.
+    The native stream writer's ``_data/.stage-*`` task dirs are
+    unreferenced by design until its commit moves them -- the same
+    retention guard protects an in-flight micro-batch's stage from a
+    concurrent vacuum, and a crashed batch's leftovers age out here.
     Skipping dirs younger than the retention makes the stale-listing
     race harmless: fresh attempts are always younger; truly orphaned
     dirs age past it and are reclaimed by a later cycle.  Explicit

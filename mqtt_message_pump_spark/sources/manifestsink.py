@@ -172,6 +172,12 @@ class ManifestSinkDataSource(DataSource):
         if ddl:
             return ddl
         fs, path = fs_for(self.options["path"])
+        if not fs.isdir(f"{path}/_manifests"):
+            raise ValueError(
+                f"{path} is not a manifest sink (no _manifests/ log); "
+                "rename-protocol sinks are plain date-partitioned "
+                "parquet -- read them with spark.read.parquet(path)"
+            )
         as_of = self.options.get("as_of")
         live = (
             snapshot_set(fs, path, int(as_of))
