@@ -230,20 +230,32 @@ class ArrowFs:
         return pq.ParquetWriter(path, schema, filesystem=self.fs)
 
 
-def fs_for(path: str) -> "tuple[object, str]":
+def fs_for(path: str, impl: "str | None" = None) -> "tuple[object, str]":
     """Pick the filesystem handle for ``path`` from its scheme.
 
     ``file://`` and scheme-less paths get :class:`LocalFs` (the path is
     stripped to a plain local path); anything else (s3://, hdfs://...)
     gets :class:`ArrowFs` with the scheme-less path
-    ``FileSystem.from_uri`` reports."""
-    if path.startswith("file://"):
-        return LocalFs(), path[len("file://"):]
-    if path.startswith("file:/"):  # Hadoop-style single-slash file URI
-        return LocalFs(), path[len("file:"):]
-    if "://" not in path:
-        return LocalFs(), path
-    from pyarrow.fs import FileSystem
+    ``FileSystem.from_uri`` reports.
 
-    _, stripped = FileSystem.from_uri(path)
-    return ArrowFs(path), stripped
+    ``impl="arrow"`` forces :class:`ArrowFs` even for local paths (via
+    a ``file://`` URI): the escape hatch tests and operators use to
+    drive the exact code path a cloud deployment runs, on local
+    storage."""
+    if path.startswith("file://"):
+        local = path[len("file://"):]
+    elif path.startswith("file:/"):  # Hadoop-style single-slash file URI
+        local = path[len("file:"):]
+    elif "://" not in path:
+        local = path
+    else:
+        from pyarrow.fs import FileSystem
+
+        _, stripped = FileSystem.from_uri(path)
+        return ArrowFs(path), stripped
+    if impl == "arrow":
+        import os.path as _osp
+
+        ap = _osp.abspath(local)
+        return ArrowFs(f"file://{ap}"), ap
+    return LocalFs(), local

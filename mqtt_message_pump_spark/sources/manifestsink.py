@@ -171,7 +171,9 @@ class ManifestSinkDataSource(DataSource):
         ddl = self.options.get("schema")
         if ddl:
             return ddl
-        fs, path = fs_for(self.options["path"])
+        fs, path = fs_for(
+            self.options["path"], impl=self.options.get("fs_impl")
+        )
         if not fs.isdir(f"{path}/_manifests"):
             raise ValueError(
                 f"{path} is not a manifest sink (no _manifests/ log); "
@@ -210,7 +212,9 @@ class ManifestSinkReader(DataSourceReader):
     parallelism scales with data, not batch count."""
 
     def __init__(self, options, schema) -> None:
-        self._fs, self.path = fs_for(options["path"])
+        self._fs, self.path = fs_for(
+            options["path"], impl=options.get("fs_impl")
+        )
         self._schema = schema
         as_of = options.get("as_of")
         self._as_of = int(as_of) if as_of is not None else None
@@ -517,7 +521,9 @@ class ManifestSinkBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool) -> None:
         import uuid
 
-        self._fs, self.path = fs_for(options["path"])
+        self._fs, self.path = fs_for(
+            options["path"], impl=options.get("fs_impl")
+        )
         self._schema = schema
         self._overwrite = overwrite
         self._epoch = options.get("epoch") or f"w{uuid.uuid4().hex[:8]}"
@@ -603,7 +609,9 @@ class ManifestSinkStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options, schema, overwrite: bool) -> None:
         import hashlib
 
-        self._fs, self.path = fs_for(options["path"])
+        self._fs, self.path = fs_for(
+            options["path"], impl=options.get("fs_impl")
+        )
         self._schema = schema
         ck = options.get("checkpointlocation") or options.get(
             "checkpointLocation"

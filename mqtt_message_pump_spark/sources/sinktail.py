@@ -96,7 +96,9 @@ class SinkTailDataSource(DataSource):
         ddl = self.options.get("schema")
         if ddl:
             return ddl
-        fs, path = fs_for(self.options["path"])
+        fs, path = fs_for(
+            self.options["path"], impl=self.options.get("fs_impl")
+        )
         return infer_sink_schema(fs, path, live_set(fs, path))
 
     def streamReader(self, schema):
@@ -124,7 +126,9 @@ class SinkTailStreamReader(DataSourceStreamReader):
     monotone as the sink grows and identical after a driver restart."""
 
     def __init__(self, options, schema) -> None:
-        self._fs, self.path = fs_for(options["path"])
+        self._fs, self.path = fs_for(
+            options["path"], impl=options.get("fs_impl")
+        )
         self._schema = schema
         # trigger sizing: at most this many NEW batches per lineage per
         # micro-batch (0 = unbounded) -- the maxFilesPerTrigger analog,

@@ -1435,3 +1435,63 @@ def test_widening_lattice_properties():
         for b in dateish:
             with pytest.raises(SchemaWideningError):
                 widen(a, b)
+
+
+def test_native_write_and_read_through_arrowfs(spark, tmp_path):
+    """fs_impl=arrow forces the pyarrow.fs handle on local storage --
+    the exact code path an s3://hdfs:// deployment runs (create_dir,
+    move, open_output_stream, filesystem-bound ParquetWriter) --
+    through a full batch write, stream write, batch read with
+    pushdown, and stream tail."""
+    _register_ms(spark)
+    from mqtt_message_pump_spark.sources.sinktail import (
+        register_sink_tail_source,
+    )
+
+    register_sink_tail_source(spark)
+    out = str(tmp_path / "t")
+    (
+        _frame(spark, range(5), dates=("2024-01-01",))
+        .write.format("manifest_sink")
+        .option("path", out).option("fs_impl", "arrow")
+        .mode("append").save()
+    )
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    _frame(spark, range(5, 10)).coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema(
+            "mid string, topic string, payload string, "
+            "collect_datetime timestamp, collect_date date"
+        ).parquet(src)
+        .writeStream.format("manifest_sink")
+        .option("path", out).option("fs_impl", "arrow")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    df = (
+        spark.read.format("manifest_sink")
+        .option("path", out).option("fs_impl", "arrow").load()
+    )
+    assert df.count() == 10
+    hit = df.filter(F.col("collect_date") == "2024-01-02")
+    assert hit.rdd.getNumPartitions() == 1 and hit.count() == 5
+    rows: list = []
+    q2 = (
+        spark.readStream.format("sink_tail")
+        .option("path", out).option("fs_impl", "arrow")
+        .load()
+        .writeStream.foreachBatch(
+            lambda d, _b: rows.extend(d.select("mid").collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+    assert len(rows) == 10
+    # the JVM-side helper reads the same bytes
+    assert read_sink(spark, out).count() == 10
