@@ -1752,6 +1752,101 @@ def read_sink_since(
     return df, new_cursor
 
 
+def count_sink(
+    spark: SparkSession,
+    table_path: str,
+    dates: "list[str] | None" = None,
+) -> int:
+    """Row count of a manifest sink from MANIFEST METADATA -- zero data
+    scans when every live batch recorded its ``rows`` stat (written by
+    every commit path since r13; compaction folds it).  Batches without
+    the stat (pre-r13) are counted with one bounded scan each --
+    never the whole sink.  ``dates`` composes with the manifest-level
+    partition pruning, so "how many rows on 2024-01-02" is a metadata
+    question too (exact when batches are single-date, which the
+    date-clustered writers produce; multi-date batches fall back to a
+    filtered scan for exactness).
+
+    The reference's ``count()`` surface (``data_dbstore.go:229``) hits
+    ClickHouse's part-level counts; this is the same trick at manifest
+    granularity."""
+    from pyspark.sql import functions as F
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        df = spark.read.parquet(table_path)
+        if dates is not None:
+            df = df.filter(F.col("collect_date").isin(list(dates)))
+        return df.count()
+    live = [
+        m for m in _read_manifests(fs, HPath, table_path) if "dir" in m
+    ]
+    wanted = set(dates) if dates is not None else None
+    total = 0
+    for m in live:
+        mdates = m.get("dates")
+        if wanted is not None:
+            if mdates is not None and not (wanted & set(mdates)):
+                continue
+            if mdates is None or not set(mdates) <= wanted:
+                # multi-date batch straddling the filter (or unknown
+                # dates): exactness needs the filtered scan of JUST
+                # this batch
+                total += (
+                    spark.read.parquet(f"{table_path}/{m['dir']}")
+                    .filter(F.col("collect_date").isin(sorted(wanted)))
+                    .count()
+                )
+                continue
+        if "rows" in m:
+            total += int(m["rows"])
+        else:
+            total += spark.read.parquet(f"{table_path}/{m['dir']}").count()
+    return total
+
+
+def describe_sink(spark: SparkSession, table_path: str) -> dict:
+    """Operator summary of a manifest sink from one metadata listing:
+    live batch count, metadata row count, lineages, date span, snapshot
+    seqs, bloom coverage, and maintenance posture (batches since the
+    last snapshot) -- the ``DESCRIBE TABLE``/``SHOW PARTITIONS``
+    surface for the manifest log."""
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        raise ValueError(f"{table_path} is not a manifest sink")
+    state = _load_manifest_state(fs, HPath, table_path)
+    live = [m for m in state["live"] if "dir" in m]
+    dates = sorted({d for m in live for d in (m.get("dates") or [])})
+    lineages = sorted(
+        {
+            k[0]
+            for m in live
+            if (k := _batch_name_key(m.get("name", ""))) is not None
+        }
+    )
+    snaps = list_snapshots(spark, table_path)
+    blooms = sum(
+        1
+        for m in live
+        if fs.exists(HPath(f"{table_path}/{m['dir']}/_bloom.json"))
+    )
+    return {
+        "batches": len(live),
+        "rows": sum(int(m["rows"]) for m in live if "rows" in m),
+        "rows_exact": all("rows" in m for m in live),
+        "lineages": lineages,
+        "dates": (dates[0], dates[-1]) if dates else None,
+        "compacted_batches": sum(
+            1 for m in live if m.get("kind") == "compact"
+        ),
+        "snapshots": [s["seq"] for s in snaps],
+        "uncovered_manifests": sum(
+            1 for m in state["live"] if m["name"] not in state["embedded"]
+        ),
+        "bloom_coverage": f"{blooms}/{len(live)}",
+    }
+
+
 def backfill_blooms(
     spark: SparkSession, table_path: str
 ) -> list[str]:

@@ -1495,3 +1495,55 @@ def test_native_write_and_read_through_arrowfs(spark, tmp_path):
     assert len(rows) == 10
     # the JVM-side helper reads the same bytes
     assert read_sink(spark, out).count() == 10
+
+
+def test_count_sink_is_metadata_only_and_exact(spark, tmp_path):
+    """Row counts from manifest metadata (the part-level-count trick at
+    manifest granularity): exact vs a real scan, with dates pruning and
+    straddling-batch fallback, through appends + replay + compaction."""
+    out = str(tmp_path / "t")
+    store = _manifest_store()
+    for b in range(3):
+        write_append(
+            _frame(spark, range(b * 5, (b + 1) * 5),
+                   dates=(f"2024-01-0{b + 1}",)),
+            store, out, batch_id=b, epoch="e1",
+        )
+    # replay republish: count must not double
+    write_append(_frame(spark, range(10, 15), dates=("2024-01-03",)),
+                 store, out, batch_id=2, epoch="e1")
+    # a straddling batch (two dates): the dates= path scans just it
+    write_append(
+        _frame(spark, range(15, 21),
+               dates=("2024-01-04", "2024-01-05")),
+        store, out, batch_id=3, epoch="e1",
+    )
+    assert S.count_sink(spark, out) == 21
+    assert S.count_sink(spark, out) == read_sink(spark, out).count()
+    assert S.count_sink(spark, out, dates=["2024-01-02"]) == 5
+    assert S.count_sink(spark, out, dates=["2024-01-04"]) == 3
+    assert S.count_sink(spark, out, dates=["2024-01-09"]) == 0
+    S.compact_sink(spark, out, keep_last=1)
+    assert S.count_sink(spark, out) == 21  # compact folds rows
+
+
+def test_describe_sink_summary(spark, tmp_path):
+    out = str(tmp_path / "t")
+    store = _manifest_store()
+    for b in range(3):
+        write_append(
+            _frame(spark, range(b * 5, (b + 1) * 5),
+                   dates=(f"2024-01-0{b + 1}",)),
+            store, out, batch_id=b, epoch="e1",
+        )
+    assert S.snapshot_sink(spark, out) is not None
+    write_append(_frame(spark, range(15, 20), dates=("2024-01-04",)),
+                 store, out, batch_id=3, epoch="e1")
+    info = S.describe_sink(spark, out)
+    assert info["batches"] == 4
+    assert info["rows"] == 20 and info["rows_exact"] is True
+    assert info["lineages"] == ["e1"]
+    assert info["dates"] == ("2024-01-01", "2024-01-04")
+    assert info["snapshots"] == [1]
+    assert info["uncovered_manifests"] == 1  # the post-snapshot batch
+    assert info["bloom_coverage"] == "4/4"
