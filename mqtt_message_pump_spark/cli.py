@@ -178,6 +178,9 @@ def cmd_maintain(
     reindex_ann: str | None = None,
     ann_vectors: str | None = None,
     ann_threshold: float = 1.5,
+    delete_where: str | None = None,
+    collapse_keys: "list[str] | None" = None,
+    version_col: str | None = None,
 ) -> int:
     """Maintenance window for manifest-protocol sinks (this repo's
     extension -- the reference delegates storage maintenance to
@@ -189,6 +192,7 @@ def cmd_maintain(
     from mqtt_message_pump_spark.sinks import (
         backfill_blooms,
         compact_sink,
+        delete_sink_where,
         drop_dates_sink,
         read_sink,
         snapshot_sink,
@@ -204,7 +208,22 @@ def cmd_maintain(
                 dropped = drop_dates_sink(spark, path, drop_dates)
                 print(f"{sub}: dropped {len(dropped)} batch manifests "
                       f"for dates {sorted(set(drop_dates))}")
-            name = compact_sink(spark, path, keep_last=keep_last)
+            if delete_where:
+                # row-level erasure (sinks.delete_sink_where): candidate
+                # batches pruned by manifest stats/blooms, copy-on-write
+                # rewrite; becomes physical at the vacuum below
+                dml = delete_sink_where(spark, path, where=delete_where)
+                print(
+                    f"{sub}: deleted {dml['rows_deleted']} rows "
+                    f"({len(dml['rewritten'])} rewritten, "
+                    f"{len(dml['dropped'])} tombstoned, "
+                    f"{dml['candidate_batches']}/{dml['live_batches']} "
+                    "batches probed)"
+                )
+            name = compact_sink(
+                spark, path, keep_last=keep_last,
+                collapse_keys=collapse_keys, version_col=version_col,
+            )
             # snapshot AFTER compacting so the new snapshot embeds the
             # compact manifest + tail -- the next reader opens one object
             snap = snapshot_sink(spark, path)
@@ -561,6 +580,29 @@ def main(argv: list[str] | None = None) -> int:
                 help="drift ratio that triggers the rebuild "
                 "(ivfpq_drift ratio_threshold)",
             )
+            p.add_argument(
+                "--delete-where",
+                default=None,
+                metavar="SQL_EXPR",
+                help="row-level erasure before compacting: DELETE FROM "
+                "both sinks WHERE <expr> (sinks.delete_sink_where -- "
+                "stat/bloom-pruned copy-on-write, physical at vacuum)",
+            )
+            p.add_argument(
+                "--collapse-keys",
+                default=None,
+                metavar="COL[,COL...]",
+                help="upsert merge: compaction collapses to one row per "
+                "key tuple, highest --version-col wins (the "
+                "ReplacingMergeTree background-merge analog; reads use "
+                "read_sink(collapse_keys=...) for FINAL semantics)",
+            )
+            p.add_argument(
+                "--version-col",
+                default=None,
+                help="version column for --collapse-keys (default: last "
+                "write wins only among orderable columns)",
+            )
         if name == "tail":
             p.add_argument(
                 "--from", dest="source_table", default="raw_message",
@@ -607,6 +649,13 @@ def main(argv: list[str] | None = None) -> int:
             reindex_ann=args.reindex_ann,
             ann_vectors=args.ann_vectors,
             ann_threshold=args.ann_threshold,
+            delete_where=args.delete_where,
+            collapse_keys=(
+                [c.strip() for c in args.collapse_keys.split(",") if c.strip()]
+                if args.collapse_keys
+                else None
+            ),
+            version_col=args.version_col,
         )
     return cmd_run(cfg, args.source_dir, args.duration_secs)
 

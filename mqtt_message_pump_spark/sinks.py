@@ -1310,6 +1310,148 @@ def _stat_str(v) -> str:
     return str(v)
 
 
+def _stat_probes(eq: "dict[str, object]") -> "dict[str, list[str]]":
+    """Normalize an ``eq={col: value_or_list}`` spec to stringified
+    probe lists (the manifest stats / bloom sidecars store
+    :func:`_stat_str` forms)."""
+    return {
+        col: [
+            _stat_str(v)
+            for v in (
+                vals if isinstance(vals, (list, tuple, set)) else [vals]
+            )
+        ]
+        for col, vals in eq.items()
+    }
+
+
+def _prune_batches(
+    kept: "list[dict]",
+    dates: "list[str] | None" = None,
+    ranges: "dict[str, tuple[str, str]] | None" = None,
+    eq: "dict[str, object] | None" = None,
+    jfs: "_JvmFsReader | None" = None,
+    table_path: str = "",
+) -> "list[dict]":
+    """Manifest-level batch pruning shared by :func:`read_sink` and the
+    row-level DML rewrites (:func:`delete_sink_where` /
+    :func:`update_sink_where`): ``dates`` partition-stat skipping,
+    ``ranges`` min/max disjointness, ``eq`` point probes against stats
+    AND per-batch bloom sidecars.  Stat-less / bloom-less batches are
+    conservatively kept -- pruning never loses rows."""
+    if dates is not None:
+        wanted = set(dates)
+        kept = [
+            m for m in kept
+            if m.get("dates") is None or wanted & set(m["dates"])
+        ]
+    if ranges is not None:
+        # a batch is skipped only when its recorded stat interval is
+        # DISJOINT from the request -- Iceberg-style file skipping at
+        # manifest granularity
+        def _overlaps(m: dict) -> bool:
+            stats = m.get("stats") or {}
+            for col, (lo, hi) in ranges.items():
+                st = stats.get(col)
+                if st is None:
+                    continue
+                if (hi is not None and st[0] > _stat_str(hi)) or (
+                    lo is not None and st[1] < _stat_str(lo)
+                ):
+                    return False
+            return True
+
+        kept = [m for m in kept if _overlaps(m)]
+    if eq is not None:
+        from mqtt_message_pump_spark.functions.bloom import (
+            bloom_might_contain,
+            load_bloom_sidecar,
+        )
+
+        probes = _stat_probes(eq)
+
+        def _eq_keep(m: dict) -> bool:
+            stats = m.get("stats") or {}
+            blooms = None
+            for col, svals in probes.items():
+                st = stats.get(col)
+                if st is not None and not any(
+                    st[0] <= s <= st[1] for s in svals
+                ):
+                    return False
+                if blooms is None:
+                    blooms = load_bloom_sidecar(jfs, table_path, m)
+                spec = blooms.get(col)
+                if spec is not None and not any(
+                    bloom_might_contain(spec, s) for s in svals
+                ):
+                    return False
+            return True
+
+        kept = [m for m in kept if _eq_keep(m)]
+    return kept
+
+
+def collapse_latest(
+    df: DataFrame,
+    keys: "list[str]",
+    version_col: "str | None" = None,
+) -> DataFrame:
+    """ReplacingMergeTree's merge-time collapse as a DataFrame op: keep
+    ONE row per ``keys`` tuple, preferring the highest ``version_col``
+    (ClickHouse's optional *ver* column; the reference's
+    ``replacingengine`` INI option, see :func:`_mergetree_engine` /
+    ``replay_collapse_sql``).  This is the upsert read for manifest
+    sinks: append new versions of a key, read through
+    ``read_sink(collapse_keys=...)`` (ClickHouse ``FINAL``), and let
+    ``compact_sink(collapse_keys=...)`` physically converge old
+    versions away at maintenance time (the background-merge analog).
+
+    Scale: implemented as ``groupBy(keys).agg(max_by(row, order))`` --
+    a declarative aggregate with MAP-SIDE partial combine, so each
+    shuffle partition receives at most one candidate row per key per
+    map task (a window ``row_number`` would shuffle every version).
+    Ordering = ``(version_col, every orderable non-key column)``: ties
+    on the version break deterministically on row content; rows
+    identical in all orderable columns are genuine duplicates (any
+    survivor is the same row, up to unorderable map-typed payload
+    fields).  NULL versions sort lowest and lose to any versioned row.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    keys = list(keys)
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"collapse keys not in frame: {missing}")
+    if version_col is not None and version_col not in df.columns:
+        raise ValueError(f"version column not in frame: {version_col}")
+    orderable = (
+        T.NumericType, T.StringType, T.BooleanType, T.DateType,
+        T.TimestampType, T.BinaryType,
+    )
+    tiebreak = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in keys
+        and f.name != version_col
+        and isinstance(f.dataType, orderable)
+    ]
+    ordk = ([F.col(version_col)] if version_col is not None else []) + [
+        F.col(c) for c in tiebreak
+    ]
+    if not ordk:
+        # nothing orderable outside the keys: rows per key are
+        # indistinguishable, any one survives
+        return df.dropDuplicates(keys)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(row, F.struct(*ordk)).alias("__row"))
+        .select("__row.*")
+    )
+
+
 class SnapshotUnreadable(IOError):
     """A pinned snapshot (``read_sink(as_of=...)``) cannot be served:
     either the snapshot object itself was vacuumed past retention, or
@@ -1328,6 +1470,8 @@ def read_sink(
     as_of: int | None = None,
     ranges: "dict[str, tuple[str, str]] | None" = None,
     eq: "dict[str, object] | None" = None,
+    collapse_keys: "list[str] | None" = None,
+    version_col: "str | None" = None,
 ) -> DataFrame:
     """Read one sink table regardless of its commit protocol.
 
@@ -1376,7 +1520,19 @@ def read_sink(
     retention window: a missing snapshot object or a reclaimed attempt
     dir raises :class:`SnapshotUnreadable` LOUDLY up front (never a
     partial corpus) -- size ``vacuum_sink(retention_secs=...)`` to
-    exceed the longest-lived pin, exactly the in-flight-reader rule."""
+    exceed the longest-lived pin, exactly the in-flight-reader rule.
+
+    ``collapse_keys`` (+ optional ``version_col``) is the upsert /
+    ReplacingMergeTree ``FINAL`` read (:func:`collapse_latest`): one
+    row per key tuple, highest version wins -- appending a new version
+    of a key becomes an update at read time, and
+    ``compact_sink(collapse_keys=...)`` physically converges old
+    versions away at maintenance time.  Composes with every pruning
+    arg (the collapse runs over the pruned scan), but mind key-tuple
+    completeness: pruning that splits a key's versions across
+    kept/skipped batches can surface a stale version -- prune on the
+    collapse keys themselves (e.g. ``eq={"mid": ...}``) for exact
+    point upsert reads."""
     fs, HPath = _hadoop_fs(spark, table_path)
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not fs.exists(HPath(f"{table_path}/_manifests")):
@@ -1385,7 +1541,10 @@ def read_sink(
                 f"{table_path} is not a manifest sink; as_of requires "
                 "the manifest commit protocol"
             )
-        return reader.parquet(table_path)
+        out = reader.parquet(table_path)
+        if collapse_keys:
+            out = collapse_latest(out, collapse_keys, version_col)
+        return out
     if as_of is not None:
         snaps = [
             st
@@ -1431,84 +1590,34 @@ def read_sink(
         raise ValueError(
             f"manifest sink {table_path} has no committed batches"
         )
-    kept = live
-    if dates is not None:
-        wanted = set(dates)
-        kept = [
-            m for m in kept
-            if m.get("dates") is None or wanted & set(m["dates"])
-        ]
-    if ranges is not None:
-        # general min/max data skipping (``ranges={"col": (lo, hi)}``,
-        # stringified bounds): a batch is skipped only when its recorded
-        # stat interval is DISJOINT from the request -- Iceberg-style
-        # file skipping at manifest granularity.  Batches without the
-        # stat (pre-r12, or an all-NULL column) are conservatively kept;
-        # the frame is NOT row-filtered -- compose with .filter(...) for
-        # exact selection (which also drives per-scan pushdown).
-        def _overlaps(m: dict) -> bool:
-            stats = m.get("stats") or {}
-            for col, (lo, hi) in ranges.items():
-                st = stats.get(col)
-                if st is None:
-                    continue
-                if (hi is not None and st[0] > str(hi)) or (
-                    lo is not None and st[1] < str(lo)
-                ):
-                    return False
-            return True
+    # dates / ranges / eq: manifest-level batch skipping (partition
+    # stat, min/max disjointness, bloom point probes -- the MergeTree
+    # primary-index parity path, ``data_dbstore.go:133``); shared core
+    # in :func:`_prune_batches`.  The frame is NOT row-filtered --
+    # compose with ``.filter(...)`` for exact selection (which also
+    # drives per-scan pushdown).
+    kept = _prune_batches(
+        live,
+        dates=dates,
+        ranges=ranges,
+        eq=eq,
+        jfs=_JvmFsReader(fs, HPath) if eq is not None else None,
+        table_path=table_path,
+    )
 
-        kept = [m for m in kept if _overlaps(m)]
-    if eq is not None:
-        # point-lookup batch skipping (``eq={"mid": value_or_list}``):
-        # a batch is dropped when its min/max interval excludes EVERY
-        # probed value, or when its bloom sidecar (functions.bloom,
-        # written by the manifest commit) proves every probe absent --
-        # the MergeTree primary-index parity path
-        # (``data_dbstore.go:133``).  Stat-less/bloom-less batches are
-        # conservatively kept; the frame is NOT row-filtered -- compose
-        # with ``.filter(col == value)`` for exact selection.
-        from mqtt_message_pump_spark.functions.bloom import (
-            bloom_might_contain,
-            load_bloom_sidecar,
-        )
+    def _maybe_collapse(out: DataFrame) -> DataFrame:
+        if collapse_keys:
+            return collapse_latest(out, collapse_keys, version_col)
+        return out
 
-        jfs = _JvmFsReader(fs, HPath)
-        probes = {
-            col: [
-                _stat_str(v)
-                for v in (
-                    vals if isinstance(vals, (list, tuple, set)) else [vals]
-                )
-            ]
-            for col, vals in eq.items()
-        }
-
-        def _eq_keep(m: dict) -> bool:
-            stats = m.get("stats") or {}
-            blooms = None
-            for col, svals in probes.items():
-                st = stats.get(col)
-                if st is not None and not any(
-                    st[0] <= s <= st[1] for s in svals
-                ):
-                    return False
-                if blooms is None:
-                    blooms = load_bloom_sidecar(jfs, table_path, m)
-                spec = blooms.get(col)
-                if spec is not None and not any(
-                    bloom_might_contain(spec, s) for s in svals
-                ):
-                    return False
-            return True
-
-        kept = [m for m in kept if _eq_keep(m)]
     if (dates is not None or ranges is not None or eq is not None) and not kept:
         # every batch pruned: an empty frame with the sink's schema
         from pyspark.sql import functions as F
 
         any_dir = f"{table_path}/{live[0]['dir']}"
-        return reader.parquet(any_dir).filter(F.lit(False))
+        return _maybe_collapse(
+            reader.parquet(any_dir).filter(F.lit(False))
+        )
     dirs = [f"{table_path}/{m['dir']}" for m in kept]
     # One scan per attempt dir, unioned: each dir is its own partitioned
     # root (Spark refuses a single multi-root partition discovery across
@@ -1529,9 +1638,11 @@ def read_sink(
         # read to plan the frames).
         target = reduce(_widen_struct, [f.schema for f in frames])
         frames = [_cast_to_struct(f, target) for f in frames]
-    return reduce(
-        lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
-        frames,
+    return _maybe_collapse(
+        reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
+            frames,
+        )
     )
 
 
@@ -2011,7 +2122,11 @@ def vacuum_sink(
 
 
 def compact_sink(
-    spark: SparkSession, table_path: str, keep_last: int = 1
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 1,
+    collapse_keys: "list[str] | None" = None,
+    version_col: "str | None" = None,
 ) -> str | None:
     """Bound a manifest sink's read amplification (one scan per committed
     batch) by rewriting old batches into ONE consolidated attempt -- the
@@ -2034,6 +2149,18 @@ def compact_sink(
     its own batch key -- compacting a batch that can still replay would
     duplicate its rows when the replay republishes it.  Run from the
     maintenance window (single writer, same contract as vacuum).
+
+    ``collapse_keys`` (+ optional ``version_col``) makes this the
+    ReplacingMergeTree BACKGROUND MERGE analog: the consolidated
+    victims are collapsed to one row per key tuple, highest version
+    wins (:func:`collapse_latest`), so superseded upsert versions are
+    physically reclaimed at maintenance time.  Collapse is exact
+    WITHIN the victim set only -- ``keep_last`` recent batches stay
+    unmerged, so full upsert semantics still need the
+    ``read_sink(collapse_keys=...)`` FINAL read, exactly ClickHouse's
+    merge-vs-FINAL contract.  Collapsed-away rows are not retracted
+    from change-data-feed consumers that already saw them (standard
+    append-only CDF caveat).
 
     Returns the new manifest name, or None when there are fewer than two
     compactable batches."""
@@ -2083,6 +2210,8 @@ def compact_sink(
             part, allowMissingColumns=True
         )
     attempt = f"_data/c-{uuid.uuid4().hex[:8]}"
+    if collapse_keys:
+        df = collapse_latest(df, collapse_keys, version_col)
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     df = df.repartition("collect_date")
     if sort_cols:
@@ -2106,8 +2235,16 @@ def compact_sink(
     # compact manifest and supersedes it).
     import hashlib
 
+    # the collapse spec joins the identity: a collapsed and an
+    # uncollapsed compaction of the same victim set are DIFFERENT
+    # results and must not converge on one manifest object
+    ident = "|".join(supersedes)
+    if collapse_keys:
+        ident += "#collapse=" + ",".join(collapse_keys) + (
+            f"@{version_col}" if version_col else ""
+        )
     name = (
-        "c-" + hashlib.md5("|".join(supersedes).encode()).hexdigest()[:12]
+        "c-" + hashlib.md5(ident.encode()).hexdigest()[:12]
         + ".json"
     )
     # consolidated min/max stats = fold of the victims' stats (the
@@ -2135,8 +2272,10 @@ def compact_sink(
         # the winner alone; our attempt dir ages out via vacuum
         return name
     # consolidated row count: sum of victim counts when all recorded
-    # one (zero extra IO), else one metadata-cheap parquet count
-    if all("rows" in m for m in victims):
+    # one (zero extra IO), else one metadata-cheap parquet count; a
+    # collapse changes the count, so it is always recounted from the
+    # written layout (parquet footers only)
+    if not collapse_keys and all("rows" in m for m in victims):
         total_rows = sum(int(m["rows"]) for m in victims)
     else:
         total_rows = spark.read.parquet(f"{table_path}/{attempt}").count()
@@ -2191,6 +2330,23 @@ def compact_sink(
                     )
                 ),
                 **({"stats": merged_stats} if merged_stats else {}),
+                # audit trail: this consolidation dropped superseded
+                # upsert versions (the folded min/max stats are then a
+                # SUPERSET interval -- still prune-safe)
+                **(
+                    {
+                        "collapsed": {
+                            "keys": list(collapse_keys),
+                            **(
+                                {"version_col": version_col}
+                                if version_col
+                                else {}
+                            ),
+                        }
+                    }
+                    if collapse_keys
+                    else {}
+                ),
             },
             sort_keys=True,
         ).encode("utf-8"),
@@ -2383,6 +2539,345 @@ def drop_dates_sink(
         )
         touched.append(name)
     return touched
+
+
+def _dml_predicate(
+    where: "str | None",
+    eq: "dict[str, object] | None",
+    dates: "list[str] | None",
+    ranges: "dict[str, tuple[object, object]] | None",
+):
+    """Row predicate for the DML rewrites: AND of the structured specs
+    (which double as manifest-pruning hints) and the free ``where``
+    SQL expression.  At least one spec is required -- an unconstrained
+    DELETE is almost always a bug; spell it ``where="true"``."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    if dates is not None:
+        parts.append(F.col("collect_date").isin(sorted(set(dates))))
+    if ranges is not None:
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                parts.append(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                parts.append(F.col(c) <= F.lit(hi))
+    if eq is not None:
+        for c, vals in eq.items():
+            vs = (
+                list(vals)
+                if isinstance(vals, (list, tuple, set))
+                else [vals]
+            )
+            parts.append(F.col(c).isin(vs))
+    if where is not None:
+        parts.append(F.expr(where))
+    if not parts:
+        raise ValueError(
+            "row-level DML requires at least one of where/eq/dates/"
+            'ranges (an unconditional pass is where="true")'
+        )
+    pred = parts[0]
+    for p in parts[1:]:
+        pred = pred & p
+    return pred
+
+
+def _dml_sink(
+    spark: SparkSession,
+    table_path: str,
+    where: "str | None",
+    eq: "dict[str, object] | None",
+    dates: "list[str] | None",
+    ranges: "dict[str, tuple[object, object]] | None",
+    set_exprs: "dict[str, str] | None",
+) -> dict:
+    """Shared core of :func:`delete_sink_where` /
+    :func:`update_sink_where` -- copy-on-write at BATCH granularity,
+    the Delta/Iceberg DML shape reduced to this sink's manifest
+    protocol:
+
+    1. prune: only batches whose manifest stats / bloom sidecars say
+       they MIGHT contain matching rows are even read
+       (:func:`_prune_batches` -- the same skipping the read path
+       uses, so a point delete on a year of batches rewrites O(matching
+       batches), not O(all));
+    2. per candidate batch, count actual matches (predicate pushed into
+       the scan); zero matches -> untouched (bloom false positives cost
+       one cheap probe scan, never a rewrite);
+    3. DELETE with every row matching -> publish a dir-less ``drop``
+       tombstone superseding the batch (no data IO at all); otherwise
+       rewrite the surviving/updated rows into a fresh attempt dir and
+       republish the SAME manifest name pointing at it -- the standard
+       atomic batch swap (readers see old rows or new, never half), the
+       identical move :func:`drop_dates_sink` uses for straddlers.
+
+    Change-data-feed / tail semantics: a republished batch key is
+    already marked in every cursor, so rewritten rows are NEVER
+    re-delivered downstream; rows already delivered are not retracted
+    (append-only CDF, documented on :func:`read_sink_since`).  Pinned
+    ``as_of`` snapshots keep seeing the pre-DML rows until their
+    attempt dirs age out of vacuum retention -- deletion becomes
+    PHYSICAL at ``vacuum_sink``, the GDPR erasure horizon.  Run from
+    the maintenance window (single writer, stream quiesced: a replay
+    republish of the newest batch would resurrect its pre-DML rows),
+    the same contract as compact/vacuum/drop_dates.
+
+    Failure atomicity is per batch: an abort mid-pass leaves every
+    already-swapped batch committed and the rest untouched -- re-run
+    the same statement to finish (DELETE re-runs are no-ops on swapped
+    batches; UPDATE re-runs are no-ops when the SET makes the predicate
+    false, else apply-twice -- use self-falsifying predicates for
+    non-idempotent SETs)."""
+    import json
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        raise ValueError(
+            f"{table_path} is not a manifest sink; row-level DML "
+            "requires the manifest commit protocol"
+        )
+    pred = _dml_predicate(where, eq, dates, ranges)
+    hit = F.coalesce(pred, F.lit(False))  # NULL predicate keeps the row
+    live = [
+        m for m in _read_manifests(fs, HPath, table_path) if "dir" in m
+    ]
+    cands = _prune_batches(
+        live,
+        dates=dates,
+        ranges=ranges,
+        eq=eq,
+        jfs=_JvmFsReader(fs, HPath) if eq is not None else None,
+        table_path=table_path,
+    )
+    out = {
+        "live_batches": len(live),
+        "candidate_batches": len(cands),
+        "probed_clean": 0,
+        "rewritten": [],
+        "dropped": [],
+        "rows_deleted": 0,
+        "rows_updated": 0,
+    }
+    if set_exprs is not None and "collect_date" in set_exprs:
+        raise ValueError(
+            "cannot UPDATE the partition column collect_date; "
+            "delete + re-append to move rows across partitions"
+        )
+    target_schema = None  # sink-wide widened schema, computed on demand
+    for m in cands:
+        src = spark.read.option("mergeSchema", "true").parquet(
+            f"{table_path}/{m['dir']}"
+        )
+        # schema-evolution seam: a predicate (or SET) may reference a
+        # column this pre-widening batch lacks.  SQL semantics: the
+        # column exists table-wide, old rows hold NULL -- pad missing
+        # sink columns as typed NULLs for EVALUATION (pred NULL keeps
+        # the row), computed lazily so uniform sinks pay nothing.  A
+        # column absent from the whole sink still fails loudly below.
+        eval_df = src
+        n_match = None
+        if set_exprs is None or all(c in src.columns for c in set_exprs):
+            try:
+                n_match = eval_df.filter(hit).count()
+            except Exception:
+                n_match = None  # pred references a widened column
+        if n_match is None:
+            if target_schema is None:
+                target_schema = read_sink(
+                    spark, table_path, merge_schema=True
+                ).schema
+            have = set(src.columns)
+            eval_df = src.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target_schema.fields
+                    if f.name not in have
+                ],
+            )
+            n_match = eval_df.filter(hit).count()
+        if set_exprs is not None:
+            bad = [c for c in set_exprs if c not in eval_df.columns]
+            if bad:
+                raise ValueError(f"SET columns not in sink schema: {bad}")
+        if n_match == 0:
+            out["probed_clean"] += 1
+            continue
+        if set_exprs is None:
+            total = int(m["rows"]) if "rows" in m else src.count()
+            out["rows_deleted"] += n_match
+            if n_match == total:
+                # whole batch gone: tombstone, zero data IO
+                tomb = f"d-{uuid.uuid4().hex[:12]}.json"
+                _publish_manifest(
+                    fs, HPath, f"{table_path}/_manifests", tomb,
+                    json.dumps(
+                        {"kind": "drop", "supersedes": [m["name"]]},
+                        sort_keys=True,
+                    ).encode("utf-8"),
+                )
+                out["dropped"].append(m["name"])
+                continue
+            # write back the batch's ORIGINAL physical columns/types:
+            # a delete must never silently widen a batch's schema
+            new_df = eval_df.filter(~hit).select(*src.columns)
+            rows_new = total - n_match
+        else:
+            # SQL UPDATE semantics: every SET expression is evaluated
+            # against the ORIGINAL row (one select, no sequencing).
+            # SET on a column this batch lacks physically ADDS it to
+            # the rewritten batch (NULL where the predicate missed) --
+            # managed schema evolution, the merge read handles it.
+            out_cols = list(src.columns) + [
+                c for c in set_exprs if c not in src.columns
+            ]
+            new_df = eval_df.select(
+                *[
+                    (
+                        F.when(hit, F.expr(set_exprs[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set_exprs
+                        else F.col(c)
+                    )
+                    for c in out_cols
+                ]
+            )
+            rows_new = int(m["rows"]) if "rows" in m else None
+            out["rows_updated"] += n_match
+        attempt = f"_data/u-{uuid.uuid4().hex[:8]}"
+        (
+            new_df.repartition("collect_date")
+            .write.mode("overwrite")
+            .partitionBy("collect_date")
+            .parquet(f"{table_path}/{attempt}")
+        )
+        files = sorted(
+            f"{attempt}/{p.getPath().getParent().getName()}/"
+            f"{p.getPath().getName()}"
+            for p in fs.globStatus(
+                HPath(f"{table_path}/{attempt}/collect_date=*/*")
+            )
+            if not p.getPath().getName().startswith(("_", "."))
+        )
+        payload = dict(m)
+        payload.pop("ts", None)
+        name = payload.pop("name")
+        payload.update(
+            {
+                "dir": attempt,
+                "files": files,
+                "dates": sorted(
+                    {f.split("collect_date=")[1].split("/")[0] for f in files}
+                ),
+            }
+        )
+        if rows_new is not None:
+            payload["rows"] = rows_new
+        else:
+            payload.pop("rows", None)
+        stats = payload.get("stats")
+        if stats is not None:
+            if set_exprs is not None:
+                # updated columns' recorded intervals no longer bound
+                # the data: drop them (stat-less = conservatively
+                # unprunable); a DELETE only narrows, so the old
+                # superset intervals stay prune-safe
+                for c in set_exprs:
+                    stats.pop(c, None)
+            if not stats:
+                payload.pop("stats", None)
+        # bloom sidecar: the new attempt dir starts without one; rebuild
+        # when the victim had one so eq-pruning keeps working (and, for
+        # DELETE, so probes for the deleted keys can skip this batch)
+        if rows_new and fs.exists(
+            HPath(f"{table_path}/{m['dir']}/_bloom.json")
+        ):
+            try:
+                from mqtt_message_pump_spark.functions import bloom as B
+
+                bloom_cols = [
+                    c for c in ("mid", "topic") if c in new_df.columns
+                ]
+                if bloom_cols:
+                    specs = B.bloom_build_distributed(
+                        spark.read.parquet(
+                            f"{table_path}/{attempt}"
+                        ).select(*bloom_cols),
+                        bloom_cols,
+                        rows_new,
+                    )
+                    B.write_bloom_sidecar(
+                        lambda payload_b: _publish_manifest(
+                            fs, HPath, f"{table_path}/{attempt}",
+                            B.BLOOM_SIDECAR, payload_b,
+                        ),
+                        specs,
+                    )
+            except Exception:
+                pass  # absent sidecar = conservatively unprunable
+        _publish_manifest(
+            fs, HPath, f"{table_path}/_manifests", name,
+            json.dumps(payload, sort_keys=True).encode("utf-8"),
+        )
+        out["rewritten"].append(name)
+    return out
+
+
+def delete_sink_where(
+    spark: SparkSession,
+    table_path: str,
+    where: "str | None" = None,
+    eq: "dict[str, object] | None" = None,
+    dates: "list[str] | None" = None,
+    ranges: "dict[str, tuple[object, object]] | None" = None,
+) -> dict:
+    """Row-level DELETE on a manifest sink (``DELETE FROM t WHERE
+    ...``): remove every row matching the predicate, atomically per
+    batch, touching only batches the manifest stats / bloom sidecars
+    cannot rule out -- the right-to-erasure shape at 100 TB, where a
+    point delete must cost O(matching batches).  The reference
+    delegates this surface to ClickHouse (``ALTER TABLE ... DELETE``,
+    lightweight-delete mutations); here it is the copy-on-write rewrite
+    every manifest-table design uses (Delta/Iceberg DELETE).
+
+    Predicate = AND of the structured specs -- ``eq={col: v_or_list}``,
+    ``dates=[...]``, ``ranges={col: (lo, hi)}``, each ALSO used to
+    prune candidate batches -- and the free ``where`` SQL expression
+    (evaluated per row; NULL keeps the row, SQL DELETE semantics).
+
+    Returns a summary dict: candidate/pruned batch counts, manifests
+    rewritten or tombstoned, and ``rows_deleted``.  Maintenance-window
+    contract and CDF/pin semantics documented on :func:`_dml_sink`."""
+    return _dml_sink(spark, table_path, where, eq, dates, ranges, None)
+
+
+def update_sink_where(
+    spark: SparkSession,
+    table_path: str,
+    set: "dict[str, str]",
+    where: "str | None" = None,
+    eq: "dict[str, object] | None" = None,
+    dates: "list[str] | None" = None,
+    ranges: "dict[str, tuple[object, object]] | None" = None,
+) -> dict:
+    """Row-level UPDATE on a manifest sink (``UPDATE t SET col = expr
+    WHERE ...``): ``set`` maps column name -> SQL expression, every
+    expression evaluated against the ORIGINAL row (standard UPDATE
+    sequencing); rows where the predicate is NULL are untouched.  The
+    partition column ``collect_date`` cannot be SET (that is a delete +
+    re-append).  Batch pruning, atomic per-batch swap, stats/bloom
+    maintenance and the maintenance-window contract are shared with
+    :func:`delete_sink_where` (see :func:`_dml_sink`); updated columns'
+    min/max stats are dropped from the rewritten manifest rather than
+    left stale.  Returns the summary dict with ``rows_updated``."""
+    if not set:
+        raise ValueError("update_sink_where requires a non-empty set")
+    return _dml_sink(spark, table_path, where, eq, dates, ranges, set)
 
 
 def write_training_shards(

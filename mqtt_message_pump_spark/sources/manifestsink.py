@@ -161,6 +161,13 @@ class ManifestSinkDataSource(DataSource):
     - ``path`` (required): the sink's table_path (local or URI);
     - ``as_of`` (optional int): pin to one snapshot seq (time travel);
     - ``schema`` (optional DDL): override the inferred merged schema.
+
+    Upsert / ReplacingMergeTree FINAL reads: a collapse needs a
+    key-shuffle, which a leaf source cannot express -- compose
+    ``sinks.collapse_latest(df, keys, version_col)`` over the loaded
+    frame (or use ``sinks.read_sink(collapse_keys=...)``); Catalyst
+    still pushes the batch-pruning predicates into this source below
+    the collapse.
     """
 
     @classmethod

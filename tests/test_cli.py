@@ -221,6 +221,66 @@ def test_maintain_compacts_and_vacuums_manifest_sinks(spark, tmp_path):
         assert manifests[0].startswith("s-")
 
 
+def test_maintain_delete_where_and_collapse(spark, tmp_path, capsys):
+    """``pump maintain --delete-where`` (row-level erasure, physical at
+    the vacuum in the same window) and ``--collapse-keys/--version-col``
+    (upsert merge: compaction keeps the highest version per key)."""
+    import os
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import read_sink, write_append
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out"
+    store = StoreConf(commit_protocol="manifest")
+    for sub in ("raw_message", "json_message"):
+        for b in range(3):
+            # mid k0 appears in EVERY batch (3 versions); others unique
+            df = spark.createDataFrame(
+                [
+                    ("k0", "t", f"v{b}", f"2024-01-02 00:00:0{b}"),
+                    (f"m{sub[:1]}{b}", "t", "erase-me" if b == 1 else "p",
+                     "2024-01-02 00:00:00"),
+                ],
+                ["mid", "topic", "payload", "d"],
+            ).select(
+                "mid", "topic", "payload",
+                F.to_timestamp("d").alias("collect_datetime"),
+                F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+            )
+            write_append(df, store, str(out / sub), batch_id=b)
+
+    ini = tmp_path / "pump.ini"
+    ini.write_text(f"[store]\npath = {out}\n")
+    assert main([
+        "maintain", str(ini), "--keep-last", "0",
+        "--delete-where", "payload = 'erase-me'",
+        "--collapse-keys", "mid", "--version-col", "collect_datetime",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "deleted 1 rows" in msg
+    for sub in ("raw_message", "json_message"):
+        got = read_sink(spark, str(out / sub))
+        # 6 rows written - 1 erased - 2 old k0 versions merged away
+        assert got.count() == 3
+        assert got.filter("payload = 'erase-me'").count() == 0
+        assert got.filter("mid = 'k0'").select("payload").collect() == [
+            ("v2",)
+        ]
+        # erasure is PHYSICAL: no attempt dir under the sink still holds
+        # the deleted payload (vacuum ran in the same window)
+        for root, _dirs, files in os.walk(out / sub):
+            for f in files:
+                if f.endswith(".parquet"):
+                    import pyarrow.parquet as pq
+
+                    t = pq.read_table(os.path.join(root, f))
+                    if "payload" in t.column_names:
+                        assert "erase-me" not in t[
+                            "payload"
+                        ].to_pylist()
+
+
 def test_tail_once_drains_into_downstream_sink(spark, tmp_path, capsys):
     """``pump tail --once``: the downstream pipeline stage as a CLI
     one-liner -- drains the pump's raw sink into a second manifest sink

