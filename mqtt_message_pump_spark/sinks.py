@@ -1190,6 +1190,42 @@ def list_snapshots(spark: SparkSession, table_path: str) -> list[dict]:
     return sorted(out, key=lambda s: s["seq"])
 
 
+def _as_of_ts_ms(ts) -> float:
+    """Normalize a ``timestampAsOf`` instant to epoch milliseconds:
+    int/float = epoch SECONDS; str = ISO-8601 (naive -> UTC);
+    datetime = as given (naive -> UTC)."""
+    import datetime
+
+    if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+        return float(ts) * 1000.0
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts.timestamp() * 1000.0
+    raise TypeError(f"as_of_ts: unsupported instant type {type(ts)!r}")
+
+
+def _resolve_as_of_ts(spark: SparkSession, table_path: str, ts) -> int:
+    """Delta ``timestampAsOf`` semantics: the newest retained snapshot
+    published at-or-before the instant; LOUD when none is (older than
+    retention, or before the first snapshot)."""
+    t_ms = _as_of_ts_ms(ts)
+    snaps = list_snapshots(spark, table_path)
+    elig = [s for s in snaps if s["ts"] <= t_ms]
+    if not elig:
+        raise SnapshotUnreadable(
+            f"no snapshot of {table_path} at or before {ts!r} "
+            f"({len(snaps)} retained snapshot(s)"
+            + (
+                f", earliest ts {snaps[0]['ts']}" if snaps else ""
+            )
+            + "); it may have aged out under vacuum retention"
+        )
+    return elig[-1]["seq"]
+
+
 class SchemaWideningError(ValueError):
     """Two batch schemas cannot be merged by SAFE widening: the same
     column holds unrelated types (e.g. string vs int), or a lossy
@@ -1468,6 +1504,7 @@ def read_sink(
     merge_schema: bool = False,
     dates: "list[str] | None" = None,
     as_of: int | None = None,
+    as_of_ts: "float | str | object | None" = None,
     ranges: "dict[str, tuple[str, str]] | None" = None,
     eq: "dict[str, object] | None" = None,
     collapse_keys: "list[str] | None" = None,
@@ -1522,6 +1559,16 @@ def read_sink(
     partial corpus) -- size ``vacuum_sink(retention_secs=...)`` to
     exceed the longest-lived pin, exactly the in-flight-reader rule.
 
+    ``as_of_ts`` is time travel by WALL CLOCK (Delta's
+    ``timestampAsOf``): the newest snapshot published at-or-before the
+    given instant is resolved and read exactly as ``as_of`` would.
+    Accepts epoch seconds (int/float), a naive-UTC/offset ISO string,
+    or a ``datetime``; an instant before the first retained snapshot
+    raises :class:`SnapshotUnreadable` (it may also have aged out
+    under vacuum retention).  Resolution uses the snapshot objects'
+    filesystem mtimes -- publish order, the same stamp
+    :func:`list_snapshots` reports.
+
     ``collapse_keys`` (+ optional ``version_col``) is the upsert /
     ReplacingMergeTree ``FINAL`` read (:func:`collapse_latest`): one
     row per key tuple, highest version wins -- appending a new version
@@ -1535,6 +1582,10 @@ def read_sink(
     point upsert reads."""
     fs, HPath = _hadoop_fs(spark, table_path)
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+    if as_of_ts is not None:
+        if as_of is not None:
+            raise ValueError("pass as_of OR as_of_ts, not both")
+        as_of = _resolve_as_of_ts(spark, table_path, as_of_ts)
     if not fs.exists(HPath(f"{table_path}/_manifests")):
         if as_of is not None:
             raise SnapshotUnreadable(
@@ -2591,6 +2642,7 @@ def _dml_sink(
     dates: "list[str] | None",
     ranges: "dict[str, tuple[object, object]] | None",
     set_exprs: "dict[str, str] | None",
+    force: bool = False,
 ) -> dict:
     """Shared core of :func:`delete_sink_where` /
     :func:`update_sink_where` -- copy-on-write at BATCH granularity,
@@ -2640,6 +2692,39 @@ def _dml_sink(
             f"{table_path} is not a manifest sink; row-level DML "
             "requires the manifest commit protocol"
         )
+    if not force:
+        # ENFORCE the maintenance-window contract, not just document
+        # it: a live foreign writer lease means a stream is appending
+        # (and may replay-republish the batch we are rewriting,
+        # resurrecting its pre-DML rows).  Our own process's lease
+        # (in-line maintenance) passes; force=True overrides when the
+        # operator knows the writer is quiesced but the lease has not
+        # yet expired.
+        lease_path = HPath(f"{table_path}/_writer.json")
+        if fs.exists(lease_path):
+            try:
+                cur = _read_json_object(
+                    fs, HPath, f"{table_path}/_writer.json"
+                )
+                mtime = fs.getFileStatus(lease_path).getModificationTime()
+            except _ManifestVanished:
+                cur = None
+            mine = _WRITER_LEASES.get(table_path)
+            if cur is not None and (
+                mine is None
+                or (cur.get("owner"), cur.get("token"))
+                != (mine["owner"], mine["token"])
+            ):
+                age_ms = _fs_now_ms(fs, HPath, table_path) - mtime
+                if age_ms <= float(cur.get("lease_secs", 120.0)) * 1000:
+                    raise WriterFenced(
+                        f"sink {table_path}: writer "
+                        f"{cur.get('owner')} holds a live lease "
+                        f"(renewed {age_ms / 1000:.0f}s ago); row-level "
+                        "DML requires the maintenance window -- stop "
+                        "the writer (or pass force=True if it is "
+                        "already quiesced)"
+                    )
     pred = _dml_predicate(where, eq, dates, ranges)
     hit = F.coalesce(pred, F.lit(False))  # NULL predicate keeps the row
     live = [
@@ -2835,6 +2920,7 @@ def delete_sink_where(
     eq: "dict[str, object] | None" = None,
     dates: "list[str] | None" = None,
     ranges: "dict[str, tuple[object, object]] | None" = None,
+    force: bool = False,
 ) -> dict:
     """Row-level DELETE on a manifest sink (``DELETE FROM t WHERE
     ...``): remove every row matching the predicate, atomically per
@@ -2851,9 +2937,14 @@ def delete_sink_where(
     (evaluated per row; NULL keeps the row, SQL DELETE semantics).
 
     Returns a summary dict: candidate/pruned batch counts, manifests
-    rewritten or tombstoned, and ``rows_deleted``.  Maintenance-window
-    contract and CDF/pin semantics documented on :func:`_dml_sink`."""
-    return _dml_sink(spark, table_path, where, eq, dates, ranges, None)
+    rewritten or tombstoned, and ``rows_deleted``.  The maintenance
+    window is ENFORCED: a live foreign writer lease raises
+    :class:`WriterFenced` (``force=True`` overrides for a quiesced
+    writer whose lease has not yet expired); CDF/pin semantics are
+    documented on :func:`_dml_sink`."""
+    return _dml_sink(
+        spark, table_path, where, eq, dates, ranges, None, force=force
+    )
 
 
 def update_sink_where(
@@ -2864,6 +2955,7 @@ def update_sink_where(
     eq: "dict[str, object] | None" = None,
     dates: "list[str] | None" = None,
     ranges: "dict[str, tuple[object, object]] | None" = None,
+    force: bool = False,
 ) -> dict:
     """Row-level UPDATE on a manifest sink (``UPDATE t SET col = expr
     WHERE ...``): ``set`` maps column name -> SQL expression, every
@@ -2877,7 +2969,9 @@ def update_sink_where(
     left stale.  Returns the summary dict with ``rows_updated``."""
     if not set:
         raise ValueError("update_sink_where requires a non-empty set")
-    return _dml_sink(spark, table_path, where, eq, dates, ranges, set)
+    return _dml_sink(
+        spark, table_path, where, eq, dates, ranges, set, force=force
+    )
 
 
 def write_training_shards(

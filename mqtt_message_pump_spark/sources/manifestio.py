@@ -93,6 +93,37 @@ def snapshot_set(fs, table_path: str, as_of: int) -> "list[dict]":
     return live
 
 
+def resolve_as_of_ts(fs, table_path: str, ts) -> int:
+    """Delta ``timestampAsOf`` for the no-JVM readers: newest retained
+    snapshot published at-or-before the instant (snapshot-object mtime
+    = publish order, the same stamp ``sinks.list_snapshots`` reports);
+    loud :class:`sinks.SnapshotUnreadable` when none is.  ``ts``: epoch
+    seconds, ISO string, or datetime -- option strings that parse as a
+    number are epoch seconds."""
+    from mqtt_message_pump_spark.sinks import _as_of_ts_ms
+
+    if isinstance(ts, str):
+        try:
+            ts = float(ts)
+        except ValueError:
+            pass
+    t_ms = _as_of_ts_ms(ts)
+    mdir = f"{table_path}/_manifests"
+    snaps = sorted(
+        (seq, mt)
+        for n, mt in (fs.listdir_mtime(mdir) if fs.isdir(mdir) else [])
+        if (seq := _snap_seq(n)) is not None
+    )
+    elig = [seq for seq, mt in snaps if mt <= t_ms]
+    if not elig:
+        raise SnapshotUnreadable(
+            f"no snapshot of {table_path} at or before {ts!r} "
+            f"({len(snaps)} retained snapshot(s)); it may have aged "
+            "out under vacuum retention"
+        )
+    return elig[-1]
+
+
 def manifest_files(fs, table_path: str, m: dict) -> "list[str]":
     """Data files of one live manifest, sink-relative.  Batch manifests
     record them; compact manifests are listed from the attempt dir."""

@@ -63,11 +63,27 @@ from mqtt_message_pump_spark.sources.manifestio import (
     live_set,
     manifest_files,
     read_files_arrow,
+    resolve_as_of_ts,
     snapshot_set,
 )
 
 # columns with write-side min/max manifest stats (append_batch_manifest)
 _STAT_COLS = ("mid", "topic", "collect_datetime")
+
+
+def _as_of_opt(options, fs, path) -> "int | None":
+    """Resolve the ``as_of`` / ``as_of_ts`` read options to a snapshot
+    seq (``as_of_ts`` = Delta's ``timestampAsOf``: epoch seconds or an
+    ISO instant, newest snapshot at-or-before it); both set is an
+    error, neither is None."""
+    as_of, as_of_ts = options.get("as_of"), options.get("as_of_ts")
+    if as_of is not None and as_of_ts is not None:
+        raise ValueError("pass as_of OR as_of_ts, not both")
+    if as_of is not None:
+        return int(as_of)
+    if as_of_ts is not None:
+        return resolve_as_of_ts(fs, path, as_of_ts)
+    return None
 
 
 def _prefix_upper(prefix: str) -> "str | None":
@@ -160,6 +176,9 @@ class ManifestSinkDataSource(DataSource):
 
     - ``path`` (required): the sink's table_path (local or URI);
     - ``as_of`` (optional int): pin to one snapshot seq (time travel);
+    - ``as_of_ts`` (optional): time travel by wall clock (Delta's
+      ``timestampAsOf``) -- epoch seconds or an ISO instant; resolves
+      to the newest snapshot published at-or-before it;
     - ``schema`` (optional DDL): override the inferred merged schema.
 
     Upsert / ReplacingMergeTree FINAL reads: a collapse needs a
@@ -187,9 +206,9 @@ class ManifestSinkDataSource(DataSource):
                 "rename-protocol sinks are plain date-partitioned "
                 "parquet -- read them with spark.read.parquet(path)"
             )
-        as_of = self.options.get("as_of")
+        as_of = _as_of_opt(self.options, fs, path)
         live = (
-            snapshot_set(fs, path, int(as_of))
+            snapshot_set(fs, path, as_of)
             if as_of is not None
             else live_set(fs, path)
         )
@@ -223,8 +242,7 @@ class ManifestSinkReader(DataSourceReader):
             options["path"], impl=options.get("fs_impl")
         )
         self._schema = schema
-        as_of = options.get("as_of")
-        self._as_of = int(as_of) if as_of is not None else None
+        self._as_of = _as_of_opt(options, self._fs, self.path)
         self._date_constraints: "list[tuple[str, object]]" = []
         self._stat_constraints: "dict[str, list[tuple[str, str]]]" = {}
         self._eq_probes: "dict[str, list[str]]" = {}

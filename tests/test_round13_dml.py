@@ -305,6 +305,42 @@ class TestUpdateSink:
         assert got.count() == 20  # exactly batch 0, not batch 1
 
 
+class TestDmlWriterFence:
+    def test_live_foreign_lease_blocks_dml(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        S.ensure_writer_lease(spark, tp, owner="foreign", lease_secs=300)
+        S._WRITER_LEASES.pop(tp, None)  # make the lease look foreign
+        with pytest.raises(S.WriterFenced, match="maintenance window"):
+            delete_sink_where(spark, tp, eq={"mid": "m0001"})
+        with pytest.raises(S.WriterFenced):
+            update_sink_where(
+                spark, tp, set={"payload": "'x'"}, eq={"mid": "m0001"}
+            )
+        # operator knows the writer is quiesced: force overrides
+        res = delete_sink_where(
+            spark, tp, eq={"mid": "m0001"}, force=True
+        )
+        assert res["rows_deleted"] == 1
+
+    def test_own_or_expired_lease_passes(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        # our own in-process lease (in-line maintenance) passes
+        S.ensure_writer_lease(spark, tp, owner="me", lease_secs=300)
+        assert delete_sink_where(
+            spark, tp, eq={"mid": "m0001"}
+        )["rows_deleted"] == 1
+        S.release_writer_lease(spark, tp)
+        # an expired foreign lease (crashed writer) passes too
+        S.ensure_writer_lease(spark, tp, owner="dead", lease_secs=0.0)
+        S._WRITER_LEASES.pop(tp, None)
+        import time
+
+        time.sleep(0.05)
+        assert delete_sink_where(
+            spark, tp, eq={"mid": "m0002"}
+        )["rows_deleted"] == 1
+
+
 class TestDmlSchemaEvolutionSeam:
     def _widened_sink(self, spark, tmp_path):
         """batch 0 without the ``extra`` column, batch 1 with it."""
@@ -369,6 +405,78 @@ class TestDmlSchemaEvolutionSeam:
             update_sink_where(
                 spark, tp, set={"nope": "'x'"}, where="mid = 'a1'"
             )
+
+
+class TestTimestampTravel:
+    """``as_of_ts`` -- time travel by wall clock (Delta's
+    ``timestampAsOf``), resolved to the newest snapshot published
+    at-or-before the instant, on both the helper and the native
+    source."""
+
+    def _two_epoch_sink(self, spark, tmp_path):
+        import time
+
+        tp = str(tmp_path / "tt")
+        append_batch_manifest(
+            _frame(spark, [("a", "t", "p", "2024-01-01")]), _store(), tp, 0
+        )
+        snapshot_sink(spark, tp, min_uncovered=1)
+        time.sleep(1.1)  # separate the two snapshot mtimes clearly
+        t_mid = time.time()
+        time.sleep(1.1)
+        append_batch_manifest(
+            _frame(spark, [("b", "t", "p", "2024-01-01")]), _store(), tp, 1
+        )
+        snapshot_sink(spark, tp, min_uncovered=1)
+        return tp, t_mid
+
+    def test_read_sink_as_of_ts(self, spark, tmp_path):
+        import time
+
+        tp, t_mid = self._two_epoch_sink(spark, tmp_path)
+        assert read_sink(spark, tp, as_of_ts=t_mid).count() == 1
+        assert read_sink(spark, tp, as_of_ts=time.time() + 5).count() == 2
+        with pytest.raises(S.SnapshotUnreadable, match="at or before"):
+            read_sink(spark, tp, as_of_ts=t_mid - 3600)
+        with pytest.raises(ValueError, match="not both"):
+            read_sink(spark, tp, as_of=1, as_of_ts=t_mid)
+        # ISO instant accepted too (UTC)
+        import datetime
+
+        iso = datetime.datetime.fromtimestamp(
+            t_mid, datetime.timezone.utc
+        ).isoformat()
+        assert read_sink(spark, tp, as_of_ts=iso).count() == 1
+
+    def test_native_source_as_of_ts(self, spark, tmp_path):
+        import time
+
+        from mqtt_message_pump_spark.sources.manifestsink import (
+            register_manifest_sink_source,
+        )
+
+        tp, t_mid = self._two_epoch_sink(spark, tmp_path)
+        register_manifest_sink_source(spark)
+        got = (
+            spark.read.format("manifest_sink")
+            .option("path", tp)
+            .option("as_of_ts", str(t_mid))
+            .load()
+        )
+        assert got.count() == 1
+        # bit-identity with the seq-pinned read it resolves to
+        seq = S.list_snapshots(spark, tp)[0]["seq"]
+        pinned = read_sink(spark, tp, as_of=seq)
+        assert sorted(map(str, got.collect())) == sorted(
+            map(str, pinned.collect())
+        )
+        now = (
+            spark.read.format("manifest_sink")
+            .option("path", tp)
+            .option("as_of_ts", str(time.time() + 5))
+            .load()
+        )
+        assert now.count() == 2
 
 
 # ---------------------------------------------------- REPLACING / upsert ---
@@ -523,6 +631,34 @@ class TestCompactCollapse:
             (ident + "#collapse=mid@v").encode()
         ).hexdigest()[:12]
         assert n1 is not None and plain != coll
+
+    def test_tail_contract_through_collapse_compact(self, spark, tmp_path):
+        # a collapse compaction is a compaction to the CDF: caught-up
+        # cursors ride through silently (collapsed-away versions are not
+        # retracted), a lagging cursor fails LOUDLY with TailLost
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        df, cur = read_sink_since(spark, tp, None)
+        assert df.count() == 40
+        append_batch_manifest(
+            _frame(
+                spark, [("m0001", "t/0", "v2", "2024-02-01 00:00:00")]
+            ),
+            _store(), tp, 2,
+        )
+        df2, cur2 = read_sink_since(spark, tp, cur)
+        assert df2.count() == 1  # the new version, delivered once
+        compact_sink(
+            spark, tp, keep_last=0, collapse_keys=["mid"],
+            version_col="collect_datetime",
+        )
+        df3, _ = read_sink_since(spark, tp, cur2)
+        assert df3 is None or df3.count() == 0  # nothing re-delivered
+        # a cursor that had NOT yet seen batch 2 lost it to the merge
+        with pytest.raises(S.TailLost):
+            read_sink_since(spark, tp, cur)
+        # a fresh consumer bootstraps on the merged state only
+        df4, _ = read_sink_since(spark, tp, None)
+        assert df4.count() == 40
 
     def test_merge_vs_final_contract_with_keep_last(self, spark, tmp_path):
         # keep_last leaves the newest version OUT of the merge: physical
