@@ -1636,6 +1636,42 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_replacing_collapse",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_replacing_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree FINAL as an AGGREGATE: the exact kernel the
+    manifest sink's upsert read uses (``sinks.collapse_latest`` --
+    ``read_sink(collapse_keys=...)`` and the
+    ``compact_sink(collapse_keys=...)`` background merge call this
+    function), oracle-checked here over the events change stream.
+    Same logical result as q_latest_snapshot but a genuinely different
+    physical strategy: ``groupBy(key).agg(max_by(row, order))`` carries
+    ``partial_max_by`` below the exchange (map-side combine -- each map
+    task ships ONE candidate per key), where the window ``row_number``
+    twin shuffles every version of every key; at 100 TB of CDC history
+    with hot keys that is the difference between shuffling current
+    state and shuffling the full history.  Determinism: ordering struct
+    is (version, every orderable non-key column) -- ``event_id`` is
+    unique, so ties on ``ts`` resolve identically to the oracle's
+    two-term ORDER BY.  Reference anchor: ``replacingengine``
+    (``data_dbstore.go:109-133``)."""
+    from mqtt_message_pump_spark.sinks import collapse_latest
+
+    events = table(spark, sf_dir, "events")
+    return collapse_latest(events, ["user_id"], "ts").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
     "q_window_funnel",
     oracle="""
     WITH ev AS (SELECT user_id, ts, event_type FROM events),
