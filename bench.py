@@ -87,6 +87,11 @@ HEADLINE = [
     "q_bm25_top",
     "q_lm_score",
     "q_latest_snapshot",
+    # (late-r13 q_replacing_collapse -- the manifest sink's upsert
+    # FINAL kernel -- is the same table/shuffle cost class as
+    # q_latest_snapshot with a CHEAPER profile (partial_max_by ships
+    # one candidate per key where the window ships every row); stays
+    # un-benched to keep slot totals comparable)
     # fourth round-4 batch: corpus cleaning + the heaviest adapted
     # partsupp-free TPC-H shape (others are within existing cost classes)
     "q_boiler_strip",

@@ -1704,6 +1704,8 @@ def read_sink_fanin(
     dates: "list[str] | None" = None,
     ranges: "dict[str, tuple[str, str]] | None" = None,
     eq: "dict[str, object] | None" = None,
+    collapse_keys: "list[str] | None" = None,
+    version_col: "str | None" = None,
 ) -> DataFrame:
     """One logical table over a PARTITIONED MULTI-WRITER layout -- the
     supported answer to legitimate concurrent writers (two pumps on
@@ -1724,7 +1726,12 @@ def read_sink_fanin(
     optimistic multi-writer commits on one log (Delta-style):
     correct but serializing -- every committer re-validates and
     retries on clash, which a pub/sub fan-in layout simply never
-    pays."""
+    pays.
+
+    ``collapse_keys``/``version_col`` apply the upsert FINAL collapse
+    (:func:`collapse_latest`) ACROSS the union -- when writers can
+    upsert the same key on different paths, the collapse must be
+    global, never per path."""
     from functools import reduce
 
     if not table_paths:
@@ -1733,10 +1740,13 @@ def read_sink_fanin(
         read_sink(spark, p, merge_schema, dates=dates, ranges=ranges, eq=eq)
         for p in table_paths
     ]
-    return reduce(
+    out = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
         frames,
     )
+    if collapse_keys:
+        out = collapse_latest(out, collapse_keys, version_col)
+    return out
 
 
 class TailLost(IOError):
@@ -2702,13 +2712,33 @@ def _dml_sink(
         # yet expired.
         lease_path = HPath(f"{table_path}/_writer.json")
         if fs.exists(lease_path):
-            try:
-                cur = _read_json_object(
-                    fs, HPath, f"{table_path}/_writer.json"
-                )
-                mtime = fs.getFileStatus(lease_path).getModificationTime()
-            except _ManifestVanished:
-                cur = None
+            # the read can race a renewal's delete-then-rename absence
+            # window (the ADVICE r11 class): one delayed re-read
+            # outlasts it; a lease that is GONE on the retry means the
+            # writer released mid-check -- proceed
+            cur = None
+            for attempt in range(2):
+                try:
+                    cur = _read_json_object(
+                        fs, HPath, f"{table_path}/_writer.json"
+                    )
+                    mtime = fs.getFileStatus(
+                        lease_path
+                    ).getModificationTime()
+                    break
+                except Exception:
+                    cur = None
+                    if attempt == 0:
+                        import time as _t
+
+                        _t.sleep(0.2)
+                    elif fs.exists(lease_path):
+                        raise WriterFenced(
+                            f"sink {table_path}: _writer.json exists "
+                            "but is unreadable; cannot verify the "
+                            "maintenance window (pass force=True to "
+                            "override)"
+                        )
             mine = _WRITER_LEASES.get(table_path)
             if cur is not None and (
                 mine is None
@@ -2763,6 +2793,24 @@ def _dml_sink(
         # sink columns as typed NULLs for EVALUATION (pred NULL keeps
         # the row), computed lazily so uniform sinks pay nothing.  A
         # column absent from the whole sink still fails loudly below.
+        def _padded(frame):
+            # missing sink-wide columns as typed NULLs (lazy: uniform
+            # sinks never compute the merged schema)
+            nonlocal target_schema
+            if target_schema is None:
+                target_schema = read_sink(
+                    spark, table_path, merge_schema=True
+                ).schema
+            have = set(frame.columns)
+            return frame.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target_schema.fields
+                    if f.name not in have
+                ],
+            )
+
         eval_df = src
         n_match = None
         if set_exprs is None or all(c in src.columns for c in set_exprs):
@@ -2771,19 +2819,7 @@ def _dml_sink(
             except Exception:
                 n_match = None  # pred references a widened column
         if n_match is None:
-            if target_schema is None:
-                target_schema = read_sink(
-                    spark, table_path, merge_schema=True
-                ).schema
-            have = set(src.columns)
-            eval_df = src.select(
-                "*",
-                *[
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in target_schema.fields
-                    if f.name not in have
-                ],
-            )
+            eval_df = _padded(src)
             n_match = eval_df.filter(hit).count()
         if set_exprs is not None:
             bad = [c for c in set_exprs if c not in eval_df.columns]
@@ -2820,18 +2856,29 @@ def _dml_sink(
             out_cols = list(src.columns) + [
                 c for c in set_exprs if c not in src.columns
             ]
-            new_df = eval_df.select(
-                *[
-                    (
-                        F.when(hit, F.expr(set_exprs[c]))
-                        .otherwise(F.col(c))
-                        .alias(c)
-                        if c in set_exprs
-                        else F.col(c)
-                    )
-                    for c in out_cols
-                ]
-            )
+
+            def _updated(frame):
+                return frame.select(
+                    *[
+                        (
+                            F.when(hit, F.expr(set_exprs[c]))
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            if c in set_exprs
+                            else F.col(c)
+                        )
+                        for c in out_cols
+                    ]
+                )
+
+            try:
+                new_df = _updated(eval_df)
+            except Exception:
+                # a SET expression (not its target) references a column
+                # this batch lacks: evaluate over the padded frame --
+                # the missing input is NULL for every row, SQL semantics
+                eval_df = _padded(eval_df)
+                new_df = _updated(eval_df)
             rows_new = int(m["rows"]) if "rows" in m else None
             out["rows_updated"] += n_match
         attempt = f"_data/u-{uuid.uuid4().hex[:8]}"

@@ -225,6 +225,24 @@ class TestDeleteSink:
             if "dir" in m
         )
 
+    def test_delete_from_compacted_batch(self, spark, tmp_path):
+        # a compact manifest is a batch like any other to DML: same-name
+        # republish keeps kind/supersedes, tail cursors ride through
+        tp = _mk_sink(spark, tmp_path)
+        cname = compact_sink(spark, tp, keep_last=1)
+        assert cname is not None
+        df, cur = read_sink_since(spark, tp, None)
+        assert df.count() == 60
+        res = delete_sink_where(spark, tp, eq={"mid": "m0001"})
+        assert res["rows_deleted"] == 1
+        assert res["rewritten"] == [cname]
+        after = _manifests(tp)[cname]
+        assert after["kind"] == "compact"
+        assert after["supersedes"]  # victim set preserved
+        assert read_sink(spark, tp).count() == 59
+        df2, _ = read_sink_since(spark, tp, cur)
+        assert df2 is None or df2.count() == 0
+
     def test_vacuum_reclaims_predml_attempts(self, spark, tmp_path):
         tp = _mk_sink(spark, tmp_path)
         before_dirs = {
@@ -396,6 +414,24 @@ class TestDmlSchemaEvolutionSeam:
         assert got["a1"] == "filled"
         assert got["a2"] is None  # predicate missed: NULL, not garbage
         assert got["b1"] == "x-b1"
+
+    def test_set_expression_reading_widened_column(self, spark, tmp_path):
+        # the SET *input* (not target) is the widened column: NULL on
+        # pre-widening batches, real values on post-widening ones
+        tp = self._widened_sink(spark, tmp_path)
+        res = update_sink_where(
+            spark, tp,
+            set={"payload": "coalesce(extra, 'no-extra')"},
+            where="mid in ('a1', 'b1')",
+        )
+        assert res["rows_updated"] == 2
+        got = {
+            r.mid: r.payload
+            for r in read_sink(spark, tp, merge_schema=True).collect()
+        }
+        assert got["a1"] == "no-extra"
+        assert got["b1"] == "x-b1"
+        assert got["a2"] == "p" and got["b2"] == "p"
 
     def test_truly_absent_column_still_loud(self, spark, tmp_path):
         tp = self._widened_sink(spark, tmp_path)
@@ -589,6 +625,28 @@ class TestReadSinkCollapse:
             version_col="collect_datetime",
         )
         assert out.select("payload").collect() == [("new",)]
+
+
+class TestFaninCollapse:
+    def test_collapse_is_global_across_paths(self, spark, tmp_path):
+        # two writers' paths hold different VERSIONS of one key: the
+        # FINAL collapse must run over the union, never per path
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        append_batch_manifest(
+            _frame(spark, [("k", "t", "old", "2024-01-01 00:00:00"),
+                           ("a-only", "t", "p", "2024-01-01 00:00:00")]),
+            _store(), a, 0,
+        )
+        append_batch_manifest(
+            _frame(spark, [("k", "t", "new", "2024-01-02 00:00:00")]),
+            _store(), b, 0,
+        )
+        out = S.read_sink_fanin(
+            spark, [a, b], collapse_keys=["mid"],
+            version_col="collect_datetime",
+        )
+        got = {r.mid: r.payload for r in out.collect()}
+        assert got == {"k": "new", "a-only": "p"}
 
 
 class TestCompactCollapse:

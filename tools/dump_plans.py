@@ -81,6 +81,7 @@ HEADLINE = [
     "q_knn_label",
     "q_ewma_smooth",
     "q_latest_snapshot",
+    "q_replacing_collapse",
     "q_dedup_keep_best",
     # round-10: the exact-dup pre-collapse twin (cost tracks distinct
     # content; SCALE.md SS10b)
