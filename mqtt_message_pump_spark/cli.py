@@ -600,8 +600,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument(
                 "--version-col",
                 default=None,
-                help="version column for --collapse-keys (default: last "
-                "write wins only among orderable columns)",
+                help="version column for --collapse-keys (REQUIRED with "
+                "it: a version-less physical merge would keep the "
+                "content-max row, not the last write)",
             )
         if name == "tail":
             p.add_argument(
@@ -643,6 +644,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "check":
         return cmd_check(cfg)
     if args.command == "maintain":
+        if bool(args.collapse_keys) != bool(args.version_col):
+            ap.error(
+                "--collapse-keys and --version-col must be passed "
+                "together (a version-less merge is content-max, not "
+                "last-write-wins; a version without keys merges nothing)"
+            )
         return cmd_maintain(
             cfg, args.keep_last, args.retention_secs,
             drop_dates=args.drop_date,

@@ -1452,6 +1452,13 @@ def collapse_latest(
     identical in all orderable columns are genuine duplicates (any
     survivor is the same row, up to unorderable map-typed payload
     fields).  NULL versions sort lowest and lose to any versioned row.
+
+    WITHOUT ``version_col`` the survivor is the deterministic
+    CONTENT-MAX row -- a dedup of equivalent rows, NOT last-write-wins
+    (arrival order is not recoverable from row content).  For upsert
+    semantics always pass the version column;
+    :func:`compact_sink` refuses a version-less physical merge for
+    exactly this reason.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -1582,20 +1589,20 @@ def read_sink(
     point upsert reads."""
     fs, HPath = _hadoop_fs(spark, table_path)
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
-    if as_of_ts is not None:
-        if as_of is not None:
-            raise ValueError("pass as_of OR as_of_ts, not both")
-        as_of = _resolve_as_of_ts(spark, table_path, as_of_ts)
+    if as_of_ts is not None and as_of is not None:
+        raise ValueError("pass as_of OR as_of_ts, not both")
     if not fs.exists(HPath(f"{table_path}/_manifests")):
-        if as_of is not None:
+        if as_of is not None or as_of_ts is not None:
             raise SnapshotUnreadable(
-                f"{table_path} is not a manifest sink; as_of requires "
-                "the manifest commit protocol"
+                f"{table_path} is not a manifest sink; as_of/as_of_ts "
+                "require the manifest commit protocol"
             )
         out = reader.parquet(table_path)
         if collapse_keys:
             out = collapse_latest(out, collapse_keys, version_col)
         return out
+    if as_of_ts is not None:
+        as_of = _resolve_as_of_ts(spark, table_path, as_of_ts)
     if as_of is not None:
         snaps = [
             st
@@ -1662,13 +1669,13 @@ def read_sink(
         return out
 
     if (dates is not None or ranges is not None or eq is not None) and not kept:
-        # every batch pruned: an empty frame with the sink's schema
+        # every batch pruned: an empty frame with the sink's schema --
+        # NOT collapsed (collapse of empty is empty, and live[0] may
+        # predate a widening that added the collapse/version column)
         from pyspark.sql import functions as F
 
         any_dir = f"{table_path}/{live[0]['dir']}"
-        return _maybe_collapse(
-            reader.parquet(any_dir).filter(F.lit(False))
-        )
+        return reader.parquet(any_dir).filter(F.lit(False))
     dirs = [f"{table_path}/{m['dir']}" for m in kept]
     # One scan per attempt dir, unioned: each dir is its own partitioned
     # root (Spark refuses a single multi-root partition discovery across
@@ -2272,6 +2279,16 @@ def compact_sink(
         )
     attempt = f"_data/c-{uuid.uuid4().hex[:8]}"
     if collapse_keys:
+        if version_col is None:
+            raise ValueError(
+                "compact_sink(collapse_keys=...) requires version_col: "
+                "without a version the survivor is the deterministic "
+                "content-max row, NOT last-write-wins, and a physical "
+                "merge would discard newer upsert versions permanently "
+                "-- pass the version column (read-side "
+                "collapse_latest without a version stays available "
+                "for pure dedup)"
+            )
         df = collapse_latest(df, collapse_keys, version_col)
     sort_cols = [c for c in ("mid", "topic") if c in df.columns]
     df = df.repartition("collect_date")
@@ -2522,9 +2539,11 @@ def drop_dates_sink(
       tombstone manifest superseding it -- no data rewrite at all, the
       whole batch disappears at one atomic publish;
     - batch straddling the drop set: rewrite the attempt dir WITHOUT the
-      dropped date partitions into a fresh attempt, republish the SAME
-      batch key pointing at it -- the standard atomic batch swap, so a
-      concurrent reader sees the old rows or none of them, never half.
+      dropped date partitions into a fresh attempt and publish it under
+      a FRESH manifest name superseding the victim
+      (:func:`_swap_batch_manifest` -- one new-object publish, no
+      same-name delete->rename listing gap), so a concurrent reader
+      sees the old rows or the new ones, never half and never neither.
 
     Data files are only ever deleted later by :func:`vacuum_sink` under
     the retention rule, so in-flight readers finish their scans.
@@ -2588,18 +2607,67 @@ def drop_dates_sink(
         )
         payload = dict(m)
         payload.pop("ts", None)
-        # the rewritten attempt has fewer rows and no bloom sidecar;
-        # stale counts would missize a later compaction's bloom (the
-        # superset min/max stats stay -- wider intervals are safe)
-        payload.pop("rows", None)
-        name = payload.pop("name")
         payload.update({"dir": attempt, "files": files, "dates": keep})
-        _publish_manifest(
-            fs, HPath, f"{table_path}/_manifests", name,
-            json.dumps(payload, sort_keys=True).encode("utf-8"),
+        # exact rows stat from the written layout (footer-only count --
+        # a stale count would missize a later compaction's bloom) and a
+        # fresh bloom sidecar when the victim had one; the superset
+        # min/max stats stay (wider intervals are prune-safe)
+        rows_new = int(
+            spark.read.parquet(f"{table_path}/{attempt}").count()
         )
-        touched.append(name)
+        payload["rows"] = rows_new
+        if rows_new and fs.exists(
+            HPath(f"{table_path}/{m['dir']}/_bloom.json")
+        ):
+            _write_batch_bloom(
+                spark, fs, HPath, table_path, attempt, files,
+                kept_df, rows_new,
+            )
+        # fresh-name supersede swap, not a same-name overwrite: no
+        # listing gap for concurrent readers (see _swap_batch_manifest)
+        touched.append(
+            _swap_batch_manifest(fs, HPath, table_path, m, payload)
+        )
     return touched
+
+
+def _swap_batch_manifest(
+    fs, HPath, table_path: str, victim: dict, payload: dict
+) -> str:
+    """Atomically replace one live batch with a rewritten attempt by
+    publishing ``payload`` under a FRESH manifest name whose
+    ``supersedes`` retires the victim -- never a same-name overwrite,
+    whose delete->rename gap lets a concurrent reader's listing miss
+    the batch entirely (:func:`_publish_manifest` documents that gap
+    as acceptable only inside a replay window).
+
+    A per-batch victim gets a new-epoch twin of its own batch id: the
+    loader's time-scoped supersede retires the older file, and a
+    caught-up CDF cursor marks the twin via the same-rows-replacement
+    rule without re-delivering (a lagging cursor delivers the NEW
+    content once).  A compact victim gets a fresh compact identity;
+    its supersedes fold transitively.  Shared by the row-level DML
+    rewrites and :func:`drop_dates_sink` straddlers."""
+    import json
+    import uuid
+
+    name = payload.pop("name", None) or victim["name"]
+    key = _batch_name_key(name)
+    if key is not None:
+        dml_epoch = "u" + uuid.uuid4().hex[:10]
+        new_name = f"b{dml_epoch}-{key[1]}.json"
+        payload["epoch"] = dml_epoch
+    else:
+        new_name = "c-" + uuid.uuid4().hex[:12] + ".json"
+        payload.setdefault("kind", "compact")
+    payload["supersedes"] = sorted(
+        {name} | set(victim.get("supersedes", []))
+    )
+    _publish_manifest(
+        fs, HPath, f"{table_path}/_manifests", new_name,
+        json.dumps(payload, sort_keys=True).encode("utf-8"),
+    )
+    return new_name
 
 
 def _dml_predicate(
@@ -2670,13 +2738,17 @@ def _dml_sink(
     3. DELETE with every row matching -> publish a dir-less ``drop``
        tombstone superseding the batch (no data IO at all); otherwise
        rewrite the surviving/updated rows into a fresh attempt dir and
-       republish the SAME manifest name pointing at it -- the standard
-       atomic batch swap (readers see old rows or new, never half), the
-       identical move :func:`drop_dates_sink` uses for straddlers.
+       publish it under a FRESH manifest name that supersedes the
+       victim (:func:`_swap_batch_manifest` -- a single new-object
+       publish, so concurrent readers see old rows or new, never half
+       and never neither), the identical move :func:`drop_dates_sink`
+       uses for straddlers.
 
-    Change-data-feed / tail semantics: a republished batch key is
-    already marked in every cursor, so rewritten rows are NEVER
-    re-delivered downstream; rows already delivered are not retracted
+    Change-data-feed / tail semantics: the swap manifest lists the
+    victim's batch key in its ``supersedes``, so a caught-up cursor
+    marks it via the same-rows-replacement rule and rewritten rows are
+    NEVER re-delivered downstream (a lagging cursor delivers the
+    post-DML content once); rows already delivered are not retracted
     (append-only CDF, documented on :func:`read_sink_since`).  Pinned
     ``as_of`` snapshots keep seeing the pre-DML rows until their
     attempt dirs age out of vacuum retention -- deletion becomes
@@ -2776,6 +2848,7 @@ def _dml_sink(
         "dropped": [],
         "rows_deleted": 0,
         "rows_updated": 0,
+        "swapped": {},
     }
     if set_exprs is not None and "collect_date" in set_exprs:
         raise ValueError(
@@ -2830,7 +2903,6 @@ def _dml_sink(
             continue
         if set_exprs is None:
             total = int(m["rows"]) if "rows" in m else src.count()
-            out["rows_deleted"] += n_match
             if n_match == total:
                 # whole batch gone: tombstone, zero data IO
                 tomb = f"d-{uuid.uuid4().hex[:12]}.json"
@@ -2842,11 +2914,11 @@ def _dml_sink(
                     ).encode("utf-8"),
                 )
                 out["dropped"].append(m["name"])
+                out["rows_deleted"] += total
                 continue
             # write back the batch's ORIGINAL physical columns/types:
             # a delete must never silently widen a batch's schema
             new_df = eval_df.filter(~hit).select(*src.columns)
-            rows_new = total - n_match
         else:
             # SQL UPDATE semantics: every SET expression is evaluated
             # against the ORIGINAL row (one select, no sequencing).
@@ -2879,8 +2951,6 @@ def _dml_sink(
                 # the missing input is NULL for every row, SQL semantics
                 eval_df = _padded(eval_df)
                 new_df = _updated(eval_df)
-            rows_new = int(m["rows"]) if "rows" in m else None
-            out["rows_updated"] += n_match
         attempt = f"_data/u-{uuid.uuid4().hex[:8]}"
         (
             new_df.repartition("collect_date")
@@ -2896,9 +2966,39 @@ def _dml_sink(
             )
             if not p.getPath().getName().startswith(("_", "."))
         )
+        # rows stat from the WRITTEN layout (footer-only count): with a
+        # non-deterministic predicate the probe count and the rewrite
+        # are SEPARATE evaluations -- the recorded stat must describe
+        # the data actually committed, never the probe's opinion (this
+        # is also why Delta/Iceberg materialize their matched-file
+        # lists); for UPDATE it additionally restores the stat on
+        # pre-stat batches
+        rows_new = (
+            int(
+                spark.read.parquet(f"{table_path}/{attempt}").count()
+            )
+            if files
+            else 0
+        )
         payload = dict(m)
         payload.pop("ts", None)
-        name = payload.pop("name")
+        victim = payload.pop("name")
+        if set_exprs is None and rows_new == 0:
+            # the write-time evaluation matched every row after all
+            # (possible only under a non-deterministic predicate):
+            # tombstone, exactly the n_match == total path
+            fs.delete(HPath(f"{table_path}/{attempt}"), True)
+            tomb = f"d-{uuid.uuid4().hex[:12]}.json"
+            _publish_manifest(
+                fs, HPath, f"{table_path}/_manifests", tomb,
+                json.dumps(
+                    {"kind": "drop", "supersedes": [victim]},
+                    sort_keys=True,
+                ).encode("utf-8"),
+            )
+            out["dropped"].append(victim)
+            out["rows_deleted"] += total
+            continue
         payload.update(
             {
                 "dir": attempt,
@@ -2906,12 +3006,9 @@ def _dml_sink(
                 "dates": sorted(
                     {f.split("collect_date=")[1].split("/")[0] for f in files}
                 ),
+                "rows": rows_new,
             }
         )
-        if rows_new is not None:
-            payload["rows"] = rows_new
-        else:
-            payload.pop("rows", None)
         stats = payload.get("stats")
         if stats is not None:
             if set_exprs is not None:
@@ -2925,38 +3022,24 @@ def _dml_sink(
                 payload.pop("stats", None)
         # bloom sidecar: the new attempt dir starts without one; rebuild
         # when the victim had one so eq-pruning keeps working (and, for
-        # DELETE, so probes for the deleted keys can skip this batch)
+        # DELETE, so probes for the deleted keys can skip this batch);
+        # shared builder picks the cheap driver-side arrow path for
+        # small rewrites
         if rows_new and fs.exists(
             HPath(f"{table_path}/{m['dir']}/_bloom.json")
         ):
-            try:
-                from mqtt_message_pump_spark.functions import bloom as B
-
-                bloom_cols = [
-                    c for c in ("mid", "topic") if c in new_df.columns
-                ]
-                if bloom_cols:
-                    specs = B.bloom_build_distributed(
-                        spark.read.parquet(
-                            f"{table_path}/{attempt}"
-                        ).select(*bloom_cols),
-                        bloom_cols,
-                        rows_new,
-                    )
-                    B.write_bloom_sidecar(
-                        lambda payload_b: _publish_manifest(
-                            fs, HPath, f"{table_path}/{attempt}",
-                            B.BLOOM_SIDECAR, payload_b,
-                        ),
-                        specs,
-                    )
-            except Exception:
-                pass  # absent sidecar = conservatively unprunable
-        _publish_manifest(
-            fs, HPath, f"{table_path}/_manifests", name,
-            json.dumps(payload, sort_keys=True).encode("utf-8"),
-        )
-        out["rewritten"].append(name)
+            _write_batch_bloom(
+                spark, fs, HPath, table_path, attempt, files,
+                new_df, rows_new,
+            )
+        payload["name"] = victim
+        new_name = _swap_batch_manifest(fs, HPath, table_path, m, payload)
+        out["rewritten"].append(new_name)
+        out["swapped"][victim] = new_name
+        if set_exprs is None:
+            out["rows_deleted"] += total - rows_new
+        else:
+            out["rows_updated"] += n_match
     return out
 
 

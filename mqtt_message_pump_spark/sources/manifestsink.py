@@ -206,7 +206,7 @@ class ManifestSinkDataSource(DataSource):
                 "rename-protocol sinks are plain date-partitioned "
                 "parquet -- read them with spark.read.parquet(path)"
             )
-        as_of = _as_of_opt(self.options, fs, path)
+        as_of = self._pin(fs, path)
         live = (
             snapshot_set(fs, path, as_of)
             if as_of is not None
@@ -214,8 +214,21 @@ class ManifestSinkDataSource(DataSource):
         )
         return infer_sink_schema(fs, path, live)
 
+    def _pin(self, fs=None, path=None) -> "int | None":
+        """Resolve as_of/as_of_ts ONCE per DataSource instance: schema
+        inference and the reader must pin the SAME snapshot -- two
+        independent as_of_ts resolutions could straddle a concurrent
+        snapshot publish and serve seq-N columns over seq-N+1 rows."""
+        if not hasattr(self, "_pinned_seq"):
+            if fs is None:
+                fs, path = fs_for(
+                    self.options["path"], impl=self.options.get("fs_impl")
+                )
+            self._pinned_seq = _as_of_opt(self.options, fs, path)
+        return self._pinned_seq
+
     def reader(self, schema):
-        return ManifestSinkReader(self.options, schema)
+        return ManifestSinkReader(self.options, schema, pinned=self._pin())
 
     def writer(self, schema, overwrite: bool):
         return ManifestSinkBatchWriter(self.options, schema, overwrite)
@@ -237,12 +250,21 @@ class ManifestSinkReader(DataSourceReader):
     and plans one input partition PER DATA FILE so executor-side read
     parallelism scales with data, not batch count."""
 
-    def __init__(self, options, schema) -> None:
+    _UNPINNED = object()
+
+    def __init__(self, options, schema, pinned=_UNPINNED) -> None:
         self._fs, self.path = fs_for(
             options["path"], impl=options.get("fs_impl")
         )
         self._schema = schema
-        self._as_of = _as_of_opt(options, self._fs, self.path)
+        # `pinned` carries the DataSource's one-shot as_of/as_of_ts
+        # resolution (see ManifestSinkDataSource._pin); the fallback
+        # self-resolution only serves direct construction in tests
+        self._as_of = (
+            _as_of_opt(options, self._fs, self.path)
+            if pinned is ManifestSinkReader._UNPINNED
+            else pinned
+        )
         self._date_constraints: "list[tuple[str, object]]" = []
         self._stat_constraints: "dict[str, list[tuple[str, str]]]" = {}
         self._eq_probes: "dict[str, list[str]]" = {}

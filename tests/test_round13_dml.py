@@ -100,14 +100,19 @@ class TestDeleteSink:
         assert res["rows_deleted"] == 1
         assert len(res["rewritten"]) == 1
         after = _manifests(tp)
-        # untouched batches: byte-identical manifests
+        # untouched batches: byte-identical manifests on disk
         for n, m in before.items():
-            if n not in res["rewritten"]:
+            if n not in res["swapped"]:
                 assert after[n] == m
-        # rewritten batch: same name, fresh attempt dir, rows decremented
+        # rewritten batch: published under a FRESH name superseding the
+        # victim (atomic swap -- no same-name delete->rename gap), fresh
+        # attempt dir, rows decremented
+        assert res["swapped"] == {"b1.json": res["rewritten"][0]}
         name = res["rewritten"][0]
-        assert after[name]["dir"] != before[name]["dir"]
-        assert after[name]["rows"] == before[name]["rows"] - 1
+        assert name != "b1.json"
+        assert "b1.json" in after[name]["supersedes"]
+        assert after[name]["dir"] != before["b1.json"]["dir"]
+        assert after[name]["rows"] == before["b1.json"]["rows"] - 1
         assert read_sink(spark, tp).filter("mid = 'm0105'").count() == 0
         assert read_sink(spark, tp).count() == 59
 
@@ -218,12 +223,14 @@ class TestDeleteSink:
         assert (
             left.filter(F.col("collect_date") == "2024-01-02").count() == 0
         )
-        # manifest dates stat narrowed: a later dates= read plans nothing
+        # manifest dates stat narrowed on every LIVE batch (superseded
+        # victims' stale files remain on disk until vacuum)
+        live_names = set(res["rewritten"])
         assert all(
             m["dates"] == ["2024-01-01"]
-            for m in _manifests(tp).values()
-            if "dir" in m
-        )
+            for n, m in _manifests(tp).items()
+            if "dir" in m and n in live_names
+        ) and len(live_names) == 3
 
     def test_delete_from_compacted_batch(self, spark, tmp_path):
         # a compact manifest is a batch like any other to DML: same-name
@@ -235,10 +242,13 @@ class TestDeleteSink:
         assert df.count() == 60
         res = delete_sink_where(spark, tp, eq={"mid": "m0001"})
         assert res["rows_deleted"] == 1
-        assert res["rewritten"] == [cname]
-        after = _manifests(tp)[cname]
+        new_name = res["swapped"][cname]
+        assert new_name != cname and res["rewritten"] == [new_name]
+        after = _manifests(tp)[new_name]
         assert after["kind"] == "compact"
-        assert after["supersedes"]  # victim set preserved
+        # transitive fold: the old compact AND its victims stay retired
+        assert cname in after["supersedes"]
+        assert len(after["supersedes"]) > 1
         assert read_sink(spark, tp).count() == 59
         df2, _ = read_sink_since(spark, tp, cur)
         assert df2 is None or df2.count() == 0
@@ -288,10 +298,10 @@ class TestUpdateSink:
         tp = _mk_sink(spark, tmp_path)
         before = _manifests(tp)["b1.json"]
         assert "topic" in before["stats"]
-        update_sink_where(
+        res = update_sink_where(
             spark, tp, set={"topic": "'moved/topic'"}, eq={"mid": "m0105"}
         )
-        after = _manifests(tp)["b1.json"]
+        after = _manifests(tp)[res["swapped"]["b1.json"]]
         assert after["rows"] == before["rows"]
         # updated column's interval no longer bounds the data: dropped,
         # not served stale (stat-less = conservatively unprunable)
@@ -673,6 +683,13 @@ class TestCompactCollapse:
         assert m["rows"] == 40  # recounted, not summed
         assert m["collapsed"]["keys"] == ["mid"]
         assert m["collapsed"]["version_col"] == "collect_datetime"
+
+    def test_versionless_physical_merge_refused(self, spark, tmp_path):
+        # content-max is not last-write-wins: a version-less collapse
+        # may only run at READ time (non-destructive), never physically
+        tp = _mk_sink(spark, tmp_path, n_batches=2)
+        with pytest.raises(ValueError, match="requires version_col"):
+            compact_sink(spark, tp, keep_last=0, collapse_keys=["mid"])
 
     def test_collapsed_and_plain_compactions_distinct_identity(
         self, spark, tmp_path
