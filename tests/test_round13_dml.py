@@ -333,6 +333,36 @@ class TestUpdateSink:
         assert got.count() == 20  # exactly batch 0, not batch 1
 
 
+class TestDmlConcurrentReaders:
+    def test_reader_never_sees_a_missing_batch(self, spark, tmp_path):
+        """The atomic-swap claim under load: UPDATEs keep the row count
+        constant, so a reader racing the rewrites must count 60 every
+        time -- under a same-name republish the delete->rename gap
+        would intermittently drop a whole batch (40)."""
+        import threading
+
+        tp = _mk_sink(spark, tmp_path)
+        counts, stop = [], threading.Event()
+
+        def _read_loop():
+            while not stop.is_set():
+                counts.append(read_sink(spark, tp).count())
+
+        t = threading.Thread(target=_read_loop)
+        t.start()
+        try:
+            for i in range(5):
+                update_sink_where(
+                    spark, tp, set={"payload": f"'pass-{i}'"},
+                    eq={"mid": "m0105"},
+                )
+        finally:
+            stop.set()
+            t.join()
+        assert counts, "reader loop never completed a read"
+        assert set(counts) == {60}, sorted(set(counts))
+
+
 class TestDmlWriterFence:
     def test_live_foreign_lease_blocks_dml(self, spark, tmp_path):
         tp = _mk_sink(spark, tmp_path, n_batches=2)

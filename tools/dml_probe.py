@@ -122,6 +122,10 @@ def main() -> None:
             lambda: compact_sink(
                 spark, p3, keep_last=0,
                 collapse_keys=["mid"] if collapse else None,
+                # physical merges require a version (content-max guard);
+                # the synthesized layout has no timestamp column, any
+                # orderable column exercises the same plan
+                version_col="topic" if collapse else None,
             ),
         )
         print(
