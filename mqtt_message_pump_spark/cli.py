@@ -181,6 +181,7 @@ def cmd_maintain(
     delete_where: str | None = None,
     collapse_keys: "list[str] | None" = None,
     version_col: str | None = None,
+    restore_as_of: int | None = None,
 ) -> int:
     """Maintenance window for manifest-protocol sinks (this repo's
     extension -- the reference delegates storage maintenance to
@@ -195,6 +196,7 @@ def cmd_maintain(
         delete_sink_where,
         drop_dates_sink,
         read_sink,
+        restore_sink,
         snapshot_sink,
         vacuum_sink,
     )
@@ -204,6 +206,15 @@ def cmd_maintain(
     for sub in ("raw_message", "json_message"):
         path = f"{cfg.store.path}/{sub}"
         try:
+            if restore_as_of is not None:
+                # rollback FIRST: everything after operates on the
+                # restored state (sinks.restore_sink -- pure metadata)
+                r = restore_sink(spark, path, as_of=restore_as_of)
+                print(
+                    f"{sub}: restored to snapshot {restore_as_of} "
+                    f"({len(r['dropped'])} retired, "
+                    f"{len(r['resurrected'])} resurrected)"
+                )
             if drop_dates:
                 dropped = drop_dates_sink(spark, path, drop_dates)
                 print(f"{sub}: dropped {len(dropped)} batch manifests "
@@ -581,6 +592,16 @@ def main(argv: list[str] | None = None) -> int:
                 "(ivfpq_drift ratio_threshold)",
             )
             p.add_argument(
+                "--restore-as-of",
+                type=int,
+                default=None,
+                metavar="SEQ",
+                help="roll both sinks back to this snapshot seq before "
+                "any other maintenance (sinks.restore_sink -- pure "
+                "metadata; restart writers from a fresh checkpoint "
+                "lineage afterwards)",
+            )
+            p.add_argument(
                 "--delete-where",
                 default=None,
                 metavar="SQL_EXPR",
@@ -663,6 +684,7 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             version_col=args.version_col,
+            restore_as_of=args.restore_as_of,
         )
     return cmd_run(cfg, args.source_dir, args.duration_secs)
 

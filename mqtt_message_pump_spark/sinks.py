@@ -1495,6 +1495,46 @@ def collapse_latest(
     )
 
 
+def _pinned_manifest_set(
+    fs, HPath, spark: SparkSession, table_path: str, as_of: int
+) -> "list[dict]":
+    """One snapshot's embedded dir-carrying manifests, VERIFIED
+    servable: the snapshot object exists and every attempt dir it
+    names is still on disk -- loud :class:`SnapshotUnreadable`
+    otherwise (a partial corpus must never be silently served to a
+    training run that asked for an exact version).  Shared by
+    :func:`read_sink`'s ``as_of`` path and :func:`restore_sink`."""
+    snaps = [
+        st
+        for st in fs.globStatus(HPath(f"{table_path}/_manifests/s-*.json"))
+        if _snap_seq(st.getPath().getName()) == as_of
+    ]
+    if not snaps:
+        have = [s["seq"] for s in list_snapshots(spark, table_path)]
+        raise SnapshotUnreadable(
+            f"snapshot seq {as_of} of {table_path} not found "
+            f"(available: {have or 'none'}); it may have aged out "
+            "under the vacuum retention rule -- pinned reads must "
+            "finish (or re-pin) within retention_secs of the pin"
+        )
+    snap = _read_json_object(
+        fs, HPath,
+        f"{table_path}/_manifests/{snaps[0].getPath().getName()}",
+    )
+    live = [m for m in snap.get("manifests", []) if "dir" in m]
+    gone = [
+        m["dir"] for m in live
+        if not fs.exists(HPath(f"{table_path}/{m['dir']}"))
+    ]
+    if gone:
+        raise SnapshotUnreadable(
+            f"snapshot seq {as_of} of {table_path} references "
+            f"{len(gone)} vacuumed attempt dir(s) (e.g. {gone[0]}); "
+            "increase vacuum retention_secs beyond the pin lifetime"
+        )
+    return live
+
+
 class SnapshotUnreadable(IOError):
     """A pinned snapshot (``read_sink(as_of=...)``) cannot be served:
     either the snapshot object itself was vacuumed past retention, or
@@ -1604,40 +1644,7 @@ def read_sink(
     if as_of_ts is not None:
         as_of = _resolve_as_of_ts(spark, table_path, as_of_ts)
     if as_of is not None:
-        snaps = [
-            st
-            for st in fs.globStatus(
-                HPath(f"{table_path}/_manifests/s-*.json")
-            )
-            if _snap_seq(st.getPath().getName()) == as_of
-        ]
-        if not snaps:
-            have = [s["seq"] for s in list_snapshots(spark, table_path)]
-            raise SnapshotUnreadable(
-                f"snapshot seq {as_of} of {table_path} not found "
-                f"(available: {have or 'none'}); it may have aged out "
-                "under the vacuum retention rule -- pinned reads must "
-                "finish (or re-pin) within retention_secs of the pin"
-            )
-        snap = _read_json_object(
-            fs, HPath,
-            f"{table_path}/_manifests/{snaps[0].getPath().getName()}",
-        )
-        live = [m for m in snap.get("manifests", []) if "dir" in m]
-        # fail loudly up front if any pinned attempt dir was reclaimed
-        # (a post-pin compaction's victims vacuumed past retention):
-        # a partial corpus must never be silently served to a training
-        # run that asked for an exact version
-        gone = [
-            m["dir"] for m in live
-            if not fs.exists(HPath(f"{table_path}/{m['dir']}"))
-        ]
-        if gone:
-            raise SnapshotUnreadable(
-                f"snapshot seq {as_of} of {table_path} references "
-                f"{len(gone)} vacuumed attempt dir(s) (e.g. {gone[0]}); "
-                "increase vacuum retention_secs beyond the pin lifetime"
-            )
+        live = _pinned_manifest_set(fs, HPath, spark, table_path, as_of)
     else:
         # dir-less manifests (drop tombstones) carry only a supersedes
         # set; they contribute no scan
@@ -2631,6 +2638,58 @@ def drop_dates_sink(
     return touched
 
 
+def _require_maintenance_window(
+    fs, HPath, table_path: str, op: str
+) -> None:
+    """ENFORCE the maintenance-window contract, not just document it:
+    a live foreign writer lease means a stream is appending (and may
+    replay-republish the batch being rewritten, resurrecting its
+    pre-rewrite rows).  The calling process's own lease (in-line
+    maintenance) passes; callers expose ``force=True`` for a quiesced
+    writer whose lease has not yet expired.  The lease read survives a
+    renewal's delete-then-rename absence window (the ADVICE r11
+    class): one delayed re-read outlasts it; a lease GONE on the retry
+    means the writer released mid-check -- proceed."""
+    lease_path = HPath(f"{table_path}/_writer.json")
+    if not fs.exists(lease_path):
+        return
+    cur = None
+    mtime = 0
+    for attempt in range(2):
+        try:
+            cur = _read_json_object(
+                fs, HPath, f"{table_path}/_writer.json"
+            )
+            mtime = fs.getFileStatus(lease_path).getModificationTime()
+            break
+        except Exception:
+            cur = None
+            if attempt == 0:
+                import time as _t
+
+                _t.sleep(0.2)
+            elif fs.exists(lease_path):
+                raise WriterFenced(
+                    f"sink {table_path}: _writer.json exists but is "
+                    f"unreadable; cannot verify the maintenance window "
+                    f"for {op} (pass force=True to override)"
+                )
+    mine = _WRITER_LEASES.get(table_path)
+    if cur is not None and (
+        mine is None
+        or (cur.get("owner"), cur.get("token"))
+        != (mine["owner"], mine["token"])
+    ):
+        age_ms = _fs_now_ms(fs, HPath, table_path) - mtime
+        if age_ms <= float(cur.get("lease_secs", 120.0)) * 1000:
+            raise WriterFenced(
+                f"sink {table_path}: writer {cur.get('owner')} holds "
+                f"a live lease (renewed {age_ms / 1000:.0f}s ago); "
+                f"{op} requires the maintenance window -- stop the "
+                "writer (or pass force=True if it is already quiesced)"
+            )
+
+
 def _swap_batch_manifest(
     fs, HPath, table_path: str, victim: dict, payload: dict
 ) -> str:
@@ -2775,58 +2834,7 @@ def _dml_sink(
             "requires the manifest commit protocol"
         )
     if not force:
-        # ENFORCE the maintenance-window contract, not just document
-        # it: a live foreign writer lease means a stream is appending
-        # (and may replay-republish the batch we are rewriting,
-        # resurrecting its pre-DML rows).  Our own process's lease
-        # (in-line maintenance) passes; force=True overrides when the
-        # operator knows the writer is quiesced but the lease has not
-        # yet expired.
-        lease_path = HPath(f"{table_path}/_writer.json")
-        if fs.exists(lease_path):
-            # the read can race a renewal's delete-then-rename absence
-            # window (the ADVICE r11 class): one delayed re-read
-            # outlasts it; a lease that is GONE on the retry means the
-            # writer released mid-check -- proceed
-            cur = None
-            for attempt in range(2):
-                try:
-                    cur = _read_json_object(
-                        fs, HPath, f"{table_path}/_writer.json"
-                    )
-                    mtime = fs.getFileStatus(
-                        lease_path
-                    ).getModificationTime()
-                    break
-                except Exception:
-                    cur = None
-                    if attempt == 0:
-                        import time as _t
-
-                        _t.sleep(0.2)
-                    elif fs.exists(lease_path):
-                        raise WriterFenced(
-                            f"sink {table_path}: _writer.json exists "
-                            "but is unreadable; cannot verify the "
-                            "maintenance window (pass force=True to "
-                            "override)"
-                        )
-            mine = _WRITER_LEASES.get(table_path)
-            if cur is not None and (
-                mine is None
-                or (cur.get("owner"), cur.get("token"))
-                != (mine["owner"], mine["token"])
-            ):
-                age_ms = _fs_now_ms(fs, HPath, table_path) - mtime
-                if age_ms <= float(cur.get("lease_secs", 120.0)) * 1000:
-                    raise WriterFenced(
-                        f"sink {table_path}: writer "
-                        f"{cur.get('owner')} holds a live lease "
-                        f"(renewed {age_ms / 1000:.0f}s ago); row-level "
-                        "DML requires the maintenance window -- stop "
-                        "the writer (or pass force=True if it is "
-                        "already quiesced)"
-                    )
+        _require_maintenance_window(fs, HPath, table_path, "row-level DML")
     pred = _dml_predicate(where, eq, dates, ranges)
     hit = F.coalesce(pred, F.lit(False))  # NULL predicate keeps the row
     live = [
@@ -3102,6 +3110,101 @@ def update_sink_where(
     return _dml_sink(
         spark, table_path, where, eq, dates, ranges, set, force=force
     )
+
+
+def restore_sink(
+    spark: SparkSession,
+    table_path: str,
+    as_of: int | None = None,
+    as_of_ts: "float | str | object | None" = None,
+    force: bool = False,
+) -> dict:
+    """ROLL BACK a manifest sink's live state to one retained snapshot
+    (Delta ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF``): after
+    this, a plain :func:`read_sink` serves exactly what
+    ``read_sink(as_of=seq)`` serves -- the undo button for a bad
+    backfill, a wrong DML pass, or a poisoned ingest window.
+
+    Pure metadata, zero data IO (the snapshot's attempt dirs are still
+    on disk, verified loudly up front -- restorability shares the
+    vacuum-retention horizon with pinned reads):
+
+    - live batches NOT in the snapshot (post-snapshot appends,
+      compactions, DML swaps) are retired with dir-less ``drop``
+      tombstones;
+    - snapshot batches no longer live (superseded since) are
+      resurrected by republishing their manifest content under fresh
+      swap names (:func:`_swap_batch_manifest`) pointing at the
+      ORIGINAL attempt dirs; a same-name batch re-pointed since the
+      snapshot is swapped back the same way;
+    - a fresh snapshot is published so the restored state is one
+      listing object.
+
+    Change-data-feed: rows a caught-up tail already saw are NOT
+    retracted (append-only CDF); resurrected swaps are marked via the
+    same-rows-replacement rule, retired batches via the drop rule --
+    a caught-up cursor rides through with nothing re-delivered, a
+    fresh consumer bootstraps on the restored state.  Run from the
+    maintenance window (enforced like the DML surface; ``force=True``
+    overrides); after restoring, restart any writer from a fresh
+    checkpoint lineage -- its old checkpoint counts batches the
+    restore just retired."""
+    import json
+    import uuid
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        raise SnapshotUnreadable(
+            f"{table_path} is not a manifest sink; restore requires "
+            "the manifest commit protocol"
+        )
+    if (as_of is None) == (as_of_ts is None):
+        raise ValueError("pass exactly one of as_of / as_of_ts")
+    if as_of_ts is not None:
+        as_of = _resolve_as_of_ts(spark, table_path, as_of_ts)
+    if not force:
+        _require_maintenance_window(fs, HPath, table_path, "restore")
+    target = {
+        m["name"]: m
+        for m in _pinned_manifest_set(fs, HPath, spark, table_path, as_of)
+    }
+    live = {
+        m["name"]: m
+        for m in _read_manifests(fs, HPath, table_path)
+        if "dir" in m
+    }
+    dropped, resurrected = [], []
+    for name, m in live.items():
+        t = target.get(name)
+        if t is not None and t.get("dir") == m.get("dir"):
+            continue  # identical batch in both states: untouched
+        if t is not None:
+            continue  # same name, re-pointed since: the swap below wins
+        tomb = f"d-{uuid.uuid4().hex[:12]}.json"
+        _publish_manifest(
+            fs, HPath, f"{table_path}/_manifests", tomb,
+            json.dumps(
+                {"kind": "drop", "supersedes": [name]}, sort_keys=True
+            ).encode("utf-8"),
+        )
+        dropped.append(name)
+    for name, t in target.items():
+        lm = live.get(name)
+        if lm is not None and lm.get("dir") == t.get("dir"):
+            continue
+        payload = dict(t)
+        payload.pop("ts", None)
+        payload["name"] = name
+        resurrected.append(
+            _swap_batch_manifest(fs, HPath, table_path, t, payload)
+        )
+    snap = snapshot_sink(spark, table_path, min_uncovered=1)
+    return {
+        "restored_to": as_of,
+        "dropped": dropped,
+        "resurrected": resurrected,
+        "snapshot": snap,
+    }
 
 
 def write_training_shards(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from mqtt_message_pump_spark import sinks as S
 from mqtt_message_pump_spark.config import StoreConf
 from mqtt_message_pump_spark.sinks import (
+    restore_sink,
     append_batch_manifest,
     collapse_latest,
     compact_sink,
@@ -481,6 +482,79 @@ class TestDmlSchemaEvolutionSeam:
             update_sink_where(
                 spark, tp, set={"nope": "'x'"}, where="mid = 'a1'"
             )
+
+
+class TestRestoreSink:
+    """``restore_sink`` -- Delta RESTORE: roll the LIVE state back to a
+    retained snapshot, pure metadata."""
+
+    def _grown_sink(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=2)  # 40 rows
+        snapshot_sink(spark, tp, min_uncovered=1)
+        seq = S.list_snapshots(spark, tp)[-1]["seq"]
+        # post-snapshot history: an append, a DML pass, a compaction
+        append_batch_manifest(
+            _frame(spark, [("post", "t/9", "p", "2024-03-01")]),
+            _store(), tp, 2,
+        )
+        delete_sink_where(spark, tp, eq={"mid": "m0105"})
+        compact_sink(spark, tp, keep_last=1)
+        assert read_sink(spark, tp).count() == 40  # 40 +1 -1
+        return tp, seq
+
+    def test_plain_read_equals_pin_after_restore(self, spark, tmp_path):
+        tp, seq = self._grown_sink(spark, tmp_path)
+        pinned = sorted(map(str, read_sink(spark, tp, as_of=seq).collect()))
+        res = restore_sink(spark, tp, as_of=seq)
+        assert res["restored_to"] == seq
+        now = sorted(map(str, read_sink(spark, tp).collect()))
+        assert now == pinned
+        got = read_sink(spark, tp)
+        assert got.count() == 40
+        assert got.filter("mid = 'm0105'").count() == 1  # delete undone
+        assert got.filter("mid = 'post'").count() == 0  # append undone
+
+    def test_restore_is_tail_safe_and_vacuumable(self, spark, tmp_path):
+        tp, seq = self._grown_sink(spark, tmp_path)
+        df, cur = read_sink_since(spark, tp, None)
+        n_before = df.count()
+        restore_sink(spark, tp, as_of=seq)
+        # caught-up cursor rides through: nothing re-delivered
+        df2, _ = read_sink_since(spark, tp, cur)
+        assert df2 is None or df2.count() == 0
+        # fresh consumer bootstraps on the restored state
+        df3, _ = read_sink_since(spark, tp, None)
+        assert df3.count() == 40
+        # the retired post-snapshot history is reclaimable
+        vacuum_sink(spark, tp, retention_secs=0.0)
+        assert read_sink(spark, tp).count() == 40
+        assert n_before == 40  # pre-restore live state (40 +1 -1)
+
+    def test_restore_by_timestamp_and_errors(self, spark, tmp_path):
+        import time
+
+        tp, seq = self._grown_sink(spark, tmp_path)
+        with pytest.raises(ValueError, match="exactly one"):
+            restore_sink(spark, tp)
+        with pytest.raises(ValueError, match="exactly one"):
+            restore_sink(spark, tp, as_of=seq, as_of_ts=time.time())
+        with pytest.raises(S.SnapshotUnreadable):
+            restore_sink(spark, tp, as_of=99999)
+        res = restore_sink(spark, tp, as_of_ts=time.time() + 5)
+        # newest snapshot at-or-before now is the CURRENT state (the
+        # compaction published no snapshot; _grown_sink's is newest
+        # only if compact/DML published none) -- just assert it ran
+        assert "restored_to" in res
+
+    def test_restore_blocked_by_live_writer(self, spark, tmp_path):
+        tp, seq = self._grown_sink(spark, tmp_path)
+        S.ensure_writer_lease(spark, tp, owner="foreign", lease_secs=300)
+        S._WRITER_LEASES.pop(tp, None)
+        with pytest.raises(S.WriterFenced, match="restore"):
+            restore_sink(spark, tp, as_of=seq)
+        assert restore_sink(spark, tp, as_of=seq, force=True)[
+            "restored_to"
+        ] == seq
 
 
 class TestTimestampTravel:
