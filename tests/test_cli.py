@@ -281,6 +281,55 @@ def test_maintain_delete_where_and_collapse(spark, tmp_path, capsys):
                         ].to_pylist()
 
 
+def test_maintain_restore_as_of(spark, tmp_path, capsys):
+    """``pump maintain --restore-as-of SEQ``: rollback-then-maintain as
+    one window -- post-snapshot batches retired, contents equal the pin,
+    the retired history vacuumed in the same run."""
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import (
+        list_snapshots,
+        read_sink,
+        snapshot_sink,
+        write_append,
+    )
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out"
+    store = StoreConf(commit_protocol="manifest")
+
+    def batch(sub, b):
+        return spark.createDataFrame(
+            [(f"m{sub[:1]}{b}{i}", "t", "p", "2024-01-02") for i in range(3)],
+            ["mid", "topic", "payload", "d"],
+        ).select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date("d").alias("collect_date"),
+        )
+
+    seqs = {}
+    for sub in ("raw_message", "json_message"):
+        for b in range(2):
+            write_append(batch(sub, b), store, str(out / sub), batch_id=b)
+        snapshot_sink(spark, str(out / sub), min_uncovered=1)
+        seqs[sub] = list_snapshots(spark, str(out / sub))[-1]["seq"]
+        write_append(batch(sub, 9), store, str(out / sub), batch_id=9)
+        assert read_sink(spark, str(out / sub)).count() == 9
+
+    assert seqs["raw_message"] == seqs["json_message"]
+    ini = tmp_path / "pump.ini"
+    ini.write_text(f"[store]\npath = {out}\n")
+    assert main([
+        "maintain", str(ini), "--keep-last", "0",
+        "--restore-as-of", str(seqs["raw_message"]),
+    ]) == 0
+    assert "restored to snapshot" in capsys.readouterr().out
+    for sub in ("raw_message", "json_message"):
+        got = read_sink(spark, str(out / sub))
+        assert got.count() == 6
+        assert got.filter("mid like '%9%'").count() == 0
+
+
 def test_tail_once_drains_into_downstream_sink(spark, tmp_path, capsys):
     """``pump tail --once``: the downstream pipeline stage as a CLI
     one-liner -- drains the pump's raw sink into a second manifest sink
