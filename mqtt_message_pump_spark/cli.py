@@ -182,6 +182,7 @@ def cmd_maintain(
     collapse_keys: "list[str] | None" = None,
     version_col: str | None = None,
     restore_as_of: int | None = None,
+    restore_as_of_ts: str | None = None,
 ) -> int:
     """Maintenance window for manifest-protocol sinks (this repo's
     extension -- the reference delegates storage maintenance to
@@ -206,12 +207,17 @@ def cmd_maintain(
     for sub in ("raw_message", "json_message"):
         path = f"{cfg.store.path}/{sub}"
         try:
-            if restore_as_of is not None:
+            if restore_as_of is not None or restore_as_of_ts is not None:
                 # rollback FIRST: everything after operates on the
-                # restored state (sinks.restore_sink -- pure metadata)
-                r = restore_sink(spark, path, as_of=restore_as_of)
+                # restored state (sinks.restore_sink -- one metadata
+                # publish per sink)
+                r = restore_sink(
+                    spark, path,
+                    as_of=restore_as_of,
+                    as_of_ts=restore_as_of_ts,
+                )
                 print(
-                    f"{sub}: restored to snapshot {restore_as_of} "
+                    f"{sub}: restored to snapshot {r['restored_to']} "
                     f"({len(r['dropped'])} retired, "
                     f"{len(r['resurrected'])} resurrected)"
                 )
@@ -597,9 +603,20 @@ def main(argv: list[str] | None = None) -> int:
                 default=None,
                 metavar="SEQ",
                 help="roll both sinks back to this snapshot seq before "
-                "any other maintenance (sinks.restore_sink -- pure "
-                "metadata; restart writers from a fresh checkpoint "
-                "lineage afterwards)",
+                "any other maintenance (sinks.restore_sink -- one "
+                "metadata publish per sink; restart writers from a "
+                "fresh checkpoint lineage afterwards).  NOTE: seqs are "
+                "PER-SINK counters -- when the two sinks' snapshot "
+                "cadences differ, prefer --restore-as-of-ts",
+            )
+            p.add_argument(
+                "--restore-as-of-ts",
+                default=None,
+                metavar="INSTANT",
+                help="roll both sinks back to their newest snapshot "
+                "at-or-before this wall-clock instant (epoch seconds "
+                "or ISO-8601) -- the cross-sink-consistent form of "
+                "--restore-as-of",
             )
             p.add_argument(
                 "--delete-where",
@@ -665,6 +682,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "check":
         return cmd_check(cfg)
     if args.command == "maintain":
+        if (
+            args.restore_as_of is not None
+            and args.restore_as_of_ts is not None
+        ):
+            ap.error("pass --restore-as-of OR --restore-as-of-ts, not both")
         if bool(args.collapse_keys) != bool(args.version_col):
             ap.error(
                 "--collapse-keys and --version-col must be passed "
@@ -685,6 +707,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             version_col=args.version_col,
             restore_as_of=args.restore_as_of,
+            restore_as_of_ts=args.restore_as_of_ts,
         )
     return cmd_run(cfg, args.source_dir, args.duration_secs)
 

@@ -1833,6 +1833,7 @@ def _tail_delta(
             # an unscoped id when a scoped victim with the same id is
             # in the set
             scoped_ids = {i for e, i in victims if e}
+            victims_all = victims  # pre-filter set, for swap coverage
             victims = [
                 (e, i) for e, i in victims if e or i not in scoped_ids
             ]
@@ -1841,7 +1842,36 @@ def _tail_delta(
                 for k in victims:
                     _mark(*k)
                 continue
-            lost = [k for k in victims if not _seen(*k)]
+            # DML/restore swap coverage: a swap manifest (epoch in the
+            # reserved "u" namespace, _swap_batch_manifest) is a
+            # same-rows REPLACEMENT of another key with its batch id.
+            # If it was itself compacted before this cursor ever
+            # polled, the cursor never marked the swap key -- but
+            # having seen ANY member of that id's replacement lineage
+            # means the batch was delivered (replacements are never
+            # re-delivered by contract), so the fold must ride
+            # through, not raise.  Scope: the group rule applies only
+            # when the id's folded group contains a "u" key
+            # (checkpoint epochs are hex, cli tails are "t..." -- "u"
+            # is collision-free); the residual conflation risk (an
+            # epoch-blind reset lineage reusing a swapped id inside
+            # ONE fold) requires three contract violations at once.
+            # grouped over the PRE-filter set: the filtered unscoped
+            # echo ("b1.json" retired by a swap) is exactly the key a
+            # caught-up cursor marked when it delivered the original
+            by_id: "dict[int, list]" = {}
+            for e, i in victims_all:
+                by_id.setdefault(i, []).append((e, i))
+
+            def _covered(e: str, i: int) -> bool:
+                if _seen(e, i):
+                    return True
+                group = by_id[i]
+                return any(ge.startswith("u") for ge, _ in group) and any(
+                    _seen(*g) for g in group
+                )
+
+            lost = [k for k in victims if not _covered(*k)]
             if lost:
                 raise TailLost(
                     f"sink {table_path}: compaction {m['name']} folded "
@@ -1849,6 +1879,8 @@ def _tail_delta(
                     f"{lost[0][0] or '<none>'} id={lost[0][1]}); restart "
                     "the tail from a full scan (cursor=None)"
                 )
+            for k in victims:
+                _mark(*k)  # self-heal: later folds need no re-derivation
             continue
         if "dir" not in m:
             continue
@@ -2948,7 +2980,8 @@ def _dml_sink(
                             else F.col(c)
                         )
                         for c in out_cols
-                    ]
+                    ],
+                    hit.cast("long").alias("__dml_hit"),
                 )
 
             try:
@@ -2959,6 +2992,16 @@ def _dml_sink(
                 # the missing input is NULL for every row, SQL semantics
                 eval_df = _padded(eval_df)
                 new_df = _updated(eval_df)
+            # exact updated-row count observed on the WRITE itself: the
+            # probe's n_match is a separate evaluation and may disagree
+            # under a non-deterministic predicate -- the reported count
+            # must describe the committed rewrite, like the rows stat
+            from pyspark.sql import Observation
+
+            upd_obs = Observation()
+            new_df = new_df.observe(
+                upd_obs, F.sum("__dml_hit").alias("n_hit")
+            ).drop("__dml_hit")
         attempt = f"_data/u-{uuid.uuid4().hex[:8]}"
         (
             new_df.repartition("collect_date")
@@ -3047,7 +3090,7 @@ def _dml_sink(
         if set_exprs is None:
             out["rows_deleted"] += total - rows_new
         else:
-            out["rows_updated"] += n_match
+            out["rows_updated"] += int(upd_obs.get.get("n_hit") or 0)
     return out
 
 
@@ -3125,20 +3168,24 @@ def restore_sink(
     ``read_sink(as_of=seq)`` serves -- the undo button for a bad
     backfill, a wrong DML pass, or a poisoned ingest window.
 
-    Pure metadata, zero data IO (the snapshot's attempt dirs are still
-    on disk, verified loudly up front -- restorability shares the
-    vacuum-retention horizon with pinned reads):
+    ONE atomic metadata publish, zero data IO (the snapshot's attempt
+    dirs are still on disk, verified loudly up front -- restorability
+    shares the vacuum-retention horizon with pinned reads): the whole
+    restored state is folded into a single NEW snapshot object that
+    embeds
 
-    - live batches NOT in the snapshot (post-snapshot appends,
-      compactions, DML swaps) are retired with dir-less ``drop``
-      tombstones;
-    - snapshot batches no longer live (superseded since) are
-      resurrected by republishing their manifest content under fresh
-      swap names (:func:`_swap_batch_manifest`) pointing at the
-      ORIGINAL attempt dirs; a same-name batch re-pointed since the
-      snapshot is swapped back the same way;
-    - a fresh snapshot is published so the restored state is one
-      listing object.
+    - every still-live batch the target set also names (verbatim),
+    - fresh swap entries (the :func:`_swap_batch_manifest` naming) for
+      target batches superseded since the snapshot, pointing at their
+      ORIGINAL attempt dirs and superseding their original names, and
+    - one multi-victim ``drop`` tombstone retiring every live batch
+      NOT in the target set (post-snapshot appends, compactions, DML
+      swaps).
+
+    Because the publish is one object, there is NO window in which a
+    concurrent reader sees neither the pre-restore nor the restored
+    state, and a crash either restored everything or nothing --
+    exactly the batch-commit guarantee, applied to the whole rollback.
 
     Change-data-feed: rows a caught-up tail already saw are NOT
     retracted (append-only CDF); resurrected swaps are marked via the
@@ -3164,46 +3211,87 @@ def restore_sink(
         as_of = _resolve_as_of_ts(spark, table_path, as_of_ts)
     if not force:
         _require_maintenance_window(fs, HPath, table_path, "restore")
+    import hashlib
+
     target = {
         m["name"]: m
         for m in _pinned_manifest_set(fs, HPath, spark, table_path, as_of)
     }
-    live = {
-        m["name"]: m
-        for m in _read_manifests(fs, HPath, table_path)
-        if "dir" in m
-    }
-    dropped, resurrected = [], []
+    state = _load_manifest_state(fs, HPath, table_path)
+    live = {m["name"]: m for m in state["live"] if "dir" in m}
+    now_ms = _fs_now_ms(fs, HPath, table_path)
+    embedded, dropped, resurrected = [], [], []
+    # identity by ATTEMPT DIR, not manifest name: a prior restore (or a
+    # DML swap) serves the same batch under a fresh name -- matching by
+    # name would re-swap it on every restore instead of converging
+    target_dirs = {t["dir"] for t in target.values()}
+    live_dirs = {m["dir"] for m in live.values()}
     for name, m in live.items():
-        t = target.get(name)
-        if t is not None and t.get("dir") == m.get("dir"):
-            continue  # identical batch in both states: untouched
-        if t is not None:
-            continue  # same name, re-pointed since: the swap below wins
-        tomb = f"d-{uuid.uuid4().hex[:12]}.json"
-        _publish_manifest(
-            fs, HPath, f"{table_path}/_manifests", tomb,
-            json.dumps(
-                {"kind": "drop", "supersedes": [name]}, sort_keys=True
-            ).encode("utf-8"),
-        )
-        dropped.append(name)
+        if m["dir"] in target_dirs:
+            embedded.append(dict(m))  # batch present in both states
+        else:
+            dropped.append(name)  # post-snapshot history: retire
     for name, t in target.items():
-        lm = live.get(name)
-        if lm is not None and lm.get("dir") == t.get("dir"):
+        if t["dir"] in live_dirs:
             continue
-        payload = dict(t)
-        payload.pop("ts", None)
-        payload["name"] = name
-        resurrected.append(
-            _swap_batch_manifest(fs, HPath, table_path, t, payload)
+        e = dict(t)
+        e.pop("ts", None)
+        e.pop("name", None)
+        key = _batch_name_key(name)
+        if key is not None:
+            ep = "u" + uuid.uuid4().hex[:10]
+            new_name = f"b{ep}-{key[1]}.json"
+            e["epoch"] = ep
+        else:
+            new_name = "c-" + uuid.uuid4().hex[:12] + ".json"
+            e.setdefault("kind", "compact")
+        e["supersedes"] = sorted({name} | set(t.get("supersedes", [])))
+        e["name"] = new_name
+        e["ts"] = now_ms
+        embedded.append(e)
+        resurrected.append(new_name)
+    if not dropped and not resurrected:
+        return {
+            "restored_to": as_of,
+            "dropped": [],
+            "resurrected": [],
+            "snapshot": None,  # live state already equals the target
+        }
+    if dropped:
+        embedded.append(
+            {
+                "kind": "drop",
+                "supersedes": sorted(dropped),
+                "name": f"d-{uuid.uuid4().hex[:12]}.json",
+                "ts": now_ms,
+            }
         )
-    snap = snapshot_sink(spark, table_path, min_uncovered=1)
+    # carry still-live dir-less tombstones forward (their victims may
+    # only be reachable embedded; the inert-tombstone rule expires them)
+    for m in state["live"]:
+        if "dir" not in m:
+            embedded.append(dict(m))
+    seq = state["latest_snap_seq"] + 1
+    names = sorted(e["name"] for e in embedded)
+    sname = (
+        f"s-{seq:08d}-"
+        + hashlib.md5(("restore|" + "|".join(names)).encode()).hexdigest()[
+            :12
+        ]
+        + ".json"
+    )
+    _publish_manifest(
+        fs, HPath, f"{table_path}/_manifests", sname,
+        json.dumps(
+            {"kind": "snapshot", "seq": seq, "manifests": embedded},
+            sort_keys=True,
+        ).encode("utf-8"),
+    )
     return {
         "restored_to": as_of,
         "dropped": dropped,
         "resurrected": resurrected,
-        "snapshot": snap,
+        "snapshot": sname,
     }
 
 

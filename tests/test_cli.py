@@ -330,6 +330,18 @@ def test_maintain_restore_as_of(spark, tmp_path, capsys):
         assert got.filter("mid like '%9%'").count() == 0
 
 
+def test_maintain_restore_flags_mutually_exclusive(tmp_path):
+    import pytest
+
+    ini = tmp_path / "p.ini"
+    ini.write_text(f"[store]\npath = {tmp_path}\n")
+    with pytest.raises(SystemExit):
+        main([
+            "maintain", str(ini),
+            "--restore-as-of", "1", "--restore-as-of-ts", "123",
+        ])
+
+
 def test_tail_once_drains_into_downstream_sink(spark, tmp_path, capsys):
     """``pump tail --once``: the downstream pipeline stage as a CLI
     one-liner -- drains the pump's raw sink into a second manifest sink

@@ -530,6 +530,53 @@ class TestRestoreSink:
         assert read_sink(spark, tp).count() == 40
         assert n_before == 40  # pre-restore live state (40 +1 -1)
 
+    def test_restore_is_one_object(self, spark, tmp_path):
+        # the whole rollback is ONE snapshot publish: no window where a
+        # reader sees neither state, and a crash restores all or nothing
+        tp, seq = self._grown_sink(spark, tmp_path)
+
+        def _listing():
+            return {
+                n
+                for n in os.listdir(os.path.join(tp, "_manifests"))
+                if n.endswith(".json") and not n.startswith(".")
+            }
+
+        before = _listing()
+        res = restore_sink(spark, tp, as_of=seq)
+        assert _listing() - before == {res["snapshot"]}
+        assert res["snapshot"].startswith("s-")
+        # idempotent: a second restore to the same seq is a no-op
+        res2 = restore_sink(spark, tp, as_of=seq)
+        assert res2["snapshot"] is None
+        assert res2["dropped"] == [] and res2["resurrected"] == []
+
+    def test_tail_rides_through_swap_then_compact(self, spark, tmp_path):
+        # a DML swap compacted away before the tail's next poll: the
+        # cursor never marked the swap key, but it saw the ORIGINAL key
+        # of that id's replacement lineage -- the fold must ride
+        # through, not raise TailLost
+        tp = _mk_sink(spark, tmp_path)
+        df, cur = read_sink_since(spark, tp, None)
+        assert df.count() == 60
+        delete_sink_where(spark, tp, eq={"mid": "m0105"})
+        compact_sink(spark, tp, keep_last=0)
+        df2, _ = read_sink_since(spark, tp, cur)  # no TailLost
+        assert df2 is None or df2.count() == 0
+        # restore swaps behave the same under a later compaction
+        snapshot_sink(spark, tp, min_uncovered=1)
+        seq = S.list_snapshots(spark, tp)[-1]["seq"]
+        append_batch_manifest(
+            _frame(spark, [("late", "t", "p", "2024-05-01")]),
+            _store(), tp, 7,
+        )
+        df3, cur3 = read_sink_since(spark, tp, cur)
+        assert df3.count() == 1
+        restore_sink(spark, tp, as_of=seq)
+        compact_sink(spark, tp, keep_last=0)
+        df4, _ = read_sink_since(spark, tp, cur3)  # no TailLost either
+        assert df4 is None or df4.count() == 0
+
     def test_restore_by_timestamp_and_errors(self, spark, tmp_path):
         import time
 
