@@ -2738,7 +2738,14 @@ def _swap_batch_manifest(
     rule without re-delivering (a lagging cursor delivers the NEW
     content once).  A compact victim gets a fresh compact identity;
     its supersedes fold transitively.  Shared by the row-level DML
-    rewrites and :func:`drop_dates_sink` straddlers."""
+    rewrites, :func:`drop_dates_sink` straddlers and
+    :func:`restore_sink` resurrections.
+
+    The ``"u" + hex`` epoch namespace is RESERVED for these swaps:
+    checkpoint epochs are hex digests and CLI-tail epochs start
+    ``"t"``, so ``_tail_delta``'s compact fold can recognize a swap
+    lineage by prefix and ride through when any member of the id's
+    group was delivered."""
     import json
     import uuid
 
