@@ -844,6 +844,16 @@ def append_batch_manifest(
     import uuid
 
     spark = df.sparkSession
+    if epoch is not None and epoch.startswith("u"):
+        # the "u" namespace is reserved for DML/restore swap manifests
+        # (_swap_batch_manifest): the CDF compact fold treats u-epoch
+        # keys as same-rows replacements and may ride over them without
+        # delivery -- a user lineage there would turn a loud TailLost
+        # into silent downstream data loss
+        raise ValueError(
+            f"epoch {epoch!r} is in the reserved swap namespace "
+            '("u" + hex); pick another prefix'
+        )
     key = _batch_key(batch_id, epoch)
     if epoch is None:
         # Epoch-blind guard (the write-side twin of the loader's
@@ -1199,7 +1209,13 @@ def _as_of_ts_ms(ts) -> float:
     if isinstance(ts, (int, float)) and not isinstance(ts, bool):
         return float(ts) * 1000.0
     if isinstance(ts, str):
-        ts = datetime.datetime.fromisoformat(ts)
+        # CLI flags and DataSource options arrive as strings: a string
+        # that parses as a number is epoch seconds (same rule as the
+        # no-JVM readers' resolve_as_of_ts), else ISO-8601
+        try:
+            return float(ts) * 1000.0
+        except ValueError:
+            ts = datetime.datetime.fromisoformat(ts)
     if isinstance(ts, datetime.datetime):
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=datetime.timezone.utc)
@@ -1879,8 +1895,10 @@ def _tail_delta(
                     f"{lost[0][0] or '<none>'} id={lost[0][1]}); restart "
                     "the tail from a full scan (cursor=None)"
                 )
-            for k in victims:
-                _mark(*k)  # self-heal: later folds need no re-derivation
+            # no marks for ridden-through victims: every swap epoch is
+            # unique, so marking them would grow long-lived cursors by
+            # one dead entry per historical swap; a later fold's own
+            # transitive supersede set re-derives the same coverage
             continue
         if "dir" not in m:
             continue
@@ -2749,23 +2767,34 @@ def _swap_batch_manifest(
     import json
     import uuid
 
+    new_name, payload = _swap_entry(victim, payload)
+    _publish_manifest(
+        fs, HPath, f"{table_path}/_manifests", new_name,
+        json.dumps(payload, sort_keys=True).encode("utf-8"),
+    )
+    return new_name
+
+
+def _swap_entry(victim: dict, payload: dict) -> "tuple[str, dict]":
+    """The pure half of :func:`_swap_batch_manifest` -- fresh swap name
+    plus payload mutations (reserved ``"u"`` epoch / compact identity /
+    folded supersedes), NO publish; :func:`restore_sink` embeds these
+    entries directly inside its one-object snapshot."""
+    import uuid
+
     name = payload.pop("name", None) or victim["name"]
     key = _batch_name_key(name)
     if key is not None:
-        dml_epoch = "u" + uuid.uuid4().hex[:10]
-        new_name = f"b{dml_epoch}-{key[1]}.json"
-        payload["epoch"] = dml_epoch
+        swap_epoch = "u" + uuid.uuid4().hex[:10]
+        new_name = f"b{swap_epoch}-{key[1]}.json"
+        payload["epoch"] = swap_epoch
     else:
         new_name = "c-" + uuid.uuid4().hex[:12] + ".json"
         payload.setdefault("kind", "compact")
     payload["supersedes"] = sorted(
         {name} | set(victim.get("supersedes", []))
     )
-    _publish_manifest(
-        fs, HPath, f"{table_path}/_manifests", new_name,
-        json.dumps(payload, sort_keys=True).encode("utf-8"),
-    )
-    return new_name
+    return new_name, payload
 
 
 def _dml_predicate(
@@ -3243,16 +3272,7 @@ def restore_sink(
             continue
         e = dict(t)
         e.pop("ts", None)
-        e.pop("name", None)
-        key = _batch_name_key(name)
-        if key is not None:
-            ep = "u" + uuid.uuid4().hex[:10]
-            new_name = f"b{ep}-{key[1]}.json"
-            e["epoch"] = ep
-        else:
-            new_name = "c-" + uuid.uuid4().hex[:12] + ".json"
-            e.setdefault("kind", "compact")
-        e["supersedes"] = sorted({name} | set(t.get("supersedes", [])))
+        new_name, e = _swap_entry(t, e)
         e["name"] = new_name
         e["ts"] = now_ms
         embedded.append(e)

@@ -71,6 +71,21 @@ from mqtt_message_pump_spark.sources.manifestio import (
 _STAT_COLS = ("mid", "topic", "collect_datetime")
 
 
+def _check_epoch_namespace(epoch: "str | None") -> "str | None":
+    """Reject user-supplied epochs in the reserved ``"u"`` namespace
+    (``sinks._swap_batch_manifest``): the CDF compact fold treats
+    ``u*``-epoch keys as same-rows swap replacements and may ride over
+    them without delivery -- a user lineage in that namespace would
+    turn a loud TailLost into silent downstream data loss."""
+    if epoch is not None and epoch.startswith("u"):
+        raise ValueError(
+            f"epoch {epoch!r} is in the reserved swap namespace "
+            '("u" + hex, sinks._swap_batch_manifest); pick another '
+            "prefix -- tails treat u-epochs as replacement lineages"
+        )
+    return epoch
+
+
 def _as_of_opt(options, fs, path) -> "int | None":
     """Resolve the ``as_of`` / ``as_of_ts`` read options to a snapshot
     seq (``as_of_ts`` = Delta's ``timestampAsOf``: epoch seconds or an
@@ -573,7 +588,10 @@ class ManifestSinkBatchWriter(DataSourceArrowWriter):
         )
         self._schema = schema
         self._overwrite = overwrite
-        self._epoch = options.get("epoch") or f"w{uuid.uuid4().hex[:8]}"
+        self._epoch = (
+            _check_epoch_namespace(options.get("epoch"))
+            or f"w{uuid.uuid4().hex[:8]}"
+        )
         self._batch_id = int(options.get("batch_id", "0"))
         key = f"b{self._epoch}-{self._batch_id}"
         self._attempt = f"_data/{key}-a{uuid.uuid4().hex[:8]}"
@@ -663,7 +681,7 @@ class ManifestSinkStreamWriter(DataSourceStreamArrowWriter):
         ck = options.get("checkpointlocation") or options.get(
             "checkpointLocation"
         )
-        self._epoch = options.get("epoch") or (
+        self._epoch = _check_epoch_namespace(options.get("epoch")) or (
             "sw" + hashlib.md5(ck.encode()).hexdigest()[:8]
             if ck
             else "sw-default"

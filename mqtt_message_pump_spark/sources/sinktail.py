@@ -209,6 +209,7 @@ class SinkTailStreamReader(DataSourceStreamReader):
                     if k
                 ]
                 scoped = {i for e, i in victims if e}
+                victims_all = victims  # pre-filter, for swap coverage
                 victims = [
                     (e, i) for e, i in victims if e or i not in scoped
                 ]
@@ -222,8 +223,26 @@ class SinkTailStreamReader(DataSourceStreamReader):
                         for f in manifest_files(self._fs, self.path, m)
                     )
                     continue
+                # swap-lineage coverage, the sinks._tail_delta twin: a
+                # DML/restore swap ("u" epoch namespace) compacted away
+                # before this stream's next trigger is a same-rows
+                # replacement -- having delivered ANY member of that
+                # id's folded group covers it; without this the stream
+                # dies with a spurious TailLost
+                by_id: "dict[int, list]" = {}
+                for e, i in victims_all:
+                    by_id.setdefault(i, []).append((e, i))
+
+                def _covered(e: str, i: int) -> bool:
+                    if i <= prior.get(e, -1):
+                        return True
+                    group = by_id[i]
+                    return any(
+                        ge.startswith("u") for ge, _ in group
+                    ) and any(gi <= prior.get(ge, -1) for ge, gi in group)
+
                 lost = [
-                    (e, i) for e, i in victims if i > prior.get(e, -1)
+                    (e, i) for e, i in victims if not _covered(e, i)
                 ]
                 if lost:
                     raise TailLost(

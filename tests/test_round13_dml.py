@@ -577,6 +577,47 @@ class TestRestoreSink:
         df4, _ = read_sink_since(spark, tp, cur3)  # no TailLost either
         assert df4 is None or df4.count() == 0
 
+    def test_native_stream_reader_rides_swap_compaction(
+        self, spark, tmp_path
+    ):
+        # the sink_tail source's partitions() has its own fold-loss
+        # check: give it a caught-up cursor, then DML-swap + compact
+        # between "triggers" -- must plan zero data, not raise TailLost
+        from mqtt_message_pump_spark.sources.sinktail import (
+            SinkTailStreamReader,
+        )
+
+        tp = _mk_sink(spark, tmp_path)
+        reader = SinkTailStreamReader({"path": tp}, None)
+        start = reader.latestOffset()  # caught up through b0..b2
+        delete_sink_where(spark, tp, eq={"mid": "m0105"})
+        compact_sink(spark, tp, keep_last=0)
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        planned = [f for p in parts for f in p.files]
+        assert planned == []  # nothing re-delivered, no TailLost
+
+    def test_epoch_namespace_reserved_for_swaps(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1)
+        with pytest.raises(ValueError, match="reserved swap namespace"):
+            append_batch_manifest(
+                _frame(spark, [("x", "t", "p", "2024-01-01")]),
+                _store(), tp, 5, epoch="uhack",
+            )
+        from mqtt_message_pump_spark.sources.manifestsink import (
+            _check_epoch_namespace,
+        )
+
+        with pytest.raises(ValueError, match="reserved"):
+            _check_epoch_namespace("urgent1")
+        assert _check_epoch_namespace("w123") == "w123"
+        assert _check_epoch_namespace(None) is None
+
+    def test_as_of_ts_accepts_epoch_second_strings(self):
+        # CLI flags / DataSource options arrive as strings
+        assert S._as_of_ts_ms("123.5") == 123500.0
+        assert S._as_of_ts_ms("2024-01-01T00:00:00+00:00") == 1704067200000.0
+
     def test_restore_by_timestamp_and_errors(self, spark, tmp_path):
         import time
 
