@@ -844,16 +844,7 @@ def append_batch_manifest(
     import uuid
 
     spark = df.sparkSession
-    if epoch is not None and epoch.startswith("u"):
-        # the "u" namespace is reserved for DML/restore swap manifests
-        # (_swap_batch_manifest): the CDF compact fold treats u-epoch
-        # keys as same-rows replacements and may ride over them without
-        # delivery -- a user lineage there would turn a loud TailLost
-        # into silent downstream data loss
-        raise ValueError(
-            f"epoch {epoch!r} is in the reserved swap namespace "
-            '("u" + hex); pick another prefix'
-        )
+    _check_epoch_namespace(epoch)
     key = _batch_key(batch_id, epoch)
     if epoch is None:
         # Epoch-blind guard (the write-side twin of the loader's
@@ -1209,13 +1200,28 @@ def _as_of_ts_ms(ts) -> float:
     if isinstance(ts, (int, float)) and not isinstance(ts, bool):
         return float(ts) * 1000.0
     if isinstance(ts, str):
-        # CLI flags and DataSource options arrive as strings: a string
-        # that parses as a number is epoch seconds (same rule as the
-        # no-JVM readers' resolve_as_of_ts), else ISO-8601
+        # CLI flags and DataSource options arrive as strings.  ISO-8601
+        # is tried FIRST so basic-format instants ("20240101") keep
+        # their calendar meaning; anything else that parses as a FINITE
+        # number is epoch seconds ("1723800000", "123.5"); the rest --
+        # "inf", "nan", garbage -- fails loudly.
+        import math
+
         try:
-            return float(ts) * 1000.0
-        except ValueError:
             ts = datetime.datetime.fromisoformat(ts)
+        except ValueError:
+            try:
+                f = float(ts)
+            except ValueError:
+                raise ValueError(
+                    f"as_of_ts: {ts!r} is neither an ISO-8601 instant "
+                    "nor epoch seconds"
+                ) from None
+            if not math.isfinite(f):
+                raise ValueError(
+                    f"as_of_ts: {ts!r} is not a finite instant"
+                ) from None
+            return f * 1000.0
     if isinstance(ts, datetime.datetime):
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=datetime.timezone.utc)
@@ -1883,7 +1889,7 @@ def _tail_delta(
                 if _seen(e, i):
                     return True
                 group = by_id[i]
-                return any(ge.startswith("u") for ge, _ in group) and any(
+                return any(_is_swap_epoch(ge) for ge, _ in group) and any(
                     _seen(*g) for g in group
                 )
 
@@ -2740,6 +2746,38 @@ def _require_maintenance_window(
             )
 
 
+_SWAP_EPOCH_HEX = set("0123456789abcdef")
+
+
+def _is_swap_epoch(epoch: str) -> bool:
+    """EXACTLY the shape :func:`_swap_entry` emits -- ``"u"`` + 10 hex
+    chars.  The CDF fold's ride-through rule and the write-side
+    namespace guard both use this strict test, so legacy or exotic
+    user epochs that merely START with ``u`` (``user1``,
+    ``us-east-1``) are neither silently covered nor rejected."""
+    return (
+        len(epoch) == 11
+        and epoch[0] == "u"
+        and all(c in _SWAP_EPOCH_HEX for c in epoch[1:])
+    )
+
+
+def _check_epoch_namespace(epoch: "str | None") -> "str | None":
+    """Reject user-supplied epochs that collide with the reserved swap
+    shape: tails treat such keys as same-rows replacements and may
+    ride over them without delivery -- a user lineage there would turn
+    a loud TailLost into silent downstream data loss.  Shared by
+    :func:`append_batch_manifest` and the native writers."""
+    if epoch is not None and _is_swap_epoch(epoch):
+        raise ValueError(
+            f"epoch {epoch!r} collides with the reserved swap-manifest "
+            'namespace ("u" + 10 hex chars, sinks._swap_entry); pick '
+            "another prefix -- tails treat swap epochs as replacement "
+            "lineages"
+        )
+    return epoch
+
+
 def _swap_batch_manifest(
     fs, HPath, table_path: str, victim: dict, payload: dict
 ) -> str:
@@ -2759,13 +2797,12 @@ def _swap_batch_manifest(
     rewrites, :func:`drop_dates_sink` straddlers and
     :func:`restore_sink` resurrections.
 
-    The ``"u" + hex`` epoch namespace is RESERVED for these swaps:
-    checkpoint epochs are hex digests and CLI-tail epochs start
-    ``"t"``, so ``_tail_delta``'s compact fold can recognize a swap
-    lineage by prefix and ride through when any member of the id's
-    group was delivered."""
+    The ``"u" + 10-hex`` epoch shape is RESERVED for these swaps
+    (:func:`_is_swap_epoch`; write paths reject colliding user epochs
+    via :func:`_check_epoch_namespace`), so ``_tail_delta``'s compact
+    fold can recognize a swap lineage and ride through when any member
+    of the id's group was delivered."""
     import json
-    import uuid
 
     new_name, payload = _swap_entry(victim, payload)
     _publish_manifest(

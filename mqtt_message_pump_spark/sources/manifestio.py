@@ -98,15 +98,11 @@ def resolve_as_of_ts(fs, table_path: str, ts) -> int:
     snapshot published at-or-before the instant (snapshot-object mtime
     = publish order, the same stamp ``sinks.list_snapshots`` reports);
     loud :class:`sinks.SnapshotUnreadable` when none is.  ``ts``: epoch
-    seconds, ISO string, or datetime -- option strings that parse as a
-    number are epoch seconds."""
+    seconds, ISO string, or datetime -- string normalization (ISO
+    first, then finite epoch seconds) lives in ONE place,
+    ``sinks._as_of_ts_ms``."""
     from mqtt_message_pump_spark.sinks import _as_of_ts_ms
 
-    if isinstance(ts, str):
-        try:
-            ts = float(ts)
-        except ValueError:
-            pass
     t_ms = _as_of_ts_ms(ts)
     mdir = f"{table_path}/_manifests"
     snaps = sorted(

@@ -56,7 +56,7 @@ from pyspark.sql.datasource import (
 )
 
 
-from mqtt_message_pump_spark.sinks import _stat_str
+from mqtt_message_pump_spark.sinks import _check_epoch_namespace, _stat_str
 from mqtt_message_pump_spark.sources._fsio import fs_for
 from mqtt_message_pump_spark.sources.manifestio import (
     infer_sink_schema,
@@ -69,21 +69,6 @@ from mqtt_message_pump_spark.sources.manifestio import (
 
 # columns with write-side min/max manifest stats (append_batch_manifest)
 _STAT_COLS = ("mid", "topic", "collect_datetime")
-
-
-def _check_epoch_namespace(epoch: "str | None") -> "str | None":
-    """Reject user-supplied epochs in the reserved ``"u"`` namespace
-    (``sinks._swap_batch_manifest``): the CDF compact fold treats
-    ``u*``-epoch keys as same-rows swap replacements and may ride over
-    them without delivery -- a user lineage in that namespace would
-    turn a loud TailLost into silent downstream data loss."""
-    if epoch is not None and epoch.startswith("u"):
-        raise ValueError(
-            f"epoch {epoch!r} is in the reserved swap namespace "
-            '("u" + hex, sinks._swap_batch_manifest); pick another '
-            "prefix -- tails treat u-epochs as replacement lineages"
-        )
-    return epoch
 
 
 def _as_of_opt(options, fs, path) -> "int | None":

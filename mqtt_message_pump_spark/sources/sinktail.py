@@ -56,6 +56,7 @@ except ImportError as e:  # pragma: no cover - pyspark < 4
 from mqtt_message_pump_spark.sinks import (
     TailLost,
     _batch_name_key,
+    _is_swap_epoch,
     _tail_delta,
 )
 from mqtt_message_pump_spark.sources._fsio import fs_for
@@ -238,7 +239,7 @@ class SinkTailStreamReader(DataSourceStreamReader):
                         return True
                     group = by_id[i]
                     return any(
-                        ge.startswith("u") for ge, _ in group
+                        _is_swap_epoch(ge) for ge, _ in group
                     ) and any(gi <= prior.get(ge, -1) for ge, gi in group)
 
                 lost = [

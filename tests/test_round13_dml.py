@@ -598,20 +598,62 @@ class TestRestoreSink:
         assert planned == []  # nothing re-delivered, no TailLost
 
     def test_epoch_namespace_reserved_for_swaps(self, spark, tmp_path):
+        # STRICT shape only ("u" + 10 hex): a colliding user epoch is
+        # rejected on every write path, while u-prefixed but
+        # non-colliding epochs ("urgent1", "us-east-1") stay usable
+        # AND are never treated as swap lineages by the fold coverage
         tp = _mk_sink(spark, tmp_path, n_batches=1)
-        with pytest.raises(ValueError, match="reserved swap namespace"):
+        with pytest.raises(ValueError, match="reserved swap"):
             append_batch_manifest(
                 _frame(spark, [("x", "t", "p", "2024-01-01")]),
-                _store(), tp, 5, epoch="uhack",
+                _store(), tp, 5, epoch="u0123456789",
             )
         from mqtt_message_pump_spark.sources.manifestsink import (
             _check_epoch_namespace,
         )
 
         with pytest.raises(ValueError, match="reserved"):
-            _check_epoch_namespace("urgent1")
+            _check_epoch_namespace("uabcdef0123")
+        assert _check_epoch_namespace("urgent1") == "urgent1"
+        assert _check_epoch_namespace("us-east-1") == "us-east-1"
         assert _check_epoch_namespace("w123") == "w123"
         assert _check_epoch_namespace(None) is None
+        assert S._is_swap_epoch("u" + "a" * 10)
+        assert not S._is_swap_epoch("urgent1")
+        assert not S._is_swap_epoch("user-12345")
+
+    def test_legacy_u_epoch_not_silently_covered(self, spark, tmp_path):
+        # a pre-guard user lineage whose epoch merely STARTS with "u"
+        # must still raise TailLost when its undelivered batch is
+        # folded -- only the exact swap shape rides through
+        tp = str(tmp_path / "legacy")
+        append_batch_manifest(
+            _frame(spark, [("a", "t", "p", "2024-01-01")]),
+            _store(), tp, 0, epoch="w1",
+        )
+        df, cur = read_sink_since(spark, tp, None)
+        assert df.count() == 1
+        # same batch id, different (legacy-style) lineage, undelivered
+        import json
+
+        attempt = next(
+            m["dir"] for m in _manifests(tp).values() if "dir" in m
+        )
+        with open(os.path.join(tp, "_manifests", "buser1-0.json"), "w") as f:
+            json.dump({"batch_id": 0, "epoch": "user1", "dir": attempt,
+                       "rows": 1}, f)
+        compact = {
+            "kind": "compact", "dir": attempt, "rows": 2,
+            "supersedes": ["bw1-0.json", "buser1-0.json"],
+        }
+        with open(
+            os.path.join(tp, "_manifests", "c-deadbeef0001.json"), "w"
+        ) as f:
+            json.dump(compact, f)
+        os.remove(os.path.join(tp, "_manifests", "bw1-0.json"))
+        os.remove(os.path.join(tp, "_manifests", "buser1-0.json"))
+        with pytest.raises(S.TailLost):
+            read_sink_since(spark, tp, cur)
 
     def test_as_of_ts_accepts_epoch_second_strings(self):
         # CLI flags / DataSource options arrive as strings
