@@ -3228,6 +3228,525 @@ def update_sink_where(
     )
 
 
+def merge_sink(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: "list[str]",
+    when_matched: "str | dict[str, str] | None" = "update",
+    matched_where: "str | None" = None,
+    when_not_matched: "str | None" = "insert",
+    when_not_matched_by_source: "str | None" = None,
+    not_matched_by_source_where: "str | None" = None,
+    dates: "list[str] | None" = None,
+    store: "StoreConf | None" = None,
+    merge_id: "str | None" = None,
+    probe_keys_limit: int = 256,
+    force: bool = False,
+) -> dict:
+    """``MERGE INTO`` on a manifest sink -- the third leg of the DML
+    triad (:func:`delete_sink_where` / :func:`update_sink_where`
+    handle the WHERE-driven forms; MERGE is the SOURCE-driven form:
+    apply a change set to the target by key).  Same shape as Delta's
+    ``MERGE INTO target USING source ON keys``, reduced to this sink's
+    manifest protocol; the reference delegates upserts to ClickHouse's
+    ReplacingMergeTree (``data_dbstore.go:109-133``), whose lazy
+    collapse this sink already mirrors (:func:`collapse_latest`) --
+    MERGE is the EAGER alternative: state converges at write time, so
+    readers need no FINAL/collapse pass and no version column.
+
+    Clauses (each optional, at least one required):
+
+    - ``when_matched="update"`` -- matched target rows take the source
+      row's value for every shared non-key column (``collect_date``
+      excluded: the partition column is immutable under in-place DML,
+      as in :func:`update_sink_where`).
+    - ``when_matched="delete"`` -- matched target rows are removed.
+    - ``when_matched={col: sql_expr}`` -- explicit SET; expressions see
+      target columns by name and source columns as ``s_<name>``
+      (``{"value": "value + s_delta"}``).  Keys/partition column cannot
+      be SET.
+    - ``matched_where`` -- extra SQL predicate gating the matched
+      clause (sees the same namespace); a matched row failing it is
+      left unchanged but still counts as matched for insert purposes
+      (the ON condition alone decides NOT MATCHED, as in SQL MERGE).
+    - ``when_not_matched="insert"`` -- source rows matching no target
+      key are appended as ONE new batch (columns aligned by name to
+      the sink schema, missing columns NULL-filled; source columns
+      absent from the sink are rejected loudly -- widen the sink by a
+      managed append first).
+    - ``when_not_matched_by_source="delete"`` (+ optional
+      ``not_matched_by_source_where`` over target columns) -- target
+      rows matching no source key are removed (the full-sync shape);
+      this makes EVERY live batch a rewrite candidate, so expect a
+      full-table pass.
+
+    Scale shape (the Delta/Iceberg MERGE plan, at manifest
+    granularity):
+
+    1. the source is materialized ONCE (``localCheckpoint``) so every
+       phase sees identical rows even for non-deterministic sources --
+       the same reason Delta materializes its merge source;
+    2. candidate discovery scans ONLY the key columns of batches the
+       manifest stats / bloom sidecars cannot rule out (when the
+       source's distinct key values fit ``probe_keys_limit`` they are
+       collected and probed exactly like ``read_sink(eq=...)``; a
+       larger change set falls back to scanning all date-pruned
+       batches' key columns -- one column-pruned join, no data columns
+       read);  the join is EXACT, so bloom false positives never cause
+       a rewrite (``probed_clean`` reports them);
+    3. each touched batch is rewritten and atomically swapped via a
+       fresh supersede manifest (:func:`_swap_batch_manifest` -- the
+       identical move the other DML forms use: concurrent readers see
+       old rows or new, never half), all-matched DELETEs degrade to
+       zero-IO drop tombstones, stats for SET columns are dropped and
+       bloom sidecars rebuilt;
+    4. inserts append LAST as one ordinary batch whose key derives
+       from ``merge_id`` (``epoch="mrg"+md5(merge_id)``), so a re-run
+       of the SAME logical merge republish-swaps rather than
+       duplicates -- with ``when_matched="update"`` (or SET
+       expressions reading only ``s_`` columns) the whole statement is
+       idempotent under re-run: updates re-apply to the same values
+       and previously-inserted keys are matched, leaving the insert
+       batch untouched.  Give each DISTINCT logical merge its own
+       ``merge_id``.
+
+    ``dates`` scopes the WHOLE statement to those partitions (the
+    Delta partition-scoped-merge idiom of putting partition predicates
+    in ON): batches outside are neither read nor rewritten, and keys
+    living only outside the scope are treated as absent -- asserting
+    that is the caller's contract, exactly as with a partition
+    predicate in a SQL MERGE's ON clause.
+
+    A target row matched by MULTIPLE source rows raises (the SQL MERGE
+    cardinality rule -- the rewrite would be non-deterministic);
+    duplicate source keys that match nothing insert as-is.  The
+    maintenance-window contract, CDF/tail ride-through of the swaps,
+    pinned-read and erasure-horizon semantics are all shared with
+    :func:`_dml_sink`.  Returns a summary dict (batch counts, per-kind
+    row counts, the swap map and the insert manifest key)."""
+    import json
+    import uuid
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    on = list(on)
+    if not on:
+        raise ValueError("merge_sink requires at least one ON key column")
+    missing_src = [c for c in on if c not in source.columns]
+    if missing_src:
+        raise ValueError(f"ON columns not in source: {missing_src}")
+    set_map: "dict[str, str] | None" = None
+    if isinstance(when_matched, dict):
+        if not when_matched:
+            raise ValueError("when_matched dict must be non-empty")
+        set_map = dict(when_matched)
+    elif when_matched not in ("update", "delete", None):
+        raise ValueError(
+            "when_matched must be 'update', 'delete', a {col: expr} "
+            f"dict or None, got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", None):
+        raise ValueError(
+            f"when_not_matched must be 'insert' or None, got "
+            f"{when_not_matched!r}"
+        )
+    if when_not_matched_by_source not in ("delete", None):
+        raise ValueError(
+            "when_not_matched_by_source must be 'delete' or None, got "
+            f"{when_not_matched_by_source!r}"
+        )
+    if when_matched is None and when_not_matched is None and (
+        when_not_matched_by_source is None
+    ):
+        raise ValueError("merge_sink: no clause given, nothing to do")
+    if matched_where is not None and when_matched is None:
+        raise ValueError("matched_where requires a when_matched clause")
+    if (
+        not_matched_by_source_where is not None
+        and when_not_matched_by_source is None
+    ):
+        raise ValueError(
+            "not_matched_by_source_where requires "
+            "when_not_matched_by_source"
+        )
+    if when_not_matched == "insert" and (
+        "collect_date" not in source.columns
+    ):
+        raise ValueError(
+            "insert source must carry the collect_date partition "
+            "column (or pass when_not_matched=None)"
+        )
+    bad_set = [
+        c for c in (set_map or {}) if c in on or c == "collect_date"
+    ]
+    if bad_set:
+        raise ValueError(
+            f"cannot SET key/partition columns: {bad_set}; keys are "
+            "equal by the join and collect_date moves are delete + "
+            "re-append"
+        )
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        raise ValueError(
+            f"{table_path} is not a manifest sink; MERGE requires the "
+            "manifest commit protocol"
+        )
+    if not force:
+        _require_maintenance_window(fs, HPath, table_path, "MERGE")
+    # materialize the source ONCE: discovery, per-batch rewrites and the
+    # insert anti-join must all see the same rows (Delta's
+    # materializeSource rationale)
+    src = source.localCheckpoint(eager=True)
+    live = [
+        m for m in _read_manifests(fs, HPath, table_path) if "dir" in m
+    ]
+    out = {
+        "live_batches": len(live),
+        "candidate_batches": 0,
+        "touched_batches": 0,
+        "probed_clean": 0,
+        "rewritten": [],
+        "dropped": [],
+        "swapped": {},
+        "rows_updated": 0,
+        "rows_deleted": 0,
+        "rows_inserted": 0,
+        "insert_manifest": None,
+    }
+    reader = spark.read.option("mergeSchema", "true")
+    target_schema = (
+        read_sink(spark, table_path, merge_schema=True).schema
+        if live
+        else None
+    )
+    target_names = (
+        {f.name for f in target_schema.fields} if target_schema else set()
+    )
+    if live:
+        bad_on = [c for c in on if c not in target_names]
+        if bad_on:
+            raise ValueError(f"ON columns not in sink schema: {bad_on}")
+        if set_map:
+            bad = [c for c in set_map if c not in target_names]
+            if bad:
+                raise ValueError(f"SET columns not in sink schema: {bad}")
+    s_names = {f"s_{c}" for c in src.columns if c not in on}
+    clash = sorted(s_names & target_names)
+    if clash and (when_matched is not None or matched_where is not None):
+        raise ValueError(
+            f"target columns {clash} collide with the s_<col> source "
+            "namespace the matched clauses use; rename one side"
+        )
+
+    # --- candidate discovery -------------------------------------------
+    cands = _prune_batches(live, dates=dates)
+    eq_probe: "dict[str, object] | None" = None
+    if cands and probe_keys_limit > 0:
+        probes: "dict[str, object]" = {}
+        for c in on:
+            vals = [
+                r[0]
+                for r in src.select(c)
+                .where(F.col(c).isNotNull())
+                .distinct()
+                .limit(probe_keys_limit + 1)
+                .collect()
+            ]
+            if len(vals) > probe_keys_limit:
+                probes = {}
+                break
+            probes[c] = vals
+        if probes:
+            eq_probe = probes
+    if eq_probe is not None:
+        cands = _prune_batches(
+            cands,
+            eq=eq_probe,
+            jfs=_JvmFsReader(fs, HPath),
+            table_path=table_path,
+        )
+    out["candidate_batches"] = len(cands)
+    by_name = {m["name"]: m for m in live}
+    matched_keys = None
+    touched_names: "list[str]" = []
+    if cands:
+        key_frames = []
+        for m in cands:
+            f = reader.parquet(f"{table_path}/{m['dir']}")
+            if all(c in f.columns for c in on):
+                # key columns only -- the scan stays column-pruned
+                key_frames.append(
+                    f.select(*on).withColumn("__mname", F.lit(m["name"]))
+                )
+            # a batch predating the key column holds only NULL keys:
+            # nothing can match, leave it out of the scan entirely
+        if key_frames:
+            scan = reduce(lambda a, b: a.unionByName(b), key_frames)
+            hits = scan.join(src.select(*on).distinct(), on, "inner")
+            matched_keys = (
+                hits.select(*on).distinct().localCheckpoint(eager=True)
+            )
+            touched_names = [
+                r[0]
+                for r in hits.select("__mname").distinct().collect()
+            ]
+    if matched_keys is not None and (
+        when_matched is not None or matched_where is not None
+    ):
+        # SQL MERGE cardinality rule: a target row matched by multiple
+        # source rows would make the rewrite non-deterministic
+        dup = (
+            src.join(matched_keys, on, "inner")
+            .groupBy(*on)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {c: dup[0][c] for c in on}
+            raise ValueError(
+                f"source has {dup[0]['count']} rows for target-matched "
+                f"key {key}; MERGE requires at most one source row per "
+                "matched target row (pre-aggregate the source)"
+            )
+    out["probed_clean"] = len(cands) - len(touched_names)
+    if when_matched is None and matched_where is None:
+        touched_names = []  # insert-only: matched rows stay untouched
+    rewrite = set(touched_names)
+    if when_not_matched_by_source is not None:
+        # unmatched-by-source rows live anywhere: full-table pass
+        rewrite = {m["name"] for m in _prune_batches(live, dates=dates)}
+
+    # --- per-batch rewrite ----------------------------------------------
+    if when_matched == "update":
+        # SQL MERGE UPDATE SET <every shared column>: shared, non-key,
+        # non-partition source columns the SINK schema knows -- a
+        # pre-widening batch gets the column physically ADDED by its
+        # rewrite (managed evolution, same as update_sink_where)
+        set_map = {
+            c: f"s_{c}"
+            for c in src.columns
+            if c not in on
+            and c != "collect_date"
+            and (not live or c in target_names)
+        }
+        if not set_map:
+            raise ValueError(
+                "when_matched='update' found no shared non-key source "
+                "columns to SET; pass an explicit {col: expr} dict"
+            )
+    s_hit = "__s_hit"
+    if s_hit in target_names or s_hit in src.columns:
+        raise ValueError(f"column name {s_hit} is reserved by merge_sink")
+    s_sel = [F.col(c) for c in on] + [
+        F.col(c).alias(f"s_{c}") for c in src.columns if c not in on
+    ]
+    s_join = src.select(*s_sel).withColumn(s_hit, F.lit(1))
+    for name in sorted(rewrite):
+        m = by_name[name]
+        t_df = reader.parquet(f"{table_path}/{m['dir']}")
+        phys = list(t_df.columns)
+        pad_cols = [c for c in on if c not in phys]
+        if set_map:
+            pad_cols += [
+                c
+                for c in set_map
+                if c not in phys and c not in pad_cols
+            ]
+        eval_df = t_df
+        if pad_cols and target_schema is not None:
+            by_field = {f.name: f for f in target_schema.fields}
+            eval_df = t_df.select(
+                "*",
+                *[
+                    F.lit(None).cast(by_field[c].dataType).alias(c)
+                    for c in pad_cols
+                ],
+            )
+        joined = eval_df.join(s_join, on, "left")
+        matched = F.col(s_hit).isNotNull()
+        if matched_where is not None:
+            matched = matched & F.coalesce(
+                F.expr(matched_where), F.lit(False)
+            )
+        unmatched = F.col(s_hit).isNull()
+        if not_matched_by_source_where is not None:
+            unmatched = unmatched & F.coalesce(
+                F.expr(not_matched_by_source_where), F.lit(False)
+            )
+        del_cond = F.lit(False)
+        if when_matched == "delete":
+            del_cond = del_cond | matched
+        if when_not_matched_by_source == "delete":
+            del_cond = del_cond | unmatched
+        kept = joined.filter(~del_cond)
+        cur_set = set_map
+        out_cols = phys + [
+            c for c in (cur_set or {}) if c not in phys
+        ]
+        deleting = (
+            when_matched == "delete"
+            or when_not_matched_by_source == "delete"
+        )
+        total = int(m["rows"]) if "rows" in m else t_df.count()
+        upd_obs = None
+        if cur_set:
+            by_field = (
+                {f.name: f for f in target_schema.fields}
+                if target_schema is not None
+                else {}
+            )
+            new_df = kept.select(
+                *[
+                    (
+                        F.when(matched, F.expr(cur_set[c]))
+                        .otherwise(
+                            F.col(c)
+                            if c in eval_df.columns
+                            else F.lit(None).cast(
+                                by_field[c].dataType
+                            )
+                        )
+                        .alias(c)
+                        if c in cur_set
+                        else F.col(c)
+                    )
+                    for c in out_cols
+                ],
+                matched.cast("long").alias("__dml_hit"),
+            )
+            from pyspark.sql import Observation
+
+            upd_obs = Observation()
+            new_df = new_df.observe(
+                upd_obs, F.sum("__dml_hit").alias("n_hit")
+            ).drop("__dml_hit")
+        else:
+            new_df = kept.select(*phys)
+        attempt = f"_data/u-{uuid.uuid4().hex[:8]}"
+        (
+            new_df.repartition("collect_date")
+            .write.mode("overwrite")
+            .partitionBy("collect_date")
+            .parquet(f"{table_path}/{attempt}")
+        )
+        files = sorted(
+            f"{attempt}/{p.getPath().getParent().getName()}/"
+            f"{p.getPath().getName()}"
+            for p in fs.globStatus(
+                HPath(f"{table_path}/{attempt}/collect_date=*/*")
+            )
+            if not p.getPath().getName().startswith(("_", "."))
+        )
+        rows_new = (
+            int(spark.read.parquet(f"{table_path}/{attempt}").count())
+            if files
+            else 0
+        )
+        payload = dict(m)
+        payload.pop("ts", None)
+        victim = payload.pop("name")
+        if deleting and rows_new == 0:
+            # whole batch gone: drop tombstone, reclaim the empty attempt
+            fs.delete(HPath(f"{table_path}/{attempt}"), True)
+            tomb = f"d-{uuid.uuid4().hex[:12]}.json"
+            _publish_manifest(
+                fs, HPath, f"{table_path}/_manifests", tomb,
+                json.dumps(
+                    {"kind": "drop", "supersedes": [victim]},
+                    sort_keys=True,
+                ).encode("utf-8"),
+            )
+            out["dropped"].append(victim)
+            out["rows_deleted"] += total
+            out["touched_batches"] += 1
+            continue
+        if not deleting and upd_obs is not None and rows_new == total:
+            n_hit = int(upd_obs.get.get("n_hit") or 0)
+            if n_hit == 0:
+                # update-only pass that matched nothing after all (a
+                # matched_where miss): leave the batch untouched
+                fs.delete(HPath(f"{table_path}/{attempt}"), True)
+                out["probed_clean"] += 1
+                continue
+        payload.update(
+            {
+                "dir": attempt,
+                "files": files,
+                "dates": sorted(
+                    {
+                        f.split("collect_date=")[1].split("/")[0]
+                        for f in files
+                    }
+                ),
+                "rows": rows_new,
+            }
+        )
+        stats = payload.get("stats")
+        if stats is not None and cur_set:
+            for c in cur_set:
+                stats.pop(c, None)
+            if not stats:
+                payload.pop("stats", None)
+        if rows_new and fs.exists(
+            HPath(f"{table_path}/{m['dir']}/_bloom.json")
+        ):
+            _write_batch_bloom(
+                spark, fs, HPath, table_path, attempt, files,
+                new_df, rows_new,
+            )
+        payload["name"] = victim
+        new_name = _swap_batch_manifest(fs, HPath, table_path, m, payload)
+        out["rewritten"].append(new_name)
+        out["swapped"][victim] = new_name
+        out["touched_batches"] += 1
+        out["rows_deleted"] += total - rows_new
+        if upd_obs is not None:
+            out["rows_updated"] += int(upd_obs.get.get("n_hit") or 0)
+
+    # --- insert (last, so a crash mid-rewrite never half-inserts) -------
+    if when_not_matched == "insert":
+        ins = (
+            src.join(matched_keys, on, "left_anti")
+            if matched_keys is not None
+            else src
+        )
+        if target_schema is not None:
+            extra = sorted(set(ins.columns) - target_names)
+            if extra:
+                raise ValueError(
+                    f"source columns not in sink schema: {extra}; MERGE "
+                    "does not widen the sink -- append a widening batch "
+                    "first (StoreConf.schema_evolution)"
+                )
+            ins = ins.select(
+                *[
+                    F.col(f.name)
+                    if f.name in ins.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target_schema.fields
+                ]
+            )
+        n_ins = ins.count()
+        if n_ins:
+            mid = merge_id or uuid.uuid4().hex
+            import hashlib
+
+            h = hashlib.md5(mid.encode("utf-8")).hexdigest()
+            epoch = "mrg" + h[:10]
+            batch_id = int(h[10:22], 16)
+            append_batch_manifest(
+                ins, store or StoreConf(), table_path, batch_id,
+                epoch=epoch,
+            )
+            out["rows_inserted"] = int(n_ins)
+            out["insert_manifest"] = f"{_batch_key(batch_id, epoch)}.json"
+    return out
+
+
 def restore_sink(
     spark: SparkSession,
     table_path: str,

@@ -1,0 +1,456 @@
+"""MERGE INTO on manifest sinks (``sinks.merge_sink``) -- the third leg
+of the DML triad: the SOURCE-driven upsert (Delta ``MERGE INTO target
+USING source ON keys``), reduced to the manifest protocol.  The
+reference's upsert story is ReplacingMergeTree's lazy collapse
+(``data_dbstore.go:109-133``), already mirrored by
+``read_sink(collapse_keys=...)``; MERGE is the EAGER twin -- state
+converges at write time, readers need no FINAL pass.
+
+Covered here: update/insert/delete clause semantics vs a hand-computed
+expected state, exact candidate pruning (stats + blooms, false
+positives never rewrite), the SQL MERGE cardinality rule, idempotent
+re-run under a pinned ``merge_id``, full-sync
+``when_not_matched_by_source``, schema alignment + widened-column SET,
+writer fencing, and CDF/tail ride-through of the swaps.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark.config import StoreConf
+from mqtt_message_pump_spark.sinks import (
+    WriterFenced,
+    append_batch_manifest,
+    merge_sink,
+    read_sink,
+    read_sink_since,
+)
+
+
+def _frame(spark, rows):
+    """rows: (mid, topic, payload, 'YYYY-MM-DD[ HH:MM:SS]')"""
+    return (
+        spark.createDataFrame(
+            rows, ["mid", "topic", "payload", "d"]
+        ).select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+        )
+    )
+
+
+def _store():
+    return StoreConf(commit_protocol="manifest")
+
+
+def _manifests(table_path):
+    out = {}
+    mdir = os.path.join(table_path, "_manifests")
+    for n in os.listdir(mdir):
+        if n.endswith(".json"):
+            with open(os.path.join(mdir, n)) as fh:
+                out[n] = json.load(fh)
+    return out
+
+
+def _mk_sink(spark, tmp_path, n_batches=3, per=20):
+    """Disjoint mid ranges per batch (m<b*100>..) so pruning is exact."""
+    tp = str(tmp_path / "sink")
+    for b in range(n_batches):
+        rows = [
+            (
+                f"m{b * 100 + i:04d}",
+                f"t/{b}",
+                f"p{b * 100 + i}",
+                f"2024-01-0{1 + i % 2} 00:00:{i % 60:02d}",
+            )
+            for i in range(per)
+        ]
+        append_batch_manifest(_frame(spark, rows), _store(), tp, b)
+    return tp
+
+
+def _rows(spark, tp, **kw):
+    return {
+        (r["mid"], r["topic"], r["payload"])
+        for r in read_sink(spark, tp, **kw).collect()
+    }
+
+
+class TestMergeUpdateInsert:
+    def test_update_and_insert(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        before = _manifests(tp)
+        src = _frame(
+            spark,
+            [
+                # source carries a DIFFERENT collect_date for m0105 --
+                # the partition column must stay immutable under MERGE
+                ("m0105", "t/new", "UPDATED-105", "2024-01-09 00:00:05"),
+                ("m0112", "t/new", "UPDATED-112", "2024-01-01 00:00:12"),
+                ("m9999", "t/new", "INSERTED", "2024-01-03 00:00:00"),
+            ],
+        )
+        res = merge_sink(spark, tp, src, on=["mid"], merge_id="merge-a")
+        assert res["live_batches"] == 3
+        # disjoint mid stats prune batches 0 and 2 up front
+        assert res["candidate_batches"] == 1
+        assert res["touched_batches"] == 1
+        assert res["rows_updated"] == 2
+        assert res["rows_inserted"] == 1
+        assert res["rows_deleted"] == 0
+        got = _rows(spark, tp)
+        assert ("m0105", "t/new", "UPDATED-105") in got
+        assert ("m0112", "t/new", "UPDATED-112") in got
+        assert ("m9999", "t/new", "INSERTED") in got
+        assert not any(m == "m0105" and p == "p105" for m, _, p in got)
+        assert read_sink(spark, tp).count() == 61
+        after = _manifests(tp)
+        # untouched batches byte-identical; victim atomically swapped
+        for n, m in before.items():
+            if n not in res["swapped"]:
+                assert after[n] == m
+        (victim,) = res["swapped"]
+        assert victim == "b1.json"
+        new_name = res["swapped"][victim]
+        assert victim in after[new_name]["supersedes"]
+        # updated columns' stale min/max stats dropped, mid's kept
+        assert "mid" in after[new_name].get("stats", {})
+        assert "topic" not in after[new_name].get("stats", {})
+        # insert appended under the merge_id-derived key
+        assert res["insert_manifest"] in after
+        assert after[res["insert_manifest"]]["rows"] == 1
+        # collect_date is NEVER updated in place (partition immutable):
+        # the source row says 01-09, the target row keeps its 01-02
+        d = (
+            read_sink(spark, tp)
+            .filter("mid = 'm0105'")
+            .select("collect_date")
+            .collect()[0][0]
+        )
+        assert str(d) == "2024-01-02"
+
+    def test_update_expected_state_full(self, spark, tmp_path):
+        """Whole-table expected-state check against a hand-built model."""
+        tp = _mk_sink(spark, tmp_path, n_batches=2, per=10)
+        model = {
+            f"m{b * 100 + i:04d}": (f"t/{b}", f"p{b * 100 + i}")
+            for b in range(2)
+            for i in range(10)
+        }
+        src_rows = [
+            ("m0003", "T", "U3", "2024-01-01"),
+            ("m0107", "T", "U7", "2024-01-01"),
+            ("mZZ01", "T", "I1", "2024-01-05"),
+            ("mZZ02", "T", "I2", "2024-01-05"),
+        ]
+        merge_sink(spark, tp, _frame(spark, src_rows), on=["mid"])
+        for mid, t, p, _ in src_rows:
+            model[mid] = (t, p)
+        got = {
+            r["mid"]: (r["topic"], r["payload"])
+            for r in read_sink(spark, tp).collect()
+        }
+        assert got == model
+
+    def test_bloom_false_positive_never_rewrites(self, spark, tmp_path):
+        """In-range absent keys reach candidates via stats but the exact
+        discovery join filters them: probed_clean, no rewrite."""
+        tp = _mk_sink(spark, tmp_path)
+        # in batch-1's mid interval but absent (odd suffix not written)
+        src = _frame(spark, [("m0150x", "t", "nope", "2024-01-01")])
+        res = merge_sink(
+            spark, tp, src, on=["mid"], when_not_matched=None
+        )
+        assert res["touched_batches"] == 0
+        assert res["rewritten"] == [] and res["dropped"] == []
+        assert res["probed_clean"] == res["candidate_batches"]
+        assert read_sink(spark, tp).count() == 60
+
+    def test_set_exprs_see_target_and_source(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=5)
+        src = _frame(spark, [("m0002", "SRC", "x", "2024-01-01")])
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_matched={
+                "payload": "concat(payload, '+', s_payload)",
+                "topic": "s_topic",
+            },
+            when_not_matched=None,
+        )
+        assert res["rows_updated"] == 1
+        row = (
+            read_sink(spark, tp).filter("mid = 'm0002'").collect()[0]
+        )
+        assert row["payload"] == "p2+x"
+        assert row["topic"] == "SRC"
+
+    def test_matched_where_gates_update_not_insert(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=5)
+        src = _frame(
+            spark,
+            [
+                ("m0001", "t", "U1", "2024-01-01"),
+                ("m0002", "t", "U2", "2024-01-01"),
+            ],
+        )
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            matched_where="payload = 'p1'",
+        )
+        # only m0001 passes the gate; m0002 stays unchanged but is
+        # MATCHED, so it must not insert (ON alone decides NOT MATCHED)
+        assert res["rows_updated"] == 1
+        assert res["rows_inserted"] == 0
+        got = _rows(spark, tp)
+        assert ("m0001", "t", "U1") in got
+        assert ("m0002", "t/0", "p2") in got
+        assert read_sink(spark, tp).count() == 5
+
+
+class TestMergeDelete:
+    def test_delete_matched_and_whole_batch_tombstone(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        before = _manifests(tp)
+        # all 20 mids of batch 2 + one mid of batch 0
+        rows = [
+            (f"m{200 + i:04d}", "t", "x", "2024-01-01") for i in range(20)
+        ] + [("m0007", "t", "x", "2024-01-01")]
+        res = merge_sink(
+            spark, tp, _frame(spark, rows), on=["mid"],
+            when_matched="delete", when_not_matched=None,
+        )
+        assert res["rows_deleted"] == 21
+        # batch 2 fully matched -> zero-IO drop tombstone, not a rewrite
+        assert res["dropped"] == ["b2.json"]
+        assert len(res["rewritten"]) == 1
+        after = _manifests(tp)
+        assert after[res["rewritten"][0]]["rows"] == 19
+        assert "b2.json" in before  # victim existed before the merge
+        assert read_sink(spark, tp).count() == 39
+        assert read_sink(spark, tp).filter("mid = 'm0007'").count() == 0
+
+    def test_not_matched_by_source_full_sync(self, spark, tmp_path):
+        """Target converges to exactly the source's key set."""
+        tp = _mk_sink(spark, tmp_path, n_batches=2, per=4)
+        src = _frame(
+            spark,
+            [
+                ("m0001", "S", "s1", "2024-01-01"),
+                ("m0102", "S", "s2", "2024-01-01"),
+                ("mNEW1", "S", "s3", "2024-01-04"),
+            ],
+        )
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_not_matched_by_source="delete",
+        )
+        assert res["rows_inserted"] == 1
+        assert res["rows_updated"] == 2
+        assert res["rows_deleted"] == 6
+        got = {r["mid"] for r in read_sink(spark, tp).collect()}
+        assert got == {"m0001", "m0102", "mNEW1"}
+
+    def test_not_matched_by_source_where(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=6)
+        src = _frame(spark, [("m0000", "t", "u", "2024-01-01")])
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_matched=None, when_not_matched=None,
+            when_not_matched_by_source="delete",
+            not_matched_by_source_where="payload = 'p3'",
+        )
+        assert res["rows_deleted"] == 1
+        got = {r["mid"] for r in read_sink(spark, tp).collect()}
+        assert got == {"m0000", "m0001", "m0002", "m0004", "m0005"}
+
+
+class TestMergeCardinalityAndValidation:
+    def test_duplicate_matched_source_key_raises(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=5)
+        src = _frame(
+            spark,
+            [
+                ("m0001", "t", "a", "2024-01-01"),
+                ("m0001", "t", "b", "2024-01-01"),
+            ],
+        )
+        with pytest.raises(ValueError, match="at most one source row"):
+            merge_sink(spark, tp, src, on=["mid"])
+
+    def test_duplicate_unmatched_keys_insert_both(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=5)
+        src = _frame(
+            spark,
+            [
+                ("mNEW", "t", "a", "2024-01-01"),
+                ("mNEW", "t", "b", "2024-01-01"),
+            ],
+        )
+        res = merge_sink(spark, tp, src, on=["mid"])
+        assert res["rows_inserted"] == 2
+        assert read_sink(spark, tp).filter("mid = 'mNEW'").count() == 2
+
+    def test_validation_errors(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=3)
+        src = _frame(spark, [("m0001", "t", "x", "2024-01-01")])
+        with pytest.raises(ValueError, match="no clause"):
+            merge_sink(
+                spark, tp, src, on=["mid"],
+                when_matched=None, when_not_matched=None,
+            )
+        with pytest.raises(ValueError, match="key/partition"):
+            merge_sink(
+                spark, tp, src, on=["mid"],
+                when_matched={"collect_date": "s_collect_date"},
+            )
+        with pytest.raises(ValueError, match="ON columns not in source"):
+            merge_sink(spark, tp, src.drop("mid"), on=["mid"])
+        with pytest.raises(ValueError, match="matched_where requires"):
+            merge_sink(
+                spark, tp, src, on=["mid"], when_matched=None,
+                matched_where="1=1",
+            )
+        with pytest.raises(ValueError, match="not in sink schema"):
+            merge_sink(
+                spark, tp,
+                src.withColumn("brand_new", F.lit(1)),
+                on=["mid"],
+            )
+
+    def test_insert_only_leaves_matched_untouched(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=2, per=5)
+        before = _manifests(tp)
+        src = _frame(
+            spark,
+            [
+                ("m0002", "t", "SHOULD-NOT-APPLY", "2024-01-01"),
+                ("mNEW", "t", "INS", "2024-01-04"),
+            ],
+        )
+        res = merge_sink(
+            spark, tp, src, on=["mid"], when_matched=None,
+        )
+        assert res["rows_updated"] == 0 and res["rows_inserted"] == 1
+        after = _manifests(tp)
+        for n, m in before.items():
+            assert after[n] == m  # every pre-existing manifest untouched
+        got = _rows(spark, tp)
+        assert ("m0002", "t/0", "p2") in got
+        assert ("mNEW", "t", "INS") in got
+
+
+class TestMergeIdempotence:
+    def test_rerun_same_merge_id_converges(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path)
+        src = _frame(
+            spark,
+            [
+                ("m0105", "t/x", "U", "2024-01-01"),
+                ("mNEW", "t/x", "I", "2024-01-04"),
+            ],
+        )
+        r1 = merge_sink(spark, tp, src, on=["mid"], merge_id="job-7")
+        state1 = _rows(spark, tp)
+        n1 = read_sink(spark, tp).count()
+        r2 = merge_sink(spark, tp, src, on=["mid"], merge_id="job-7")
+        # second run: the insert key is now matched -> updated to the
+        # same values, nothing inserted, no duplicate rows
+        assert r2["rows_inserted"] == 0
+        assert read_sink(spark, tp).count() == n1
+        assert _rows(spark, tp) == state1
+        assert r1["insert_manifest"] in _manifests(tp)
+
+
+class TestMergeSchema:
+    def test_insert_aligns_missing_columns_as_null(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=3)
+        src = (
+            spark.createDataFrame([("mNEW", "2024-01-05")], ["mid", "d"])
+            .select(
+                "mid", F.to_date("d").alias("collect_date")
+            )
+        )
+        res = merge_sink(
+            spark, tp, src, on=["mid"], when_matched=None,
+        )
+        assert res["rows_inserted"] == 1
+        row = (
+            read_sink(spark, tp, merge_schema=True)
+            .filter("mid = 'mNEW'")
+            .collect()[0]
+        )
+        assert row["payload"] is None and row["topic"] is None
+
+    def test_update_adds_widened_column_to_old_batch(self, spark, tmp_path):
+        """A column appended later (managed evolution) can be SET on a
+        pre-widening batch: the rewrite physically adds it."""
+        tp = str(tmp_path / "sink")
+        append_batch_manifest(
+            _frame(spark, [("m1", "t", "p", "2024-01-01")]),
+            _store(), tp, 0,
+        )
+        widened = _frame(
+            spark, [("m2", "t", "p", "2024-01-02")]
+        ).withColumn("score", F.lit(0.5))
+        append_batch_manifest(widened, _store(), tp, 1)
+        src = _frame(
+            spark, [("m1", "t", "p", "2024-01-01")]
+        ).withColumn("score", F.lit(0.9))
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_matched={"score": "s_score"}, when_not_matched=None,
+        )
+        assert res["rows_updated"] == 1
+        got = {
+            r["mid"]: r["score"]
+            for r in read_sink(spark, tp, merge_schema=True).collect()
+        }
+        assert got == {"m1": 0.9, "m2": 0.5}
+
+    def test_insert_requires_collect_date(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=3)
+        src = spark.createDataFrame([("mNEW",)], ["mid"])
+        with pytest.raises(ValueError, match="collect_date"):
+            merge_sink(spark, tp, src, on=["mid"], when_matched=None)
+
+
+class TestMergeConcurrency:
+    def test_writer_fence(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=3)
+        lease = dict(
+            owner="other-writer", token="tok-1", lease_secs=120.0
+        )
+        from mqtt_message_pump_spark import sinks as S
+
+        fs, HPath = S._hadoop_fs(spark, tp)
+        S._publish_writer_lease(fs, HPath, tp, lease)
+        src = _frame(spark, [("m0001", "t", "x", "2024-01-01")])
+        with pytest.raises(WriterFenced):
+            merge_sink(spark, tp, src, on=["mid"])
+        res = merge_sink(spark, tp, src, on=["mid"], force=True)
+        assert res["rows_updated"] == 1
+
+    def test_cdf_tail_rides_through_merge_swaps(self, spark, tmp_path):
+        """Caught-up cursor: MERGE's swaps are same-key replacements the
+        tail marks without re-delivery; only the insert batch flows."""
+        tp = _mk_sink(spark, tmp_path)
+        df, cur = read_sink_since(spark, tp, None)
+        assert df.count() == 60
+        src = _frame(
+            spark,
+            [
+                ("m0105", "t/x", "U", "2024-01-01"),
+                ("mNEW", "t/x", "I", "2024-01-04"),
+            ],
+        )
+        merge_sink(spark, tp, src, on=["mid"], merge_id="cdc-1")
+        df2, cur2 = read_sink_since(spark, tp, cur)
+        rows2 = df2.collect()
+        assert {r["mid"] for r in rows2} == {"mNEW"}
+        df3, _ = read_sink_since(spark, tp, cur2)
+        assert df3 is None or df3.count() == 0
