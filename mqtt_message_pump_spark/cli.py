@@ -536,10 +536,72 @@ def cmd_run(cfg: PumpConfig, source_dir: str | None, duration: float) -> int:
     return 0
 
 
+def cmd_merge(
+    cfg: PumpConfig,
+    table: str,
+    source_path: str,
+    on: "list[str]",
+    matched: str,
+    not_matched: str,
+    by_source: str,
+    merge_id: "str | None",
+    force: bool,
+) -> int:
+    """``pump merge``: apply a change set to ONE sink by key
+    (:func:`sinks.merge_sink` -- MERGE INTO as a maintenance-window
+    one-liner, the eager twin of ``--collapse-keys``'s lazy upsert).
+    The source is a parquet directory or another manifest sink; the
+    target is a pump sink name under the config's store path or an
+    explicit path."""
+    from mqtt_message_pump_spark.sinks import (
+        _hadoop_fs,
+        merge_sink,
+        read_sink,
+    )
+
+    spark = get_spark(app_name="pump-merge")
+    path = (
+        f"{cfg.store.path}/{table}"
+        if table in ("raw_message", "json_message")
+        else table
+    )
+    fs, HPath = _hadoop_fs(spark, source_path)
+    if fs.exists(HPath(f"{source_path}/_manifests")):
+        src = read_sink(spark, source_path, merge_schema=True)
+    else:
+        src = spark.read.option("mergeSchema", "true").parquet(source_path)
+    try:
+        res = merge_sink(
+            spark, path, src, on,
+            when_matched=None if matched == "none" else matched,
+            when_not_matched=(
+                None if not_matched == "none" else not_matched
+            ),
+            when_not_matched_by_source=(
+                None if by_source == "none" else by_source
+            ),
+            store=cfg.store,
+            merge_id=merge_id,
+            force=force,
+        )
+    except Exception as e:  # noqa: BLE001 - operator-facing report
+        print(f"merge failed: {e}", file=sys.stderr)
+        return 1
+    print(
+        f"{path}: merged on {','.join(on)} -- "
+        f"updated={res['rows_updated']} deleted={res['rows_deleted']} "
+        f"inserted={res['rows_inserted']} "
+        f"({res['touched_batches']} rewritten/"
+        f"{res['candidate_batches']} candidates/"
+        f"{res['live_batches']} live)"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pump", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
-    for name in ("show", "check", "run", "maintain", "tail"):
+    for name in ("show", "check", "run", "maintain", "tail", "merge"):
         p = sub.add_parser(name)
         p.add_argument("config")
         if name == "run":
@@ -642,6 +704,52 @@ def main(argv: list[str] | None = None) -> int:
                 "it: a version-less physical merge would keep the "
                 "content-max row, not the last write)",
             )
+        if name == "merge":
+            p.add_argument(
+                "--table", default="raw_message",
+                help="merge target: raw_message / json_message (under "
+                "the config's store path) or an explicit sink path",
+            )
+            p.add_argument(
+                "--from", dest="merge_source", required=True,
+                metavar="PATH",
+                help="change-set source: a parquet directory or another "
+                "manifest sink (read through read_sink)",
+            )
+            p.add_argument(
+                "--on", required=True, metavar="COL[,COL...]",
+                help="merge key columns (MERGE ... ON)",
+            )
+            p.add_argument(
+                "--matched", default="update",
+                choices=("update", "delete", "none"),
+                help="WHEN MATCHED action (default: update every "
+                "shared non-key column from the source row)",
+            )
+            p.add_argument(
+                "--not-matched", default="insert",
+                choices=("insert", "none"),
+                help="WHEN NOT MATCHED action (default: insert as one "
+                "appended batch)",
+            )
+            p.add_argument(
+                "--by-source", default="none",
+                choices=("none", "delete"),
+                help="WHEN NOT MATCHED BY SOURCE action: 'delete' "
+                "converges the target to the source's key set "
+                "(full-table pass)",
+            )
+            p.add_argument(
+                "--merge-id", default=None,
+                help="stable id for this logical merge -- a re-run "
+                "under the same id republishes instead of duplicating "
+                "the insert batch (resume after a mid-pass crash)",
+            )
+            p.add_argument(
+                "--force", action="store_true",
+                help="override the maintenance-window fence when the "
+                "writer is quiesced but its lease has not expired",
+            )
         if name == "tail":
             p.add_argument(
                 "--from", dest="source_table", default="raw_message",
@@ -671,6 +779,13 @@ def main(argv: list[str] | None = None) -> int:
             )
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
+    if args.command == "merge":
+        return cmd_merge(
+            cfg, args.table, args.merge_source,
+            [c.strip() for c in args.on.split(",") if c.strip()],
+            args.matched, args.not_matched, args.by_source,
+            args.merge_id, args.force,
+        )
     if args.command == "tail":
         return cmd_tail(
             cfg, args.source_table, args.to_path, args.checkpoint,

@@ -384,3 +384,60 @@ def test_tail_once_drains_into_downstream_sink(spark, tmp_path, capsys):
     assert got.count() == 16
     assert got.select("mid").distinct().count() == 16
     assert "16 rows" in capsys.readouterr().out
+
+
+def test_merge_subcommand(spark, tmp_path, capsys):
+    """``pump merge --from <parquet> --on mid``: MERGE INTO one sink as
+    a maintenance one-liner (sinks.merge_sink) -- updates matched rows,
+    appends unmatched ones, and a re-run under the same --merge-id
+    converges instead of duplicating."""
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import read_sink, write_append
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out"
+    store = StoreConf(commit_protocol="manifest")
+    for b in range(2):
+        df = spark.createDataFrame(
+            [
+                (f"m{b}a", "t", f"p{b}a", "2024-01-02 00:00:00"),
+                (f"m{b}b", "t", f"p{b}b", "2024-01-02 00:00:01"),
+            ],
+            ["mid", "topic", "payload", "d"],
+        ).select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+        )
+        write_append(df, store, str(out / "raw_message"), batch_id=b)
+
+    src_dir = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [
+            ("m1a", "t", "UPDATED", "2024-01-02 00:00:09"),
+            ("mNEW", "t", "INSERTED", "2024-01-03 00:00:00"),
+        ],
+        ["mid", "topic", "payload", "d"],
+    ).select(
+        "mid", "topic", "payload",
+        F.to_timestamp("d").alias("collect_datetime"),
+        F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+    ).write.parquet(src_dir)
+
+    ini = tmp_path / "pump.ini"
+    ini.write_text(f"[store]\npath = {out}\n")
+    args = [
+        "merge", str(ini), "--from", src_dir, "--on", "mid",
+        "--merge-id", "cli-merge-1",
+    ]
+    assert main(args) == 0
+    msg = capsys.readouterr().out
+    assert "updated=1" in msg and "inserted=1" in msg
+    got = read_sink(spark, str(out / "raw_message"))
+    assert got.count() == 5
+    assert got.filter("payload = 'UPDATED'").count() == 1
+    assert got.filter("mid = 'mNEW'").count() == 1
+    # idempotent re-run: same logical merge, no duplicates
+    assert main(args) == 0
+    assert "inserted=0" in capsys.readouterr().out
+    assert read_sink(spark, str(out / "raw_message")).count() == 5
