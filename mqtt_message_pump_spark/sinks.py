@@ -3432,6 +3432,26 @@ def merge_sink(
             bad = [c for c in set_map if c not in target_names]
             if bad:
                 raise ValueError(f"SET columns not in sink schema: {bad}")
+        # a string-vs-non-string ON key would let the engine coerce the
+        # JOIN while the stringified bloom/stat probes silently disagree
+        # with it -- matched rows would look unmatched and re-insert.
+        # Numeric-width differences stringify identically; only the
+        # cross-family case is unsafe, so only it is rejected.
+        from pyspark.sql import types as T
+
+        t_by_name = {f.name: f.dataType for f in target_schema.fields}
+        s_by_name = {f.name: f.dataType for f in src.schema.fields}
+        for c in on:
+            ts, ss = t_by_name[c], s_by_name[c]
+            if isinstance(ts, T.StringType) != isinstance(
+                ss, T.StringType
+            ):
+                raise ValueError(
+                    f"ON column {c!r} is {ss.simpleString()} in the "
+                    f"source but {ts.simpleString()} in the sink; cast "
+                    "the source key to the sink's type (a coerced join "
+                    "would disagree with the manifest stat/bloom probes)"
+                )
     s_names = {f"s_{c}" for c in src.columns if c not in on}
     clash = sorted(s_names & target_names)
     if clash and (when_matched is not None or matched_where is not None):
@@ -3664,14 +3684,20 @@ def merge_sink(
             out["rows_deleted"] += total
             out["touched_batches"] += 1
             continue
-        if not deleting and upd_obs is not None and rows_new == total:
-            n_hit = int(upd_obs.get.get("n_hit") or 0)
-            if n_hit == 0:
-                # update-only pass that matched nothing after all (a
-                # matched_where miss): leave the batch untouched
-                fs.delete(HPath(f"{table_path}/{attempt}"), True)
-                out["probed_clean"] += 1
-                continue
+        n_hit = (
+            int(upd_obs.get.get("n_hit") or 0)
+            if upd_obs is not None
+            else 0
+        )
+        if rows_new == total and n_hit == 0:
+            # nothing deleted (counts equal) and nothing updated (zero
+            # hits -- a matched_where miss, or a full-sync pass over a
+            # batch whose rows all matched): the rewrite is
+            # byte-equivalent, publishing a swap would only churn
+            # manifests -- leave the batch untouched
+            fs.delete(HPath(f"{table_path}/{attempt}"), True)
+            out["probed_clean"] += 1
+            continue
         payload.update(
             {
                 "dir": attempt,
@@ -3704,8 +3730,7 @@ def merge_sink(
         out["swapped"][victim] = new_name
         out["touched_batches"] += 1
         out["rows_deleted"] += total - rows_new
-        if upd_obs is not None:
-            out["rows_updated"] += int(upd_obs.get.get("n_hit") or 0)
+        out["rows_updated"] += n_hit
 
     # --- insert (last, so a crash mid-rewrite never half-inserts) -------
     if when_not_matched == "insert":

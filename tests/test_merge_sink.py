@@ -454,3 +454,49 @@ class TestMergeConcurrency:
         assert {r["mid"] for r in rows2} == {"mNEW"}
         df3, _ = read_sink_since(spark, tp, cur2)
         assert df3 is None or df3.count() == 0
+
+
+class TestMergeNoopSkips:
+    def test_full_sync_unchanged_batches_not_swapped(self, spark, tmp_path):
+        """A by-source pass over batches whose rows ALL matched (and no
+        matched clause applies) is byte-equivalent: no swap published."""
+        tp = _mk_sink(spark, tmp_path, n_batches=2, per=4)
+        before = _manifests(tp)
+        all_mids = [
+            (f"m{b * 100 + i:04d}", "t", "x", "2024-01-01")
+            for b in range(2)
+            for i in range(4)
+        ]
+        res = merge_sink(
+            spark, tp, _frame(spark, all_mids), on=["mid"],
+            when_matched=None, when_not_matched=None,
+            when_not_matched_by_source="delete",
+        )
+        assert res["rows_deleted"] == 0
+        assert res["rewritten"] == [] and res["dropped"] == []
+        assert _manifests(tp) == before
+
+    def test_matched_where_all_miss_no_swap(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=4)
+        before = _manifests(tp)
+        src = _frame(spark, [("m0001", "t", "u", "2024-01-01")])
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            matched_where="payload = 'never-matches'",
+            when_not_matched=None,
+        )
+        assert res["rows_updated"] == 0
+        assert res["rewritten"] == []
+        assert _manifests(tp) == before
+
+    def test_cross_family_key_type_rejected(self, spark, tmp_path):
+        """A string sink key probed with a numeric source key would let
+        the join coerce while the bloom probes disagree -- loud error."""
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=3)
+        src = (
+            spark.createDataFrame([(1,)], ["mid"])
+            .withColumn("payload", F.lit("x"))
+            .withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        )
+        with pytest.raises(ValueError, match="cast the source key"):
+            merge_sink(spark, tp, src, on=["mid"])
