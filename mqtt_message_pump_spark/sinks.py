@@ -2459,6 +2459,10 @@ def compact_sink(
                 "kind": "compact",
                 "dir": attempt,
                 "rows": total_rows,
+                # the consolidated frame's schema IS the victims' merged
+                # wide schema -- recorded so metadata-only schema
+                # resolution (_sink_merged_schema) survives compaction
+                "schema": json.loads(df.schema.json()),
                 "supersedes": supersedes,
                 # manifest-level pruning metadata survives compaction:
                 # the consolidated batch's date set is the union of its
@@ -3131,6 +3135,10 @@ def _dml_sink(
                     {f.split("collect_date=")[1].split("/")[0] for f in files}
                 ),
                 "rows": rows_new,
+                # the rewrite's ACTUAL schema (an UPDATE may have added
+                # a SET column): the inherited victim schema would go
+                # stale and break metadata-only schema resolution
+                "schema": json.loads(new_df.schema.json()),
             }
         )
         stats = payload.get("stats")
@@ -3226,6 +3234,33 @@ def update_sink_where(
     return _dml_sink(
         spark, table_path, where, eq, dates, ranges, set, force=force
     )
+
+
+def _sink_merged_schema(
+    spark: SparkSession, table_path: str, live: "list[dict]"
+):
+    """The sink-wide widened schema WITHOUT building a scan plan: every
+    batch manifest records its exact write schema (since the widening
+    lattice landed), so folding those through :func:`_widen_struct` is
+    pure metadata -- at 1k+ batches this is the difference between
+    milliseconds and analyzing a 1k-frame union just to read
+    ``.schema`` (the cost :func:`merge_sink` would otherwise pay per
+    statement).  Falls back to the plan-derived schema when any live
+    manifest predates the recorded-schema field (parquet footers stay
+    authoritative there).  Returns None for an empty sink."""
+    if not live:
+        return None
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    recorded = [m.get("schema") for m in live]
+    if all(s is not None for s in recorded):
+        return reduce(
+            _widen_struct,
+            [T.StructType.fromJson(s) for s in recorded],
+        )
+    return read_sink(spark, table_path, merge_schema=True).schema
 
 
 def merge_sink(
@@ -3389,10 +3424,24 @@ def merge_sink(
         )
     fs, HPath = _hadoop_fs(spark, table_path)
     if not fs.exists(HPath(f"{table_path}/_manifests")):
-        raise ValueError(
-            f"{table_path} is not a manifest sink; MERGE requires the "
-            "manifest commit protocol"
-        )
+        # a path holding DATA without manifests is some other layout
+        # (rename-protocol sink, plain parquet) -- refuse; an absent
+        # path, or one holding only underscore/dot artifacts (a writer
+        # lease published ahead of the first batch), is a fresh target
+        # the insert clause bootstraps (the CDC-apply first micro-batch)
+        if fs.exists(HPath(table_path)) and any(
+            not e.getPath().getName().startswith(("_", "."))
+            for e in fs.listStatus(HPath(table_path))
+        ):
+            raise ValueError(
+                f"{table_path} is not a manifest sink; MERGE requires "
+                "the manifest commit protocol"
+            )
+        if when_not_matched != "insert":
+            raise ValueError(
+                f"{table_path} has no committed batches and "
+                "when_not_matched is not 'insert'; nothing to merge into"
+            )
     if not force:
         _require_maintenance_window(fs, HPath, table_path, "MERGE")
     # materialize the source ONCE: discovery, per-batch rewrites and the
@@ -3416,11 +3465,7 @@ def merge_sink(
         "insert_manifest": None,
     }
     reader = spark.read.option("mergeSchema", "true")
-    target_schema = (
-        read_sink(spark, table_path, merge_schema=True).schema
-        if live
-        else None
-    )
+    target_schema = _sink_merged_schema(spark, table_path, live)
     target_names = (
         {f.name for f in target_schema.fields} if target_schema else set()
     )
@@ -3492,22 +3537,66 @@ def merge_sink(
     matched_keys = None
     touched_names: "list[str]" = []
     if cands:
+        from pyspark.sql import types as T
+
+        by_target = (
+            {f.name: f for f in target_schema.fields}
+            if target_schema is not None
+            else {}
+        )
+        key_struct = T.StructType(
+            [
+                T.StructField(c, by_target[c].dataType, True)
+                for c in on
+                if c in by_target
+            ]
+        )
+
+        def _keys_match_target(m: dict) -> bool:
+            # explicit-schema reads skip per-frame footer inference (a
+            # Spark JOB per candidate under mergeSchema -- the dominant
+            # discovery cost at 1k batches) but fail at TASK time on a
+            # physical type mismatch; the recorded write schema decides
+            # eligibility as pure metadata.  A key column the batch
+            # lacks NULL-fills (never matches) -- safe.
+            rs = m.get("schema")
+            if rs is None or len(key_struct) != len(on):
+                return False
+            rec = {f["name"]: f for f in rs.get("fields", [])}
+            for c in on:
+                f = rec.get(c)
+                if f is not None and (
+                    T.StructField.fromJson(f).dataType
+                    != by_target[c].dataType
+                ):
+                    return False
+            return True
+
         key_frames = []
         for m in cands:
-            f = reader.parquet(f"{table_path}/{m['dir']}")
-            if all(c in f.columns for c in on):
-                # key columns only -- the scan stays column-pruned
-                key_frames.append(
-                    f.select(*on).withColumn("__mname", F.lit(m["name"]))
+            if _keys_match_target(m):
+                f = spark.read.schema(key_struct).parquet(
+                    f"{table_path}/{m['dir']}"
                 )
-            # a batch predating the key column holds only NULL keys:
-            # nothing can match, leave it out of the scan entirely
+            else:
+                f = reader.parquet(f"{table_path}/{m['dir']}")
+                if not all(c in f.columns for c in on):
+                    # a batch predating the key column holds only NULL
+                    # keys: nothing can match, leave it out of the scan
+                    continue
+            # key columns only -- the scan stays column-pruned
+            key_frames.append(
+                f.select(*on).withColumn("__mname", F.lit(m["name"]))
+            )
         if key_frames:
             scan = reduce(lambda a, b: a.unionByName(b), key_frames)
-            hits = scan.join(src.select(*on).distinct(), on, "inner")
-            matched_keys = (
-                hits.select(*on).distinct().localCheckpoint(eager=True)
-            )
+            # one discovery scan, materialized: matched keys AND the
+            # touched-batch set both derive from it (a second pass
+            # would re-read every candidate's key columns)
+            hits = scan.join(
+                src.select(*on).distinct(), on, "inner"
+            ).localCheckpoint(eager=True)
+            matched_keys = hits.select(*on).distinct()
             touched_names = [
                 r[0]
                 for r in hits.select("__mname").distinct().collect()
@@ -3709,6 +3798,9 @@ def merge_sink(
                     }
                 ),
                 "rows": rows_new,
+                # the rewrite's ACTUAL schema (update may add a SET
+                # column) -- keeps _sink_merged_schema truthful
+                "schema": json.loads(new_df.schema.json()),
             }
         )
         stats = payload.get("stats")

@@ -548,6 +548,141 @@ def start_stream_pump(
     )
 
 
+def start_cdc_apply(
+    spark: SparkSession,
+    changes: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    on: "list[str]",
+    version_col: str,
+    delete_when: "str | None" = None,
+    drop_cols: "list[str] | None" = None,
+    trigger_secs: float = 1.0,
+    store=None,
+    probe_keys_limit: int = 256,
+):
+    """Apply a STREAM of change rows to a manifest sink as per-batch
+    MERGEs (the Delta streaming-merge / CDC-apply idiom): each
+    micro-batch is collapsed to its last write per key
+    (:func:`sinks.collapse_latest` on ``version_col`` -- real CDC
+    batches carry several changes per key, and SQL MERGE's cardinality
+    rule forbids feeding them raw), split into deletes and upserts by
+    the optional ``delete_when`` marker predicate, and applied through
+    :func:`sinks.merge_sink`.
+
+    Exactly-once without retractions: every merge's ``merge_id``
+    derives from the checkpoint lineage + micro-batch id, so a crash
+    between the sink write and the checkpoint commit replays the batch
+    into the SAME logical merges -- updates re-apply to equal values,
+    deletes are no-ops, and the insert batch republish-swaps its own
+    manifest key instead of duplicating (the exact property
+    :func:`sinks.append_batch_manifest` gives the plain pump).  The
+    stream holds the sink's writer lease (one owner per checkpoint
+    lineage, :func:`lease_owner_for`), which is also what lets the
+    merges run OUTSIDE the maintenance window: this stream IS the
+    writer.
+
+    Out-of-order protection: when the sink already stores
+    ``version_col``, updates are gated with ``s_<version> >=
+    <version>`` -- a late-arriving OLDER change for a key never
+    overwrites newer applied state (``>=`` keeps replays convergent).
+    Keys whose latest change is a delete are removed; a subsequent
+    re-insert arrives as a later change and merges as NOT MATCHED.
+
+    ``drop_cols`` removes marker columns (the ``op`` flag
+    ``delete_when`` inspects) before the upsert merge, since MERGE
+    rejects source columns the sink schema lacks.  Composes directly
+    with the native tail: ``spark.readStream.format("sink_tail")`` of
+    an upstream sink as ``changes`` gives a fully streaming
+    sink-to-sink MERGE pipeline."""
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.sinks import (
+        checkpoint_epoch,
+        collapse_latest,
+        ensure_writer_lease,
+        merge_sink,
+    )
+
+    on = list(on)
+    owner = lease_owner_for(checkpoint_dir)
+    _epoch_cache: dict[str, str] = {}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        ensure_writer_lease(sess, table_path, owner=owner)
+        epoch = _epoch_cache.get("epoch")
+        if epoch is None:
+            epoch = checkpoint_epoch(sess, checkpoint_dir) or "noepoch"
+            _epoch_cache["epoch"] = epoch
+        latest = collapse_latest(batch_df, on, version_col)
+        if not _epoch_cache.get("sink_live"):
+            from mqtt_message_pump_spark.sinks import _hadoop_fs
+
+            fs, HPath = _hadoop_fs(sess, table_path)
+            _epoch_cache["sink_live"] = fs.exists(
+                HPath(f"{table_path}/_manifests")
+            )
+        if delete_when is not None:
+            marker = F.coalesce(F.expr(delete_when), F.lit(False))
+            dels = latest.filter(marker).select(*on)
+            ups = latest.filter(~marker)
+            # a delete for a key the sink never held is a no-op; on a
+            # sink that does not EXIST yet (first micro-batch of a
+            # bootstrap) skip the whole delete merge
+            if _epoch_cache.get("sink_live"):
+                # force stays False: the maintenance-window check passes
+                # on OUR OWN live lease (this stream is the writer) but
+                # still fences a genuinely foreign writer
+                merge_sink(
+                    sess, table_path, dels, on=on,
+                    when_matched="delete", when_not_matched=None,
+                    merge_id=f"cdc-{epoch}-{batch_id}-d",
+                    store=store, probe_keys_limit=probe_keys_limit,
+                )
+        else:
+            ups = latest
+        if drop_cols:
+            ups = ups.drop(*drop_cols)
+        # gate late older changes once the sink can compare versions
+        # (cached after it first holds: a column never un-widens)
+        guard = _epoch_cache.get("guard")
+        if (
+            guard is None
+            and version_col in ups.columns
+            and _epoch_cache.get("sink_live")
+        ):
+            from mqtt_message_pump_spark.sinks import read_sink
+
+            try:
+                sink_cols = set(
+                    read_sink(
+                        sess, table_path, merge_schema=True
+                    ).columns
+                )
+            except ValueError:
+                sink_cols = set()  # no committed batches yet
+            if version_col in sink_cols:
+                guard = f"s_{version_col} >= {version_col}"
+                _epoch_cache["guard"] = guard
+        merge_sink(
+            sess, table_path, ups, on=on,
+            when_matched="update", matched_where=guard,
+            when_not_matched="insert",
+            merge_id=f"cdc-{epoch}-{batch_id}-u",
+            store=store, probe_keys_limit=probe_keys_limit,
+        )
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
+
+
 def drain_and_stop(
     query, timeout_secs: float = 60.0, until_idle: bool = True
 ) -> None:

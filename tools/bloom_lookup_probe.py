@@ -97,6 +97,26 @@ def synth_sink(path: str, n_batches: int, rows: int, blooms: bool) -> str:
             "dates": [date],
             "rows": rows,
             "stats": {"mid": [mids[0], mids[-1]]},
+            # recorded write schema, as append_batch_manifest does --
+            # lets metadata-only schema resolution (_sink_merged_schema)
+            # take its fast path in the probes, as in production
+            "schema": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": n,
+                        "type": t,
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                    for n, t in (
+                        ("mid", "string"),
+                        ("topic", "string"),
+                        ("payload", "string"),
+                        ("collect_date", "date"),
+                    )
+                ],
+            },
         }
         with open(f"{path}/_manifests/b{b}.json", "w") as f:
             json.dump(manifest, f)
