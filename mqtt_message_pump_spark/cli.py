@@ -307,6 +307,10 @@ def cmd_tail(
     max_batches: int,
     once: bool,
     duration: float,
+    merge_on: "list[str] | None" = None,
+    version_col: str | None = None,
+    delete_when: str | None = None,
+    drop_cols: "list[str] | None" = None,
 ) -> int:
     """Downstream pipeline stage as a one-liner: tail one of the pump's
     manifest sinks through the ``sink_tail`` streaming source into a
@@ -316,7 +320,14 @@ def cmd_tail(
     cursor is the stream's checkpointed offset; restarting with the same
     ``--checkpoint`` resumes exactly where it stopped, and a compaction
     that outruns the tail fails LOUDLY (``sinks.TailLost``) rather than
-    skipping data."""
+    skipping data.
+
+    ``--merge-on`` switches the downstream hop from APPEND to MERGE
+    (:func:`streaming.pump.start_cdc_apply`): the tailed rows are
+    treated as a change stream keyed on those columns, collapsed to the
+    last write per key per micro-batch (``--tail-version-col``), split
+    by the optional ``--delete-when`` marker, and upserted -- the whole
+    CDC pipeline (change log -> current-state table) as one command."""
     import hashlib
 
     from mqtt_message_pump_spark.sinks import read_sink
@@ -342,19 +353,33 @@ def cmd_tail(
     reader = spark.readStream.format("sink_tail").option("path", src)
     if max_batches:
         reader = reader.option("max_batches_per_trigger", str(max_batches))
-    # the fully-native lineage: sink_tail source -> manifest_sink stream
-    # writer (replay-idempotent per-batch manifest publish, no
-    # foreachBatch); the explicit epoch keeps the pre-r13 batch-key
-    # lineage, so existing downstream sinks resume seamlessly
-    q = (
-        reader.load()
-        .writeStream.format("manifest_sink")
-        .option("path", to_path)
-        .option("epoch", epoch)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime=f"{max(trigger_secs, 0.1)} seconds")
-        .start()
-    )
+    if merge_on:
+        from mqtt_message_pump_spark.streaming.pump import start_cdc_apply
+
+        q = start_cdc_apply(
+            spark, reader.load(), to_path, ckpt,
+            on=merge_on,
+            version_col=version_col or "collect_datetime",
+            delete_when=delete_when,
+            drop_cols=drop_cols,
+            trigger_secs=max(trigger_secs, 0.1),
+            store=cfg.store,
+        )
+    else:
+        # the fully-native lineage: sink_tail source -> manifest_sink
+        # stream writer (replay-idempotent per-batch manifest publish,
+        # no foreachBatch); the explicit epoch keeps the pre-r13
+        # batch-key lineage, so existing downstream sinks resume
+        # seamlessly
+        q = (
+            reader.load()
+            .writeStream.format("manifest_sink")
+            .option("path", to_path)
+            .option("epoch", epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=f"{max(trigger_secs, 0.1)} seconds")
+            .start()
+        )
     try:
         if once:
             q.processAllAvailable()
@@ -777,6 +802,28 @@ def main(argv: list[str] | None = None) -> int:
                 "--duration-secs", type=float, default=0,
                 help="stop after N seconds (0 = run until interrupted)",
             )
+            p.add_argument(
+                "--merge-on", default=None, metavar="COL[,COL...]",
+                help="apply the tailed rows as a CDC change stream: "
+                "MERGE into the downstream sink on these key columns "
+                "(streaming.pump.start_cdc_apply) instead of appending",
+            )
+            p.add_argument(
+                "--tail-version-col", default="collect_datetime",
+                help="version column ordering changes within and across "
+                "micro-batches under --merge-on (last write per key "
+                "wins; late older changes are rejected)",
+            )
+            p.add_argument(
+                "--delete-when", default=None, metavar="SQL_EXPR",
+                help="rows matching this predicate are applied as "
+                "DELETEs under --merge-on (e.g. \"op = 'd'\")",
+            )
+            p.add_argument(
+                "--drop-cols", default=None, metavar="COL[,COL...]",
+                help="marker columns (the op flag --delete-when "
+                "inspects) stripped before the upsert under --merge-on",
+            )
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
     if args.command == "merge":
@@ -791,6 +838,18 @@ def main(argv: list[str] | None = None) -> int:
             cfg, args.source_table, args.to_path, args.checkpoint,
             args.trigger_secs, args.max_batches, args.once,
             args.duration_secs,
+            merge_on=(
+                [c.strip() for c in args.merge_on.split(",") if c.strip()]
+                if args.merge_on
+                else None
+            ),
+            version_col=args.tail_version_col,
+            delete_when=args.delete_when,
+            drop_cols=(
+                [c.strip() for c in args.drop_cols.split(",") if c.strip()]
+                if args.drop_cols
+                else None
+            ),
         )
     if args.command == "show":
         return cmd_show(cfg)

@@ -441,3 +441,62 @@ def test_merge_subcommand(spark, tmp_path, capsys):
     assert main(args) == 0
     assert "inserted=0" in capsys.readouterr().out
     assert read_sink(spark, str(out / "raw_message")).count() == 5
+
+
+def test_tail_merge_mode(spark, tmp_path, capsys):
+    """``pump tail --merge-on mid``: the tailed sink is applied as a CDC
+    change stream -- the downstream sink converges to current state
+    (one row per key, last write wins, deletes applied) instead of
+    accumulating the full change log."""
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import read_sink, write_append
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out"
+    down = str(tmp_path / "down")
+    store = StoreConf(commit_protocol="manifest")
+
+    def batch(b, rows):
+        df = spark.createDataFrame(
+            rows, ["mid", "payload", "op", "d"]
+        ).select(
+            "mid", "payload", "op",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+        )
+        write_append(df, store, str(out / "raw_message"),
+                     batch_id=b, epoch="e1")
+
+    batch(0, [
+        ("k1", "v1", "u", "2024-01-01 00:00:01"),
+        ("k2", "v2", "u", "2024-01-01 00:00:01"),
+    ])
+    batch(1, [
+        ("k1", "v1.2", "u", "2024-01-01 00:00:02"),  # update
+        ("k2", "", "d", "2024-01-01 00:00:02"),       # delete
+        ("k3", "v3", "u", "2024-01-01 00:00:02"),    # insert
+    ])
+    ini = tmp_path / "pump.ini"
+    ini.write_text(f"[store]\npath = {out}\n")
+    assert main([
+        "tail", str(ini), "--to", down, "--once",
+        "--merge-on", "mid", "--delete-when", "op = 'd'",
+        "--drop-cols", "op",
+    ]) == 0
+    got = {
+        r["mid"]: r["payload"]
+        for r in read_sink(spark, down).collect()
+    }
+    assert got == {"k1": "v1.2", "k3": "v3"}
+    # incremental: one more change batch, resume the same checkpoint
+    batch(2, [("k3", "", "d", "2024-01-01 00:00:03")])
+    assert main([
+        "tail", str(ini), "--to", down, "--once",
+        "--merge-on", "mid", "--delete-when", "op = 'd'",
+        "--drop-cols", "op",
+    ]) == 0
+    got = {
+        r["mid"]: r["payload"]
+        for r in read_sink(spark, down).collect()
+    }
+    assert got == {"k1": "v1.2"}
