@@ -3497,9 +3497,19 @@ def merge_sink(
                     "the source key to the sink's type (a coerced join "
                     "would disagree with the manifest stat/bloom probes)"
                 )
+    # the per-batch rewrite join carries source VALUES (s_<col> columns)
+    # only when a clause consumes them -- SET expressions or a
+    # matched_where; a delete/by-source-only merge joins on DISTINCT
+    # KEYS, so duplicate source keys cannot fan matched rows out and no
+    # s_ namespace exists to clash with
+    needs_source_values = (
+        set_map is not None
+        or when_matched == "update"
+        or matched_where is not None
+    )
     s_names = {f"s_{c}" for c in src.columns if c not in on}
     clash = sorted(s_names & target_names)
-    if clash and (when_matched is not None or matched_where is not None):
+    if clash and needs_source_values:
         raise ValueError(
             f"target columns {clash} collide with the s_<col> source "
             "namespace the matched clauses use; rename one side"
@@ -3601,11 +3611,11 @@ def merge_sink(
                 r[0]
                 for r in hits.select("__mname").distinct().collect()
             ]
-    if matched_keys is not None and (
-        when_matched is not None or matched_where is not None
-    ):
+    if matched_keys is not None and needs_source_values:
         # SQL MERGE cardinality rule: a target row matched by multiple
-        # source rows would make the rewrite non-deterministic
+        # source rows would make the rewrite non-deterministic.  Checked
+        # exactly when source VALUES are consumed -- key-only joins
+        # (delete / by-source) are dedup-safe by construction.
         dup = (
             src.join(matched_keys, on, "inner")
             .groupBy(*on)
@@ -3650,10 +3660,15 @@ def merge_sink(
     s_hit = "__s_hit"
     if s_hit in target_names or s_hit in src.columns:
         raise ValueError(f"column name {s_hit} is reserved by merge_sink")
-    s_sel = [F.col(c) for c in on] + [
-        F.col(c).alias(f"s_{c}") for c in src.columns if c not in on
-    ]
-    s_join = src.select(*s_sel).withColumn(s_hit, F.lit(1))
+    if needs_source_values:
+        s_sel = [F.col(c) for c in on] + [
+            F.col(c).alias(f"s_{c}") for c in src.columns if c not in on
+        ]
+        s_join = src.select(*s_sel).withColumn(s_hit, F.lit(1))
+    else:
+        # keys only, deduped: a duplicate source key must not fan a
+        # matched target row out into the rewrite
+        s_join = src.select(*on).distinct().withColumn(s_hit, F.lit(1))
     for name in sorted(rewrite):
         m = by_name[name]
         t_df = reader.parquet(f"{table_path}/{m['dir']}")

@@ -583,11 +583,14 @@ def start_cdc_apply(
     writer.
 
     Out-of-order protection: when the sink already stores
-    ``version_col``, updates are gated with ``s_<version> >=
-    <version>`` -- a late-arriving OLDER change for a key never
-    overwrites newer applied state (``>=`` keeps replays convergent).
-    Keys whose latest change is a delete are removed; a subsequent
-    re-insert arrives as a later change and merges as NOT MATCHED.
+    ``version_col``, BOTH the update and the delete merges are gated
+    with ``<version> IS NULL OR s_<version> >= <version>`` -- a
+    late-arriving OLDER change (update or delete) never overwrites or
+    removes newer applied state; ``>=`` keeps replays convergent, and
+    the IS NULL arm lets changes land on rows from batches predating
+    the version column (they would otherwise be frozen forever).  Keys
+    whose latest change is a delete are removed; a subsequent re-insert
+    arrives as a later change and merges as NOT MATCHED.
 
     ``drop_cols`` removes marker columns (the ``op`` flag
     ``delete_when`` inspects) before the upsert merge, since MERGE
@@ -625,9 +628,49 @@ def start_cdc_apply(
             _epoch_cache["sink_live"] = fs.exists(
                 HPath(f"{table_path}/_manifests")
             )
+        # gate late older changes once the sink can compare versions
+        # (cached after it first holds: a column never un-widens).
+        # Resolved from the manifests' RECORDED schemas
+        # (sinks._sink_merged_schema) -- pure metadata, never the
+        # N-frame union analysis.  A NULL target version (a batch
+        # predating the column) must LOSE to any change, or the key
+        # would be frozen forever -- hence the IS NULL arm.
+        guard = _epoch_cache.get("guard")
+        if (
+            guard is None
+            and version_col in batch_df.columns
+            and _epoch_cache.get("sink_live")
+        ):
+            from mqtt_message_pump_spark.sinks import (
+                _hadoop_fs,
+                _read_manifests,
+                _sink_merged_schema,
+            )
+
+            fs, HPath = _hadoop_fs(sess, table_path)
+            live = [
+                m
+                for m in _read_manifests(fs, HPath, table_path)
+                if "dir" in m
+            ]
+            schema = _sink_merged_schema(sess, table_path, live)
+            if schema is not None and version_col in {
+                f.name for f in schema.fields
+            }:
+                guard = (
+                    f"({version_col} IS NULL) OR "
+                    f"(s_{version_col} >= {version_col})"
+                )
+                _epoch_cache["guard"] = guard
         if delete_when is not None:
             marker = F.coalesce(F.expr(delete_when), F.lit(False))
-            dels = latest.filter(marker).select(*on)
+            # the delete carries the version column so the SAME
+            # out-of-order guard applies: a late OLDER delete must not
+            # remove newer applied state
+            dels = latest.filter(marker).select(
+                *on,
+                *([version_col] if version_col not in on else []),
+            )
             ups = latest.filter(~marker)
             # a delete for a key the sink never held is a no-op; on a
             # sink that does not EXIST yet (first micro-batch of a
@@ -638,7 +681,8 @@ def start_cdc_apply(
                 # still fences a genuinely foreign writer
                 merge_sink(
                     sess, table_path, dels, on=on,
-                    when_matched="delete", when_not_matched=None,
+                    when_matched="delete", matched_where=guard,
+                    when_not_matched=None,
                     merge_id=f"cdc-{epoch}-{batch_id}-d",
                     store=store, probe_keys_limit=probe_keys_limit,
                 )
@@ -646,27 +690,6 @@ def start_cdc_apply(
             ups = latest
         if drop_cols:
             ups = ups.drop(*drop_cols)
-        # gate late older changes once the sink can compare versions
-        # (cached after it first holds: a column never un-widens)
-        guard = _epoch_cache.get("guard")
-        if (
-            guard is None
-            and version_col in ups.columns
-            and _epoch_cache.get("sink_live")
-        ):
-            from mqtt_message_pump_spark.sinks import read_sink
-
-            try:
-                sink_cols = set(
-                    read_sink(
-                        sess, table_path, merge_schema=True
-                    ).columns
-                )
-            except ValueError:
-                sink_cols = set()  # no committed batches yet
-            if version_col in sink_cols:
-                guard = f"s_{version_col} >= {version_col}"
-                _epoch_cache["guard"] = guard
         merge_sink(
             sess, table_path, ups, on=on,
             when_matched="update", matched_where=guard,

@@ -149,3 +149,77 @@ class TestCdcApply:
         _run_apply(spark, up, down, ck)
         assert _state(spark, down) == EXPECTED
         assert read_sink(spark, down).count() == n_before
+
+
+class TestCdcOutOfOrder:
+    def test_late_older_delete_rejected(self, spark, tmp_path):
+        """The version guard covers DELETEs too: a late-delivered OLDER
+        delete must not remove newer applied state."""
+        up, down, ck = (
+            str(tmp_path / p) for p in ("up", "down", "ck")
+        )
+        store = _store()
+        append_batch_manifest(
+            _changes(spark, [("k1", "v5", "u", "2024-01-01 00:00:05")]),
+            store, up, 0, epoch="e1",
+        )
+        _run_apply(spark, up, down, ck)
+        append_batch_manifest(
+            _changes(spark, [("k1", "", "d", "2024-01-01 00:00:01")]),
+            store, up, 1, epoch="e1",
+        )
+        _run_apply(spark, up, down, ck)
+        assert _state(spark, down) == {"k1": "v5"}
+
+    def test_null_version_rows_stay_updatable(self, spark, tmp_path):
+        """A target row from a batch PREDATING the version column reads
+        NULL there; the guard's IS NULL arm must let changes land
+        instead of freezing the key forever."""
+        up, down, ck = (
+            str(tmp_path / p) for p in ("up", "down", "ck")
+        )
+        store = _store()
+        # downstream seeded out-of-band: batch 0 predates the version
+        # column, batch 1 widened the sink with it
+        legacy = spark.createDataFrame(
+            [("k1", "legacy")], ["mid", "payload"]
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        append_batch_manifest(legacy, store, down, 0, epoch="seed")
+        widened = _changes(
+            spark, [("k2", "v2", "u", "2024-01-01 00:00:01")]
+        ).drop("op")
+        append_batch_manifest(widened, store, down, 1, epoch="seed")
+        append_batch_manifest(
+            _changes(spark, [("k1", "vNEW", "u", "2024-01-01 00:00:09")]),
+            store, up, 0, epoch="e1",
+        )
+        _run_apply(spark, up, down, ck)
+        assert _state(spark, down)["k1"] == "vNEW"
+
+
+class TestMergeBySourceDuplicates:
+    def test_by_source_dup_keys_no_fanout(self, spark, tmp_path):
+        """when_matched=None + by-source delete joins on DISTINCT keys:
+        duplicate source keys must not duplicate matched target rows."""
+        from mqtt_message_pump_spark.sinks import merge_sink
+
+        down = str(tmp_path / "sink")
+        base = _changes(
+            spark,
+            [
+                ("k1", "v1", "u", "2024-01-01 00:00:01"),
+                ("k2", "v2", "u", "2024-01-01 00:00:01"),
+            ],
+        ).drop("op")
+        append_batch_manifest(base, _store(), down, 0, epoch="seed")
+        dup_src = spark.createDataFrame(
+            [("k1",), ("k1",), ("k1",)], ["mid"]
+        )
+        res = merge_sink(
+            spark, down, dup_src, on=["mid"],
+            when_matched=None, when_not_matched=None,
+            when_not_matched_by_source="delete",
+        )
+        assert res["rows_deleted"] == 1  # k2 only
+        rows = read_sink(spark, down).collect()
+        assert [r["mid"] for r in rows] == ["k1"]  # exactly ONE k1

@@ -51,13 +51,15 @@ def _timed(label, fn):
     return out, dt
 
 
-def _present_mids(path: str, n: int, stride: int = 97) -> list[str]:
+def _present_mids(
+    path: str, n: int, n_batches: int, stride: int = 97
+) -> list[str]:
     """One present mid from each of n different batches."""
     import pyarrow.parquet as pq
 
     out = []
     for i in range(n):
-        b = (i * stride) % 1000
+        b = (i * stride) % n_batches
         mpath = f"{path}/_manifests/b{b}.json"
         if not os.path.exists(mpath):
             continue
@@ -85,7 +87,7 @@ def main() -> None:
             ["mid", "payload"],
         ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
 
-    upd = _present_mids(path, 10)
+    upd = _present_mids(path, 10, n_batches)
     ins = [f"zzz-new-{i}" for i in range(5)]
     src = _src(upd + ins, "merged")
     res, _ = _timed(
@@ -115,7 +117,7 @@ def main() -> None:
     )
 
     # change set past probe_keys_limit: ONE key-column scan discovery
-    big = _present_mids(path, 10, stride=313) + [
+    big = _present_mids(path, 10, n_batches, stride=313) + [
         f"zzz-big-{i}" for i in range(500)
     ]
     res, _ = _timed(
@@ -133,7 +135,7 @@ def main() -> None:
     )
 
     # insert-only (dedup-append): anti-join + one append, zero rewrites
-    half = _present_mids(path, 5, stride=211) + [
+    half = _present_mids(path, 5, n_batches, stride=211) + [
         f"zzz-io-{i}" for i in range(5)
     ]
     res, _ = _timed(
