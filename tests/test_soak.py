@@ -760,3 +760,119 @@ def test_live_soak_native_stream_writer_kills_exactly_once(spark, tmp_path):
         if n.endswith(".json") and not n.startswith(".")
     ]
     assert names and all(n.startswith("bsw") for n in names)
+
+
+def test_live_soak_cdc_apply_kills_converge(spark, tmp_path):
+    """CDC-apply soak: an upstream change log written under sustained
+    load, MERGEd into a downstream current-state table by
+    ``start_cdc_apply`` (``pump tail --merge-on``), with the apply
+    stream blind-killed TWICE mid-load and restarted from its
+    checkpoint.  Kills land anywhere -- mid-rewrite, between the
+    delete and upsert merges of one micro-batch, between a merge and
+    the offset commit -- and every window must converge: per-batch
+    merge_ids make replays re-run the SAME logical merges, batch swaps
+    are atomic, and the insert republish never duplicates.  Final
+    downstream state must equal the change log folded per key in
+    version order (last write wins, deletes applied)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.sinks import write_append
+    from mqtt_message_pump_spark.sources.sinktail import (
+        register_sink_tail_source,
+    )
+    from mqtt_message_pump_spark.streaming.pump import start_cdc_apply
+
+    register_sink_tail_source(spark)
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    ck = str(tmp_path / "ck")
+    store = StoreConf(commit_protocol="manifest")
+    rng = random.Random(1306)
+    n_batches, per = 24, 15
+    log: list = []  # (key, payload, op, version_secs) in version order
+    ver = 0
+
+    def write_upstream(b: int) -> None:
+        nonlocal ver
+        rows = []
+        for _ in range(per):
+            ver += 1
+            k = f"k{rng.randrange(40):02d}"
+            op = "d" if rng.random() < 0.15 else "u"
+            payload = "" if op == "d" else f"{k}.v{ver}"
+            rows.append((k, payload, op, ver))
+            log.append((k, payload, op, ver))
+        df = spark.createDataFrame(
+            rows, ["mid", "payload", "op", "ver"]
+        ).select(
+            "mid", "payload", "op",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("ver"))
+            ).alias("collect_datetime"),
+            F.to_date(F.lit("2024-01-01")).alias("collect_date"),
+        )
+        write_append(df, store, up, batch_id=b, epoch="src")
+
+    done = threading.Event()
+
+    def writer():
+        for b in range(1, n_batches):  # batch 0 is the bootstrap below
+            write_upstream(b)
+            time.sleep(0.5)
+        done.set()
+
+    def start_apply():
+        return start_cdc_apply(
+            spark,
+            spark.readStream.format("sink_tail")
+            .option("path", up)
+            .load(),
+            down, ck,
+            on=["mid"],
+            version_col="collect_datetime",
+            delete_when="op = 'd'",
+            drop_cols=["op"],
+            trigger_secs=0.5,
+        )
+
+    write_upstream(0)  # bootstrap batch before the stream starts
+    threading.Thread(target=writer, daemon=True).start()
+    q = start_apply()
+    try:
+        for _ in range(2):  # two blind kills mid-load
+            time.sleep(4)
+            q.stop()
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass
+            time.sleep(0.5)
+            q = start_apply()
+        deadline = time.time() + 120
+        while time.time() < deadline and not done.is_set():
+            time.sleep(1)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+    expected: dict = {}
+    for k, payload, op, _ in log:  # already in version order
+        if op == "d":
+            expected.pop(k, None)
+        else:
+            expected[k] = payload
+    got = {
+        r["mid"]: r["payload"]
+        for r in read_sink(spark, down).collect()
+    }
+    assert got == expected
+    # current-state table: exactly one row per live key
+    assert read_sink(spark, down).count() == len(expected)
