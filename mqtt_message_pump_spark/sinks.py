@@ -3310,11 +3310,13 @@ def merge_sink(
       the sink schema, missing columns NULL-filled; source columns
       absent from the sink are rejected loudly -- widen the sink by a
       managed append first).
-    - ``when_not_matched_by_source="delete"`` (+ optional
-      ``not_matched_by_source_where`` over target columns) -- target
-      rows matching no source key are removed (the full-sync shape);
-      this makes EVERY live batch a rewrite candidate, so expect a
-      full-table pass.
+    - ``when_not_matched_by_source="delete"`` or ``{col: sql_expr}``
+      (+ optional ``not_matched_by_source_where``, both over TARGET
+      columns only -- an unmatched row has no source side) -- target
+      rows matching no source key are removed, or SET (the SCD
+      stale-marking shape: ``{"active": "false"}``); either makes
+      EVERY live batch a rewrite candidate, so expect a full-table
+      pass.
 
     Scale shape (the Delta/Iceberg MERGE plan, at manifest
     granularity):
@@ -3387,10 +3389,17 @@ def merge_sink(
             f"when_not_matched must be 'insert' or None, got "
             f"{when_not_matched!r}"
         )
-    if when_not_matched_by_source not in ("delete", None):
+    bs_set: "dict[str, str] | None" = None
+    if isinstance(when_not_matched_by_source, dict):
+        if not when_not_matched_by_source:
+            raise ValueError(
+                "when_not_matched_by_source dict must be non-empty"
+            )
+        bs_set = dict(when_not_matched_by_source)
+    elif when_not_matched_by_source not in ("delete", None):
         raise ValueError(
-            "when_not_matched_by_source must be 'delete' or None, got "
-            f"{when_not_matched_by_source!r}"
+            "when_not_matched_by_source must be 'delete', a {col: expr} "
+            f"dict or None, got {when_not_matched_by_source!r}"
         )
     if when_matched is None and when_not_matched is None and (
         when_not_matched_by_source is None
@@ -3414,7 +3423,9 @@ def merge_sink(
             "column (or pass when_not_matched=None)"
         )
     bad_set = [
-        c for c in (set_map or {}) if c in on or c == "collect_date"
+        c
+        for c in list(set_map or {}) + list(bs_set or {})
+        if c in on or c == "collect_date"
     ]
     if bad_set:
         raise ValueError(
@@ -3460,6 +3471,7 @@ def merge_sink(
         "dropped": [],
         "swapped": {},
         "rows_updated": 0,
+        "rows_updated_by_source": 0,
         "rows_deleted": 0,
         "rows_inserted": 0,
         "insert_manifest": None,
@@ -3477,6 +3489,12 @@ def merge_sink(
             bad = [c for c in set_map if c not in target_names]
             if bad:
                 raise ValueError(f"SET columns not in sink schema: {bad}")
+        if bs_set:
+            bad = [c for c in bs_set if c not in target_names]
+            if bad:
+                raise ValueError(
+                    f"by-source SET columns not in sink schema: {bad}"
+                )
         # a string-vs-non-string ON key would let the engine coerce the
         # JOIN while the stringified bloom/stat probes silently disagree
         # with it -- matched rows would look unmatched and re-insert.
@@ -3674,12 +3692,13 @@ def merge_sink(
         t_df = reader.parquet(f"{table_path}/{m['dir']}")
         phys = list(t_df.columns)
         pad_cols = [c for c in on if c not in phys]
-        if set_map:
-            pad_cols += [
-                c
-                for c in set_map
-                if c not in phys and c not in pad_cols
-            ]
+        for sm in (set_map, bs_set):
+            if sm:
+                pad_cols += [
+                    c
+                    for c in sm
+                    if c not in phys and c not in pad_cols
+                ]
         eval_df = t_df
         if pad_cols and target_schema is not None:
             by_field = {f.name: f for f in target_schema.fields}
@@ -3709,45 +3728,59 @@ def merge_sink(
         kept = joined.filter(~del_cond)
         cur_set = set_map
         out_cols = phys + [
-            c for c in (cur_set or {}) if c not in phys
+            c
+            for sm in (cur_set, bs_set)
+            for c in (sm or {})
+            if c not in phys
         ]
+        # dedupe while keeping order (a column SET by both clauses)
+        out_cols = list(dict.fromkeys(out_cols))
         deleting = (
             when_matched == "delete"
             or when_not_matched_by_source == "delete"
         )
         total = int(m["rows"]) if "rows" in m else t_df.count()
         upd_obs = None
-        if cur_set:
+        if cur_set or bs_set:
             by_field = (
                 {f.name: f for f in target_schema.fields}
                 if target_schema is not None
                 else {}
             )
+
+            def _out_col(c):
+                base = (
+                    F.col(c)
+                    if c in eval_df.columns
+                    else F.lit(None).cast(by_field[c].dataType)
+                )
+                expr = None
+                if cur_set and c in cur_set:
+                    expr = F.when(matched, F.expr(cur_set[c]))
+                if bs_set and c in bs_set:
+                    arm = (expr if expr is not None else F)
+                    expr = arm.when(unmatched, F.expr(bs_set[c]))
+                if expr is None:
+                    return F.col(c)
+                return expr.otherwise(base).alias(c)
+
             new_df = kept.select(
-                *[
-                    (
-                        F.when(matched, F.expr(cur_set[c]))
-                        .otherwise(
-                            F.col(c)
-                            if c in eval_df.columns
-                            else F.lit(None).cast(
-                                by_field[c].dataType
-                            )
-                        )
-                        .alias(c)
-                        if c in cur_set
-                        else F.col(c)
-                    )
-                    for c in out_cols
-                ],
-                matched.cast("long").alias("__dml_hit"),
+                *[_out_col(c) for c in out_cols],
+                (matched if cur_set else F.lit(False))
+                .cast("long")
+                .alias("__dml_hit"),
+                (unmatched if bs_set else F.lit(False))
+                .cast("long")
+                .alias("__bs_hit"),
             )
             from pyspark.sql import Observation
 
             upd_obs = Observation()
             new_df = new_df.observe(
-                upd_obs, F.sum("__dml_hit").alias("n_hit")
-            ).drop("__dml_hit")
+                upd_obs,
+                F.sum("__dml_hit").alias("n_hit"),
+                F.sum("__bs_hit").alias("n_bs"),
+            ).drop("__dml_hit", "__bs_hit")
         else:
             new_df = kept.select(*phys)
         attempt = f"_data/u-{uuid.uuid4().hex[:8]}"
@@ -3793,7 +3826,12 @@ def merge_sink(
             if upd_obs is not None
             else 0
         )
-        if rows_new == total and n_hit == 0:
+        n_bs = (
+            int(upd_obs.get.get("n_bs") or 0)
+            if upd_obs is not None
+            else 0
+        )
+        if rows_new == total and n_hit == 0 and n_bs == 0:
             # nothing deleted (counts equal) and nothing updated (zero
             # hits -- a matched_where miss, or a full-sync pass over a
             # batch whose rows all matched): the rewrite is
@@ -3819,9 +3857,10 @@ def merge_sink(
             }
         )
         stats = payload.get("stats")
-        if stats is not None and cur_set:
-            for c in cur_set:
-                stats.pop(c, None)
+        if stats is not None and (cur_set or bs_set):
+            for sm in (cur_set, bs_set):
+                for c in sm or {}:
+                    stats.pop(c, None)
             if not stats:
                 payload.pop("stats", None)
         if rows_new and fs.exists(
@@ -3838,6 +3877,7 @@ def merge_sink(
         out["touched_batches"] += 1
         out["rows_deleted"] += total - rows_new
         out["rows_updated"] += n_hit
+        out["rows_updated_by_source"] += n_bs
 
     # --- insert (last, so a crash mid-rewrite never half-inserts) -------
     if when_not_matched == "insert":

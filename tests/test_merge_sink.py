@@ -500,3 +500,62 @@ class TestMergeNoopSkips:
         )
         with pytest.raises(ValueError, match="cast the source key"):
             merge_sink(spark, tp, src, on=["mid"])
+
+
+class TestMergeBySourceUpdate:
+    def test_by_source_set_marks_stale_rows(self, spark, tmp_path):
+        """when_not_matched_by_source as a SET dict: target rows with no
+        source match are updated in place (the SCD stale-marking shape),
+        matched rows take the source values, nothing is deleted."""
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=4)
+        src = _frame(spark, [("m0001", "S", "fresh", "2024-01-01")])
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_not_matched=None,
+            when_not_matched_by_source={"payload": "'STALE'"},
+        )
+        assert res["rows_updated"] == 1
+        assert res["rows_updated_by_source"] == 3
+        assert res["rows_deleted"] == 0
+        got = {r["mid"]: r["payload"] for r in read_sink(spark, tp).collect()}
+        assert got == {
+            "m0000": "STALE",
+            "m0001": "fresh",
+            "m0002": "STALE",
+            "m0003": "STALE",
+        }
+
+    def test_by_source_set_with_where_and_no_matched_clause(
+        self, spark, tmp_path
+    ):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=4)
+        src = _frame(spark, [("m0001", "S", "x", "2024-01-01")])
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_matched=None, when_not_matched=None,
+            when_not_matched_by_source={"topic": "'retired'"},
+            not_matched_by_source_where="payload = 'p2'",
+        )
+        assert res["rows_updated"] == 0
+        assert res["rows_updated_by_source"] == 1
+        got = {r["mid"]: r["topic"] for r in read_sink(spark, tp).collect()}
+        assert got == {
+            "m0000": "t/0",
+            "m0001": "t/0",
+            "m0002": "retired",
+            "m0003": "t/0",
+        }
+
+    def test_by_source_set_validation(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=2)
+        src = _frame(spark, [("m0001", "S", "x", "2024-01-01")])
+        with pytest.raises(ValueError, match="by-source SET columns"):
+            merge_sink(
+                spark, tp, src, on=["mid"], when_not_matched=None,
+                when_not_matched_by_source={"nope": "'x'"},
+            )
+        with pytest.raises(ValueError, match="key/partition"):
+            merge_sink(
+                spark, tp, src, on=["mid"], when_not_matched=None,
+                when_not_matched_by_source={"mid": "'x'"},
+            )
