@@ -559,3 +559,65 @@ class TestMergeBySourceUpdate:
                 spark, tp, src, on=["mid"], when_not_matched=None,
                 when_not_matched_by_source={"mid": "'x'"},
             )
+
+
+class TestMergeScopeAndFallback:
+    def test_dates_scope_bounds_statement(self, spark, tmp_path):
+        """dates= scopes the WHOLE statement: batches outside are never
+        read or rewritten, and a key living only outside the scope is
+        treated as absent (the partition-predicate-in-ON contract)."""
+        tp = str(tmp_path / "sink")
+        # batch 0 entirely on 01-01, batch 1 entirely on 01-05
+        append_batch_manifest(
+            _frame(spark, [("mA", "t", "p1", "2024-01-01")]),
+            _store(), tp, 0,
+        )
+        append_batch_manifest(
+            _frame(spark, [("mB", "t", "p5", "2024-01-05")]),
+            _store(), tp, 1,
+        )
+        before = _manifests(tp)
+        src = _frame(
+            spark,
+            [
+                ("mA", "t", "UPD", "2024-01-01"),
+                ("mB", "t", "SHADOW", "2024-01-01"),  # exists only outside
+            ],
+        )
+        res = merge_sink(
+            spark, tp, src, on=["mid"], dates=["2024-01-01"],
+            merge_id="scoped",
+        )
+        # batch 1 (out of scope) untouched byte-for-byte
+        after = _manifests(tp)
+        assert after["b1.json"] == before["b1.json"]
+        assert res["rows_updated"] == 1
+        # mB treated as absent within the scope -> inserted (caller's
+        # contract when scoping), original 01-05 row untouched
+        assert res["rows_inserted"] == 1
+        assert read_sink(spark, tp).filter("mid = 'mB'").count() == 2
+
+    def test_scan_discovery_fallback_matches_probe_path(
+        self, spark, tmp_path
+    ):
+        """probe_keys_limit=0 forces the full key-column scan discovery;
+        results must equal the bloom-probe path bit for bit."""
+        tp = _mk_sink(spark, tmp_path)
+        src = _frame(
+            spark,
+            [
+                ("m0105", "t/x", "U", "2024-01-01"),
+                ("mNEW", "t/x", "I", "2024-01-04"),
+            ],
+        )
+        res = merge_sink(
+            spark, tp, src, on=["mid"], probe_keys_limit=0,
+            merge_id="scan",
+        )
+        assert res["candidate_batches"] == 3  # nothing pruned
+        assert res["touched_batches"] == 1    # discovery still exact
+        assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+        got = _rows(spark, tp)
+        assert ("m0105", "t/x", "U") in got
+        assert ("mNEW", "t/x", "I") in got
+        assert read_sink(spark, tp).count() == 61
