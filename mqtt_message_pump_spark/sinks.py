@@ -2985,12 +2985,14 @@ def _dml_sink(
         # column absent from the whole sink still fails loudly below.
         def _padded(frame):
             # missing sink-wide columns as typed NULLs (lazy: uniform
-            # sinks never compute the merged schema)
+            # sinks never compute the merged schema; resolved from the
+            # manifests' recorded schemas when available -- metadata
+            # only, no N-frame union analysis)
             nonlocal target_schema
             if target_schema is None:
-                target_schema = read_sink(
-                    spark, table_path, merge_schema=True
-                ).schema
+                target_schema = _sink_merged_schema(
+                    spark, table_path, live
+                )
             have = set(frame.columns)
             return frame.select(
                 "*",

@@ -116,11 +116,9 @@ def main() -> None:
         q.stop()
         q.awaitTermination(30)
         durs = [
-            p["durationMs"]["triggerExecution"] / 1000.0
-            for p in (
-                __import__("json").loads(j) for j in q.recentProgress
-            )
-            if p["numInputRows"] > 0
+            p.durationMs["triggerExecution"] / 1000.0
+            for p in q.recentProgress
+            if p.numInputRows > 0
         ]
         print(
             f"  {label}: {len(durs)} triggers, "
