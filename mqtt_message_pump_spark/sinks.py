@@ -3279,6 +3279,7 @@ def merge_sink(
     store: "StoreConf | None" = None,
     merge_id: "str | None" = None,
     probe_keys_limit: int = 256,
+    rewrite_parallelism: int = 4,
     force: bool = False,
 ) -> dict:
     """``MERGE INTO`` on a manifest sink -- the third leg of the DML
@@ -3339,7 +3340,9 @@ def merge_sink(
        identical move the other DML forms use: concurrent readers see
        old rows or new, never half), all-matched DELETEs degrade to
        zero-IO drop tombstones, stats for SET columns are dropped and
-       bloom sidecars rebuilt;
+       bloom sidecars rebuilt; rewrites run CONCURRENTLY
+       (``rewrite_parallelism`` driver threads, each an independent
+       job + fresh-name publish -- per-batch atomicity is unchanged);
     4. inserts append LAST as one ordinary batch whose key derives
        from ``merge_id`` (``epoch="mrg"+md5(merge_id)``), so a re-run
        of the SAME logical merge republish-swaps rather than
@@ -3689,7 +3692,7 @@ def merge_sink(
         # keys only, deduped: a duplicate source key must not fan a
         # matched target row out into the rewrite
         s_join = src.select(*on).distinct().withColumn(s_hit, F.lit(1))
-    for name in sorted(rewrite):
+    def _rewrite_one(name: str) -> dict:
         m = by_name[name]
         t_df = reader.parquet(f"{table_path}/{m['dir']}")
         phys = list(t_df.columns)
@@ -3819,10 +3822,8 @@ def merge_sink(
                     sort_keys=True,
                 ).encode("utf-8"),
             )
-            out["dropped"].append(victim)
-            out["rows_deleted"] += total
-            out["touched_batches"] += 1
-            continue
+            return {"kind": "dropped", "victim": victim,
+                    "rows_deleted": total}
         n_hit = (
             int(upd_obs.get.get("n_hit") or 0)
             if upd_obs is not None
@@ -3840,8 +3841,7 @@ def merge_sink(
             # byte-equivalent, publishing a swap would only churn
             # manifests -- leave the batch untouched
             fs.delete(HPath(f"{table_path}/{attempt}"), True)
-            out["probed_clean"] += 1
-            continue
+            return {"kind": "clean"}
         payload.update(
             {
                 "dir": attempt,
@@ -3874,12 +3874,46 @@ def merge_sink(
             )
         payload["name"] = victim
         new_name = _swap_batch_manifest(fs, HPath, table_path, m, payload)
-        out["rewritten"].append(new_name)
-        out["swapped"][victim] = new_name
-        out["touched_batches"] += 1
-        out["rows_deleted"] += total - rows_new
-        out["rows_updated"] += n_hit
-        out["rows_updated_by_source"] += n_bs
+        return {
+            "kind": "swapped", "victim": victim, "new_name": new_name,
+            "rows_deleted": total - rows_new, "n_hit": n_hit,
+            "n_bs": n_bs,
+        }
+
+    # touched batches rewrite CONCURRENTLY (bounded pool): every swap is
+    # an independent job + one fresh-name manifest publish, so threads
+    # never contend on an object; atomicity stays PER BATCH -- a failure
+    # aborts the statement with every already-published swap committed
+    # and the rest untouched, the same resume contract as the serial
+    # form (re-run the statement).  Fold results in deterministic name
+    # order so the summary is stable regardless of completion order.
+    todo = sorted(rewrite)
+    results: "dict[str, dict]" = {}
+    workers = max(1, min(int(rewrite_parallelism), len(todo) or 1))
+    if workers > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for name, rec in zip(todo, pool.map(_rewrite_one, todo)):
+                results[name] = rec
+    else:
+        for name in todo:
+            results[name] = _rewrite_one(name)
+    for name in todo:
+        rec = results[name]
+        if rec["kind"] == "dropped":
+            out["dropped"].append(rec["victim"])
+            out["rows_deleted"] += rec["rows_deleted"]
+            out["touched_batches"] += 1
+        elif rec["kind"] == "clean":
+            out["probed_clean"] += 1
+        else:
+            out["rewritten"].append(rec["new_name"])
+            out["swapped"][rec["victim"]] = rec["new_name"]
+            out["touched_batches"] += 1
+            out["rows_deleted"] += rec["rows_deleted"]
+            out["rows_updated"] += rec["n_hit"]
+            out["rows_updated_by_source"] += rec["n_bs"]
 
     # --- insert (last, so a crash mid-rewrite never half-inserts) -------
     if when_not_matched == "insert":
