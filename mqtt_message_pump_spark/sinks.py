@@ -2889,6 +2889,7 @@ def _dml_sink(
     ranges: "dict[str, tuple[object, object]] | None",
     set_exprs: "dict[str, str] | None",
     force: bool = False,
+    rewrite_parallelism: int = 4,
 ) -> dict:
     """Shared core of :func:`delete_sink_where` /
     :func:`update_sink_where` -- copy-on-write at BATCH granularity,
@@ -2973,7 +2974,7 @@ def _dml_sink(
             "delete + re-append to move rows across partitions"
         )
     target_schema = None  # sink-wide widened schema, computed on demand
-    for m in cands:
+    def _dml_one(m: dict) -> dict:
         src = spark.read.option("mergeSchema", "true").parquet(
             f"{table_path}/{m['dir']}"
         )
@@ -3018,8 +3019,7 @@ def _dml_sink(
             if bad:
                 raise ValueError(f"SET columns not in sink schema: {bad}")
         if n_match == 0:
-            out["probed_clean"] += 1
-            continue
+            return {"kind": "clean"}
         if set_exprs is None:
             total = int(m["rows"]) if "rows" in m else src.count()
             if n_match == total:
@@ -3032,9 +3032,8 @@ def _dml_sink(
                         sort_keys=True,
                     ).encode("utf-8"),
                 )
-                out["dropped"].append(m["name"])
-                out["rows_deleted"] += total
-                continue
+                return {"kind": "dropped", "victim": m["name"],
+                        "rows_deleted": total}
             # write back the batch's ORIGINAL physical columns/types:
             # a delete must never silently widen a batch's schema
             new_df = eval_df.filter(~hit).select(*src.columns)
@@ -3126,9 +3125,8 @@ def _dml_sink(
                     sort_keys=True,
                 ).encode("utf-8"),
             )
-            out["dropped"].append(victim)
-            out["rows_deleted"] += total
-            continue
+            return {"kind": "dropped", "victim": victim,
+                    "rows_deleted": total}
         payload.update(
             {
                 "dir": attempt,
@@ -3168,12 +3166,43 @@ def _dml_sink(
             )
         payload["name"] = victim
         new_name = _swap_batch_manifest(fs, HPath, table_path, m, payload)
-        out["rewritten"].append(new_name)
-        out["swapped"][victim] = new_name
-        if set_exprs is None:
-            out["rows_deleted"] += total - rows_new
+        return {
+            "kind": "swapped", "victim": victim, "new_name": new_name,
+            "rows_deleted": (
+                total - rows_new if set_exprs is None else 0
+            ),
+            "rows_updated": (
+                int(upd_obs.get.get("n_hit") or 0)
+                if set_exprs is not None
+                else 0
+            ),
+        }
+
+    # candidates probe + rewrite CONCURRENTLY (bounded driver pool, the
+    # merge_sink pattern): every batch is an independent job + at most
+    # one fresh-name publish; per-batch atomicity and the re-run resume
+    # contract are unchanged.  Results fold in candidate order so the
+    # summary is deterministic.
+    workers = max(1, min(int(rewrite_parallelism), len(cands) or 1))
+    results: "list[dict]" = []
+    if workers > 1 and len(cands) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(_dml_one, cands))
+    else:
+        results = [_dml_one(m) for m in cands]
+    for rec in results:
+        if rec["kind"] == "clean":
+            out["probed_clean"] += 1
+        elif rec["kind"] == "dropped":
+            out["dropped"].append(rec["victim"])
+            out["rows_deleted"] += rec["rows_deleted"]
         else:
-            out["rows_updated"] += int(upd_obs.get.get("n_hit") or 0)
+            out["rewritten"].append(rec["new_name"])
+            out["swapped"][rec["victim"]] = rec["new_name"]
+            out["rows_deleted"] += rec["rows_deleted"]
+            out["rows_updated"] += rec["rows_updated"]
     return out
 
 
@@ -3185,6 +3214,7 @@ def delete_sink_where(
     dates: "list[str] | None" = None,
     ranges: "dict[str, tuple[object, object]] | None" = None,
     force: bool = False,
+    rewrite_parallelism: int = 4,
 ) -> dict:
     """Row-level DELETE on a manifest sink (``DELETE FROM t WHERE
     ...``): remove every row matching the predicate, atomically per
@@ -3207,7 +3237,8 @@ def delete_sink_where(
     writer whose lease has not yet expired); CDF/pin semantics are
     documented on :func:`_dml_sink`."""
     return _dml_sink(
-        spark, table_path, where, eq, dates, ranges, None, force=force
+        spark, table_path, where, eq, dates, ranges, None, force=force,
+        rewrite_parallelism=rewrite_parallelism,
     )
 
 
@@ -3220,6 +3251,7 @@ def update_sink_where(
     dates: "list[str] | None" = None,
     ranges: "dict[str, tuple[object, object]] | None" = None,
     force: bool = False,
+    rewrite_parallelism: int = 4,
 ) -> dict:
     """Row-level UPDATE on a manifest sink (``UPDATE t SET col = expr
     WHERE ...``): ``set`` maps column name -> SQL expression, every
@@ -3234,7 +3266,8 @@ def update_sink_where(
     if not set:
         raise ValueError("update_sink_where requires a non-empty set")
     return _dml_sink(
-        spark, table_path, where, eq, dates, ranges, set, force=force
+        spark, table_path, where, eq, dates, ranges, set, force=force,
+        rewrite_parallelism=rewrite_parallelism,
     )
 
 
