@@ -621,3 +621,45 @@ class TestMergeScopeAndFallback:
         assert ("m0105", "t/x", "U") in got
         assert ("mNEW", "t/x", "I") in got
         assert read_sink(spark, tp).count() == 61
+
+
+class TestMergeLifecycle:
+    def test_compact_snapshot_vacuum_after_merge(self, spark, tmp_path):
+        """Full maintenance lifecycle over a merged sink: compaction
+        folds the merge's swap manifests, the snapshot embeds the
+        folded state, vacuum physically reclaims the pre-merge attempt
+        dirs (the updated-away values are ERASED, the pin horizon), and
+        the state survives unchanged."""
+        import os
+
+        from mqtt_message_pump_spark.sinks import (
+            compact_sink,
+            snapshot_sink,
+            vacuum_sink,
+        )
+
+        tp = _mk_sink(spark, tmp_path)
+        src = _frame(
+            spark,
+            [
+                ("m0105", "t/x", "MERGED", "2024-01-01"),
+                ("mNEW", "t/x", "INS", "2024-01-04"),
+            ],
+        )
+        merge_sink(spark, tp, src, on=["mid"], merge_id="life")
+        state = _rows(spark, tp)
+        compact_sink(spark, tp, keep_last=0)
+        snapshot_sink(spark, tp)
+        vacuum_sink(spark, tp, retention_secs=0.0)
+        assert _rows(spark, tp) == state
+        # physical erasure: no parquet under the sink still holds the
+        # pre-merge payload of the updated row
+        import pyarrow.parquet as pq
+
+        for root, _dirs, files in os.walk(tp):
+            for f in files:
+                if f.endswith(".parquet"):
+                    t = pq.read_table(
+                        os.path.join(root, f), columns=["payload"]
+                    )
+                    assert "p105" not in t["payload"].to_pylist()
