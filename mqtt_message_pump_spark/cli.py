@@ -623,10 +623,46 @@ def cmd_merge(
     return 0
 
 
+def cmd_describe(
+    cfg: PumpConfig, table: str, what: str, limit: int
+) -> int:
+    """``pump describe``: the sink's own metadata as tables --
+    ``summary`` (:func:`sinks.describe_sink`), ``files`` (the live
+    batch inventory, :func:`sinks.files_sink`) or ``history`` (the
+    operation log, :func:`sinks.history_sink`)."""
+    import json as _json
+
+    from mqtt_message_pump_spark.sinks import (
+        describe_sink,
+        files_sink,
+        history_sink,
+    )
+
+    spark = get_spark(app_name="pump-describe")
+    path = (
+        f"{cfg.store.path}/{table}"
+        if table in ("raw_message", "json_message")
+        else table
+    )
+    try:
+        if what == "summary":
+            print(_json.dumps(describe_sink(spark, path), indent=2))
+        elif what == "files":
+            files_sink(spark, path).show(limit, truncate=False)
+        else:
+            history_sink(spark, path).show(limit, truncate=False)
+    except Exception as e:  # noqa: BLE001 - operator-facing report
+        print(f"describe failed: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pump", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
-    for name in ("show", "check", "run", "maintain", "tail", "merge"):
+    for name in (
+        "show", "check", "run", "maintain", "tail", "merge", "describe"
+    ):
         p = sub.add_parser(name)
         p.add_argument("config")
         if name == "run":
@@ -729,6 +765,23 @@ def main(argv: list[str] | None = None) -> int:
                 "it: a version-less physical merge would keep the "
                 "content-max row, not the last write)",
             )
+        if name == "describe":
+            p.add_argument(
+                "--table", default="raw_message",
+                help="raw_message / json_message (under the config's "
+                "store path) or an explicit sink path",
+            )
+            p.add_argument(
+                "--what", default="summary",
+                choices=("summary", "files", "history"),
+                help="summary = describe_sink JSON; files = live batch "
+                "inventory (Iceberg .files); history = operation log "
+                "(Delta DESCRIBE HISTORY)",
+            )
+            p.add_argument(
+                "--limit", type=int, default=50,
+                help="max table rows shown for files/history",
+            )
         if name == "merge":
             p.add_argument(
                 "--table", default="raw_message",
@@ -826,6 +879,8 @@ def main(argv: list[str] | None = None) -> int:
             )
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
+    if args.command == "describe":
+        return cmd_describe(cfg, args.table, args.what, args.limit)
     if args.command == "merge":
         return cmd_merge(
             cfg, args.table, args.merge_source,

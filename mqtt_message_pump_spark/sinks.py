@@ -2089,6 +2089,164 @@ def describe_sink(spark: SparkSession, table_path: str) -> dict:
     }
 
 
+def files_sink(spark: SparkSession, table_path: str) -> DataFrame:
+    """The sink's LIVE batch inventory as a DataFrame -- the Iceberg
+    ``.files`` / Delta ``DESCRIBE DETAIL`` surface: one row per live
+    batch with identity (manifest name, epoch, batch id, kind), layout
+    (attempt dir, file count), metadata stats (rows, dates, per-column
+    min/max) and bloom coverage.  Built from one manifest listing
+    (O(live) under snapshots, no data IO), so operators can run SQL
+    over the table's own metadata: small-file counts to schedule
+    compaction, per-date row totals, stat coverage audits."""
+    import json as _json
+
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        raise ValueError(f"{table_path} is not a manifest sink")
+    live = [
+        m for m in _read_manifests(fs, HPath, table_path) if "dir" in m
+    ]
+    rows = []
+    for m in live:
+        key = _batch_name_key(m.get("name", ""))
+        st = m.get("stats") or {}
+        rows.append(
+            (
+                m["name"],
+                (
+                    "compact"
+                    if m.get("kind") == "compact"
+                    else (
+                        "rewrite"
+                        if key is not None
+                        and key[0]
+                        and _is_swap_epoch(key[0])
+                        else "append"
+                    )
+                ),
+                key[0] if key is not None and key[0] else None,
+                key[1] if key is not None else None,
+                m["dir"],
+                len(m.get("files") or []),
+                int(m["rows"]) if "rows" in m else None,
+                sorted(m.get("dates") or []),
+                {c: list(v) for c, v in st.items()},
+                fs.exists(HPath(f"{table_path}/{m['dir']}/_bloom.json")),
+                (
+                    len(m["schema"].get("fields", []))
+                    if isinstance(m.get("schema"), dict)
+                    else None
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "manifest string, kind string, epoch string, batch_id long, "
+        "dir string, n_files int, rows long, dates array<string>, "
+        "stats map<string, array<string>>, has_bloom boolean, "
+        "n_columns int",
+    )
+
+
+def history_sink(spark: SparkSession, table_path: str) -> DataFrame:
+    """The sink's operation log as a DataFrame -- Delta ``DESCRIBE
+    HISTORY`` reduced to the manifest protocol: one row per manifest
+    object still reconstructible from the retained log (standalone
+    files plus entries that now live only embedded in a snapshot),
+    with the operation class derived from the protocol's naming --
+
+    - ``append``: an ordinary batch commit (``b<epoch>-<id>``);
+    - ``rewrite``: a DML/MERGE/restore swap (the reserved ``u``+hex
+      epoch, :func:`_is_swap_epoch`);
+    - ``compact`` / ``overwrite``: consolidation manifests (the
+      ``c-ow-`` prefix is the native writer's atomic replace-table);
+    - ``drop``: a tombstone (retention drops, whole-batch deletes);
+    - ``snapshot``: a snapshot publish (``s-<seq>-...``).
+
+    ``ts`` is the object's publish time (file mtime; embedded-only
+    entries inherit their snapshot's).  History depth equals the
+    vacuum-retention horizon -- :func:`vacuum_sink` physically erases
+    superseded objects, exactly like Delta's log retention."""
+    fs, HPath = _hadoop_fs(spark, table_path)
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        raise ValueError(f"{table_path} is not a manifest sink")
+    state = _load_manifest_state(fs, HPath, table_path)
+    rows = []
+    seen = set()
+
+    def _op(name: str, m: dict) -> str:
+        if _snap_seq(name) is not None:
+            return "snapshot"
+        if m.get("kind") == "drop":
+            return "drop"
+        if m.get("kind") == "compact":
+            return "overwrite" if name.startswith("c-ow-") else "compact"
+        key = _batch_name_key(name)
+        if key is not None and key[0] and _is_swap_epoch(key[0]):
+            return "rewrite"
+        return "append"
+
+    for st in state["stats"]:
+        name = st.getPath().getName()
+        ts = st.getModificationTime()
+        if _snap_seq(name) is not None:
+            m = {}
+        else:
+            try:
+                m = _read_json_object(
+                    fs, HPath, f"{table_path}/_manifests/{name}"
+                )
+            except Exception:
+                continue  # vacuumed mid-listing
+        seen.add(name)
+        rows.append(
+            (
+                name,
+                _op(name, m),
+                ts,
+                int(m["rows"]) if "rows" in m else None,
+                m.get("dir"),
+                sorted(m.get("supersedes") or []),
+                False,
+            )
+        )
+    # entries surviving ONLY inside the newest snapshot (their
+    # standalone file already vacuumed): still part of the
+    # reconstructible history
+    snap_ts = (
+        state["latest_snap"].getModificationTime()
+        if state["latest_snap"] is not None
+        else None
+    )
+    for m in state["live"]:
+        name = m.get("name", "")
+        if name in seen or not name:
+            continue
+        rows.append(
+            (
+                name,
+                _op(name, m),
+                snap_ts,
+                int(m["rows"]) if "rows" in m else None,
+                m.get("dir"),
+                sorted(m.get("supersedes") or []),
+                True,
+            )
+        )
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame(
+            rows,
+            "manifest string, operation string, ts_ms long, rows long, "
+            "dir string, supersedes array<string>, embedded_only boolean",
+        )
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .drop("ts_ms")
+        .orderBy("ts", "manifest")
+    )
+
+
 def backfill_blooms(
     spark: SparkSession, table_path: str
 ) -> list[str]:

@@ -500,3 +500,32 @@ def test_tail_merge_mode(spark, tmp_path, capsys):
         for r in read_sink(spark, down).collect()
     }
     assert got == {"k1": "v1.2"}
+
+
+def test_describe_subcommand(spark, tmp_path, capsys):
+    """``pump describe``: summary JSON, files inventory and history log
+    straight off the manifest metadata."""
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import write_append
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out"
+    store = StoreConf(commit_protocol="manifest")
+    df = spark.createDataFrame(
+        [("m1", "t", "p", "2024-01-02 00:00:00")],
+        ["mid", "topic", "payload", "d"],
+    ).select(
+        "mid", "topic", "payload",
+        F.to_timestamp("d").alias("collect_datetime"),
+        F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+    )
+    write_append(df, store, str(out / "raw_message"), batch_id=0)
+    ini = tmp_path / "pump.ini"
+    ini.write_text(f"[store]\npath = {out}\n")
+    assert main(["describe", str(ini)]) == 0
+    msg = capsys.readouterr().out
+    assert '"batches": 1' in msg
+    assert main(["describe", str(ini), "--what", "files"]) == 0
+    assert "b0.json" in capsys.readouterr().out
+    assert main(["describe", str(ini), "--what", "history"]) == 0
+    assert "append" in capsys.readouterr().out

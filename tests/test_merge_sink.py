@@ -663,3 +663,77 @@ class TestMergeLifecycle:
                         os.path.join(root, f), columns=["payload"]
                     )
                     assert "p105" not in t["payload"].to_pylist()
+
+
+class TestMetadataTables:
+    def test_files_and_history_surfaces(self, spark, tmp_path):
+        """files_sink = the live-batch inventory (Iceberg .files);
+        history_sink = the operation log (Delta DESCRIBE HISTORY) with
+        operation classes derived from the manifest protocol's naming,
+        surviving vacuum via snapshot-embedded entries."""
+        from mqtt_message_pump_spark.sinks import (
+            compact_sink,
+            delete_sink_where,
+            files_sink,
+            history_sink,
+            snapshot_sink,
+        )
+
+        tp = _mk_sink(spark, tmp_path)
+        merge_sink(
+            spark, tp,
+            _frame(spark, [
+                ("m0105", "t/x", "U", "2024-01-01"),
+                ("mNEW", "t/x", "I", "2024-01-04"),
+            ]),
+            on=["mid"], merge_id="meta",
+        )
+        delete_sink_where(spark, tp, eq={"mid": list(
+            f"m{200 + i:04d}" for i in range(20)
+        )})  # whole batch 2 -> drop tombstone
+        f = files_sink(spark, tp)
+        rows = {r["manifest"]: r for r in f.collect()}
+        # live: batch 0, the rewritten batch 1 swap, the merge insert
+        assert len(rows) == 3
+        kinds = {r["kind"] for r in rows.values()}
+        assert kinds == {"append", "rewrite"}
+        assert all(r["rows"] is not None for r in rows.values())
+        assert all(r["has_bloom"] for r in rows.values())
+        # SQL over the metadata surface
+        f.createOrReplaceTempView("sink_files")
+        small = spark.sql(
+            "SELECT count(*) AS n FROM sink_files WHERE rows < 10"
+        ).collect()[0]["n"]
+        assert small == 1  # the 1-row insert batch
+
+        h = history_sink(spark, tp)
+        ops = {
+            r["manifest"]: r["operation"] for r in h.collect()
+        }
+        assert ops["b0.json"] == "append"
+        assert ops["b2.json"] == "append"
+        assert "drop" in set(ops.values())      # the DELETE tombstone
+        assert "rewrite" in set(ops.values())   # the merge swap
+        # rewrite rows supersede their victim
+        sup = {
+            r["manifest"]: r["supersedes"] for r in h.collect()
+        }
+        assert any("b1.json" in s for s in sup.values())
+
+        # snapshot + vacuum: retired objects survive in history as
+        # embedded-only entries; the snapshot itself is an operation
+        compact_sink(spark, tp, keep_last=0)
+        snapshot_sink(spark, tp)
+        from mqtt_message_pump_spark.sinks import vacuum_sink
+
+        vacuum_sink(spark, tp, retention_secs=0.0)
+        h2 = history_sink(spark, tp)
+        ops2 = {r["operation"] for r in h2.collect()}
+        assert "snapshot" in ops2 and "compact" in ops2
+        emb = [r for r in h2.collect() if r["embedded_only"]]
+        assert all(r["ts"] is not None for r in h2.collect())
+        # the compact manifest is embedded in the snapshot
+        assert any(r["operation"] == "compact" for r in emb) or any(
+            r["operation"] == "compact" and not r["embedded_only"]
+            for r in h2.collect()
+        )
