@@ -2089,6 +2089,23 @@ def describe_sink(spark: SparkSession, table_path: str) -> dict:
     }
 
 
+def _manifest_op(name: str, m: dict) -> str:
+    """One operation class per manifest object, derived from the
+    protocol's naming -- shared by :func:`files_sink` and
+    :func:`history_sink` so the two metadata surfaces can never
+    disagree about the same manifest."""
+    if _snap_seq(name) is not None:
+        return "snapshot"
+    if m.get("kind") == "drop":
+        return "drop"
+    if m.get("kind") == "compact":
+        return "overwrite" if name.startswith("c-ow-") else "compact"
+    key = _batch_name_key(name)
+    if key is not None and key[0] and _is_swap_epoch(key[0]):
+        return "rewrite"
+    return "append"
+
+
 def files_sink(spark: SparkSession, table_path: str) -> DataFrame:
     """The sink's LIVE batch inventory as a DataFrame -- the Iceberg
     ``.files`` / Delta ``DESCRIBE DETAIL`` surface: one row per live
@@ -2113,17 +2130,7 @@ def files_sink(spark: SparkSession, table_path: str) -> DataFrame:
         rows.append(
             (
                 m["name"],
-                (
-                    "compact"
-                    if m.get("kind") == "compact"
-                    else (
-                        "rewrite"
-                        if key is not None
-                        and key[0]
-                        and _is_swap_epoch(key[0])
-                        else "append"
-                    )
-                ),
+                _manifest_op(m["name"], m),
                 key[0] if key is not None and key[0] else None,
                 key[1] if key is not None else None,
                 m["dir"],
@@ -2173,19 +2180,6 @@ def history_sink(spark: SparkSession, table_path: str) -> DataFrame:
     state = _load_manifest_state(fs, HPath, table_path)
     rows = []
     seen = set()
-
-    def _op(name: str, m: dict) -> str:
-        if _snap_seq(name) is not None:
-            return "snapshot"
-        if m.get("kind") == "drop":
-            return "drop"
-        if m.get("kind") == "compact":
-            return "overwrite" if name.startswith("c-ow-") else "compact"
-        key = _batch_name_key(name)
-        if key is not None and key[0] and _is_swap_epoch(key[0]):
-            return "rewrite"
-        return "append"
-
     for st in state["stats"]:
         name = st.getPath().getName()
         ts = st.getModificationTime()
@@ -2196,13 +2190,15 @@ def history_sink(spark: SparkSession, table_path: str) -> DataFrame:
                 m = _read_json_object(
                     fs, HPath, f"{table_path}/_manifests/{name}"
                 )
-            except Exception:
-                continue  # vacuumed mid-listing
+            except _ManifestVanished:
+                continue  # vacuumed mid-listing; its replacement lists
+            # any OTHER failure (parse error, FS fault) raises: an
+            # audit log must never silently under-report
         seen.add(name)
         rows.append(
             (
                 name,
-                _op(name, m),
+                _manifest_op(name, m),
                 ts,
                 int(m["rows"]) if "rows" in m else None,
                 m.get("dir"),
@@ -2225,8 +2221,12 @@ def history_sink(spark: SparkSession, table_path: str) -> DataFrame:
         rows.append(
             (
                 name,
-                _op(name, m),
-                snap_ts,
+                _manifest_op(name, m),
+                # embedded entries carry their ORIGINAL publish mtime
+                # ("ts", recorded when the snapshot embedded them) --
+                # chronology survives vacuum; the snapshot's own time
+                # is only the fallback for pre-ts snapshots
+                int(m["ts"]) if m.get("ts") is not None else snap_ts,
                 int(m["rows"]) if "rows" in m else None,
                 m.get("dir"),
                 sorted(m.get("supersedes") or []),
@@ -3131,7 +3131,10 @@ def _dml_sink(
             "cannot UPDATE the partition column collect_date; "
             "delete + re-append to move rows across partitions"
         )
+    import threading
+
     target_schema = None  # sink-wide widened schema, computed on demand
+    _ts_lock = threading.Lock()  # once, even under rewrite_parallelism
     def _dml_one(m: dict) -> dict:
         src = spark.read.option("mergeSchema", "true").parquet(
             f"{table_path}/{m['dir']}"
@@ -3148,10 +3151,11 @@ def _dml_sink(
             # manifests' recorded schemas when available -- metadata
             # only, no N-frame union analysis)
             nonlocal target_schema
-            if target_schema is None:
-                target_schema = _sink_merged_schema(
-                    spark, table_path, live
-                )
+            with _ts_lock:
+                if target_schema is None:
+                    target_schema = _sink_merged_schema(
+                        spark, table_path, live
+                    )
             have = set(frame.columns)
             return frame.select(
                 "*",
@@ -3663,6 +3667,7 @@ def merge_sink(
         "candidate_batches": 0,
         "touched_batches": 0,
         "probed_clean": 0,
+        "unchanged_batches": 0,
         "rewritten": [],
         "dropped": [],
         "swapped": {},
@@ -4097,7 +4102,11 @@ def merge_sink(
             out["rows_deleted"] += rec["rows_deleted"]
             out["touched_batches"] += 1
         elif rec["kind"] == "clean":
-            out["probed_clean"] += 1
+            # byte-equivalent rewrite skipped (matched_where miss, or a
+            # full-sync pass over an all-matched batch): its OWN
+            # counter -- probed_clean stays the discovery metric, so
+            # the two can never double-count one batch
+            out["unchanged_batches"] += 1
         else:
             out["rewritten"].append(rec["new_name"])
             out["swapped"][rec["victim"]] = rec["new_name"]

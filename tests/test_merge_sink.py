@@ -732,6 +732,18 @@ class TestMetadataTables:
         assert "snapshot" in ops2 and "compact" in ops2
         emb = [r for r in h2.collect() if r["embedded_only"]]
         assert all(r["ts"] is not None for r in h2.collect())
+        # chronology survives vacuum: embedded-only entries keep their
+        # ORIGINAL publish time, never the snapshot's
+        snap_ts = max(
+            r["ts"] for r in h2.collect() if r["operation"] == "snapshot"
+        )
+        assert emb and all(r["ts"] <= snap_ts for r in emb)
+        assert any(r["ts"] < snap_ts for r in emb)
+        # the two metadata surfaces agree on operation classes
+        f2 = {r["manifest"]: r["kind"] for r in files_sink(spark, tp).collect()}
+        h2ops = {r["manifest"]: r["operation"] for r in h2.collect()}
+        for name, kind in f2.items():
+            assert h2ops.get(name, kind) == kind
         # the compact manifest is embedded in the snapshot
         assert any(r["operation"] == "compact" for r in emb) or any(
             r["operation"] == "compact" and not r["embedded_only"]
