@@ -3850,9 +3850,13 @@ def merge_sink(
                 f"key {key}; MERGE requires at most one source row per "
                 "matched target row (pre-aggregate the source)"
             )
-    out["probed_clean"] = len(cands) - len(touched_names)
     if when_matched is None and matched_where is None:
         touched_names = []  # insert-only: matched rows stay untouched
+    # counted AFTER the insert-only reset so candidate batches holding
+    # matched-but-untouched keys surface as probed_clean -- the summary
+    # invariant candidate_batches == probed_clean + touched + unchanged
+    # holds for every clause shape
+    out["probed_clean"] = len(cands) - len(touched_names)
     rewrite = set(touched_names)
     if when_not_matched_by_source is not None:
         # unmatched-by-source rows live anywhere: full-table pass
@@ -3900,6 +3904,18 @@ def merge_sink(
                     for c in sm
                     if c not in phys and c not in pad_cols
                 ]
+        if target_schema is not None:
+            # matched_where / not_matched_by_source_where may name ANY
+            # sink-schema column (start_cdc_apply's version guard does
+            # exactly that): pad every column the batch physically
+            # lacks so a pre-widening batch evaluates the predicate
+            # with NULLs -- the documented IS-NULL arm -- instead of
+            # raising UNRESOLVED_COLUMN and wedging the stream
+            pad_cols += [
+                f.name
+                for f in target_schema.fields
+                if f.name not in phys and f.name not in pad_cols
+            ]
         eval_df = t_df
         if pad_cols and target_schema is not None:
             by_field = {f.name: f for f in target_schema.fields}

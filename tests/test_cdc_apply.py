@@ -223,3 +223,29 @@ class TestMergeBySourceDuplicates:
         assert res["rows_deleted"] == 1  # k2 only
         rows = read_sink(spark, down).collect()
         assert [r["mid"] for r in rows] == ["k1"]  # exactly ONE k1
+
+
+class TestPreVersionBatchDelete:
+    def test_delete_key_in_pre_version_batch(self, spark, tmp_path):
+        """Regression (ADVICE r13, high): a CDC DELETE targeting a key
+        that lives in a batch PREDATING the version column must apply
+        via the guard's IS NULL arm -- not raise UNRESOLVED_COLUMN and
+        wedge the stream on every replay."""
+        up, down, ck = (
+            str(tmp_path / p) for p in ("up", "down", "ck")
+        )
+        store = _store()
+        legacy = spark.createDataFrame(
+            [("k1", "legacy")], ["mid", "payload"]
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        append_batch_manifest(legacy, store, down, 0, epoch="seed")
+        widened = _changes(
+            spark, [("k2", "v2", "u", "2024-01-01 00:00:01")]
+        ).drop("op")
+        append_batch_manifest(widened, store, down, 1, epoch="seed")
+        append_batch_manifest(
+            _changes(spark, [("k1", "", "d", "2024-01-01 00:00:09")]),
+            store, up, 0, epoch="e1",
+        )
+        _run_apply(spark, up, down, ck)
+        assert _state(spark, down) == {"k2": "v2"}

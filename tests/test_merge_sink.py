@@ -749,3 +749,94 @@ class TestMetadataTables:
             r["operation"] == "compact" and not r["embedded_only"]
             for r in h2.collect()
         )
+
+
+class TestClausePredicatesOnMissingColumns:
+    """Regression: matched_where / not_matched_by_source_where may name
+    sink-schema columns a pre-widening batch physically lacks; the
+    rewrite must pad them to NULL (the predicate's IS NULL arm), not
+    raise UNRESOLVED_COLUMN (ADVICE r13, high)."""
+
+    def _legacy_plus_widened(self, spark, tmp_path):
+        tp = str(tmp_path / "sink")
+        legacy = spark.createDataFrame(
+            [("k1", "legacy"), ("k2", "legacy2")], ["mid", "payload"]
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        append_batch_manifest(legacy, _store(), tp, 0, epoch="seed")
+        widened = _frame(
+            spark, [("k3", "t", "v3", "2024-01-02 00:00:03")]
+        ).drop("topic")
+        append_batch_manifest(widened, _store(), tp, 1, epoch="seed")
+        return tp
+
+    def test_matched_where_on_missing_column_delete(
+        self, spark, tmp_path
+    ):
+        """The CDC version-guard shape: DELETE guarded by
+        ``(v IS NULL) OR (s_v >= v)`` must land on a key living in a
+        batch that PREDATES the version column."""
+        tp = self._legacy_plus_widened(spark, tmp_path)
+        src = _frame(
+            spark, [("k1", "t", "", "2024-01-03 00:00:09")]
+        ).drop("topic")
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_matched="delete", when_not_matched=None,
+            matched_where=(
+                "(collect_datetime IS NULL) OR "
+                "(s_collect_datetime >= collect_datetime)"
+            ),
+        )
+        assert res["rows_deleted"] == 1
+        got = {r["mid"] for r in read_sink(
+            spark, tp, merge_schema=True
+        ).collect()}
+        assert got == {"k2", "k3"}
+
+    def test_by_source_where_on_missing_column(self, spark, tmp_path):
+        """not_matched_by_source_where naming the missing column: the
+        NULL arm selects legacy rows for deletion."""
+        tp = self._legacy_plus_widened(spark, tmp_path)
+        # source names k3 only; by-source delete gated on the rows
+        # PREDATING the version column (collect_datetime IS NULL)
+        src = _frame(
+            spark, [("k3", "t", "keep", "2024-01-05 00:00:00")]
+        ).drop("topic")
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_matched=None, when_not_matched=None,
+            when_not_matched_by_source="delete",
+            not_matched_by_source_where="collect_datetime IS NULL",
+        )
+        assert res["rows_deleted"] == 2  # k1, k2 (legacy batch only)
+        got = {r["mid"] for r in read_sink(
+            spark, tp, merge_schema=True
+        ).collect()}
+        assert got == {"k3"}
+
+    def test_insert_only_counters_consistent(self, spark, tmp_path):
+        """Regression (ADVICE r13, low): insert-only merge over a
+        candidate batch holding matched keys must count it under
+        probed_clean -- candidate_batches == probed_clean +
+        touched_batches + unchanged_batches."""
+        tp = _mk_sink(spark, tmp_path, n_batches=1, per=5)
+        src = _frame(
+            spark,
+            [
+                ("m0002", "t", "dup", "2024-01-01"),   # matched
+                ("mNEW1", "t", "new", "2024-01-01"),   # inserted
+            ],
+        )
+        res = merge_sink(
+            spark, tp, src, on=["mid"],
+            when_matched=None, when_not_matched="insert",
+        )
+        assert res["rows_inserted"] == 1
+        assert res["touched_batches"] == 0
+        assert res["candidate_batches"] == (
+            res["probed_clean"]
+            + res["touched_batches"]
+            + res["unchanged_batches"]
+        )
+        assert res["probed_clean"] == res["candidate_batches"] == 1
+        assert read_sink(spark, tp).count() == 6
