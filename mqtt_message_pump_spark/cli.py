@@ -623,6 +623,83 @@ def cmd_merge(
     return 0
 
 
+def cmd_sql(
+    cfg: PumpConfig,
+    statement: str,
+    tables: "dict[str, str]",
+    merge_id: "str | None",
+    force: bool,
+) -> int:
+    """``pump sql``: one DML statement (DELETE FROM / UPDATE / MERGE
+    INTO / RESTORE TABLE) or a SELECT over the store's sinks -- the
+    write half of the reference's delegated SQL surface
+    (``data_dbstore.go:56-147``) as statement text
+    (:func:`sqlstmt.execute_sql`).  The pump's own sinks are
+    pre-registered as ``raw_message`` / ``json_message``; ``--table
+    name=path`` adds more."""
+    import json as _json
+
+    from mqtt_message_pump_spark import catalog
+    from mqtt_message_pump_spark.sinks import _hadoop_fs
+    from mqtt_message_pump_spark.sqlstmt import execute_sql
+
+    spark = get_spark(app_name="pump-sql")
+    names = dict(tables)
+    for t in ("raw_message", "json_message"):
+        names.setdefault(t, f"{cfg.store.path}/{t}")
+    verb = statement.strip().split(None, 1)[0].upper() if statement.strip() else ""
+    try:
+        if verb in ("SELECT", "WITH"):
+            # reads go through Spark SQL over registered views; only
+            # paths that ARE manifest sinks get views (a fresh store
+            # may not have both sinks yet)
+            for n, p in names.items():
+                fs, HPath = _hadoop_fs(spark, p)
+                if fs.exists(HPath(f"{p}/_manifests")):
+                    catalog.register_sink(spark, p, n)
+            spark.sql(statement).show(50, truncate=False)
+        else:
+            res = execute_sql(
+                spark, statement, tables=names, store=cfg.store,
+                merge_id=merge_id, force=force,
+            )
+            print(_json.dumps(res, indent=2, default=str))
+    except Exception as e:  # noqa: BLE001 - operator-facing report
+        print(f"sql failed: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_register(
+    cfg: PumpConfig, path: str, name: str, pushdown: bool,
+    query: "str | None",
+) -> int:
+    """``pump register``: create the data + metadata temp views for a
+    sink (:func:`catalog.register_sink`) and optionally run one SQL
+    query against them -- the one-command bootstrap for SQL users.
+    Temp views live for the session, so --query is how this command is
+    useful stand-alone; library users call catalog.register_sink."""
+    from mqtt_message_pump_spark import catalog
+
+    spark = get_spark(app_name="pump-register")
+    target = (
+        f"{cfg.store.path}/{path}"
+        if path in ("raw_message", "json_message")
+        else path
+    )
+    try:
+        info = catalog.register_sink(
+            spark, target, name, pushdown=pushdown
+        )
+        print(f"registered: {', '.join(info['views'])}")
+        if query:
+            spark.sql(query).show(50, truncate=False)
+    except Exception as e:  # noqa: BLE001 - operator-facing report
+        print(f"register failed: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def cmd_describe(
     cfg: PumpConfig, table: str, what: str, limit: int
 ) -> int:
@@ -661,10 +738,56 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pump", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
     for name in (
-        "show", "check", "run", "maintain", "tail", "merge", "describe"
+        "show", "check", "run", "maintain", "tail", "merge", "describe",
+        "sql", "register",
     ):
         p = sub.add_parser(name)
         p.add_argument("config")
+        if name == "sql":
+            p.add_argument(
+                "--sql", required=True, metavar="STATEMENT",
+                help="DELETE FROM / UPDATE / MERGE INTO / RESTORE TABLE "
+                "(executed on the manifest-sink DML cores) or "
+                "SELECT/WITH (run via Spark SQL over registered views); "
+                "raw_message and json_message resolve to the config's "
+                "store sinks",
+            )
+            p.add_argument(
+                "--table", action="append", default=[],
+                metavar="NAME=PATH",
+                help="extra table-name bindings (repeatable)",
+            )
+            p.add_argument(
+                "--merge-id", default=None,
+                help="stable id for a MERGE statement (re-run "
+                "idempotence, as in pump merge)",
+            )
+            p.add_argument(
+                "--force", action="store_true",
+                help="override the maintenance-window fence",
+            )
+        if name == "register":
+            p.add_argument(
+                "--path", required=True,
+                help="sink to register: raw_message / json_message "
+                "(under the config's store path) or an explicit path",
+            )
+            p.add_argument(
+                "--name", required=True,
+                help="view name; <name>_files / <name>_history "
+                "metadata views are created alongside",
+            )
+            p.add_argument(
+                "--pushdown", action="store_true",
+                help="register with manifest/bloom filter pushdown "
+                "(opt-in: only safe when every query on the view "
+                "carries a pushable filter -- see catalog docs)",
+            )
+            p.add_argument(
+                "--query", default=None, metavar="SQL",
+                help="run one SQL query after registering (temp views "
+                "live for the session, so this is the stand-alone use)",
+            )
         if name == "run":
             p.add_argument("--source-dir", default=None)
             p.add_argument(
@@ -879,6 +1002,18 @@ def main(argv: list[str] | None = None) -> int:
             )
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
+    if args.command == "sql":
+        tables = {}
+        for item in args.table:
+            if "=" not in item:
+                ap.error(f"--table takes NAME=PATH, got {item!r}")
+            n, _, p = item.partition("=")
+            tables[n.strip()] = p.strip()
+        return cmd_sql(cfg, args.sql, tables, args.merge_id, args.force)
+    if args.command == "register":
+        return cmd_register(
+            cfg, args.path, args.name, args.pushdown, args.query
+        )
     if args.command == "describe":
         return cmd_describe(cfg, args.table, args.what, args.limit)
     if args.command == "merge":

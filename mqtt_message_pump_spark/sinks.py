@@ -2052,7 +2052,15 @@ def describe_sink(spark: SparkSession, table_path: str) -> dict:
     live batch count, metadata row count, lineages, date span, snapshot
     seqs, bloom coverage, and maintenance posture (batches since the
     last snapshot) -- the ``DESCRIBE TABLE``/``SHOW PARTITIONS``
-    surface for the manifest log."""
+    surface for the manifest log.
+
+    ``bloom_coverage`` below full is EXPECTED on native-stream-writer
+    sinks ingesting >100k-row batches: the stream's commit worker has
+    no SparkSession for the distributed bloom builder, so those
+    batches ship bloom-less (documented in ``manifestsink.py``) and
+    equality probes keep them conservatively until ``pump maintain``
+    / :func:`backfill_blooms` closes the gap -- correctness is never
+    affected, only point-lookup pruning."""
     fs, HPath = _hadoop_fs(spark, table_path)
     if not fs.exists(HPath(f"{table_path}/_manifests")):
         raise ValueError(f"{table_path} is not a manifest sink")

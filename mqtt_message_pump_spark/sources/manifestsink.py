@@ -179,7 +179,22 @@ class ManifestSinkDataSource(DataSource):
     - ``as_of_ts`` (optional): time travel by wall clock (Delta's
       ``timestampAsOf``) -- epoch seconds or an ISO instant; resolves
       to the newest snapshot published at-or-before it;
-    - ``schema`` (optional DDL): override the inferred merged schema.
+    - ``schema`` (optional DDL): override the inferred merged schema;
+    - ``pushdown`` (optional, ``auto``/``off``, default ``auto``):
+      ``off`` disables manifest-level filter pruning so the planned
+      read is IDENTICAL for every filter set.  Use ``off`` for
+      LONG-LIVED frames/views that will serve queries with VARYING
+      filters: Spark 4.1's Python-data-source layer caches one
+      ``readInfo`` per relation and a filtered scan OVERWRITES it
+      (``PythonScanBuilder.pushFilters`` -> ``ds.setReadInfo``), so a
+      later scan with no pushable filters on the SAME relation silently
+      reuses the pruned plan and loses rows (upstream defect, repro in
+      ``tests/test_sqlstmt.py::TestUpstreamReadInfoPoisoning``).  With
+      ``off`` the cached info is always the full live set, making the
+      reuse harmless; all filters are applied row-level by Spark
+      either way.  ``auto`` keeps full pruning and is safe for
+      one-shot loads (every ``load()`` gets a fresh relation) and for
+      frames whose every query carries pushable filters.
 
     Upsert / ReplacingMergeTree FINAL reads: a collapse needs a
     key-shuffle, which a leaf source cannot express -- compose
@@ -268,6 +283,11 @@ class ManifestSinkReader(DataSourceReader):
         self._date_constraints: "list[tuple[str, object]]" = []
         self._stat_constraints: "dict[str, list[tuple[str, str]]]" = {}
         self._eq_probes: "dict[str, list[str]]" = {}
+        self._pushdown = str(options.get("pushdown", "auto")).lower()
+        if self._pushdown not in ("auto", "off"):
+            raise ValueError(
+                f"pushdown must be 'auto' or 'off', got {self._pushdown!r}"
+            )
 
     def pushFilters(self, filters):
         """Collect manifest-level pruning info; EVERY filter is returned
@@ -276,7 +296,12 @@ class ManifestSinkReader(DataSourceReader):
         shapes: =, <, <=, >, >=, IN on ``collect_date`` (prunes via the
         manifest ``dates`` stat) and on the stats columns (prunes via
         min/max intervals; equality additionally probes the per-batch
-        bloom sidecars)."""
+        bloom sidecars).  ``pushdown=off`` collects nothing, keeping
+        the planned partition set filter-independent (see the
+        DataSource docstring for the upstream readInfo-reuse defect
+        this guards against)."""
+        if self._pushdown == "off":
+            return filters
         ops = {
             EqualTo: "eq",
             In: "in",

@@ -529,3 +529,77 @@ def test_describe_subcommand(spark, tmp_path, capsys):
     assert "b0.json" in capsys.readouterr().out
     assert main(["describe", str(ini), "--what", "history"]) == 0
     assert "append" in capsys.readouterr().out
+
+
+def test_sql_and_register_subcommands(spark, tmp_path, capsys):
+    """``pump sql`` drives the statement layer against the store's
+    sinks by name; ``pump register`` bootstraps the SQL views and can
+    run a query over data + metadata in one command."""
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import read_sink, write_append
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out"
+    store = StoreConf(commit_protocol="manifest")
+    df = spark.createDataFrame(
+        [
+            ("m1", "t", "p1", "2024-01-02 00:00:00"),
+            ("m2", "t", "p2", "2024-01-02 00:00:01"),
+            ("m3", "t", "p3", "2024-01-02 00:00:02"),
+        ],
+        ["mid", "topic", "payload", "d"],
+    ).select(
+        "mid", "topic", "payload",
+        F.to_timestamp("d").alias("collect_datetime"),
+        F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+    )
+    write_append(df, store, str(out / "raw_message"), batch_id=0)
+    ini = tmp_path / "pump.ini"
+    ini.write_text(f"[store]\npath = {out}\n")
+
+    # DML statement by sink name
+    assert main([
+        "sql", str(ini),
+        "--sql", "DELETE FROM raw_message WHERE mid = 'm2'",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert '"rows_deleted": 1' in msg
+    assert read_sink(spark, str(out / "raw_message")).count() == 2
+
+    # UPDATE by name
+    assert main([
+        "sql", str(ini),
+        "--sql", "UPDATE raw_message SET payload = upper(payload) "
+        "WHERE mid = 'm1'",
+    ]) == 0
+    assert '"rows_updated": 1' in capsys.readouterr().out
+
+    # SELECT goes through registered views
+    assert main([
+        "sql", str(ini),
+        "--sql", "SELECT mid, payload FROM raw_message ORDER BY mid",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "P1" in msg and "m3" in msg
+
+    # register + one-shot query over data and metadata views
+    assert main([
+        "register", str(ini), "--path", "raw_message",
+        "--name", "msgs",
+        "--query", "SELECT count(*) AS n FROM msgs",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "registered: msgs, msgs_files, msgs_history" in msg
+    assert "2" in msg
+    assert main([
+        "register", str(ini), "--path", "raw_message",
+        "--name", "msgs2",
+        "--query", "SELECT operation FROM msgs2_history",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "append" in msg and "rewrite" in msg
+
+    # bad statement: loud non-zero exit
+    assert main([
+        "sql", str(ini), "--sql", "TRUNCATE TABLE raw_message",
+    ]) == 1

@@ -1,0 +1,598 @@
+"""SQL-*statement* DML (``sqlstmt.execute_sql``) + the session catalog
+(``catalog.register_sink``): the write half of the reference's
+delegated SQL surface (``data_dbstore.go:56-147``) driven by statement
+TEXT and executed on the existing DML cores.
+
+Covered: hint extraction (structured conjuncts -> eq/dates/ranges with
+exact semantics preservation), each statement form against a
+hand-computed expected state, SQL <-> Python-API parity (identical
+sink states from the same seed), pruning parity (a SQL point delete
+plans the same candidate set as the eq= call), grammar errors raising
+loudly, and the catalog bootstrap (data + metadata views, DML by
+registered name, refresh semantics).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt_message_pump_spark import catalog
+from mqtt_message_pump_spark.config import StoreConf
+from mqtt_message_pump_spark.sinks import (
+    append_batch_manifest,
+    delete_sink_where,
+    files_sink,
+    list_snapshots,
+    merge_sink,
+    read_sink,
+    snapshot_sink,
+    update_sink_where,
+)
+from mqtt_message_pump_spark.sqlstmt import (
+    SqlStatementError,
+    _extract_hints,
+    execute_sql,
+)
+
+
+def _store():
+    return StoreConf(commit_protocol="manifest")
+
+
+def _frame(spark, rows):
+    """rows: (mid, topic, payload, 'YYYY-MM-DD[ HH:MM:SS]')"""
+    return (
+        spark.createDataFrame(
+            rows, ["mid", "topic", "payload", "d"]
+        ).select(
+            "mid", "topic", "payload",
+            F.to_timestamp("d").alias("collect_datetime"),
+            F.to_date(F.substring("d", 1, 10)).alias("collect_date"),
+        )
+    )
+
+
+def _mk_sink(spark, base, n_batches=3, per=20):
+    tp = str(base)
+    for b in range(n_batches):
+        rows = [
+            (
+                f"m{b * 100 + i:04d}",
+                f"t/{b}",
+                f"p{b * 100 + i}",
+                f"2024-01-0{1 + i % 2} 00:00:{i % 60:02d}",
+            )
+            for i in range(per)
+        ]
+        append_batch_manifest(_frame(spark, rows), _store(), tp, b)
+    return tp
+
+
+def _state(spark, tp):
+    """Canonical sink state: full row set + live-batch structure with
+    generated names/dirs normalized out -- the parity comparator."""
+    rows = sorted(
+        tuple(r) for r in read_sink(spark, tp, merge_schema=True)
+        .collect()
+    )
+    batches = sorted(
+        (r["kind"], r["rows"], tuple(r["dates"]),
+         tuple(sorted((c, tuple(v)) for c, v in r["stats"].items())),
+         r["n_files"] > 0, r["has_bloom"])
+        for r in files_sink(spark, tp).collect()
+    )
+    return rows, batches
+
+
+# ------------------------------ hint extraction ---------------------------
+
+
+class TestHintExtraction:
+    def test_eq_in_range_between(self):
+        eq, dates, ranges, res = _extract_hints(
+            "mid = 'm1' AND topic IN ('a', 'b') AND n >= 3 AND n <= 9 "
+            "AND k BETWEEN 1 AND 5"
+        )
+        assert eq == {"mid": "m1", "topic": ["a", "b"]}
+        assert dates is None
+        assert ranges == {"n": (3, 9), "k": (1, 5)}
+        assert res is None
+
+    def test_collect_date_becomes_dates(self):
+        eq, dates, ranges, res = _extract_hints(
+            "collect_date = DATE '2024-01-02' AND mid = 'x'"
+        )
+        assert dates == ["2024-01-02"]
+        assert eq == {"mid": "x"}
+        assert res is None
+
+    def test_top_level_or_disables_lifting(self):
+        eq, dates, ranges, res = _extract_hints(
+            "mid = 'a' OR mid = 'b'"
+        )
+        assert eq is None and dates is None and ranges is None
+        assert res == "mid = 'a' OR mid = 'b'"
+
+    def test_parenthesized_or_stays_residual_conjunct(self):
+        eq, dates, ranges, res = _extract_hints(
+            "mid = 'a' AND (topic = 't1' OR topic = 't2')"
+        )
+        assert eq == {"mid": "a"}
+        assert res == "((topic = 't1' OR topic = 't2'))"
+
+    def test_strict_inequality_stays_residual(self):
+        eq, dates, ranges, res = _extract_hints("n > 3 AND mid = 'a'")
+        assert ranges is None and eq == {"mid": "a"}
+        assert res == "(n > 3)"
+
+    def test_keywords_inside_strings_are_inert(self):
+        eq, dates, ranges, res = _extract_hints(
+            "payload = 'a AND b OR c' AND topic = 'WHERE''s'"
+        )
+        assert eq == {"payload": "a AND b OR c", "topic": "WHERE's"}
+        assert res is None
+
+    def test_non_literal_rhs_stays_residual(self):
+        eq, dates, ranges, res = _extract_hints(
+            "mid = upper(topic) AND n = 4"
+        )
+        assert eq == {"n": 4}
+        assert res == "(mid = upper(topic))"
+
+    def test_conflicting_eq_kept_exact(self):
+        eq, dates, ranges, res = _extract_hints("mid = 'a' AND mid = 'b'")
+        assert eq == {"mid": "a"}
+        assert res == "(mid = 'b')"  # contradiction preserved, not merged
+
+
+# ------------------------------ DELETE / UPDATE ---------------------------
+
+
+class TestDeleteUpdateStatements:
+    def test_delete_parity_with_python_api(self, spark, tmp_path):
+        sql_tp = _mk_sink(spark, tmp_path / "sql")
+        py_tp = _mk_sink(spark, tmp_path / "py")
+        res = execute_sql(
+            spark,
+            "DELETE FROM `%s` WHERE mid = 'm0105'" % sql_tp,
+        )
+        ref = delete_sink_where(spark, py_tp, eq={"mid": "m0105"})
+        assert res["statement"] == "delete"
+        assert res["rows_deleted"] == ref["rows_deleted"] == 1
+        # identical pruning: the lifted eq hint plans the same candidates
+        assert res["candidate_batches"] == ref["candidate_batches"] == 1
+        assert _state(spark, sql_tp) == _state(spark, py_tp)
+
+    def test_delete_without_where_raises(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=3)
+        with pytest.raises(SqlStatementError, match="WHERE"):
+            execute_sql(spark, f"DELETE FROM `{tp}`")
+
+    def test_delete_where_true_clears(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=3)
+        res = execute_sql(spark, f"DELETE FROM `{tp}` WHERE TRUE")
+        assert res["rows_deleted"] == 3
+        assert files_sink(spark, tp).count() == 0  # all tombstoned
+
+    def test_update_parity_with_python_api(self, spark, tmp_path):
+        sql_tp = _mk_sink(spark, tmp_path / "sql")
+        py_tp = _mk_sink(spark, tmp_path / "py")
+        stmt = (
+            "UPDATE `%s` SET payload = upper(payload), "
+            "topic = concat(topic, '!') "
+            "WHERE mid IN ('m0001', 'm0203') AND collect_date = "
+            "DATE '2024-01-02'"
+        )
+        res = execute_sql(spark, stmt % sql_tp)
+        ref = update_sink_where(
+            spark, py_tp,
+            set={"payload": "upper(payload)",
+                 "topic": "concat(topic, '!')"},
+            eq={"mid": ["m0001", "m0203"]},
+            dates=["2024-01-02"],
+        )
+        assert res["statement"] == "update"
+        assert res["rows_updated"] == ref["rows_updated"] == 2
+        assert res["candidate_batches"] == ref["candidate_batches"]
+        assert _state(spark, sql_tp) == _state(spark, py_tp)
+        got = {
+            r["mid"]: r["payload"]
+            for r in read_sink(spark, sql_tp)
+            .filter("payload != lower(payload)")
+            .collect()
+        }
+        assert got == {"m0001": "P1", "m0203": "P203"}
+
+    def test_update_residual_predicate_rows_exact(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=10)
+        # strict > stays residual; rows must still be exact
+        res = execute_sql(
+            spark,
+            f"UPDATE `{tp}` SET payload = 'X' "
+            "WHERE substring(mid, 2) > '0007'",
+        )
+        assert res["rows_updated"] == 2  # m0008, m0009
+        assert (
+            read_sink(spark, tp).filter("payload = 'X'").count() == 2
+        )
+
+
+# ---------------------------------- MERGE ---------------------------------
+
+
+class TestMergeStatement:
+    def test_merge_update_insert_parity(self, spark, tmp_path):
+        sql_tp = _mk_sink(spark, tmp_path / "sql")
+        py_tp = _mk_sink(spark, tmp_path / "py")
+        src = _frame(
+            spark,
+            [
+                ("m0105", "t/new", "UPD", "2024-01-01 00:00:05"),
+                ("m9999", "t/new", "INS", "2024-01-03 00:00:00"),
+            ],
+        )
+        src.createOrReplaceTempView("changes_v")
+        res = execute_sql(
+            spark,
+            f"MERGE INTO `{sql_tp}` AS t USING changes_v AS s "
+            "ON t.mid = s.mid "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            merge_id="sql-a",
+        )
+        ref = merge_sink(
+            spark, py_tp, src, on=["mid"], merge_id="sql-a"
+        )
+        assert res["statement"] == "merge"
+        assert res["rows_updated"] == ref["rows_updated"] == 1
+        assert res["rows_inserted"] == ref["rows_inserted"] == 1
+        assert _state(spark, sql_tp) == _state(spark, py_tp)
+        # re-run under the same merge_id: idempotent through SQL too
+        again = execute_sql(
+            spark,
+            f"MERGE INTO `{sql_tp}` AS t USING changes_v AS s "
+            "ON t.mid = s.mid "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            merge_id="sql-a",
+        )
+        # previously-inserted keys are now matched; update re-applies
+        # the same values -- the statement is idempotent end to end
+        assert again["rows_inserted"] == 0
+        merge_sink(spark, py_tp, src, on=["mid"], merge_id="sql-a")
+        assert _state(spark, sql_tp) == _state(spark, py_tp)
+
+    def test_merge_explicit_set_and_matched_where(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=5)
+        src = _frame(
+            spark,
+            [
+                ("m0002", "S", "newer", "2024-01-09 00:00:00"),
+                ("m0003", "S", "older", "2020-01-01 00:00:00"),
+            ],
+        )
+        src.createOrReplaceTempView("chg_v")
+        res = execute_sql(
+            spark,
+            f"MERGE INTO `{tp}` t USING chg_v s ON t.mid = s.mid "
+            "WHEN MATCHED AND s.collect_datetime >= t.collect_datetime "
+            "THEN UPDATE SET payload = concat(t.payload, '+', s.payload)",
+        )
+        assert res["rows_updated"] == 1  # the older change is gated out
+        got = {
+            r["mid"]: r["payload"] for r in read_sink(spark, tp).collect()
+        }
+        assert got["m0002"] == "p2+newer"
+        assert got["m0003"] == "p3"
+
+    def test_merge_delete_and_by_source(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=6)
+        src = _frame(spark, [("m0002", "t", "", "2024-01-05")])
+        src.createOrReplaceTempView("del_v")
+        res = execute_sql(
+            spark,
+            f"MERGE INTO `{tp}` t USING del_v s ON t.mid = s.mid "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND t.mid = 'm0004' THEN DELETE",
+        )
+        assert res["rows_deleted"] == 2  # m0002 (matched) + m0004 (scoped)
+        got = {r["mid"] for r in read_sink(spark, tp).collect()}
+        assert got == {"m0000", "m0001", "m0003", "m0005"}
+
+    def test_merge_by_source_set(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=4)
+        src = _frame(spark, [("m0001", "t", "keep", "2024-01-05")])
+        src.createOrReplaceTempView("sync_v")
+        execute_sql(
+            spark,
+            f"MERGE INTO `{tp}` t USING sync_v s ON t.mid = s.mid "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+            "payload = 'stale'",
+        )
+        got = {
+            r["mid"]: r["payload"] for r in read_sink(spark, tp).collect()
+        }
+        assert got == {
+            "m0000": "stale", "m0001": "p1", "m0002": "stale",
+            "m0003": "stale",
+        }
+
+    def test_merge_using_subquery_and_date_scope(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s")
+        _frame(
+            spark, [("m0001", "q", "VIA-SUBQ", "2024-01-02 00:00:01")]
+        ).createOrReplaceTempView("raw_chg")
+        res = execute_sql(
+            spark,
+            f"MERGE INTO `{tp}` t "
+            "USING (SELECT * FROM raw_chg WHERE topic = 'q') s "
+            "ON t.mid = s.mid AND t.collect_date = DATE '2024-01-02' "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        # the date scope prunes discovery to 2024-01-02 batches only
+        assert res["rows_updated"] == 1
+        assert (
+            read_sink(spark, tp).filter("payload = 'VIA-SUBQ'").count()
+            == 1
+        )
+
+    def test_merge_identity_values_insert(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        _frame(
+            spark, [("mNEW", "t", "n", "2024-01-05")]
+        ).createOrReplaceTempView("ins_v")
+        cols = (
+            "mid, topic, payload, collect_datetime, collect_date"
+        )
+        vals = ", ".join(f"s.{c.strip()}" for c in cols.split(","))
+        res = execute_sql(
+            spark,
+            f"MERGE INTO `{tp}` t USING ins_v s ON t.mid = s.mid "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})",
+        )
+        assert res["rows_inserted"] == 1
+
+    def test_merge_grammar_errors(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        _frame(
+            spark, [("m0001", "t", "x", "2024-01-05")]
+        ).createOrReplaceTempView("err_v")
+        head = f"MERGE INTO `{tp}` t USING err_v s ON t.mid = s.mid "
+        for stmt, msg in [
+            (head + "WHEN MATCHED THEN UPDATE SET * "
+             "WHEN MATCHED THEN DELETE", "duplicate WHEN"),
+            (head + "WHEN NOT MATCHED AND s.topic = 't' "
+             "THEN INSERT *", "pre-filter the source"),
+            (head + "WHEN NOT MATCHED THEN INSERT (mid) "
+             "VALUES (upper(s.mid))", "identity INSERT"),
+            (head + "WHEN MATCHED THEN UPDATE SET "
+             "payload = x.payload", "unknown qualifier"),
+            (f"MERGE INTO `{tp}` t USING err_v s "
+             "ON t.mid = s.other_key WHEN MATCHED THEN DELETE",
+             "share one name"),
+            (f"MERGE INTO `{tp}` t USING err_v s "
+             "ON t.payload > s.payload WHEN MATCHED THEN DELETE",
+             "unsupported ON conjunct"),
+        ]:
+            with pytest.raises(SqlStatementError, match=msg):
+                execute_sql(spark, stmt)
+
+    def test_merge_cardinality_rule_enforced(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=3)
+        _frame(
+            spark,
+            [("m0001", "t", "a", "2024-01-05"),
+             ("m0001", "t", "b", "2024-01-05")],
+        ).createOrReplaceTempView("dup_v")
+        with pytest.raises(ValueError, match="at most one source row"):
+            execute_sql(
+                spark,
+                f"MERGE INTO `{tp}` t USING dup_v s ON t.mid = s.mid "
+                "WHEN MATCHED THEN UPDATE SET *",
+            )
+
+
+# --------------------------------- RESTORE --------------------------------
+
+
+class TestRestoreStatement:
+    def test_restore_version_and_timestamp(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=4)
+        snapshot_sink(spark, tp, min_uncovered=1)
+        seq = list_snapshots(spark, tp)[-1]["seq"]
+        execute_sql(spark, f"DELETE FROM `{tp}` WHERE mid = 'm0001'")
+        assert read_sink(spark, tp).count() == 3
+        res = execute_sql(
+            spark, f"RESTORE TABLE `{tp}` TO VERSION AS OF {seq}"
+        )
+        assert res["statement"] == "restore"
+        assert read_sink(spark, tp).count() == 4
+        # timestamp form parses and resolves (restore to the same pin)
+        import time
+
+        execute_sql(
+            spark,
+            f"RESTORE TABLE `{tp}` TO TIMESTAMP AS OF "
+            f"{time.time() + 60}",
+        )
+        assert read_sink(spark, tp).count() == 4
+
+    def test_restore_grammar_errors(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        with pytest.raises(SqlStatementError, match="VERSION AS OF"):
+            execute_sql(
+                spark, f"RESTORE TABLE `{tp}` TO VERSION AS OF x"
+            )
+        with pytest.raises(SqlStatementError, match="supported form"):
+            execute_sql(spark, f"RESTORE `{tp}`")
+
+
+# --------------------------------- catalog --------------------------------
+
+
+class TestCatalog:
+    def test_register_views_and_dml_by_name(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s")
+        info = catalog.register_sink(spark, tp, "pump_msgs")
+        assert info["views"] == [
+            "pump_msgs", "pump_msgs_files", "pump_msgs_history",
+        ]
+        assert spark.sql(
+            "SELECT count(*) AS n FROM pump_msgs"
+        ).collect()[0]["n"] == 60
+        assert spark.sql(
+            "SELECT count(*) AS n FROM pump_msgs_files"
+        ).collect()[0]["n"] == 3
+        ops = {
+            r["operation"]
+            for r in spark.sql(
+                "SELECT operation FROM pump_msgs_history"
+            ).collect()
+        }
+        assert "append" in ops
+        # statement targets resolve through the registry
+        res = execute_sql(
+            spark, "DELETE FROM pump_msgs WHERE mid = 'm0001'"
+        )
+        assert res["rows_deleted"] == 1
+        assert catalog.registered_sinks(spark)["pump_msgs"] == tp
+
+    def test_views_pin_registration_state_and_refresh(
+        self, spark, tmp_path
+    ):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=5)
+        catalog.register_sink(spark, tp, "pinned_v")
+        # first query materializes the view's read info -- the pin
+        assert spark.sql(
+            "SELECT count(*) AS n FROM pinned_v"
+        ).collect()[0]["n"] == 5
+        execute_sql(spark, "DELETE FROM pinned_v WHERE mid = 'm0002'")
+        # the data view serves its pinned snapshot (documented): the
+        # sink itself moved, the already-queried view did not
+        assert read_sink(spark, tp).count() == 4
+        assert spark.sql(
+            "SELECT count(*) AS n FROM pinned_v"
+        ).collect()[0]["n"] == 5
+        catalog.refresh(spark, "pinned_v")
+        assert spark.sql(
+            "SELECT count(*) AS n FROM pinned_v"
+        ).collect()[0]["n"] == 4
+        hist = spark.sql(
+            "SELECT count(*) AS n FROM pinned_v_history "
+            "WHERE operation = 'rewrite'"
+        ).collect()[0]["n"]
+        assert hist == 1  # refresh re-materialized the metadata twin
+
+    def test_default_view_is_filter_order_safe(self, spark, tmp_path):
+        """The landmine the pushdown=off default exists for: a filtered
+        query followed by an UNFILTERED one on the same view must see
+        every row (Spark 4.1 caches one read plan per relation and a
+        filtered scan overwrites it -- see TestUpstreamReadInfoPoisoning
+        for the raw upstream behavior)."""
+        tp = _mk_sink(spark, tmp_path / "s")
+        catalog.register_sink(spark, tp, "safe_v")
+        assert spark.sql(
+            "SELECT count(*) AS n FROM safe_v WHERE mid = 'm0105'"
+        ).collect()[0]["n"] == 1
+        assert spark.sql(
+            "SELECT count(*) AS n FROM safe_v"
+        ).collect()[0]["n"] == 60
+
+    def test_opt_in_pushdown_prunes_through_view(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s")
+        catalog.register_sink(spark, tp, "pruned_v", pushdown=True)
+        # disjoint per-batch mid ranges: a point predicate through the
+        # VIEW plans a subset of the files (one input partition per
+        # surviving data file)
+        df = spark.sql("SELECT * FROM pruned_v WHERE mid = 'm0105'")
+        assert df.count() == 1
+        assert df.rdd.getNumPartitions() == 2  # one batch x two dates
+        # refresh preserves the opt-in
+        catalog.refresh(spark, "pruned_v")
+        df2 = spark.sql("SELECT * FROM pruned_v WHERE mid = 'm0105'")
+        assert df2.rdd.getNumPartitions() == 2
+
+    def test_register_errors(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="not a manifest sink"):
+            catalog.register_sink(
+                spark, str(tmp_path / "nope"), "bad_path_v"
+            )
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        with pytest.raises(ValueError, match="bare SQL identifier"):
+            catalog.register_sink(spark, tp, "has space")
+        with pytest.raises(ValueError, match="not a registered sink"):
+            catalog.refresh(spark, "never_registered")
+
+    def test_unknown_table_message_names_the_fixes(self, spark):
+        with pytest.raises(SqlStatementError, match="register"):
+            execute_sql(
+                spark, "DELETE FROM unknown_t WHERE mid = 'x'"
+            )
+
+
+class TestUpstreamReadInfoPoisoning:
+    """CANARY documenting the upstream Spark 4.1 defect the catalog's
+    pushdown=off default guards against: the Python-data-source layer
+    caches one readInfo per relation (PythonDataSourceV2.readInfo);
+    PythonScanBuilder.pushFilters OVERWRITES it with the filtered
+    plan, and a later scan with no pushable filters on the SAME
+    relation reuses that pruned plan -- rows silently vanish.
+
+    If these assertions start FAILING, Spark fixed the reuse: flip
+    catalog.register_sink's pushdown default to True and retire this
+    class."""
+
+    def test_filtered_scan_poisons_unfiltered_reuse(
+        self, spark, tmp_path
+    ):
+        tp = _mk_sink(spark, tmp_path / "s")
+        df = (
+            spark.read.format("manifest_sink").option("path", tp).load()
+        )
+        assert df.count() == 60  # fresh relation, full plan
+        assert df.filter("mid = 'm0105'").count() == 1  # pruned plan
+        # the pruned plan is now the relation's cached readInfo: the
+        # unfiltered re-count on the SAME frame sees one batch only
+        assert df.count() == 20  # upstream defect (would be 60 if fixed)
+        # a fresh load is a fresh relation: correct again
+        assert (
+            spark.read.format("manifest_sink").option("path", tp)
+            .load().count() == 60
+        )
+
+    def test_pushdown_off_makes_reuse_harmless(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s")
+        df = (
+            spark.read.format("manifest_sink").option("path", tp)
+            .option("pushdown", "off").load()
+        )
+        assert df.count() == 60
+        p = df.filter("mid = 'm0105'")
+        assert p.count() == 1
+        assert p.rdd.getNumPartitions() == 6  # no pruning, by design
+        assert df.count() == 60  # cached plan is the full set
+
+    def test_bad_pushdown_option_raises(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        with pytest.raises(Exception, match="auto.*off|off.*auto"):
+            (
+                spark.read.format("manifest_sink").option("path", tp)
+                .option("pushdown", "maybe").load().count()
+            )
+
+
+class TestStatementDispatch:
+    def test_unsupported_statement_raises(self, spark):
+        with pytest.raises(SqlStatementError, match="SELECT goes"):
+            execute_sql(spark, "SELECT 1")
+        with pytest.raises(SqlStatementError, match="unsupported"):
+            execute_sql(spark, "TRUNCATE TABLE t")
+
+    def test_explicit_tables_mapping(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=3)
+        res = execute_sql(
+            spark,
+            "DELETE FROM msgs WHERE mid = 'm0001'",
+            tables={"msgs": tp},
+        )
+        assert res["rows_deleted"] == 1
