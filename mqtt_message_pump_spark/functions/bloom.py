@@ -49,6 +49,14 @@ import json
 import math
 
 BLOOM_SIDECAR = "_bloom.json"
+# snapshot-folded bloom INDEX (VERDICT r13 #2): one object under
+# <table_path>/_bloomidx embedding every covered batch's sidecar specs
+# verbatim, so a caught-up point lookup reads ONE immutable object
+# (cached across statements) instead of O(live batches) sidecar files.
+# Full 1% fidelity -- the index IS the sidecar content, keyed by
+# (batch name, attempt dir) so a replay-republished batch falls back
+# to its own sidecar instead of a stale entry.
+BLOOMIDX_DIR = "_bloomidx"
 DEFAULT_FPP = 0.01
 # driver-side builder guard: batches beyond this use the distributed
 # builder (mapInPandas partials OR-folded on the driver).  Measured:
@@ -168,6 +176,83 @@ def write_bloom_sidecar(
     write_bytes(
         json.dumps({"fpp": fpp, "cols": specs}, sort_keys=True).encode()
     )
+
+
+def _idx_seq(name: str) -> "int | None":
+    if not (name.startswith("bloomidx-s") and name.endswith(".json")):
+        return None
+    try:
+        return int(name[len("bloomidx-s"):].split("-", 1)[0])
+    except ValueError:
+        return None
+
+
+# parsed index objects keyed by (table_path, file name): index files
+# are immutable (seq + content hash in the name), so entries never go
+# stale; the map holds the latest couple of indexes per sink
+_IDX_CACHE: "dict[tuple[str, str], dict]" = {}
+
+
+def load_bloom_index(fs, table_path: str) -> "dict | None":
+    """The NEWEST snapshot-folded bloom index for the sink, parsed and
+    cached, or None (no index published / dir absent / unparseable --
+    all mean 'fall back to per-batch sidecars').  ``fs`` needs
+    ``listdir_names(dir)`` and ``read_bytes(path)`` (both the JVM
+    facade and the no-JVM ``_fsio`` classes qualify)."""
+    d = f"{table_path}/{BLOOMIDX_DIR}"
+    try:
+        if hasattr(fs, "listdir_names"):
+            names = fs.listdir_names(d)
+        else:
+            names = [n for n, _ in fs.listdir_mtime(d)]
+    except Exception:
+        # dir absent / listing fault, on any fs backend (local OSError,
+        # JVM Py4J errors, Arrow IO errors): no index, sidecars serve
+        return None
+    best = None
+    for n in names:
+        s = _idx_seq(n)
+        if s is not None and (best is None or s > best[0]):
+            best = (s, n)
+    if best is None:
+        return None
+    key = (table_path, best[1])
+    hit = _IDX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        idx = json.loads(fs.read_bytes(f"{d}/{best[1]}"))
+    except Exception:
+        # vacuumed mid-read, corrupt object, checksum fault (the JVM
+        # fs raises Py4J errors, not OSError): the index is an
+        # accelerator only -- sidecars still serve
+        return None
+    if not isinstance(idx.get("batches"), dict):
+        return None
+    # keep the cache tiny: one live index per sink
+    for k in [k for k in _IDX_CACHE if k[0] == table_path and k != key]:
+        _IDX_CACHE.pop(k, None)
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+def index_blooms_for(
+    idx: "dict | None", manifest: dict
+) -> "dict | None":
+    """The index's ``{col: spec}`` for one batch, or None when the
+    batch is not covered AT THIS ATTEMPT (absent, republished under a
+    new attempt dir, or recorded as sidecar-less) -- None means
+    'consult the sidecar'.  A ``no_bloom`` marker returns ``{}``
+    (known sidecar-less at fold time: keep conservatively WITHOUT a
+    filesystem probe; a later ``backfill_blooms`` just isn't visible
+    until the next snapshot re-fold)."""
+    if idx is None:
+        return None
+    ent = idx["batches"].get(manifest.get("name", ""))
+    if ent is None or ent.get("dir") != manifest.get("dir"):
+        return None
+    cols = ent.get("cols")
+    return cols if isinstance(cols, dict) else {}
 
 
 def load_bloom_sidecar(fs, table_path: str, manifest: dict) -> dict:

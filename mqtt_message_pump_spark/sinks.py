@@ -790,6 +790,14 @@ class _JvmFsReader:
         finally:
             stream.close()
 
+    def listdir_names(self, dirpath: str) -> "list[str]":
+        p = self._HPath(dirpath)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(dirpath)
+        return [
+            st.getPath().getName() for st in self._fs.listStatus(p)
+        ]
+
 
 def append_batch_manifest(
     df: DataFrame,
@@ -1423,10 +1431,16 @@ def _prune_batches(
     if eq is not None:
         from mqtt_message_pump_spark.functions.bloom import (
             bloom_might_contain,
+            index_blooms_for,
+            load_bloom_index,
             load_bloom_sidecar,
         )
 
         probes = _stat_probes(eq)
+        # ONE snapshot-folded index read (cached across statements)
+        # serves every covered batch; only uncovered/republished
+        # batches open their own sidecars
+        idx = load_bloom_index(jfs, table_path) if jfs is not None else None
 
         def _eq_keep(m: dict) -> bool:
             stats = m.get("stats") or {}
@@ -1438,7 +1452,9 @@ def _prune_batches(
                 ):
                     return False
                 if blooms is None:
-                    blooms = load_bloom_sidecar(jfs, table_path, m)
+                    blooms = index_blooms_for(idx, m)
+                    if blooms is None:
+                        blooms = load_bloom_sidecar(jfs, table_path, m)
                 spec = blooms.get(col)
                 if spec is not None and not any(
                     bloom_might_contain(spec, s) for s in svals
@@ -2406,6 +2422,38 @@ def vacuum_sink(
     for st in fs.globStatus(HPath(f"{table_path}/_manifests/.tmp-*")):
         fs.delete(st.getPath(), False)
         removed.append(f"_manifests/{st.getPath().getName()}")
+    # bloom indexes: pure accelerators (sidecars stay authoritative),
+    # so superseded ones follow the snapshot retention rule and
+    # stranded publish tmps go immediately
+    from mqtt_message_pump_spark.functions.bloom import (
+        BLOOMIDX_DIR,
+        _idx_seq,
+    )
+
+    idx_stats = list(
+        fs.globStatus(HPath(f"{table_path}/{BLOOMIDX_DIR}/bloomidx-s*"))
+    )
+    idx_seqs = [
+        s
+        for st in idx_stats
+        if (s := _idx_seq(st.getPath().getName())) is not None
+    ]
+    latest_idx = max(idx_seqs, default=None)
+    for st in idx_stats:
+        name = st.getPath().getName()
+        s = _idx_seq(name)
+        if s is None or s == latest_idx:
+            continue
+        if (
+            now_ms is not None
+            and now_ms - st.getModificationTime() < retention_secs * 1000
+        ):
+            continue
+        fs.delete(st.getPath(), False)
+        removed.append(f"{BLOOMIDX_DIR}/{name}")
+    for st in fs.globStatus(HPath(f"{table_path}/{BLOOMIDX_DIR}/.tmp-*")):
+        fs.delete(st.getPath(), False)
+        removed.append(f"{BLOOMIDX_DIR}/{st.getPath().getName()}")
     # stranded root-level probe/tmp objects: writer-lease tmp files
     # (crash between create and rename in _publish_writer_lease) AND
     # clock probes (_fs_now_ms crash between create and delete --
@@ -2666,7 +2714,10 @@ def compact_sink(
 
 
 def snapshot_sink(
-    spark: SparkSession, table_path: str, min_uncovered: int = 2
+    spark: SparkSession,
+    table_path: str,
+    min_uncovered: int = 2,
+    bloom_index: bool = True,
 ) -> str | None:
     """Fold a manifest sink's LIVE manifest set into one snapshot object
     (the Delta-checkpoint analog) so the read-side listing cost is O(1)
@@ -2705,7 +2756,25 @@ def snapshot_sink(
     Returns the snapshot name, or None when fewer than ``min_uncovered``
     live manifests are outside the current snapshot (nothing worth
     folding).  Reference anchor: the single-node txn commit this
-    generalizes, ``data_dbstore.go:190-198``."""
+    generalizes, ``data_dbstore.go:190-198``.
+
+    ``bloom_index=True`` (default) ALSO folds every live batch's bloom
+    sidecar into ONE ``_bloomidx/bloomidx-s<seq>-<hash>.json`` object
+    (VERDICT r13 #2): a caught-up point lookup then reads one immutable
+    index -- parsed once and cached across statements -- instead of
+    opening O(live batches) sidecar files driver-side, which keeps
+    lookup planning flat from 1k to 10k batches (``tools/
+    bloom_lookup_probe.py``) and MERGE's eq-probe discovery viable at
+    10k candidates.  Entries carry the batch's attempt dir, so a batch
+    republished or swapped after the fold simply misses the index and
+    falls back to its own sidecar -- the index can never serve stale
+    bits; batches recorded sidecar-less are kept WITHOUT a probe (a
+    later ``backfill_blooms`` becomes visible at the next fold).  The
+    index is an accelerator, not a source of truth: publish failure,
+    vacuum of old indexes, or a corrupt object all degrade to the
+    sidecar path.  This mirrors the MergeTree primary index the bloom
+    layer stands in for (``data_dbstore.go:133``) -- one resident
+    index object, per-part granularity."""
     import hashlib
     import json
 
@@ -2751,6 +2820,57 @@ def snapshot_sink(
         except Exception:
             continue  # already gone
         fs.delete(p, False)
+    if bloom_index:
+        _publish_bloom_index(fs, HPath, table_path, seq, live)
+    return name
+
+
+def _publish_bloom_index(
+    fs, HPath, table_path: str, seq: int, live: "list[dict]"
+) -> "str | None":
+    """Fold the live batches' bloom sidecars into one index object (see
+    :func:`snapshot_sink`); prunes indexes older than the previous seq
+    (in-flight readers may hold the previous one -- the same two-deep
+    retention snapshots get).  Failure is non-fatal by design: the
+    sidecars remain authoritative."""
+    import hashlib
+    import json
+
+    from mqtt_message_pump_spark.functions.bloom import (
+        BLOOMIDX_DIR,
+        _idx_seq,
+        load_bloom_sidecar,
+    )
+
+    jfs = _JvmFsReader(fs, HPath)
+    entries = {}
+    for m in live:
+        if "dir" not in m:
+            continue
+        ent = {"dir": m["dir"]}
+        specs = load_bloom_sidecar(jfs, table_path, m)
+        if specs:
+            ent["cols"] = specs
+        entries[m["name"]] = ent
+    payload = json.dumps(
+        {"kind": "bloomidx", "seq": seq, "batches": entries},
+        sort_keys=True,
+    ).encode("utf-8")
+    name = (
+        f"bloomidx-s{seq:08d}-"
+        + hashlib.md5(payload).hexdigest()[:12]
+        + ".json"
+    )
+    idx_dir = f"{table_path}/{BLOOMIDX_DIR}"
+    try:
+        _publish_manifest(fs, HPath, idx_dir, name, payload)
+        for st in fs.globStatus(HPath(f"{idx_dir}/bloomidx-s*.json")):
+            n = st.getPath().getName()
+            s = _idx_seq(n)
+            if s is not None and s < seq - 1:
+                fs.delete(st.getPath(), False)
+    except Exception:
+        return None  # accelerator only; sidecars still serve
     return name
 
 

@@ -65,6 +65,13 @@ class LocalFs:
 
         return pq.read_table(path)
 
+    def read_parquet_filtered(self, path: str, expr):
+        """Row-group-pruned read: pyarrow skips groups whose min/max
+        statistics refute ``expr`` and row-filters the rest."""
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path, filters=expr)
+
     def read_parquet_columns(self, path: str, columns: "list[str]"):
         import pyarrow.parquet as pq
 
@@ -181,6 +188,11 @@ class ArrowFs:
         import pyarrow.parquet as pq
 
         return pq.read_table(path, filesystem=self.fs)
+
+    def read_parquet_filtered(self, path: str, expr):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path, filters=expr, filesystem=self.fs)
 
     def read_parquet_columns(self, path: str, columns: "list[str]"):
         import pyarrow.parquet as pq

@@ -303,18 +303,75 @@ def publish_object(fs, dirpath: str, name: str, payload: bytes) -> None:
         raise
 
 
-def read_files_arrow(fs, table_path: str, rel_files, target):
+def _arrow_filter_expr(schema, filters):
+    """pyarrow dataset expression from the pushed constraint tuples
+    ``(col, op, value)`` -- ROW-GROUP pushdown inside surviving files
+    (VERDICT r13 #3).  Safety rules keep this a pure optimization under
+    Spark's residual re-apply: only STRING-typed columns present in the
+    file schema participate (the constraint values are the planner's
+    stringified forms, exact for strings; Arrow and Spark share binary
+    UTF-8 ordering), and a NULL row fails every comparison in both
+    engines.  Unmatched constraints are simply not applied."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    expr = None
+    for col, op, val in filters:
+        idx = schema.get_field_index(col)
+        if idx < 0 or schema.field(idx).type != pa.string():
+            continue
+        f = ds.field(col)
+        if op == "in":
+            e = f.isin(list(val))
+        elif op == "eq":
+            e = f == val
+        elif op == "gte":
+            e = f >= val
+        elif op == "lte":
+            e = f <= val
+        elif op == "gt":
+            e = f > val
+        elif op == "lt":
+            e = f < val
+        else:
+            continue
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+def read_files_arrow(fs, table_path: str, rel_files, target, filters=()):
     """Yield Arrow record batches of ``rel_files`` aligned to the
     ``target`` Arrow schema: the hive ``collect_date`` partition value
     is reattached from the path, pre-widening batches NULL-fill missing
     columns (the ``merge_schema`` read semantics), and the final cast
-    widens promoted types (int32 files under an int64 target)."""
+    widens promoted types (int32 files under an int64 target).
+
+    ``filters`` (``(col, op, value)`` tuples from the pushdown planner)
+    prune WITHIN each file: the writers sort rows by (mid, topic) per
+    batch (``manifestsink._write_task_files``), so parquet row-group
+    min/max stats cluster the key space and a point probe materializes
+    ~one row group instead of the whole file.  Spark re-applies every
+    pushed filter row-level, so this can only shrink the Arrow
+    transfer, never change results."""
     import datetime
 
     import pyarrow as pa
 
     for rel in rel_files:
-        tbl = fs.read_parquet(f"{table_path}/{rel}")
+        expr = None
+        if filters:
+            try:
+                expr = _arrow_filter_expr(
+                    fs.read_parquet_schema(f"{table_path}/{rel}"),
+                    filters,
+                )
+            except Exception:
+                expr = None  # schema probe failed: read unfiltered
+        tbl = (
+            fs.read_parquet_filtered(f"{table_path}/{rel}", expr)
+            if expr is not None
+            else fs.read_parquet(f"{table_path}/{rel}")
+        )
         if "collect_date=" in rel and "collect_date" in target.names:
             val = rel.split("collect_date=")[1].split("/")[0]
             try:

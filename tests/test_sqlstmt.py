@@ -596,3 +596,86 @@ class TestStatementDispatch:
             tables={"msgs": tp},
         )
         assert res["rows_deleted"] == 1
+
+
+class TestR13MatrixThroughSql:
+    """The r13 DML matrix shapes re-driven by statement text: widening
+    SET on a pre-widening batch, full-batch delete degrading to a drop
+    tombstone, date-scoped pruning counters, and the by-source full
+    sync -- each against its Python-API twin or a hand-computed
+    state."""
+
+    def test_update_adds_widened_column_via_sql(self, spark, tmp_path):
+        tp = str(tmp_path / "s")
+        legacy = spark.createDataFrame(
+            [("k1", "p1")], ["mid", "payload"]
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        append_batch_manifest(legacy, _store(), tp, 0, epoch="seed")
+        widened = _frame(
+            spark, [("k2", "t", "p2", "2024-01-02 00:00:02")]
+        )
+        append_batch_manifest(widened, _store(), tp, 1, epoch="seed")
+        res = execute_sql(
+            spark,
+            f"UPDATE `{tp}` SET topic = 'fixed' WHERE mid = 'k1'",
+        )
+        assert res["rows_updated"] == 1
+        got = {
+            r["mid"]: r["topic"]
+            for r in read_sink(spark, tp, merge_schema=True).collect()
+        }
+        assert got == {"k1": "fixed", "k2": "t"}
+
+    def test_full_batch_delete_tombstones_via_sql(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=2, per=5)
+        # batch 0 holds mids m0000..m0004: a whole-batch predicate
+        res = execute_sql(
+            spark,
+            f"DELETE FROM `{tp}` WHERE mid >= 'm0000' AND mid <= 'm0004'",
+        )
+        assert res["rows_deleted"] == 5
+        assert res["dropped"]  # zero-IO drop tombstone, no rewrite
+        assert res["rewritten"] == []
+        assert read_sink(spark, tp).count() == 5
+
+    def test_date_scope_prunes_candidates_via_sql(self, spark, tmp_path):
+        sql_tp = _mk_sink(spark, tmp_path / "sql")
+        py_tp = _mk_sink(spark, tmp_path / "py")
+        res = execute_sql(
+            spark,
+            f"DELETE FROM `{sql_tp}` WHERE collect_date = "
+            "DATE '2024-01-02' AND payload = 'p1'",
+        )
+        ref = delete_sink_where(
+            spark, py_tp, where="payload = 'p1'",
+            dates=["2024-01-02"],
+        )
+        assert res["rows_deleted"] == ref["rows_deleted"] == 1
+        assert res["candidate_batches"] == ref["candidate_batches"]
+        assert _state(spark, sql_tp) == _state(spark, py_tp)
+
+    def test_by_source_full_sync_parity(self, spark, tmp_path):
+        sql_tp = _mk_sink(spark, tmp_path / "sql", n_batches=1, per=6)
+        py_tp = _mk_sink(spark, tmp_path / "py", n_batches=1, per=6)
+        src = _frame(
+            spark,
+            [(f"m{i:04d}", "t", f"sync{i}", "2024-01-03") for i in (1, 3)],
+        )
+        src.createOrReplaceTempView("full_sync_v")
+        res = execute_sql(
+            spark,
+            f"MERGE INTO `{sql_tp}` t USING full_sync_v s "
+            "ON t.mid = s.mid "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            merge_id="sync-1",
+        )
+        ref = merge_sink(
+            spark, py_tp, src, on=["mid"],
+            when_not_matched_by_source="delete", merge_id="sync-1",
+        )
+        for k in ("rows_updated", "rows_deleted", "rows_inserted"):
+            assert res[k] == ref[k]
+        assert res["rows_deleted"] == 4
+        assert _state(spark, sql_tp) == _state(spark, py_tp)

@@ -148,9 +148,73 @@ def main() -> None:
         timed_lookup(spark, path, {"mid": _in_range_absent(probe)},
                      "absent mid (in key range)")
         timed_lookup(spark, path, {"mid": probe}, "present mid")
-        snapshot_sink(spark, path, min_uncovered=1)
+        snapshot_sink(spark, path, min_uncovered=1, bloom_index=False)
         timed_lookup(spark, path, {"mid": _in_range_absent(probe)},
                      "absent mid, snapshotted listing")
+    idx_flatness(spark, n_batches, rows)
+
+
+def idx_flatness(spark, n_batches: int, rows: int) -> None:
+    """Snapshot-folded bloom index (VERDICT r13 #2): under a
+    snapshotted listing, compare the per-lookup cost of opening
+    O(batches) sidecars vs reading ONE folded index object (cold = one
+    object read + parse; cached = in-memory probes only).  Flatness
+    criterion: cached planning cost ~constant from n to 10n batches."""
+    from mqtt_message_pump_spark.sinks import (
+        _hadoop_fs,
+        _load_manifest_state,
+        _publish_bloom_index,
+    )
+
+    print("bloom-index flatness (snapshotted listing):", flush=True)
+    for n in (n_batches, n_batches * 10):
+        path = f"{WORK}/idx_{n}"
+        probe = synth_sink(path, n, rows, True)
+        absent = _in_range_absent(probe)
+        t0 = time.time()
+        snapshot_sink(spark, path, min_uncovered=1, bloom_index=False)
+        print(f"  {n} batches: snapshot(fold-less) "
+              f"{time.time() - t0:.2f}s", flush=True)
+        timed_lookup(spark, path, {"mid": absent},
+                     f"{n} batches, sidecar path, absent")
+        fs, HPath = _hadoop_fs(spark, path)
+        t0 = time.time()
+        live = _load_manifest_state(fs, HPath, path)["live"]
+        _publish_bloom_index(fs, HPath, path, 1, live)
+        print(f"  {n} batches: index fold {time.time() - t0:.2f}s "
+              "(maintenance-time, once per snapshot)", flush=True)
+        B._IDX_CACHE.clear()
+        timed_lookup(spark, path, {"mid": absent},
+                     f"{n} batches, index path, absent COLD")
+        timed_lookup(spark, path, {"mid": absent},
+                     f"{n} batches, index path, absent cached")
+        timed_lookup(spark, path, {"mid": probe},
+                     f"{n} batches, index path, present cached")
+        # discovery-only timing: the phase the index makes flat (frame
+        # construction over fp survivors is a read_sink property,
+        # bounded by fpp and compaction -- reported separately above)
+        from mqtt_message_pump_spark.sinks import (
+            _JvmFsReader,
+            _prune_batches,
+            _read_manifests,
+        )
+
+        live = [
+            m for m in _read_manifests(fs, HPath, path) if "dir" in m
+        ]
+        jfs = _JvmFsReader(fs, HPath)
+        for tag in ("cold", "cached"):
+            if tag == "cold":
+                B._IDX_CACHE.clear()
+            t0 = time.time()
+            kept = _prune_batches(
+                live, eq={"mid": absent}, jfs=jfs, table_path=path
+            )
+            print(
+                f"  {n} batches, discovery-only ({tag}): "
+                f"{(time.time() - t0) * 1000:.0f}ms kept={len(kept)}",
+                flush=True,
+            )
 
 
 def _in_range_absent(probe_mid: str) -> str:
