@@ -747,10 +747,10 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument(
                 "--sql", required=True, metavar="STATEMENT",
                 help="DELETE FROM / UPDATE / MERGE INTO / RESTORE TABLE "
-                "(executed on the manifest-sink DML cores) or "
-                "SELECT/WITH (run via Spark SQL over registered views); "
-                "raw_message and json_message resolve to the config's "
-                "store sinks",
+                "/ VACUUM / OPTIMIZE (executed on the manifest-sink "
+                "cores) or SELECT/WITH (run via Spark SQL over "
+                "registered views); raw_message and json_message "
+                "resolve to the config's store sinks",
             )
             p.add_argument(
                 "--table", action="append", default=[],

@@ -5,6 +5,10 @@ forms --
 - ``UPDATE t SET col = expr[, ...] WHERE <pred>``
 - ``MERGE INTO t [AS a] USING <src> [AS b] ON <cond> WHEN ...``
 - ``RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF <v>``
+- ``VACUUM t [RETAIN <n> SECONDS|MINUTES|HOURS]`` (Delta VACUUM ->
+  :func:`~mqtt_message_pump_spark.sinks.vacuum_sink`)
+- ``OPTIMIZE t`` (Delta OPTIMIZE ->
+  :func:`~mqtt_message_pump_spark.sinks.compact_sink`)
 
 -- and execute them on the existing DML cores
 (:func:`~mqtt_message_pump_spark.sinks.delete_sink_where`,
@@ -517,6 +521,38 @@ def _parse_restore(sql: str, masked: str) -> dict:
     return {"kind": "restore", "target": target, "as_of_ts": lit[1]}
 
 
+def _parse_vacuum(sql: str, masked: str) -> dict:
+    m = re.match(
+        r"^\s*VACUUM\s+(`[^`]*`|\S+)\s*(?:RETAIN\s+(\d+(?:\.\d+)?)\s+"
+        r"(SECONDS|MINUTES|HOURS)\s*)?;?\s*$",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlStatementError(
+            "supported form: VACUUM t [RETAIN <n> SECONDS|MINUTES|HOURS]"
+        )
+    secs = 0.0
+    if m.group(2):
+        secs = float(m.group(2)) * {
+            "SECONDS": 1, "MINUTES": 60, "HOURS": 3600,
+        }[m.group(3).upper()]
+    return {
+        "kind": "vacuum",
+        "target": sql[m.start(1):m.end(1)],
+        "retention_secs": secs,
+    }
+
+
+def _parse_optimize(sql: str, masked: str) -> dict:
+    m = re.match(
+        r"^\s*OPTIMIZE\s+(`[^`]*`|\S+)\s*;?\s*$", masked, re.IGNORECASE
+    )
+    if not m:
+        raise SqlStatementError("supported form: OPTIMIZE t")
+    return {"kind": "optimize", "target": sql[m.start(1):m.end(1)]}
+
+
 _CLAUSE_KINDS = ("matched", "not_matched", "not_matched_by_source")
 
 
@@ -792,10 +828,27 @@ def execute_sql(
             force=force, rewrite_parallelism=rewrite_parallelism,
             probe_keys_limit=probe_keys_limit,
         )
+    if verb == "VACUUM":
+        p = _parse_vacuum(sql, masked)
+        from mqtt_message_pump_spark.sinks import vacuum_sink
+
+        path = _resolve_table(spark, p["target"], tables)
+        removed = vacuum_sink(
+            spark, path, retention_secs=p["retention_secs"]
+        )
+        return {"statement": "vacuum", "removed": removed}
+    if verb == "OPTIMIZE":
+        p = _parse_optimize(sql, masked)
+        from mqtt_message_pump_spark.sinks import compact_sink
+
+        path = _resolve_table(spark, p["target"], tables)
+        out = compact_sink(spark, path)
+        return {"statement": "optimize", "result": out}
     raise SqlStatementError(
         f"unsupported statement {verb or sql[:30]!r}: DELETE FROM / "
-        "UPDATE / MERGE INTO / RESTORE TABLE are the DML surface; "
-        "SELECT goes through spark.sql over registered views"
+        "UPDATE / MERGE INTO / RESTORE TABLE / VACUUM / OPTIMIZE are "
+        "the write surface; SELECT goes through spark.sql over "
+        "registered views"
     )
 
 

@@ -679,3 +679,30 @@ class TestR13MatrixThroughSql:
             assert res[k] == ref[k]
         assert res["rows_deleted"] == 4
         assert _state(spark, sql_tp) == _state(spark, py_tp)
+
+
+class TestOperationalStatements:
+    def test_vacuum_and_optimize(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=4, per=5)
+        res = execute_sql(spark, f"OPTIMIZE `{tp}`")
+        assert res["statement"] == "optimize"
+        assert res["result"]  # a compact manifest was published
+        res = execute_sql(spark, f"VACUUM `{tp}` RETAIN 0 SECONDS")
+        assert res["statement"] == "vacuum"
+        assert res["removed"]  # compaction victims reclaimed
+        assert read_sink(spark, tp).count() == 20  # rows intact
+        with pytest.raises(SqlStatementError, match="RETAIN"):
+            execute_sql(spark, f"VACUUM `{tp}` RETAIN forever")
+
+    def test_vacuum_retain_units(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sqlstmt import _parse_vacuum, _masked
+
+        for text, secs in [
+            ("VACUUM t RETAIN 7 HOURS", 7 * 3600.0),
+            ("VACUUM t RETAIN 30 MINUTES", 1800.0),
+            ("VACUUM t RETAIN 1.5 SECONDS", 1.5),
+            ("VACUUM t", 0.0),
+        ]:
+            assert _parse_vacuum(text, _masked(text))[
+                "retention_secs"
+            ] == secs
