@@ -239,20 +239,21 @@ def load_bloom_index(fs, table_path: str) -> "dict | None":
 def index_blooms_for(
     idx: "dict | None", manifest: dict
 ) -> "dict | None":
-    """The index's ``{col: spec}`` for one batch, or None when the
-    batch is not covered AT THIS ATTEMPT (absent, republished under a
-    new attempt dir, or recorded as sidecar-less) -- None means
-    'consult the sidecar'.  A ``no_bloom`` marker returns ``{}``
-    (known sidecar-less at fold time: keep conservatively WITHOUT a
-    filesystem probe; a later ``backfill_blooms`` just isn't visible
-    until the next snapshot re-fold)."""
+    """The index's ``{col: spec}`` for one batch; None means 'consult
+    the sidecar' (batch absent from the index, republished under a new
+    attempt dir, or embedded past the fold's byte budget and marked
+    ``sidecar: true``); ``{}`` means 'recorded sidecar-less at fold
+    time' -- keep conservatively WITHOUT a filesystem probe (a later
+    ``backfill_blooms`` just isn't visible until the next re-fold)."""
     if idx is None:
         return None
     ent = idx["batches"].get(manifest.get("name", ""))
     if ent is None or ent.get("dir") != manifest.get("dir"):
         return None
     cols = ent.get("cols")
-    return cols if isinstance(cols, dict) else {}
+    if isinstance(cols, dict):
+        return cols
+    return None if ent.get("sidecar") else {}
 
 
 def load_bloom_sidecar(fs, table_path: str, manifest: dict) -> dict:

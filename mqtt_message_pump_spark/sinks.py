@@ -2826,13 +2826,21 @@ def snapshot_sink(
 
 
 def _publish_bloom_index(
-    fs, HPath, table_path: str, seq: int, live: "list[dict]"
+    fs, HPath, table_path: str, seq: int, live: "list[dict]",
+    max_bytes: int = 64 * 1024 * 1024,
 ) -> "str | None":
     """Fold the live batches' bloom sidecars into one index object (see
     :func:`snapshot_sink`); prunes indexes older than the previous seq
     (in-flight readers may hold the previous one -- the same two-deep
     retention snapshots get).  Failure is non-fatal by design: the
-    sidecars remain authoritative."""
+    sidecars remain authoritative.
+
+    ``max_bytes`` bounds the embedded bitmap payload (the index is
+    built and parsed driver-side as one JSON object): smallest sidecars
+    embed first (maximizing covered-batch count), batches past the
+    budget are marked ``sidecar: true`` so lookups consult their own
+    sidecar -- exactly the pre-index cost, paid only for the largest
+    batches, which compaction keeps few."""
     import hashlib
     import json
 
@@ -2843,15 +2851,24 @@ def _publish_bloom_index(
     )
 
     jfs = _JvmFsReader(fs, HPath)
-    entries = {}
+    cand = []
     for m in live:
         if "dir" not in m:
             continue
-        ent = {"dir": m["dir"]}
         specs = load_bloom_sidecar(jfs, table_path, m)
+        size = sum(len(s.get("b64", "")) for s in specs.values())
+        cand.append((size, m["name"], m["dir"], specs))
+    entries = {}
+    total = 0
+    for size, name, d, specs in sorted(cand, key=lambda t: (t[0], t[1])):
+        ent: dict = {"dir": d}
         if specs:
-            ent["cols"] = specs
-        entries[m["name"]] = ent
+            if total + size <= max_bytes:
+                ent["cols"] = specs
+                total += size
+            else:
+                ent["sidecar"] = True  # over budget: consult its own
+        entries[name] = ent
     payload = json.dumps(
         {"kind": "bloomidx", "seq": seq, "batches": entries},
         sort_keys=True,

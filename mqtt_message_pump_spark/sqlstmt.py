@@ -239,10 +239,17 @@ def _extract_hints(where: str):
             continue
         kind, col, val = got
         if kind == "eq":
-            if col == "collect_date" and not isinstance(val, list):
-                dates.append(str(val))
-            elif col == "collect_date":
-                dates.extend(str(v) for v in val)
+            if col == "collect_date":
+                # ONE lifted date conjunct only: a second one ANDs with
+                # the first, and folding both into the single `dates`
+                # list would turn the conjunction into a union (OR) --
+                # keep the extras as exact residual predicates
+                if dates:
+                    residual.append(conj)
+                elif isinstance(val, list):
+                    dates.extend(str(v) for v in val)
+                else:
+                    dates.append(str(val))
             elif col in eq:
                 residual.append(conj)  # second = on same col: keep exact
             else:
@@ -268,6 +275,19 @@ def _extract_hints(where: str):
     )
 
 
+def _liftable(col: str, kind: str) -> bool:
+    """Only literal kinds whose STRINGIFIED form matches the engine's
+    row semantics exactly may become pruning hints: the stat intervals
+    and bloom probes compare stringified values, so a numeric literal
+    against a string column (Spark casts and matches '10.0' = 10; our
+    probe str(10) != '10.0') or a bool could silently over-prune.
+    Strings always lift; DATE literals lift for the partition column
+    only (ISO text, the manifests' own `dates` stat format)."""
+    if kind == "str":
+        return True
+    return kind == "date" and col == "collect_date"
+
+
 def _lift_conjunct(conj: str):
     """One conjunct -> ('eq', col, val_or_list) | ('range', col,
     (lo, hi)) | None."""
@@ -276,9 +296,9 @@ def _lift_conjunct(conj: str):
     )
     if m:
         lit = _parse_lit(m.group(3))
-        if lit is None:
-            return None
         col = _unquote(m.group(1))
+        if lit is None or not _liftable(col, lit[0]):
+            return None
         op = m.group(2)
         if op == "=":
             return ("eq", col, lit[1])
@@ -291,23 +311,30 @@ def _lift_conjunct(conj: str):
         re.IGNORECASE | re.DOTALL,
     )
     if m:
+        col = _unquote(m.group(1))
         vals = []
         for item in _split_top(m.group(2), comma=True):
             lit = _parse_lit(item)
-            if lit is None:
+            if lit is None or not _liftable(col, lit[0]):
                 return None
             vals.append(lit[1])
-        return ("eq", _unquote(m.group(1)), vals) if vals else None
+        return ("eq", col, vals) if vals else None
     m = re.match(
         rf"^\s*({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$",
         conj,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
+        col = _unquote(m.group(1))
         lo, hi = _parse_lit(m.group(2)), _parse_lit(m.group(3))
-        if lo is None or hi is None:
+        if (
+            lo is None
+            or hi is None
+            or not _liftable(col, lo[0])
+            or not _liftable(col, hi[0])
+        ):
             return None
-        return ("range", _unquote(m.group(1)), (lo[1], hi[1]))
+        return ("range", col, (lo[1], hi[1]))
     return None
 
 
@@ -437,6 +464,10 @@ def _resolve_source_df(
 
 def _parse_delete(sql: str, masked: str) -> dict:
     m = re.match(r"^\s*DELETE\s+FROM\s+", masked, re.IGNORECASE)
+    if m is None:
+        raise SqlStatementError(
+            "supported form: DELETE FROM t WHERE <pred>"
+        )
     w = _find_top(masked, "WHERE", m.end())
     if w is None:
         raise SqlStatementError(
@@ -454,6 +485,10 @@ def _parse_delete(sql: str, masked: str) -> dict:
 
 def _parse_update(sql: str, masked: str) -> dict:
     m = re.match(r"^\s*UPDATE\s+", masked, re.IGNORECASE)
+    if m is None:
+        raise SqlStatementError(
+            "supported form: UPDATE t SET col = expr[, ...] WHERE <pred>"
+        )
     s = _find_top(masked, "SET", m.end())
     if s is None:
         raise SqlStatementError(
@@ -530,13 +565,23 @@ def _parse_vacuum(sql: str, masked: str) -> dict:
     )
     if not m:
         raise SqlStatementError(
-            "supported form: VACUUM t [RETAIN <n> SECONDS|MINUTES|HOURS]"
+            "supported form: VACUUM t RETAIN <n> SECONDS|MINUTES|HOURS"
         )
-    secs = 0.0
-    if m.group(2):
-        secs = float(m.group(2)) * {
-            "SECONDS": 1, "MINUTES": 60, "HOURS": 3600,
-        }[m.group(3).upper()]
+    if not m.group(2):
+        # no silent retention-0 default: Delta's VACUUM refuses low
+        # retention for the same reason -- an instant reclaim deletes
+        # attempt dirs concurrent readers / pinned as_of snapshots may
+        # still be walking (vacuum_sink's reader-safety rule).  The
+        # maintenance-window form is an EXPLICIT `RETAIN 0 SECONDS`.
+        raise SqlStatementError(
+            "VACUUM requires an explicit retention: RETAIN <n> "
+            "SECONDS|MINUTES|HOURS, at least the longest concurrently-"
+            "running read (RETAIN 0 SECONDS only inside a maintenance "
+            "window)"
+        )
+    secs = float(m.group(2)) * {
+        "SECONDS": 1, "MINUTES": 60, "HOURS": 3600,
+    }[m.group(3).upper()]
     return {
         "kind": "vacuum",
         "target": sql[m.start(1):m.end(1)],
@@ -558,6 +603,11 @@ _CLAUSE_KINDS = ("matched", "not_matched", "not_matched_by_source")
 
 def _parse_merge(sql: str, masked: str) -> dict:
     m = re.match(r"^\s*MERGE\s+INTO\s+", masked, re.IGNORECASE)
+    if m is None:
+        raise SqlStatementError(
+            "supported form: MERGE INTO t [AS a] USING src [AS b] ON "
+            "<cond> WHEN ..."
+        )
     using = _find_top(masked, "USING", m.end())
     if using is None:
         raise SqlStatementError(
@@ -718,7 +768,7 @@ def _parse_merge_on(
     TARGET side become the statement's partition scope (the Delta
     partition-scoped-merge idiom)."""
     keys: list[str] = []
-    dates: list[str] = []
+    date_scopes: "list[set[str]]" = []
     for conj in _split_top(on_text):
         cm = re.match(
             rf"^\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?({_IDENT})\s*=\s*"
@@ -746,10 +796,21 @@ def _parse_merge_on(
                     )
             keys.append(lcol)
             continue
-        got = _lift_conjunct(_strip_quals(conj, t_names | s_names))
+        qm = re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.", _masked(conj)
+        )
+        if qm and conj[qm.start(1):qm.end(1)].lower() in s_names:
+            # a SOURCE-side literal predicate is a row filter on the
+            # source, NOT a target partition scope -- treating it as
+            # one would turn should-be-INSERTs into UPDATEs
+            raise SqlStatementError(
+                f"ON conjunct {conj!r} constrains the SOURCE: filter "
+                "the source instead (USING (SELECT ... WHERE ...))"
+            )
+        got = _lift_conjunct(_strip_quals(conj, t_names))
         if got is not None and got[0] == "eq" and got[1] == "collect_date":
             vals = got[2] if isinstance(got[2], list) else [got[2]]
-            dates.extend(str(v) for v in vals)
+            date_scopes.append({str(v) for v in vals})
             continue
         raise SqlStatementError(
             f"unsupported ON conjunct {conj!r}: equality key pairs and "
@@ -758,7 +819,18 @@ def _parse_merge_on(
         )
     if not keys:
         raise SqlStatementError("MERGE ON names no key columns")
-    return keys, (sorted(set(dates)) or None)
+    dates = None
+    if date_scopes:
+        # conjunction = INTERSECTION of the scopes (folding them into
+        # one list would be a union -- AND turned into OR)
+        inter = set.intersection(*date_scopes)
+        if not inter:
+            raise SqlStatementError(
+                "MERGE ON collect_date scopes are contradictory "
+                f"(intersection empty): {sorted(map(sorted, date_scopes))}"
+            )
+        dates = sorted(inter)
+    return keys, dates
 
 
 # --------------------------------------------------------------------------
@@ -906,6 +978,21 @@ def _execute_merge(
                     "WHEN NOT MATCHED AND <pred> is not supported: "
                     "pre-filter the source (USING (SELECT ... WHERE)) "
                     "instead"
+                )
+            missing = (
+                sorted(set(src.columns) - set(c["cols"]))
+                if c.get("cols") is not None
+                else []
+            )
+            if missing:
+                # merge_sink inserts whole source rows; a PARTIAL
+                # column list would have to NULL-fill the rest, and
+                # silently inserting the unnamed columns instead would
+                # be different data -- refuse loudly
+                raise SqlStatementError(
+                    "INSERT column list must name every source column "
+                    f"(missing {missing}); pre-project the source "
+                    "(USING (SELECT ...)) to insert a subset"
                 )
             kw["when_not_matched"] = "insert"
         else:

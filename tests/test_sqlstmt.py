@@ -89,13 +89,33 @@ def _state(spark, tp):
 class TestHintExtraction:
     def test_eq_in_range_between(self):
         eq, dates, ranges, res = _extract_hints(
-            "mid = 'm1' AND topic IN ('a', 'b') AND n >= 3 AND n <= 9 "
-            "AND k BETWEEN 1 AND 5"
+            "mid = 'm1' AND topic IN ('a', 'b') AND s >= 'c' AND "
+            "s <= 'k' AND t BETWEEN 'a' AND 'f'"
         )
         assert eq == {"mid": "m1", "topic": ["a", "b"]}
         assert dates is None
-        assert ranges == {"n": (3, 9), "k": (1, 5)}
+        assert ranges == {"s": ("c", "k"), "t": ("a", "f")}
         assert res is None
+
+    def test_numeric_literals_stay_residual(self):
+        """Stringified probes diverge from Spark's numeric-cast row
+        semantics ('10.0' = 10 matches in Spark, str(10) misses the
+        bloom) -- numbers and bools are never lifted into hints."""
+        eq, dates, ranges, res = _extract_hints(
+            "n = 4 AND k >= 3 AND j BETWEEN 1 AND 5 AND flag = TRUE"
+        )
+        assert eq is None and ranges is None and dates is None
+        assert res == "(n = 4) AND (k >= 3) AND (j BETWEEN 1 AND 5) "             "AND (flag = TRUE)"
+
+    def test_second_collect_date_conjunct_stays_residual(self):
+        """Regression (review): two date conjuncts AND together; the
+        second folding into the SAME dates list would be a union."""
+        eq, dates, ranges, res = _extract_hints(
+            "collect_date IN (DATE '2024-01-01', DATE '2024-01-02') "
+            "AND collect_date = DATE '2024-01-01'"
+        )
+        assert dates == ["2024-01-01", "2024-01-02"]
+        assert res == "(collect_date = DATE '2024-01-01')"
 
     def test_collect_date_becomes_dates(self):
         eq, dates, ranges, res = _extract_hints(
@@ -133,9 +153,9 @@ class TestHintExtraction:
 
     def test_non_literal_rhs_stays_residual(self):
         eq, dates, ranges, res = _extract_hints(
-            "mid = upper(topic) AND n = 4"
+            "mid = upper(topic) AND k = 'v'"
         )
-        assert eq == {"n": 4}
+        assert eq == {"k": "v"}
         assert res == "(mid = upper(topic))"
 
     def test_conflicting_eq_kept_exact(self):
@@ -545,6 +565,11 @@ class TestUpstreamReadInfoPoisoning:
     def test_filtered_scan_poisons_unfiltered_reuse(
         self, spark, tmp_path
     ):
+        from mqtt_message_pump_spark.sources.manifestsink import (
+            register_manifest_sink_source,
+        )
+
+        register_manifest_sink_source(spark)
         tp = _mk_sink(spark, tmp_path / "s")
         df = (
             spark.read.format("manifest_sink").option("path", tp).load()
@@ -552,8 +577,10 @@ class TestUpstreamReadInfoPoisoning:
         assert df.count() == 60  # fresh relation, full plan
         assert df.filter("mid = 'm0105'").count() == 1  # pruned plan
         # the pruned plan is now the relation's cached readInfo: the
-        # unfiltered re-count on the SAME frame sees one batch only
-        assert df.count() == 20  # upstream defect (would be 60 if fixed)
+        # unfiltered re-count on the SAME frame sees only what survived
+        # the point query's batch pruning AND row-group filters
+        poisoned = df.count()
+        assert poisoned < 60  # upstream defect (60 once Spark fixes it)
         # a fresh load is a fresh relation: correct again
         assert (
             spark.read.format("manifest_sink").option("path", tp)
@@ -561,6 +588,11 @@ class TestUpstreamReadInfoPoisoning:
         )
 
     def test_pushdown_off_makes_reuse_harmless(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sources.manifestsink import (
+            register_manifest_sink_source,
+        )
+
+        register_manifest_sink_source(spark)
         tp = _mk_sink(spark, tmp_path / "s")
         df = (
             spark.read.format("manifest_sink").option("path", tp)
@@ -573,6 +605,11 @@ class TestUpstreamReadInfoPoisoning:
         assert df.count() == 60  # cached plan is the full set
 
     def test_bad_pushdown_option_raises(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sources.manifestsink import (
+            register_manifest_sink_source,
+        )
+
+        register_manifest_sink_source(spark)
         tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
         with pytest.raises(Exception, match="auto.*off|off.*auto"):
             (
@@ -701,8 +738,142 @@ class TestOperationalStatements:
             ("VACUUM t RETAIN 7 HOURS", 7 * 3600.0),
             ("VACUUM t RETAIN 30 MINUTES", 1800.0),
             ("VACUUM t RETAIN 1.5 SECONDS", 1.5),
-            ("VACUUM t", 0.0),
         ]:
             assert _parse_vacuum(text, _masked(text))[
                 "retention_secs"
             ] == secs
+        # no silent retention-0 default (reader-safety rule)
+        with pytest.raises(SqlStatementError, match="explicit retention"):
+            _parse_vacuum("VACUUM t", _masked("VACUUM t"))
+
+
+class TestReviewRegressions:
+    """Regressions from the r14 session review: malformed statement
+    heads, source-qualified ON scopes, partial INSERT column lists,
+    contradictory date scopes."""
+
+    def test_malformed_heads_raise_grammar_errors(self, spark):
+        for stmt, msg in [
+            ("DELETE t WHERE x = 'a'", "DELETE FROM t WHERE"),
+            ("UPDATE", "UPDATE t SET"),
+            ("MERGE t USING s ON t.k = s.k WHEN MATCHED THEN DELETE",
+             "MERGE INTO"),
+        ]:
+            with pytest.raises(SqlStatementError, match=msg):
+                execute_sql(spark, stmt)
+
+    def test_source_qualified_on_scope_rejected(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        _frame(
+            spark, [("m0001", "t", "x", "2024-01-05")]
+        ).createOrReplaceTempView("srcq_v")
+        with pytest.raises(SqlStatementError, match="constrains the SOURCE"):
+            execute_sql(
+                spark,
+                f"MERGE INTO `{tp}` t USING srcq_v s ON t.mid = s.mid "
+                "AND s.collect_date = DATE '2024-01-01' "
+                "WHEN MATCHED THEN UPDATE SET *",
+            )
+
+    def test_partial_insert_column_list_rejected(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        _frame(
+            spark, [("mNEW", "t", "x", "2024-01-05")]
+        ).createOrReplaceTempView("partial_v")
+        with pytest.raises(SqlStatementError, match="every source column"):
+            execute_sql(
+                spark,
+                f"MERGE INTO `{tp}` t USING partial_v s ON t.mid = s.mid "
+                "WHEN NOT MATCHED THEN INSERT (mid, collect_date) "
+                "VALUES (s.mid, s.collect_date)",
+            )
+
+    def test_contradictory_merge_date_scopes_raise(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        _frame(
+            spark, [("m0001", "t", "x", "2024-01-05")]
+        ).createOrReplaceTempView("contra_v")
+        with pytest.raises(SqlStatementError, match="contradictory"):
+            execute_sql(
+                spark,
+                f"MERGE INTO `{tp}` t USING contra_v s ON t.mid = s.mid "
+                "AND t.collect_date = DATE '2024-01-01' "
+                "AND t.collect_date = DATE '2024-01-02' "
+                "WHEN MATCHED THEN UPDATE SET *",
+            )
+
+    def test_two_date_conjuncts_delete_rows_exact(self, spark, tmp_path):
+        """End to end: AND of date predicates must intersect."""
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=4)
+        # per=4: dates alternate 01-01 (even i) / 01-02 (odd i)
+        res = execute_sql(
+            spark,
+            f"DELETE FROM `{tp}` WHERE collect_date IN "
+            "(DATE '2024-01-01', DATE '2024-01-02') "
+            "AND collect_date = DATE '2024-01-01'",
+        )
+        assert res["rows_deleted"] == 2  # only the 01-01 rows
+        left = {
+            str(r["collect_date"])
+            for r in read_sink(spark, tp).collect()
+        }
+        assert left == {"2024-01-02"}
+
+    def test_numeric_eq_rows_still_exact(self, spark, tmp_path):
+        """A numeric literal never prunes (stays residual) but the
+        rows are exact through Spark's own cast semantics."""
+        tp = str(tmp_path / "s")
+        df = _frame(
+            spark,
+            [("1", "t", "a", "2024-01-01"), ("2", "t", "b", "2024-01-01")],
+        )
+        append_batch_manifest(df, _store(), tp, 0)
+        res = execute_sql(spark, f"DELETE FROM `{tp}` WHERE mid = 1")
+        assert res["rows_deleted"] == 1
+        assert {r["mid"] for r in read_sink(spark, tp).collect()} == {"2"}
+
+
+class TestBloomIndexBudget:
+    def test_over_budget_batches_marked_sidecar(self, spark, tmp_path):
+        from mqtt_message_pump_spark.functions import bloom as B
+        from mqtt_message_pump_spark.sinks import (
+            _hadoop_fs,
+            _load_manifest_state,
+            _publish_bloom_index,
+        )
+
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=3, per=20)
+        fs, HPath = _hadoop_fs(spark, tp)
+        live = _load_manifest_state(fs, HPath, tp)["live"]
+        sizes = []
+        jfs_specs = {}
+        from mqtt_message_pump_spark.sinks import _JvmFsReader
+
+        jfs = _JvmFsReader(fs, HPath)
+        for m in live:
+            specs = B.load_bloom_sidecar(jfs, tp, m)
+            jfs_specs[m["name"]] = specs
+            sizes.append(
+                sum(len(s["b64"]) for s in specs.values())
+            )
+        # budget fits exactly the two smallest sidecars
+        budget = sorted(sizes)[0] + sorted(sizes)[1]
+        _publish_bloom_index(fs, HPath, tp, 1, live, max_bytes=budget)
+        B._IDX_CACHE.clear()
+        idx = B.load_bloom_index(jfs, tp)
+        embedded = sum(
+            1 for e in idx["batches"].values() if "cols" in e
+        )
+        marked = sum(
+            1 for e in idx["batches"].values() if e.get("sidecar")
+        )
+        assert embedded == 2 and marked == 1
+        # the marked batch resolves to None -> sidecar fallback
+        over = next(
+            m for m in live
+            if idx["batches"][m["name"]].get("sidecar")
+        )
+        assert B.index_blooms_for(idx, over) is None
+        # lookups stay exact either way
+        hit = read_sink(spark, tp, eq={"mid": "m0205"})
+        assert hit.filter(hit.mid == "m0205").count() == 1
