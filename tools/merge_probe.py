@@ -79,7 +79,28 @@ def main() -> None:
 
     path = f"{WORK}/merge"
     synth_sink(path, n_batches, rows, blooms=True)
-    print(f"MERGE at {n_batches} batches x {rows} rows", flush=True)
+    fold = len(sys.argv) <= 3 or sys.argv[3] != "nofold"
+    print(
+        f"MERGE at {n_batches} batches x {rows} rows "
+        f"(bloom index {'folded' if fold else 'ABSENT'})",
+        flush=True,
+    )
+    # sample present keys BEFORE folding: the snapshot retires the
+    # standalone per-batch manifest files _present_mids reads
+    upd = _present_mids(path, 10, n_batches)
+    big_upd = _present_mids(path, 10, n_batches, stride=313)
+    half_upd = _present_mids(path, 5, n_batches, stride=211)
+    if fold:
+        # production posture: a snapshot (with its folded bloom index)
+        # exists, so candidate discovery reads ONE index object instead
+        # of O(batches) sidecars (SCALE 10h); pass 'nofold' as argv[3]
+        # for the sidecar-path floor
+        from mqtt_message_pump_spark.sinks import snapshot_sink
+
+        _timed(
+            "snapshot + bloom-index fold (maintenance)",
+            lambda: snapshot_sink(spark, path, min_uncovered=1),
+        )
 
     def _src(mids, tag):
         return spark.createDataFrame(
@@ -87,7 +108,6 @@ def main() -> None:
             ["mid", "payload"],
         ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
 
-    upd = _present_mids(path, 10, n_batches)
     ins = [f"zzz-new-{i}" for i in range(5)]
     src = _src(upd + ins, "merged")
     res, _ = _timed(
@@ -117,9 +137,7 @@ def main() -> None:
     )
 
     # change set past probe_keys_limit: ONE key-column scan discovery
-    big = _present_mids(path, 10, n_batches, stride=313) + [
-        f"zzz-big-{i}" for i in range(500)
-    ]
+    big = big_upd + [f"zzz-big-{i}" for i in range(500)]
     res, _ = _timed(
         "MERGE 510-key change set (scan discovery)",
         lambda: merge_sink(
@@ -135,9 +153,7 @@ def main() -> None:
     )
 
     # insert-only (dedup-append): anti-join + one append, zero rewrites
-    half = _present_mids(path, 5, n_batches, stride=211) + [
-        f"zzz-io-{i}" for i in range(5)
-    ]
+    half = half_upd + [f"zzz-io-{i}" for i in range(5)]
     res, _ = _timed(
         "insert-only MERGE (5 present + 5 new keys)",
         lambda: merge_sink(
