@@ -840,3 +840,76 @@ class TestClausePredicatesOnMissingColumns:
         )
         assert res["probed_clean"] == res["candidate_batches"] == 1
         assert read_sink(spark, tp).count() == 6
+
+
+class TestDistributedKeyScan:
+    """The flat mapInPandas discovery path (scan_union_max exceeded):
+    identical matched/touched results to the per-frame union, engaged
+    automatically at high candidate counts."""
+
+    def test_parity_with_union_path(self, spark, tmp_path):
+        u_tp = _mk_sink(spark, tmp_path / "u")
+        d_tp = _mk_sink(spark, tmp_path / "d")
+        src = _frame(
+            spark,
+            [
+                ("m0105", "t/new", "UPD-105", "2024-01-09 00:00:05"),
+                ("m0003", "t/new", "UPD-003", "2024-01-09 00:00:05"),
+                ("mNEW9", "t/new", "INS", "2024-01-03 00:00:00"),
+            ],
+        )
+        ref = merge_sink(
+            spark, u_tp, src, on=["mid"], merge_id="dks-1",
+            scan_union_max=10_000,  # force the union path
+        )
+        res = merge_sink(
+            spark, d_tp, src, on=["mid"], merge_id="dks-1",
+            scan_union_max=0,  # force the distributed file scan
+        )
+        for k in (
+            "candidate_batches", "touched_batches", "rows_updated",
+            "rows_inserted", "rows_deleted", "probed_clean",
+        ):
+            assert res[k] == ref[k], k
+        assert _rows(spark, d_tp) == _rows(spark, u_tp)
+
+    def test_timestamp_key_roundtrip(self, spark, tmp_path):
+        """Non-string key types survive the pyarrow->pandas->Arrow
+        round trip: merge ON (mid, collect_datetime)."""
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=2, per=4)
+        row = read_sink(spark, tp).filter("mid = 'm0102'").collect()[0]
+        src = spark.createDataFrame(
+            [(row["mid"], row["collect_datetime"], "TS-UPD")],
+            ["mid", "collect_datetime", "payload"],
+        ).withColumn("collect_date", F.lit(row["collect_date"]))
+        res = merge_sink(
+            spark, tp, src, on=["mid", "collect_datetime"],
+            when_not_matched=None, scan_union_max=0,
+        )
+        assert res["rows_updated"] == 1
+        got = read_sink(spark, tp).filter("mid = 'm0102'").collect()[0]
+        assert got["payload"] == "TS-UPD"
+
+    def test_widened_key_falls_back_to_union(self, spark, tmp_path):
+        """A batch whose recorded key type mismatches the target keeps
+        the per-frame union path (eligibility is metadata-checked)."""
+        tp = str(tmp_path / "s")
+        legacy = spark.createDataFrame(
+            [("k1", "p1")], ["mid", "payload"]
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        append_batch_manifest(legacy, _store(), tp, 0, epoch="seed")
+        widened = _frame(
+            spark, [("k2", "t", "p2", "2024-01-02 00:00:02")]
+        )
+        append_batch_manifest(widened, _store(), tp, 1, epoch="seed")
+        src = _frame(spark, [("k1", "t", "UPD", "2024-01-05")])
+        res = merge_sink(
+            spark, tp, src, on=["mid"], when_not_matched=None,
+            scan_union_max=0,
+        )
+        assert res["rows_updated"] == 1
+        got = {
+            r["mid"]: r["payload"]
+            for r in read_sink(spark, tp, merge_schema=True).collect()
+        }
+        assert got["k1"] == "UPD"
