@@ -3309,7 +3309,7 @@ def _dml_sink(
 
     target_schema = None  # sink-wide widened schema, computed on demand
     _ts_lock = threading.Lock()  # once, even under rewrite_parallelism
-    def _dml_one(m: dict) -> dict:
+    def _dml_one(m: dict, pre_match: "int | None" = None) -> dict:
         src = spark.read.option("mergeSchema", "true").parquet(
             f"{table_path}/{m['dir']}"
         )
@@ -3342,7 +3342,18 @@ def _dml_sink(
 
         eval_df = src
         n_match = None
-        if set_exprs is None or all(c in src.columns for c in set_exprs):
+        if pre_match is not None:
+            # the batched union probe already counted this batch's
+            # matches in ONE job; only the pad decision remains (an
+            # analysis-time check, no job)
+            try:
+                eval_df.filter(hit).columns
+            except Exception:
+                eval_df = _padded(src)
+            n_match = pre_match
+        elif set_exprs is None or all(
+            c in src.columns for c in set_exprs
+        ):
             try:
                 n_match = eval_df.filter(hit).count()
             except Exception:
@@ -3514,20 +3525,106 @@ def _dml_sink(
             ),
         }
 
+    # Batched probe (many candidates): at 10k batches a point predicate
+    # leaves ~fpp x N bloom false positives here, and probing each with
+    # its own count() job is N driver-scheduled jobs.  One union over
+    # recorded-schema frames (cheap construction, SCALE 10h) counts
+    # every candidate's matches in ONE job; only matching batches enter
+    # the rewrite pool.  Falls back to per-batch probing when any
+    # candidate predates recorded schemas, or when the predicate cannot
+    # resolve even against the sink-wide schema (the per-batch path
+    # raises the loud sink-wide error).
+    pre: "dict[str, int] | None" = None
+    if len(cands) > 16 and all(m.get("schema") for m in cands):
+        from functools import reduce as _reduce
+
+        from pyspark.sql import types as T
+
+        with _ts_lock:
+            if target_schema is None:
+                target_schema = _sink_merged_schema(
+                    spark, table_path, live
+                )
+        if set_exprs is not None and target_schema is not None:
+            # skipped-clean batches never reach _dml_one's per-batch
+            # check, so the sink-wide SET validation must happen here
+            names = {f.name for f in target_schema.fields}
+            bad = [c for c in set_exprs if c not in names]
+            if bad:
+                raise ValueError(
+                    f"SET columns not in sink schema: {bad}"
+                )
+        try:
+            pframes = []
+            for m in cands:
+                f = spark.read.schema(
+                    T.StructType.fromJson(m["schema"])
+                ).parquet(f"{table_path}/{m['dir']}")
+                have = set(f.columns)
+                if target_schema is not None:
+                    f = f.select(
+                        "*",
+                        *[
+                            F.lit(None).cast(fl.dataType).alias(fl.name)
+                            for fl in target_schema.fields
+                            if fl.name not in have
+                        ],
+                    )
+                pframes.append(
+                    f.select(
+                        F.lit(m["name"]).alias("__mname"),
+                        hit.cast("long").alias("__h"),
+                    )
+                )
+            u = _reduce(lambda a, b: a.unionByName(b), pframes)
+            pre = {
+                r["__mname"]: int(r["n"] or 0)
+                for r in u.groupBy("__mname")
+                .agg(F.sum("__h").alias("n"))
+                .collect()
+            }
+        except Exception:
+            pre = None  # unresolvable pred/SET: per-batch path reports
+
     # candidates probe + rewrite CONCURRENTLY (bounded driver pool, the
     # merge_sink pattern): every batch is an independent job + at most
     # one fresh-name publish; per-batch atomicity and the re-run resume
     # contract are unchanged.  Results fold in candidate order so the
     # summary is deterministic.
-    workers = max(1, min(int(rewrite_parallelism), len(cands) or 1))
-    results: "list[dict]" = []
-    if workers > 1 and len(cands) > 1:
+    if pre is not None:
+        todo = [m for m in cands if pre.get(m["name"], 0) > 0]
+    else:
+        todo = cands
+    workers = max(1, min(int(rewrite_parallelism), len(todo) or 1))
+    ran: "dict[str, dict]" = {}
+    if workers > 1 and len(todo) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            results = list(pool.map(_dml_one, cands))
+            for m, rec in zip(
+                todo,
+                pool.map(
+                    lambda m: _dml_one(
+                        m,
+                        pre_match=(
+                            pre.get(m["name"]) if pre is not None else None
+                        ),
+                    ),
+                    todo,
+                ),
+            ):
+                ran[m["name"]] = rec
     else:
-        results = [_dml_one(m) for m in cands]
+        for m in todo:
+            ran[m["name"]] = _dml_one(
+                m,
+                pre_match=(
+                    pre.get(m["name"]) if pre is not None else None
+                ),
+            )
+    results = [
+        ran.get(m["name"], {"kind": "clean"}) for m in cands
+    ]
     for rec in results:
         if rec["kind"] == "clean":
             out["probed_clean"] += 1

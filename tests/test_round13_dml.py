@@ -993,3 +993,71 @@ class TestCompactCollapse:
         assert final.filter("mid = 'm0001'").select(
             "payload"
         ).collect() == [("v2",)]
+
+
+class TestBatchedProbe:
+    """The one-job union probe (engaged above 16 candidates): same
+    results and counters as the per-batch path, with clean candidates
+    never entering the rewrite pool."""
+
+    def test_point_delete_over_many_candidates(self, spark, tmp_path):
+        # payload has no stats/bloom coverage, so every batch is a
+        # candidate -- 20 > the batched-probe gate
+        tp = _mk_sink(spark, tmp_path, n_batches=20, per=3)
+        res = delete_sink_where(spark, tp, where="payload = 'p501'")
+        assert res["candidate_batches"] == 20
+        assert res["rows_deleted"] == 1
+        assert len(res["rewritten"]) + len(res["dropped"]) == 1
+        assert res["probed_clean"] == 19
+        assert read_sink(spark, tp).count() == 59
+        assert (
+            read_sink(spark, tp).filter("payload = 'p501'").count() == 0
+        )
+
+    def test_update_with_widened_set_over_many(self, spark, tmp_path):
+        tp = str(tmp_path / "sink")
+        legacy = spark.createDataFrame(
+            [("k-legacy", "p0")], ["mid", "payload"]
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        append_batch_manifest(legacy, _store(), tp, 99, epoch="old")
+        for b in range(19):
+            rows = [
+                (f"m{b * 100 + i:04d}", f"t/{b}", f"p{b * 100 + i}",
+                 "2024-01-01 00:00:01")
+                for i in range(2)
+            ]
+            append_batch_manifest(_frame(spark, rows), _store(), tp, b)
+        # topic is widened relative to the legacy batch; predicate
+        # references it, SET writes it -- the batched probe must pad
+        res = update_sink_where(
+            spark, tp,
+            set={"topic": "'FIXED'"},
+            where="topic IS NULL OR mid = 'm0001'",
+        )
+        assert res["candidate_batches"] == 20
+        assert res["rows_updated"] == 2  # k-legacy (NULL topic) + m0001
+        got = {
+            r["mid"]: r["topic"]
+            for r in read_sink(spark, tp, merge_schema=True)
+            .filter("topic = 'FIXED'")
+            .collect()
+        }
+        assert set(got) == {"k-legacy", "m0001"}
+
+    def test_bad_set_column_still_raises(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=20, per=2)
+        with pytest.raises(ValueError, match="SET columns not in sink"):
+            update_sink_where(
+                spark, tp, set={"nope": "'x'"}, where="payload = 'zz'"
+            )
+
+    def test_all_clean_touches_nothing(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path, n_batches=20, per=2)
+        res = delete_sink_where(
+            spark, tp, where="payload = 'absent-value'"
+        )
+        assert res["candidate_batches"] == 20
+        assert res["probed_clean"] == 20
+        assert res["rewritten"] == [] and res["dropped"] == []
+        assert res["rows_deleted"] == 0
+        assert read_sink(spark, tp).count() == 40

@@ -65,6 +65,16 @@ def main() -> None:
     path = f"{WORK}/dml"
     probe = synth_sink(path, n_batches, rows, blooms=True)
     print(f"point DML at {n_batches} batches x {rows} rows", flush=True)
+    other = _pick_other(path)  # sampled BEFORE the fold retires b0.json
+    if len(sys.argv) <= 3 or sys.argv[3] != "nofold":
+        # production posture (as in merge_probe): the folded bloom
+        # index serves eq-candidate discovery as one object read
+        from mqtt_message_pump_spark.sinks import snapshot_sink
+
+        _timed(
+            "snapshot + bloom-index fold (maintenance)",
+            lambda: snapshot_sink(spark, path, min_uncovered=1),
+        )
 
     res, _ = _timed(
         f"DELETE eq present mid ({probe})",
@@ -92,7 +102,7 @@ def main() -> None:
         "UPDATE eq one mid",
         lambda: update_sink_where(
             spark, path, set={"payload": "'REDACTED'"},
-            eq={"mid": _pick_other(path)},
+            eq={"mid": other},
         ),
     )
     print(
