@@ -1466,6 +1466,26 @@ def _prune_batches(
     return kept
 
 
+def _recorded_schema_frames(reader, table_path: str, manifests):
+    """One frame per batch dir, planned from the manifests' RECORDED
+    write schemas when every batch has one -- no per-dir parquet footer
+    inference (measured 7.4x cheaper construction, 75 -> 10 ms/frame;
+    SCALE 10h).  Any batch predating the recorded-schema field drops
+    the whole set back to inference.  Shared by :func:`read_sink` and
+    :func:`read_sink_since`; deterministic dir order."""
+    from pyspark.sql import types as T
+
+    by_dir = sorted(
+        (f"{table_path}/{m['dir']}", m.get("schema")) for m in manifests
+    )
+    if all(s is not None for _, s in by_dir):
+        return [
+            reader.schema(T.StructType.fromJson(s)).parquet(d)
+            for d, s in by_dir
+        ]
+    return [reader.parquet(d) for d, _ in by_dir]
+
+
 def collapse_latest(
     df: DataFrame,
     keys: "list[str]",
@@ -1729,24 +1749,7 @@ def read_sink(
     # exactly Delta/Iceberg's OPTIMIZE story.
     from functools import reduce
 
-    # Recorded-schema fast path: every batch manifest records its exact
-    # write schema, so frames can be planned WITHOUT per-dir footer
-    # inference -- measured 7.4x cheaper construction (75 -> 10 ms per
-    # surviving dir), which is the dominant per-lookup cost once the
-    # bloom index has made discovery flat (SCALE 10h).  Any batch
-    # predating the recorded-schema field falls back to inference.
-    from pyspark.sql import types as _T
-
-    by_dir = sorted(
-        (f"{table_path}/{m['dir']}", m.get("schema")) for m in kept
-    )
-    if all(s is not None for _, s in by_dir):
-        frames = [
-            reader.schema(_T.StructType.fromJson(s)).parquet(d)
-            for d, s in by_dir
-        ]
-    else:
-        frames = [reader.parquet(d) for d, _ in by_dir]
+    frames = _recorded_schema_frames(reader, table_path, kept)
     if merge_schema and len(frames) > 1:
         # managed TYPE evolution, not just added columns: fold every
         # batch's schema through the safe widening lattice (int->long->
@@ -2017,21 +2020,7 @@ def read_sink_since(
     if not new_manifests:
         return None, new_cursor
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
-    # recorded-schema fast path, as in read_sink: plan each batch frame
-    # without footer inference when its manifest recorded the schema
-    from pyspark.sql import types as _T
-
-    by_dir = sorted(
-        (f"{table_path}/{m['dir']}", m.get("schema"))
-        for m in new_manifests
-    )
-    if all(s is not None for _, s in by_dir):
-        frames = [
-            reader.schema(_T.StructType.fromJson(s)).parquet(d)
-            for d, s in by_dir
-        ]
-    else:
-        frames = [reader.parquet(d) for d, _ in by_dir]
+    frames = _recorded_schema_frames(reader, table_path, new_manifests)
     df = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=merge_schema),
         frames,
@@ -3222,6 +3211,7 @@ def _dml_sink(
     set_exprs: "dict[str, str] | None",
     force: bool = False,
     rewrite_parallelism: int = 4,
+    probe_union_min: int = 16,
 ) -> dict:
     """Shared core of :func:`delete_sink_where` /
     :func:`update_sink_where` -- copy-on-write at BATCH granularity,
@@ -3345,10 +3335,18 @@ def _dml_sink(
         if pre_match is not None:
             # the batched union probe already counted this batch's
             # matches in ONE job; only the pad decision remains (an
-            # analysis-time check, no job)
-            try:
-                eval_df.filter(hit).columns
-            except Exception:
+            # analysis-time check, no job).  Pad exactly when the
+            # per-batch path would have: a SET column this batch
+            # physically lacks, or a predicate that cannot resolve
+            need_pad = set_exprs is not None and any(
+                c not in src.columns for c in set_exprs
+            )
+            if not need_pad:
+                try:
+                    eval_df.filter(hit).columns
+                except Exception:
+                    need_pad = True
+            if need_pad:
                 eval_df = _padded(src)
             n_match = pre_match
         elif set_exprs is None or all(
@@ -3535,7 +3533,9 @@ def _dml_sink(
     # resolve even against the sink-wide schema (the per-batch path
     # raises the loud sink-wide error).
     pre: "dict[str, int] | None" = None
-    if len(cands) > 16 and all(m.get("schema") for m in cands):
+    if len(cands) > probe_union_min and all(
+        m.get("schema") for m in cands
+    ):
         from functools import reduce as _reduce
 
         from pyspark.sql import types as T
@@ -3648,6 +3648,7 @@ def delete_sink_where(
     ranges: "dict[str, tuple[object, object]] | None" = None,
     force: bool = False,
     rewrite_parallelism: int = 4,
+    probe_union_min: int = 16,
 ) -> dict:
     """Row-level DELETE on a manifest sink (``DELETE FROM t WHERE
     ...``): remove every row matching the predicate, atomically per
@@ -3672,6 +3673,7 @@ def delete_sink_where(
     return _dml_sink(
         spark, table_path, where, eq, dates, ranges, None, force=force,
         rewrite_parallelism=rewrite_parallelism,
+        probe_union_min=probe_union_min,
     )
 
 
@@ -3685,6 +3687,7 @@ def update_sink_where(
     ranges: "dict[str, tuple[object, object]] | None" = None,
     force: bool = False,
     rewrite_parallelism: int = 4,
+    probe_union_min: int = 16,
 ) -> dict:
     """Row-level UPDATE on a manifest sink (``UPDATE t SET col = expr
     WHERE ...``): ``set`` maps column name -> SQL expression, every
@@ -3701,6 +3704,7 @@ def update_sink_where(
     return _dml_sink(
         spark, table_path, where, eq, dates, ranges, set, force=force,
         rewrite_parallelism=rewrite_parallelism,
+        probe_union_min=probe_union_min,
     )
 
 
@@ -3741,18 +3745,41 @@ def _scan_key_files(
     tp = table_path
 
     def _scan(batches):
+        import datetime
+
+        import pyarrow as pa
+
         from mqtt_message_pump_spark.sources._fsio import fs_for
 
         fs, root = fs_for(tp)
         for pdf in batches:
             for mname, rel in zip(pdf["mname"], pdf["rel"]):
                 tbl = fs.read_parquet_columns(f"{root}/{rel}", cols)
+                if (
+                    "collect_date" in cols
+                    and "collect_date" not in tbl.column_names
+                    and "collect_date=" in rel
+                ):
+                    # the partition column lives in the PATH, not the
+                    # file (exactly as read_files_arrow reattaches it)
+                    val = rel.split("collect_date=")[1].split("/")[0]
+                    try:
+                        d = datetime.date.fromisoformat(val)
+                    except ValueError:
+                        d = None
+                    tbl = tbl.append_column(
+                        "collect_date",
+                        pa.array([d] * len(tbl), type=pa.date32()),
+                    )
                 if any(c not in tbl.column_names for c in cols):
                     continue  # pre-key file: NULL keys never match
+                # null-drop IN ARROW: .to_pandas() on a nullable int64
+                # degrades to float64 (precision loss above 2^53) --
+                # dropping nulls first keeps integer keys exact
                 kdf = (
                     tbl.select(cols)
+                    .drop_null()
                     .to_pandas()
-                    .dropna()
                     .drop_duplicates()
                 )
                 if not len(kdf):

@@ -891,25 +891,78 @@ class TestDistributedKeyScan:
         assert got["payload"] == "TS-UPD"
 
     def test_widened_key_falls_back_to_union(self, spark, tmp_path):
-        """A batch whose recorded key type mismatches the target keeps
-        the per-frame union path (eligibility is metadata-checked)."""
+        """A batch whose recorded key TYPE mismatches the widened
+        target (int recorded, long after widening) keeps the per-frame
+        union path -- eligibility is metadata-checked, so the flat
+        scan can never hit a type surprise at task time."""
         tp = str(tmp_path / "s")
-        legacy = spark.createDataFrame(
-            [("k1", "p1")], ["mid", "payload"]
+        old = spark.createDataFrame(
+            [(1, "p1")], "k int, payload string"
         ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
-        append_batch_manifest(legacy, _store(), tp, 0, epoch="seed")
-        widened = _frame(
-            spark, [("k2", "t", "p2", "2024-01-02 00:00:02")]
-        )
-        append_batch_manifest(widened, _store(), tp, 1, epoch="seed")
-        src = _frame(spark, [("k1", "t", "UPD", "2024-01-05")])
+        append_batch_manifest(old, _store(), tp, 0, epoch="seed")
+        new = spark.createDataFrame(
+            [(2**40, "p2")], "k long, payload string"
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-02")))
+        append_batch_manifest(new, _store(), tp, 1, epoch="seed")
+        src = spark.createDataFrame(
+            [(1, "UPD")], "k long, payload string"
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-05")))
         res = merge_sink(
-            spark, tp, src, on=["mid"], when_not_matched=None,
+            spark, tp, src, on=["k"], when_not_matched=None,
             scan_union_max=0,
         )
         assert res["rows_updated"] == 1
         got = {
-            r["mid"]: r["payload"]
+            r["k"]: r["payload"]
             for r in read_sink(spark, tp, merge_schema=True).collect()
         }
-        assert got["k1"] == "UPD"
+        assert got[1] == "UPD" and got[2**40] == "p2"
+
+    def test_partition_column_as_merge_key_flat_path(
+        self, spark, tmp_path
+    ):
+        """Regression (review): collect_date lives in the PATH, not
+        the parquet files -- the flat scan must reattach it or every
+        file would be skipped and matched rows silently re-inserted."""
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=2, per=4)
+        row = read_sink(spark, tp).filter("mid = 'm0101'").collect()[0]
+        src = _frame(
+            spark,
+            [("m0101", "t/new", "PD-UPD",
+              f"{row['collect_date']} 00:00:59")],
+        )
+        res = merge_sink(
+            spark, tp, src, on=["mid", "collect_date"],
+            scan_union_max=0,
+        )
+        assert res["rows_updated"] == 1
+        assert res["rows_inserted"] == 0  # matched, never duplicated
+        assert (
+            read_sink(spark, tp).filter("payload = 'PD-UPD'").count()
+            == 1
+        )
+
+    def test_big_int_key_with_nulls_stays_exact(self, spark, tmp_path):
+        """Regression (review): a nullable int64 key column must not
+        round through float64 (keys above 2^53 would corrupt) -- nulls
+        are dropped in Arrow before the pandas hop."""
+        tp = str(tmp_path / "s")
+        big = 2**60 + 1
+        df = spark.createDataFrame(
+            [(big, "keep"), (None, "nullkey"), (7, "small")],
+            "k long, payload string",
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        append_batch_manifest(df, _store(), tp, 0, epoch="seed")
+        src = spark.createDataFrame(
+            [(big, "UPD")], "k long, payload string"
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        res = merge_sink(
+            spark, tp, src, on=["k"], when_not_matched=None,
+            scan_union_max=0,
+        )
+        assert res["rows_updated"] == 1
+        got = {
+            r["payload"]
+            for r in read_sink(spark, tp).collect()
+        }
+        assert got == {"UPD", "nullkey", "small"}

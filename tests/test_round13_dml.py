@@ -1061,3 +1061,39 @@ class TestBatchedProbe:
         assert res["rewritten"] == [] and res["dropped"] == []
         assert res["rows_deleted"] == 0
         assert read_sink(spark, tp).count() == 40
+
+
+class TestBatchedProbePadRegression:
+    def test_set_on_missing_column_with_resolvable_pred(
+        self, spark, tmp_path
+    ):
+        """Regression (review): under the batched probe, an UPDATE
+        whose predicate RESOLVES on a pre-widening batch but whose SET
+        column it lacks must pad (managed evolution), not raise 'SET
+        columns not in sink schema'."""
+        tp = str(tmp_path / "sink")
+        legacy = spark.createDataFrame(
+            [("k-legacy", "p0")], ["mid", "payload"]
+        ).withColumn("collect_date", F.to_date(F.lit("2024-01-01")))
+        append_batch_manifest(legacy, _store(), tp, 99, epoch="old")
+        for b in range(19):
+            rows = [
+                (f"m{b * 100 + i:04d}", f"t/{b}", f"p{b * 100 + i}",
+                 "2024-01-01 00:00:01")
+                for i in range(2)
+            ]
+            append_batch_manifest(_frame(spark, rows), _store(), tp, b)
+        res = update_sink_where(
+            spark, tp, set={"topic": "'FIXED'"},
+            where="mid = 'k-legacy'",
+        )
+        assert res["rows_updated"] == 1
+        got = read_sink(spark, tp, merge_schema=True).filter(
+            "mid = 'k-legacy'"
+        ).collect()[0]
+        assert got["topic"] == "FIXED"
+        # and the probe threshold is callable-controllable
+        res2 = delete_sink_where(
+            spark, tp, where="payload = 'p101'", probe_union_min=0,
+        )
+        assert res2["rows_deleted"] == 1
