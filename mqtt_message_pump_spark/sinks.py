@@ -3533,19 +3533,29 @@ def _dml_sink(
     # resolve even against the sink-wide schema (the per-batch path
     # raises the loud sink-wide error).
     pre: "dict[str, int] | None" = None
-    if len(cands) > probe_union_min and all(
+    batched_ok = len(cands) > probe_union_min and all(
         m.get("schema") for m in cands
-    ):
-        from functools import reduce as _reduce
-
-        from pyspark.sql import types as T
-
+    )
+    if batched_ok:
         with _ts_lock:
             if target_schema is None:
                 target_schema = _sink_merged_schema(
                     spark, table_path, live
                 )
-        if set_exprs is not None and target_schema is not None:
+        if set_exprs is not None and target_schema is None:
+            # a live batch predates recorded schemas, so the sink-wide
+            # SET validation below cannot run -- and a batched probe
+            # that counts 0 matches everywhere would return a quiet
+            # success for a SET naming a nonexistent column.  Fall back
+            # to per-batch probing, which checks SET columns against
+            # every candidate's real columns and raises loudly.
+            batched_ok = False
+    if batched_ok:
+        from functools import reduce as _reduce
+
+        from pyspark.sql import types as T
+
+        if set_exprs is not None:
             # skipped-clean batches never reach _dml_one's per-batch
             # check, so the sink-wide SET validation must happen here
             names = {f.name for f in target_schema.fields}

@@ -106,15 +106,24 @@ def _masked(sql: str) -> str:
     return "".join(out)
 
 
+_CASE_RE = re.compile(r"\bCASE\b", re.IGNORECASE)
+_CASE_END_RE = re.compile(r"\bEND\b", re.IGNORECASE)
+
+
 def _find_top(masked: str, kw: str, start: int = 0):
     """First match of keyword phrase ``kw`` (words separated by
     whitespace) at paren depth 0, or None.  ``masked`` must come from
-    :func:`_masked`."""
+    :func:`_masked`.  A ``CASE ... END`` opens a nesting level like a
+    paren: its interior WHEN/THEN/AND/ELSE belong to the CASE
+    expression, not to the statement being scanned (standard-SQL merge
+    actions like ``UPDATE SET v = CASE WHEN s.x > 1 THEN 1 ELSE 0 END``
+    must not read as new merge clauses)."""
     pat = re.compile(
         r"\b" + r"\s+".join(re.escape(w) for w in kw.split()) + r"\b",
         re.IGNORECASE,
     )
     depth = 0
+    case_depth = 0
     i = start
     n = len(masked)
     while i < n:
@@ -124,9 +133,20 @@ def _find_top(masked: str, kw: str, start: int = 0):
         elif c == ")":
             depth -= 1
         elif depth == 0:
-            m = pat.match(masked, i)
-            if m:
-                return m
+            cm = _CASE_RE.match(masked, i)
+            if cm:
+                case_depth += 1
+                i = cm.end()
+                continue
+            em = _CASE_END_RE.match(masked, i)
+            if em:
+                case_depth = max(0, case_depth - 1)
+                i = em.end()
+                continue
+            if case_depth == 0:
+                m = pat.match(masked, i)
+                if m:
+                    return m
         i += 1
     return None
 
@@ -150,12 +170,13 @@ def _split_top(text: str, sep_kw: str | None = None, comma: bool = False):
     parts = []
     last = 0
     depth = 0
+    case_depth = 0
     pending_between = 0
     if comma:
         toks = re.finditer(r"[(),]", masked)
     else:
         toks = re.finditer(
-            r"\(|\)|\b(AND|BETWEEN)\b", masked, re.IGNORECASE
+            r"\(|\)|\b(AND|BETWEEN|CASE|END)\b", masked, re.IGNORECASE
         )
     for m in toks:
         t = m.group(0)
@@ -168,7 +189,16 @@ def _split_top(text: str, sep_kw: str | None = None, comma: bool = False):
                 parts.append(text[last:m.start()])
                 last = m.end()
             elif not comma:
-                if t.upper() == "BETWEEN":
+                # CASE ... END nests like a paren: an AND inside a CASE
+                # arm is part of that expression, not a conjunction
+                # boundary
+                if t.upper() == "CASE":
+                    case_depth += 1
+                elif t.upper() == "END":
+                    case_depth = max(0, case_depth - 1)
+                elif case_depth:
+                    pass
+                elif t.upper() == "BETWEEN":
                     pending_between += 1
                 elif pending_between:
                     pending_between -= 1
@@ -281,11 +311,43 @@ def _liftable(col: str, kind: str) -> bool:
     and bloom probes compare stringified values, so a numeric literal
     against a string column (Spark casts and matches '10.0' = 10; our
     probe str(10) != '10.0') or a bool could silently over-prune.
-    Strings always lift; DATE literals lift for the partition column
+    Strings lift (see :func:`_hint_value` for the collect_datetime
+    normalization); DATE literals lift for the partition column
     only (ISO text, the manifests' own `dates` stat format)."""
     if kind == "str":
         return True
     return kind == "date" and col == "collect_date"
+
+
+_TS_STAT_COLS = frozenset({"collect_datetime"})
+
+
+def _hint_value(col: str, lit):
+    """The exact value to place in a pruning hint for a liftable
+    literal, or None to REFUSE the lift (the conjunct stays a residual
+    row predicate).  ``mid``/``topic`` stats store the string itself,
+    so string literals pass through unchanged; ``collect_datetime`` is
+    a TIMESTAMP whose manifest stats store ``str(datetime)``
+    ('YYYY-MM-DD HH:MM:SS[.ffffff]'), so a timestamp literal must be
+    normalized to that exact form before a lexicographic stat / bloom
+    probe is sound: '2026-01-02T00:00:00' sorts AFTER
+    '2026-01-02 23:59:59' (' ' < 'T'), and a truncated '... 10:00'
+    shifts the compared bound the same way -- either silently prunes
+    batches whose rows actually match.  Unparseable or tz-aware
+    literals refuse: less pruning, never different rows."""
+    kind, val = lit
+    if kind != "str" or col not in _TS_STAT_COLS:
+        return val
+    import datetime
+
+    try:
+        dt = datetime.datetime.fromisoformat(val)
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        return None  # stats are naive-UTC str(datetime); a zoned
+        #             literal's row semantics depend on the session tz
+    return str(dt)
 
 
 def _lift_conjunct(conj: str):
@@ -299,12 +361,15 @@ def _lift_conjunct(conj: str):
         col = _unquote(m.group(1))
         if lit is None or not _liftable(col, lit[0]):
             return None
+        val = _hint_value(col, lit)
+        if val is None:
+            return None
         op = m.group(2)
         if op == "=":
-            return ("eq", col, lit[1])
+            return ("eq", col, val)
         if op == ">=":
-            return ("range", col, (lit[1], None))
-        return ("range", col, (None, lit[1]))
+            return ("range", col, (val, None))
+        return ("range", col, (None, val))
     m = re.match(
         rf"^\s*({_IDENT})\s+IN\s*\((.+)\)\s*$",
         conj,
@@ -317,7 +382,10 @@ def _lift_conjunct(conj: str):
             lit = _parse_lit(item)
             if lit is None or not _liftable(col, lit[0]):
                 return None
-            vals.append(lit[1])
+            val = _hint_value(col, lit)
+            if val is None:
+                return None
+            vals.append(val)
         return ("eq", col, vals) if vals else None
     m = re.match(
         rf"^\s*({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$",
@@ -334,7 +402,10 @@ def _lift_conjunct(conj: str):
             or not _liftable(col, hi[0])
         ):
             return None
-        return ("range", col, (lo[1], hi[1]))
+        vlo, vhi = _hint_value(col, lo), _hint_value(col, hi)
+        if vlo is None or vhi is None:
+            return None
+        return ("range", col, (vlo, vhi))
     return None
 
 
@@ -737,10 +808,32 @@ def _parse_merge_clause(text: str, t_names: set, s_names: set) -> dict:
                                                 comma=True)
             ]
             vals = _split_top(vm.group("vals"), comma=True)
+
+            def _val_col(v: str) -> "str | None":
+                # bare column, or a SOURCE-qualified one; a
+                # target-qualified entry is a scope error in standard
+                # MERGE (target columns are not visible to WHEN NOT
+                # MATCHED), not an identity insert -- raise loudly
+                # rather than silently reading the source column
+                qm = re.match(
+                    rf"^\s*({_IDENT})\s*\.\s*({_IDENT})\s*$", v
+                )
+                if qm:
+                    qual = _unquote(qm.group(1)).lower()
+                    if qual in t_names:
+                        raise SqlStatementError(
+                            f"INSERT VALUES entry {v.strip()!r} is "
+                            "target-qualified: target columns are not "
+                            "in scope for WHEN NOT MATCHED"
+                        )
+                    if qual not in s_names:
+                        return None
+                    return _unquote(qm.group(2))
+                bm = re.match(rf"^\s*({_IDENT})\s*$", v)
+                return _unquote(bm.group(1)) if bm else None
+
             ident = len(cols) == len(vals) and all(
-                _unquote(re.sub(rf"^\s*{_IDENT}\s*\.\s*", "", v.strip()))
-                == c
-                for c, v in zip(cols, vals)
+                _val_col(v) == c for c, v in zip(cols, vals)
             )
             if ident:
                 return {

@@ -877,3 +877,219 @@ class TestBloomIndexBudget:
         # lookups stay exact either way
         hit = read_sink(spark, tp, eq={"mid": "m0205"})
         assert hit.filter(hit.mid == "m0205").count() == 1
+
+
+# ------------------------- ADVICE r14 regressions -------------------------
+
+
+class TestTimestampLiteralLifting:
+    """ADVICE r14 (high): a string literal against ``collect_datetime``
+    must be normalized to the manifests' ``str(datetime)`` stat format
+    before it may become a pruning hint -- the ISO 'T' separator sorts
+    after ' ' and truncated forms shift bounds, so the raw literal's
+    lexicographic stat test prunes batches whose rows match."""
+
+    def test_iso_t_literal_normalized(self):
+        eq, dates, ranges, res = _extract_hints(
+            "collect_datetime >= '2026-01-02T00:00:00'"
+        )
+        assert ranges == {
+            "collect_datetime": ("2026-01-02 00:00:00", None)
+        }
+        assert res is None
+
+    def test_truncated_literal_normalized(self):
+        eq, dates, ranges, res = _extract_hints(
+            "collect_datetime <= '2026-01-02 10:00'"
+        )
+        assert ranges == {
+            "collect_datetime": (None, "2026-01-02 10:00:00")
+        }
+        assert res is None
+
+    def test_eq_in_between_normalized(self):
+        eq, dates, ranges, res = _extract_hints(
+            "collect_datetime IN ('2026-01-02T10:00:00') AND "
+            "collect_datetime BETWEEN '2026-01-01' AND "
+            "'2026-01-02T23:59:59'"
+        )
+        assert eq == {"collect_datetime": ["2026-01-02 10:00:00"]}
+        assert ranges == {
+            "collect_datetime":
+                ("2026-01-01 00:00:00", "2026-01-02 23:59:59")
+        }
+        assert res is None
+
+    def test_unparseable_or_zoned_stays_residual(self):
+        for lit in ("yesterday-ish", "2026-01-02T00:00:00+00:00"):
+            eq, dates, ranges, res = _extract_hints(
+                f"collect_datetime >= '{lit}'"
+            )
+            assert ranges is None
+            assert res == f"(collect_datetime >= '{lit}')"
+
+    def test_plain_string_columns_lift_verbatim(self):
+        eq, _, _, res = _extract_hints("mid = '2026-01-02T00:00:00'")
+        assert eq == {"mid": "2026-01-02T00:00:00"}
+        assert res is None
+
+    def test_t_separator_delete_rows_exact(self, spark, tmp_path):
+        """The ADVICE repro: batch stats span 2026-01-02 in
+        ``str(datetime)`` form; the 'T'-separator literal must not
+        prune the batch away from a DELETE that matches every row."""
+        tp = str(tmp_path / "s")
+        rows = [
+            ("ma", "t", "p1", "2026-01-02 00:00:00"),
+            ("mb", "t", "p2", "2026-01-02 23:59:59"),
+        ]
+        append_batch_manifest(_frame(spark, rows), _store(), tp, 0)
+        res = execute_sql(
+            spark,
+            f"DELETE FROM `{tp}` WHERE "
+            "collect_datetime >= '2026-01-02T00:00:00'",
+        )
+        assert res["candidate_batches"] == 1  # NOT pruned
+        assert res["rows_deleted"] == 2
+        assert files_sink(spark, tp).count() == 0  # all tombstoned
+
+    def test_truncated_upper_bound_update_rows_exact(
+        self, spark, tmp_path
+    ):
+        tp = str(tmp_path / "s")
+        rows = [
+            ("ma", "t", "p1", "2026-01-02 09:59:59"),
+            ("mb", "t", "p2", "2026-01-02 10:00:00"),
+            ("mc", "t", "p3", "2026-01-02 10:00:01"),
+        ]
+        append_batch_manifest(_frame(spark, rows), _store(), tp, 0)
+        res = execute_sql(
+            spark,
+            f"UPDATE `{tp}` SET payload = 'X' WHERE "
+            "collect_datetime <= '2026-01-02 10:00'",
+        )
+        assert res["candidate_batches"] == 1
+        assert res["rows_updated"] == 2  # 09:59:59 and 10:00:00
+
+
+class TestCaseExpressionNesting:
+    """ADVICE r14 (low): CASE ... END nests like a paren -- its WHEN /
+    THEN / AND belong to the expression, not the statement scan."""
+
+    def test_merge_case_in_update_set(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=4)
+        _frame(
+            spark,
+            [("m0001", "t", "zzz", "2024-01-05"),
+             ("m0002", "t", "a", "2024-01-05")],
+        ).createOrReplaceTempView("case_v")
+        res = execute_sql(
+            spark,
+            f"MERGE INTO `{tp}` t USING case_v s ON t.mid = s.mid "
+            "WHEN MATCHED THEN UPDATE SET payload = "
+            "CASE WHEN s.payload > t.payload THEN s.payload "
+            "ELSE t.payload END",
+        )
+        assert res["rows_updated"] == 2
+        got = {
+            r["mid"]: r["payload"]
+            for r in read_sink(spark, tp)
+            .filter("mid IN ('m0001','m0002')").collect()
+        }
+        assert got == {"m0001": "zzz", "m0002": "p2"}
+
+    def test_case_with_and_in_where_stays_whole(self):
+        eq, dates, ranges, res = _extract_hints(
+            "mid = 'ma' AND CASE WHEN topic = 'a' AND payload = 'b' "
+            "THEN true ELSE false END"
+        )
+        assert eq == {"mid": "ma"}
+        assert res == (
+            "(CASE WHEN topic = 'a' AND payload = 'b' "
+            "THEN true ELSE false END)"
+        )
+
+    def test_case_in_merge_clause_pred(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=4)
+        _frame(
+            spark, [("m0001", "t", "x", "2024-01-05")]
+        ).createOrReplaceTempView("casep_v")
+        res = execute_sql(
+            spark,
+            f"MERGE INTO `{tp}` t USING casep_v s ON t.mid = s.mid "
+            "WHEN MATCHED AND (CASE WHEN s.payload = 'x' THEN true "
+            "ELSE false END) THEN DELETE",
+        )
+        assert res["rows_deleted"] == 1
+
+    def test_update_statement_case_set_expr(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=4)
+        res = execute_sql(
+            spark,
+            f"UPDATE `{tp}` SET payload = CASE WHEN mid = 'm0001' "
+            "THEN 'one' ELSE 'other' END WHERE topic = 't/0'",
+        )
+        assert res["rows_updated"] == 4
+        assert (
+            read_sink(spark, tp).filter("payload = 'one'").count() == 1
+        )
+
+
+class TestIdentityInsertQualifiers:
+    """ADVICE r14 (low): only SOURCE-qualified VALUES entries count as
+    identity inserts; a target-qualified entry is a scope error."""
+
+    def test_target_qualified_values_rejected(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        _frame(
+            spark, [("mNEW", "t", "n", "2024-01-05")]
+        ).createOrReplaceTempView("tq_v")
+        cols = "mid, topic, payload, collect_datetime, collect_date"
+        vals = "t.mid, " + ", ".join(
+            f"s.{c.strip()}" for c in cols.split(",")[1:]
+        )
+        with pytest.raises(SqlStatementError, match="target-qualified"):
+            execute_sql(
+                spark,
+                f"MERGE INTO `{tp}` t USING tq_v s ON t.mid = s.mid "
+                f"WHEN NOT MATCHED THEN INSERT ({cols}) "
+                f"VALUES ({vals})",
+            )
+
+    def test_unknown_qualifier_not_identity(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        _frame(
+            spark, [("mNEW", "t", "n", "2024-01-05")]
+        ).createOrReplaceTempView("uq_v")
+        with pytest.raises(SqlStatementError, match="identity INSERT"):
+            execute_sql(
+                spark,
+                f"MERGE INTO `{tp}` t USING uq_v s ON t.mid = s.mid "
+                "WHEN NOT MATCHED THEN INSERT (mid) VALUES (x.mid)",
+            )
+
+
+class TestBatchedProbeSetValidation:
+    """ADVICE r14 (low): the batched probe must never swallow the loud
+    'SET columns not in sink schema' error -- even when a live batch
+    predates recorded schemas while every CANDIDATE has one."""
+
+    def test_bad_set_column_raises_with_prerecorded_batch(
+        self, spark, tmp_path
+    ):
+        import json
+
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=3, per=4)
+        # age ONE batch back to the pre-recorded-schema era (local FS
+        # in tests: edit the manifest json directly)
+        victim = tmp_path / "s" / "_manifests" / "b0.json"
+        m = json.loads(victim.read_text())
+        assert m.pop("schema", None) is not None
+        victim.write_text(json.dumps(m, sort_keys=True))
+        crc = victim.parent / f".{victim.name}.crc"
+        if crc.exists():
+            crc.unlink()  # Hadoop LocalFS checksum sidecar
+        with pytest.raises(ValueError, match="SET columns"):
+            update_sink_where(
+                spark, tp, set={"nope_col": "'x'"},
+                where="true", probe_union_min=1,
+            )
