@@ -629,9 +629,12 @@ def cmd_sql(
     tables: "dict[str, str]",
     merge_id: "str | None",
     force: bool,
+    batch_id: "int | None" = None,
+    epoch: "str | None" = None,
 ) -> int:
-    """``pump sql``: one DML statement (DELETE FROM / UPDATE / MERGE
-    INTO / RESTORE TABLE) or a SELECT over the store's sinks -- the
+    """``pump sql``: one DML statement (INSERT INTO / DELETE FROM /
+    UPDATE / MERGE INTO / RESTORE TABLE) or a SELECT over the store's
+    sinks -- the
     write half of the reference's delegated SQL surface
     (``data_dbstore.go:56-147``) as statement text
     (:func:`sqlstmt.execute_sql`).  The pump's own sinks are
@@ -662,6 +665,7 @@ def cmd_sql(
             res = execute_sql(
                 spark, statement, tables=names, store=cfg.store,
                 merge_id=merge_id, force=force,
+                batch_id=batch_id, epoch=epoch,
             )
             print(_json.dumps(res, indent=2, default=str))
     except Exception as e:  # noqa: BLE001 - operator-facing report
@@ -746,8 +750,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "sql":
             p.add_argument(
                 "--sql", required=True, metavar="STATEMENT",
-                help="DELETE FROM / UPDATE / MERGE INTO / RESTORE TABLE "
-                "/ VACUUM / OPTIMIZE (executed on the manifest-sink "
+                help="INSERT INTO / DELETE FROM / UPDATE / MERGE INTO "
+                "/ RESTORE TABLE / VACUUM / OPTIMIZE (executed on the "
+                "manifest-sink "
                 "cores) or SELECT/WITH (run via Spark SQL over "
                 "registered views); raw_message and json_message "
                 "resolve to the config's store sinks",
@@ -765,6 +770,17 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument(
                 "--force", action="store_true",
                 help="override the maintenance-window fence",
+            )
+            p.add_argument(
+                "--batch-id", type=int, default=None,
+                help="INSERT only: explicit batch id -- a re-run of "
+                "the same statement swaps its own batch atomically "
+                "instead of appending twice",
+            )
+            p.add_argument(
+                "--epoch", default=None,
+                help="INSERT only: epoch namespace for the batch key "
+                "(replay-idempotent republish scope)",
             )
         if name == "register":
             p.add_argument(
@@ -1009,7 +1025,10 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error(f"--table takes NAME=PATH, got {item!r}")
             n, _, p = item.partition("=")
             tables[n.strip()] = p.strip()
-        return cmd_sql(cfg, args.sql, tables, args.merge_id, args.force)
+        return cmd_sql(
+            cfg, args.sql, tables, args.merge_id, args.force,
+            args.batch_id, args.epoch,
+        )
     if args.command == "register":
         return cmd_register(
             cfg, args.path, args.name, args.pushdown, args.query

@@ -1122,7 +1122,16 @@ def _resolve_manifest_entries(entries, read_json) -> dict:
         if "dir" in m
         or any(v in manifests for v in m.get("supersedes", []))
     ]
-    return {"live": live, "embedded": embedded, "latest": latest}
+    return {
+        "live": live, "embedded": embedded, "latest": latest,
+        # every manifest NAME this listing could see, plus every name
+        # retired by a supersedes entry -- the id-allocation horizon
+        # for statement INSERT (_next_batch_id): a fresh batch id must
+        # never collide with a name a lingering drop tombstone would
+        # retire on sight
+        "all_names": set(manifests),
+        "superseded": superseded,
+    }
 
 
 def _load_manifest_state(fs, HPath, table_path: str) -> dict:
@@ -1159,6 +1168,8 @@ def _load_manifest_state(fs, HPath, table_path: str) -> dict:
                 "latest_snap_seq": latest[0] if latest else 0,
                 "embedded": core["embedded"],
                 "stats": stats,
+                "all_names": core["all_names"],
+                "superseded": core["superseded"],
             }
         except _ManifestVanished:
             continue
@@ -1828,6 +1839,27 @@ class TailLost(IOError):
     the same retention semantics as Delta's change data feed.  Prevent
     it by sizing ``compact_sink(keep_last=...)`` (or the compaction
     cadence) to exceed the tail's maximum lag in batches."""
+
+
+def _next_batch_id(fs, HPath, table_path: str) -> int:
+    """Smallest batch id safe for a statement-level append
+    (:func:`~mqtt_message_pump_spark.sqlstmt.execute_sql` INSERT with
+    no explicit id): 1 + the highest id mentioned ANYWHERE in the
+    manifest listing -- live batches (any epoch), snapshot-embedded
+    names, and every name a supersedes entry retires.  Reusing a
+    retired id would publish a batch an existing drop tombstone
+    retires on sight (dropped rows never resurrect,
+    :func:`_resolve_manifest_entries`), so the horizon is names-SEEN,
+    not batches-live."""
+    if not fs.exists(HPath(f"{table_path}/_manifests")):
+        return 0
+    state = _load_manifest_state(fs, HPath, table_path)
+    ids = [
+        k[1]
+        for name in (state["all_names"] | state["superseded"])
+        if (k := _batch_name_key(name)) is not None
+    ]
+    return (max(ids) + 1) if ids else 0
 
 
 def _batch_name_key(name: str) -> "tuple[str, int] | None":

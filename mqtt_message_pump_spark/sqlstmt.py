@@ -1,6 +1,11 @@
 """SQL-*statement* DML over manifest sinks: parse the standard text
 forms --
 
+- ``INSERT INTO t [(cols)] VALUES (...), ...`` and
+  ``INSERT INTO t [(cols)] SELECT ...`` (the reference's
+  most-executed statement, ``data_dbstore.go:67,109-112,336-421``;
+  explicit ``batch_id``/``epoch`` give the replay-idempotent
+  republish contract)
 - ``DELETE FROM t WHERE <pred>``
 - ``UPDATE t SET col = expr[, ...] WHERE <pred>``
 - ``MERGE INTO t [AS a] USING <src> [AS b] ON <cond> WHEN ...``
@@ -596,6 +601,193 @@ def _parse_update(sql: str, masked: str) -> dict:
     }
 
 
+def _parse_insert(sql: str, masked: str) -> dict:
+    _FORMS = (
+        "supported forms: INSERT INTO t [(cols)] VALUES (...), ... | "
+        "INSERT INTO t [(cols)] SELECT ..."
+    )
+    m = re.match(r"^\s*INSERT\s+INTO\s+", masked, re.IGNORECASE)
+    if m is None:
+        raise SqlStatementError(_FORMS)
+    vm = _find_top(masked, "VALUES", m.end())
+    sm = _find_top(masked, "SELECT", m.end())
+    if vm is not None and (sm is None or vm.start() < sm.start()):
+        kw, mode = vm, "values"
+    elif sm is not None:
+        kw, mode = sm, "select"
+    else:
+        raise SqlStatementError(
+            "INSERT requires a VALUES list or a SELECT source -- "
+            + _FORMS
+        )
+    mh = masked[m.end():kw.start()]
+    pi = mh.find("(")
+    cols = None
+    if pi == -1:
+        target = sql[m.end():kw.start()].strip()
+    else:
+        target = sql[m.end():m.end() + pi].strip()
+        pe = mh.rfind(")")
+        if pe < pi or mh[pe + 1:].strip():
+            raise SqlStatementError(
+                "cannot parse INSERT column list: "
+                f"{sql[m.end():kw.start()].strip()!r}"
+            )
+        cols = [
+            _unquote(c)
+            for c in _split_top(
+                sql[m.end() + pi + 1:m.end() + pe], comma=True
+            )
+        ]
+        if not cols:
+            raise SqlStatementError("INSERT column list is empty")
+        if len(set(cols)) != len(cols):
+            raise SqlStatementError(
+                "INSERT column list repeats a column"
+            )
+    if not target:
+        raise SqlStatementError("INSERT INTO requires a target table")
+    body_start = kw.start() if mode == "select" else kw.end()
+    body = sql[body_start:].strip().rstrip(";").strip()
+    if not body:
+        raise SqlStatementError("INSERT VALUES list is empty")
+    if mode == "values" and not body.startswith("("):
+        raise SqlStatementError(
+            f"INSERT VALUES expects parenthesized tuples, got "
+            f"{body[:30]!r}"
+        )
+    return {"kind": "insert", "target": target, "cols": cols,
+            "mode": mode, "body": body}
+
+
+def _execute_insert(
+    spark, p, tables, store, batch_id, epoch, force,
+) -> dict:
+    """Statement-level append: the reference's single most-executed
+    statement (``data_dbstore.go:67,109-112``, executed at
+    ``:336-421``) as text over the manifest sink.  The VALUES tuples
+    are evaluated by Spark's own inline-table parser; an explicit
+    ``batch_id`` makes a replay republish idempotent (the manifest
+    OVERWRITE swaps the batch atomically, exactly the streaming
+    writer's contract), while the default allocates the next id past
+    every name the manifest listing has ever seen."""
+    from pyspark.sql import functions as F
+
+    from mqtt_message_pump_spark.config import StoreConf
+    from mqtt_message_pump_spark.sinks import (
+        _batch_key,
+        _hadoop_fs,
+        _next_batch_id,
+        _read_json_object,
+        _read_manifests,
+        _require_maintenance_window,
+        _sink_merged_schema,
+        append_batch_manifest,
+    )
+
+    path = _resolve_table(spark, p["target"], tables)
+    fs, HPath = _hadoop_fs(spark, path)
+    is_sink = fs.exists(HPath(f"{path}/_manifests"))
+    if (
+        not is_sink
+        and fs.exists(HPath(path))
+        and list(fs.listStatus(HPath(path)))
+    ):
+        raise SqlStatementError(
+            f"{path} exists but is not a manifest sink; statement "
+            "INSERT bootstraps NEW sinks or appends to manifest "
+            "sinks only"
+        )
+    live = _read_manifests(fs, HPath, path) if is_sink else []
+    target_schema = (
+        _sink_merged_schema(spark, path, live) if live else None
+    )
+    cols = p["cols"]
+    if cols is None:
+        if target_schema is None:
+            raise SqlStatementError(
+                "INSERT into an empty sink requires an explicit "
+                "column list (no recorded schema to map positional "
+                "values onto)"
+            )
+        # ClickHouse-parity default column set: every sink column
+        # except the MATERIALIZED partition derivative collect_date
+        # (``data_dbstore.go:165`` -- toDate(collect_datetime))
+        cols = [
+            f.name for f in target_schema.fields
+            if f.name != "collect_date"
+        ]
+    if p["mode"] == "values":
+        collist = ", ".join(f"`{c}`" for c in cols)
+        df = spark.sql(
+            f"SELECT * FROM VALUES {p['body']} AS __ins({collist})"
+        )
+    else:
+        df = spark.sql(p["body"])
+        if len(df.columns) != len(cols):
+            raise SqlStatementError(
+                f"INSERT column list names {len(cols)} columns but "
+                f"the SELECT produces {len(df.columns)}"
+            )
+        df = df.toDF(*cols)
+    # SQL INSERT coercion: provided values cast to the sink's recorded
+    # column types (a string timestamp literal lands as TIMESTAMP); on
+    # a brand-new sink the raw-message columns get their canonical
+    # types (RAW_COLUMNS), anything else keeps its literal type
+    tmap = (
+        {f.name: f.dataType for f in target_schema.fields}
+        if target_schema is not None else {}
+    )
+    raw_types = {
+        "mid": "string", "topic": "string", "payload": "string",
+        "collect_datetime": "timestamp", "collect_date": "date",
+    }
+    df = df.select(
+        *[
+            F.col(c).cast(tmap[c]).alias(c) if c in tmap
+            else (
+                F.col(c).cast(raw_types[c]).alias(c)
+                if c in raw_types else F.col(c)
+            )
+            for c in df.columns
+        ]
+    )
+    if "collect_date" not in df.columns:
+        if "collect_datetime" not in df.columns:
+            raise SqlStatementError(
+                "INSERT must provide collect_date or "
+                "collect_datetime (the partition column is derived "
+                "as toDate(collect_datetime))"
+            )
+        df = df.withColumn(
+            "collect_date", F.to_date("collect_datetime")
+        )
+    if not force:
+        _require_maintenance_window(
+            fs, HPath, path, "statement INSERT"
+        )
+    if batch_id is None:
+        batch_id = _next_batch_id(fs, HPath, path)
+    append_batch_manifest(
+        df,
+        store if store is not None
+        else StoreConf(commit_protocol="manifest"),
+        path, int(batch_id), epoch=epoch,
+    )
+    key = _batch_key(int(batch_id), epoch)
+    m = _read_json_object(
+        fs, HPath, f"{path}/_manifests/{key}.json"
+    )
+    return {
+        "statement": "insert",
+        "batch_id": int(batch_id),
+        "epoch": epoch,
+        "key": f"{key}.json",
+        "rows_inserted": int(m.get("rows", 0)),
+        "created_sink": not is_sink,
+    }
+
+
 def _parse_restore(sql: str, masked: str) -> dict:
     m = re.match(
         r"^\s*RESTORE\s+(?:TABLE\s+)?(`[^`]*`|\S+)\s+(?:TO\s+)?"
@@ -940,16 +1132,29 @@ def execute_sql(
     force: bool = False,
     rewrite_parallelism: int = 4,
     probe_keys_limit: int = 256,
+    batch_id: "int | None" = None,
+    epoch: "str | None" = None,
 ) -> dict:
     """Execute one DML statement against a manifest sink; returns the
     underlying operation's summary dict plus ``"statement"``.  See the
     module docstring for the grammar; SELECT is deliberately NOT here
     -- reads are Spark SQL over the registered views
-    (:func:`~mqtt_message_pump_spark.catalog.register_sink`)."""
+    (:func:`~mqtt_message_pump_spark.catalog.register_sink`).
+
+    ``batch_id`` / ``epoch`` apply to INSERT only: an explicit id makes
+    a replayed statement swap its own batch atomically instead of
+    appending twice (the streaming writer's republish contract); the
+    default allocates the next unused id."""
     sql = statement.strip()
     masked = _masked(sql)
     head = re.match(r"^\s*([A-Za-z]+)", masked)
     verb = (head.group(1) if head else "").upper()
+    if verb == "INSERT":
+        p = _parse_insert(sql, masked)
+        return _execute_insert(
+            spark, p, tables, store=store, batch_id=batch_id,
+            epoch=epoch, force=force,
+        )
     if verb == "DELETE":
         p = _parse_delete(sql, masked)
         from mqtt_message_pump_spark.sinks import delete_sink_where
@@ -1010,10 +1215,10 @@ def execute_sql(
         out = compact_sink(spark, path)
         return {"statement": "optimize", "result": out}
     raise SqlStatementError(
-        f"unsupported statement {verb or sql[:30]!r}: DELETE FROM / "
-        "UPDATE / MERGE INTO / RESTORE TABLE / VACUUM / OPTIMIZE are "
-        "the write surface; SELECT goes through spark.sql over "
-        "registered views"
+        f"unsupported statement {verb or sql[:30]!r}: INSERT INTO / "
+        "DELETE FROM / UPDATE / MERGE INTO / RESTORE TABLE / VACUUM / "
+        "OPTIMIZE are the write surface; SELECT goes through "
+        "spark.sql over registered views"
     )
 
 

@@ -1093,3 +1093,176 @@ class TestBatchedProbeSetValidation:
                 spark, tp, set={"nope_col": "'x'"},
                 where="true", probe_union_min=1,
             )
+
+
+# ------------------------------ INSERT INTO -------------------------------
+
+
+class TestInsertStatement:
+    """Statement-text INSERT (the reference's most-executed statement,
+    ``data_dbstore.go:67,109-112,336-421``): VALUES and SELECT forms
+    onto ``append_batch_manifest``, with the replay-idempotent
+    explicit-id republish contract."""
+
+    ROWS = [
+        ("m1", "t/a", "p1", "2024-01-01 00:00:01"),
+        ("m2", "t/b", "p2", "2024-01-02 00:00:02"),
+    ]
+
+    def test_values_parity_with_dataframe_append(self, spark, tmp_path):
+        sql_tp = str(tmp_path / "sql")
+        py_tp = str(tmp_path / "py")
+        res = execute_sql(
+            spark,
+            f"INSERT INTO `{sql_tp}` "
+            "(mid, topic, payload, collect_datetime) VALUES "
+            "('m1', 't/a', 'p1', '2024-01-01 00:00:01'), "
+            "('m2', 't/b', 'p2', '2024-01-02 00:00:02')",
+        )
+        append_batch_manifest(
+            _frame(spark, self.ROWS), _store(), py_tp, 0
+        )
+        assert res["statement"] == "insert"
+        assert res["rows_inserted"] == 2
+        assert res["batch_id"] == 0 and res["created_sink"]
+        # identical sink states: rows, batch structure, stats, blooms
+        assert _state(spark, sql_tp) == _state(spark, py_tp)
+        # and identical types: the string literal landed as TIMESTAMP
+        assert (
+            read_sink(spark, sql_tp).schema
+            == read_sink(spark, py_tp).schema
+        )
+
+    def test_no_column_list_maps_all_but_collect_date(
+        self, spark, tmp_path
+    ):
+        tp = str(tmp_path / "s")
+        append_batch_manifest(
+            _frame(spark, self.ROWS), _store(), tp, 0
+        )
+        res = execute_sql(
+            spark,
+            f"INSERT INTO `{tp}` VALUES "
+            "('m3', 't/c', 'p3', '2024-01-03 00:00:03')",
+        )
+        assert res["rows_inserted"] == 1 and res["batch_id"] == 1
+        got = (
+            read_sink(spark, tp).filter("mid = 'm3'").collect()[0]
+        )
+        assert str(got["collect_date"]) == "2024-01-03"  # derived
+
+    def test_select_form(self, spark, tmp_path):
+        tp = str(tmp_path / "s")
+        append_batch_manifest(
+            _frame(spark, self.ROWS), _store(), tp, 0
+        )
+        read_sink(spark, tp).createOrReplaceTempView("ins_src_v")
+        res = execute_sql(
+            spark,
+            f"INSERT INTO `{tp}` "
+            "(mid, topic, payload, collect_datetime) "
+            "SELECT concat('c-', mid), topic, payload, "
+            "collect_datetime FROM ins_src_v WHERE mid = 'm1'",
+        )
+        assert res["rows_inserted"] == 1
+        assert (
+            read_sink(spark, tp).filter("mid = 'c-m1'").count() == 1
+        )
+
+    def test_explicit_batch_id_replay_swaps(self, spark, tmp_path):
+        tp = str(tmp_path / "s")
+        stmt = (
+            f"INSERT INTO `{tp}` "
+            "(mid, topic, payload, collect_datetime) VALUES "
+            "('m9', 't/z', '%s', '2024-01-09 00:00:00')"
+        )
+        execute_sql(spark, stmt % "attempt1", batch_id=7)
+        execute_sql(spark, stmt % "attempt2", batch_id=7)
+        out = read_sink(spark, tp).collect()
+        # the republish SWAPPED batch 7 -- exactly-once, not twice
+        assert len(out) == 1 and out[0]["payload"] == "attempt2"
+
+    def test_epoch_scopes_the_key(self, spark, tmp_path):
+        tp = str(tmp_path / "s")
+        res = execute_sql(
+            spark,
+            f"INSERT INTO `{tp}` "
+            "(mid, topic, payload, collect_datetime) VALUES "
+            "('m1', 't', 'p', '2024-01-01 00:00:00')",
+            batch_id=0, epoch="e1",
+        )
+        assert res["key"] == "be1-0.json"
+        assert read_sink(spark, tp).count() == 1
+
+    def test_auto_id_never_reuses_a_dropped_id(self, spark, tmp_path):
+        """A full-batch DELETE leaves a drop tombstone that retires its
+        victim name forever; the next auto-allocated INSERT id must
+        skip past it or the new rows would be invisible."""
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=2, per=3)
+        execute_sql(
+            spark, f"DELETE FROM `{tp}` WHERE topic = 't/1'"
+        )  # batch 1 fully dropped -> tombstone supersedes b1.json
+        res = execute_sql(
+            spark,
+            f"INSERT INTO `{tp}` "
+            "(mid, topic, payload, collect_datetime) VALUES "
+            "('mNEW', 't/new', 'p', '2024-01-05 00:00:00')",
+        )
+        assert res["batch_id"] == 2  # not 1
+        assert (
+            read_sink(spark, tp).filter("mid = 'mNEW'").count() == 1
+        )
+
+    def test_empty_sink_without_columns_raises(self, spark, tmp_path):
+        with pytest.raises(SqlStatementError, match="column list"):
+            execute_sql(
+                spark,
+                f"INSERT INTO `{tmp_path / 's'}` VALUES ('m', 't', "
+                "'p', '2024-01-01 00:00:00')",
+            )
+
+    def test_select_arity_mismatch_raises(self, spark, tmp_path):
+        tp = str(tmp_path / "s")
+        append_batch_manifest(
+            _frame(spark, self.ROWS), _store(), tp, 0
+        )
+        read_sink(spark, tp).createOrReplaceTempView("arity_v")
+        with pytest.raises(SqlStatementError, match="produces"):
+            execute_sql(
+                spark,
+                f"INSERT INTO `{tp}` (mid, topic) "
+                "SELECT mid FROM arity_v",
+            )
+
+    def test_missing_partition_source_raises(self, spark, tmp_path):
+        with pytest.raises(SqlStatementError, match="collect_date"):
+            execute_sql(
+                spark,
+                f"INSERT INTO `{tmp_path / 's'}` (mid, topic) "
+                "VALUES ('m', 't')",
+            )
+
+    def test_grammar_errors(self, spark, tmp_path):
+        for stmt, msg in [
+            ("INSERT `x` VALUES (1)", "supported forms"),
+            (f"INSERT INTO `{tmp_path / 's'}` (a, a) VALUES (1, 2)",
+             "repeats a column"),
+            (f"INSERT INTO `{tmp_path / 's'}` () VALUES (1)",
+             "column list is empty"),
+            (f"INSERT INTO `{tmp_path / 's'}` (a) VALUES x",
+             "parenthesized"),
+        ]:
+            with pytest.raises(SqlStatementError, match=msg):
+                execute_sql(spark, stmt)
+
+    def test_non_sink_dir_rejected(self, spark, tmp_path):
+        d = tmp_path / "plain"
+        d.mkdir()
+        (d / "afile.txt").write_text("not a sink")
+        with pytest.raises(SqlStatementError, match="not a manifest"):
+            execute_sql(
+                spark,
+                f"INSERT INTO `{d}` (mid, topic, payload, "
+                "collect_datetime) VALUES ('m', 't', 'p', "
+                "'2024-01-01 00:00:00')",
+            )
