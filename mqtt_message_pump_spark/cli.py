@@ -653,14 +653,17 @@ def cmd_sql(
     verb = statement.strip().split(None, 1)[0].upper() if statement.strip() else ""
     try:
         if verb in ("SELECT", "WITH"):
-            # reads go through Spark SQL over registered views; only
-            # paths that ARE manifest sinks get views (a fresh store
-            # may not have both sinks yet)
+            # register first so <name>_files/<name>_history metadata
+            # views resolve; the DATA reads go through execute_sql's
+            # per-statement pruned relations (full manifest/bloom
+            # pruning despite the views' pushdown=off safety default)
             for n, p in names.items():
                 fs, HPath = _hadoop_fs(spark, p)
                 if fs.exists(HPath(f"{p}/_manifests")):
                     catalog.register_sink(spark, p, n)
-            spark.sql(statement).show(50, truncate=False)
+            execute_sql(spark, statement, tables=names).show(
+                50, truncate=False
+            )
         else:
             res = execute_sql(
                 spark, statement, tables=names, store=cfg.store,

@@ -1024,6 +1024,35 @@ def _read_json_object(fs, HPath, path: str) -> dict:
         raise
 
 
+# parsed-snapshot cache: a snapshot object is IMMUTABLE once published
+# (write-then-move under a seq+hash name, snapshot_sink), so one
+# py4j-transfer + json parse serves every later listing -- at 10k
+# embedded manifests that parse is ~0.7 s per lookup, the dominant
+# term after the flat scan and folded bloom index (SCALE 10h).  Keyed
+# by (path, name, mtime); entries hand out SHALLOW per-manifest copies
+# because readers add top-level keys (name/ts) -- nested values are
+# never mutated in place by any consumer.
+_SNAP_CACHE: "dict[tuple, dict]" = {}
+_SNAP_CACHE_MAX = 8
+
+
+def _read_snapshot_cached(
+    fs, HPath, table_path: str, name: str, mtime: int
+) -> dict:
+    key = (table_path, name, mtime)
+    snap = _SNAP_CACHE.get(key)
+    if snap is None:
+        snap = _read_json_object(
+            fs, HPath, f"{table_path}/_manifests/{name}"
+        )
+        while len(_SNAP_CACHE) >= _SNAP_CACHE_MAX:
+            _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
+        _SNAP_CACHE[key] = snap
+    out = {k: v for k, v in snap.items() if k != "manifests"}
+    out["manifests"] = [dict(m) for m in snap.get("manifests", [])]
+    return out
+
+
 def _snap_seq(name: str) -> int | None:
     """Snapshot sequence number from a ``s-<seq>-<hash>.json`` manifest
     file name; None for per-batch (``b...``) / compact (``c-...``)
@@ -1157,8 +1186,15 @@ def _load_manifest_state(fs, HPath, table_path: str) -> dict:
                     (n, st.getModificationTime())
                     for n, st in by_name.items()
                 ],
-                lambda n: _read_json_object(
-                    fs, HPath, f"{table_path}/_manifests/{n}"
+                lambda n: (
+                    _read_snapshot_cached(
+                        fs, HPath, table_path, n,
+                        by_name[n].getModificationTime(),
+                    )
+                    if _snap_seq(n) is not None and n in by_name
+                    else _read_json_object(
+                        fs, HPath, f"{table_path}/_manifests/{n}"
+                    )
                 ),
             )
             latest = core["latest"]
@@ -1477,6 +1513,81 @@ def _prune_batches(
     return kept
 
 
+# kept-batch count at which read_sink switches from an N-child union to
+# ONE multi-file scan.  Low on purpose: a point lookup's bloom
+# false-positive survivor set is ~fpp x N (= ~10 at 1k batches, ~100 at
+# 10k), and each per-dir frame costs ~10-20 ms of construction -- the
+# flat scan must catch exactly those sets for lookups to stay flat in
+# batch count (SCALE 10h).  Below it the union plan is cheap and keeps
+# the tiny-sink plans unchanged.
+_FLAT_SCAN_MIN = 8
+
+
+def _flat_kept_frame(reader, table_path: str, kept: "list[dict]"):
+    """ONE multi-file scan over the kept batches' recorded file lists
+    instead of an N-child union -- the SCALE §10h residual closed: at
+    1k-10k surviving batches a point lookup otherwise pays ~10 ms of
+    frame construction PER DIR plus Catalyst's superlinear N-child
+    union analysis, ~fpp x N x 60 ms end-to-end.  Eligible when every
+    kept manifest records BOTH its write schema and its file list and
+    all schemas are identical -- heterogeneous (mid-widening) sinks
+    keep the exact per-batch union path, and compaction converges
+    schemas, so large sinks are uniform in practice.  Returns None
+    when ineligible.
+
+    The partition column ``collect_date`` exists only in the PATHS
+    (each attempt dir is partitionBy-written); leaf-file scans do no
+    partition discovery, so it is reattached from
+    ``input_file_name()`` -- the JVM-side twin of what the native
+    reader does in ``manifestio.read_files_arrow``."""
+    if len(kept) < _FLAT_SCAN_MIN:
+        return None
+    s0 = kept[0].get("schema")
+    if s0 is None:
+        return None
+    files: "list[str]" = []
+    for m in sorted(kept, key=lambda m: m["dir"]):
+        if m.get("schema") != s0 or not m.get("files"):
+            return None
+        files.extend(f"{table_path}/{f}" for f in m["files"])
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    target = T.StructType.fromJson(s0)
+    has_cd = any(f.name == "collect_date" for f in target.fields)
+    phys = T.StructType(
+        [f for f in target.fields if f.name != "collect_date"]
+    )
+    # Above 32 root paths Spark schedules a LISTING JOB
+    # (parallelPartitionDiscovery.threshold) whose fixed overhead
+    # (~0.6 s) dwarfs a driver-side status sweep of a point lookup's
+    # ~fpp x N survivor files; raise the threshold for this plan only,
+    # bounded so a genuinely huge file set still lists in parallel.
+    spark = getattr(reader, "_spark", None)
+    conf_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prior = None
+    if spark is not None and len(files) <= 1024:
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, str(len(files) + 1))
+    try:
+        out = reader.schema(phys).parquet(*files)
+    finally:
+        if prior is not None:
+            spark.conf.set(conf_key, prior)
+        elif spark is not None and len(files) <= 1024:
+            spark.conf.unset(conf_key)
+    if has_cd:
+        out = out.withColumn(
+            "collect_date",
+            F.to_date(
+                F.regexp_extract(
+                    F.input_file_name(), "collect_date=([^/]+)", 1
+                )
+            ),
+        ).select(*[f.name for f in target.fields])
+    return out
+
+
 def _recorded_schema_frames(reader, table_path: str, manifests):
     """One frame per batch dir, planned from the manifests' RECORDED
     write schemas when every batch has one -- no per-dir parquet footer
@@ -1752,7 +1863,9 @@ def read_sink(
 
         any_dir = f"{table_path}/{live[0]['dir']}"
         return reader.parquet(any_dir).filter(F.lit(False))
-    # One scan per attempt dir, unioned: each dir is its own partitioned
+    # Uniform-schema sinks above _FLAT_SCAN_MIN batches plan ONE
+    # multi-file scan (flat in batch count); everything else takes one
+    # scan per attempt dir, unioned -- each dir is its own partitioned
     # root (Spark refuses a single multi-root partition discovery across
     # conflicting structures).  Per-batch micro-scans are the standard
     # manifest-table read amplification -- at scale, compaction
@@ -1760,6 +1873,9 @@ def read_sink(
     # exactly Delta/Iceberg's OPTIMIZE story.
     from functools import reduce
 
+    flat = _flat_kept_frame(reader, table_path, kept)
+    if flat is not None:
+        return _maybe_collapse(flat)
     frames = _recorded_schema_frames(reader, table_path, kept)
     if merge_schema and len(frames) > 1:
         # managed TYPE evolution, not just added columns: fold every
@@ -3524,7 +3640,11 @@ def _dml_sink(
                 # updated columns' recorded intervals no longer bound
                 # the data: drop them (stat-less = conservatively
                 # unprunable); a DELETE only narrows, so the old
-                # superset intervals stay prune-safe
+                # superset intervals stay prune-safe.  COPY before the
+                # pop -- payload is a shallow copy of the live
+                # manifest, whose nested stats may be shared with the
+                # parsed-snapshot cache (_SNAP_CACHE)
+                payload["stats"] = stats = dict(stats)
                 for c in set_exprs:
                     stats.pop(c, None)
             if not stats:
@@ -4490,6 +4610,10 @@ def merge_sink(
         )
         stats = payload.get("stats")
         if stats is not None and (cur_set or bs_set):
+            # copy before the pop: payload shallow-copies the live
+            # manifest, whose nested stats may be shared with the
+            # parsed-snapshot cache (_SNAP_CACHE)
+            payload["stats"] = stats = dict(stats)
             for sm in (cur_set, bs_set):
                 for c in sm or {}:
                     stats.pop(c, None)

@@ -601,6 +601,102 @@ def _parse_update(sql: str, masked: str) -> dict:
     }
 
 
+def _rewrite_words(sql: str, masked: str, mapping: "dict[str, str]"):
+    """Replace whole-word occurrences of the (lowercased) keys of
+    ``mapping`` outside literals/quoted identifiers.  A word preceded
+    by ``.`` is a column reference (``alias.name``) and is left alone;
+    a word FOLLOWED by ``.`` is a table qualifier and is rewritten."""
+    pat = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
+    out = []
+    last = 0
+    for m in pat.finditer(masked):
+        repl = mapping.get(sql[m.start():m.end()].lower())
+        if repl is None:
+            continue
+        j = m.start() - 1
+        while j >= 0 and masked[j] in " \t\r\n":
+            j -= 1
+        if j >= 0 and masked[j] == ".":
+            continue  # alias.column
+        out.append(sql[last:m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _select_statement_df(
+    spark: SparkSession,
+    sql: str,
+    masked: str,
+    tables: "dict[str, str] | None",
+) -> DataFrame:
+    """SELECT/WITH through the statement layer with FULL manifest
+    pruning: every referenced registered-sink name is bound to a FRESH
+    native relation (``manifest_sink``, ``pushdown=auto``) created for
+    THIS statement only.  The long-lived views from
+    :func:`~mqtt_message_pump_spark.catalog.register_sink` default to
+    ``pushdown=off`` because Spark 4.1's Python data sources cache one
+    read plan per relation (the readInfo-poisoning defect, canary in
+    ``tests/test_sqlstmt.py``); a per-statement relation can never be
+    reused by a later scan, so pushFilters prunes safely every time --
+    a point SELECT plans the same batch set as ``read_sink(eq=...)``.
+    CTE names shadow sink names (standard SQL scoping); the one-shot
+    views are dropped as soon as the statement is analyzed."""
+    import uuid as _uuid
+
+    from mqtt_message_pump_spark import catalog
+
+    lower_paths: "dict[str, str]" = {
+        n.lower(): p
+        for n, p in catalog.registered_sinks(spark).items()
+    }
+    for n, p in (tables or {}).items():
+        lower_paths[n.lower()] = p
+    ctes = {
+        m.group(1).lower()
+        for m in re.finditer(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", masked,
+            re.IGNORECASE,
+        )
+    }
+    mapping: "dict[str, str]" = {}
+    created: "list[str]" = []
+    try:
+        for nl, path in lower_paths.items():
+            if nl in ctes:
+                continue
+            if re.search(
+                rf"\b{re.escape(nl)}\b", masked, re.IGNORECASE
+            ) is None:
+                continue
+            if not _is_manifest_sink(spark, path):
+                continue
+            from mqtt_message_pump_spark.sources.manifestsink import (
+                register_manifest_sink_source,
+            )
+
+            register_manifest_sink_source(spark)
+            v = f"__stmt_{nl}_{_uuid.uuid4().hex[:8]}"
+            (
+                spark.read.format("manifest_sink")
+                .option("path", path)
+                .option("pushdown", "auto")
+                .load()
+                .createOrReplaceTempView(v)
+            )
+            created.append(v)
+            mapping[nl] = v
+        if not mapping:
+            return spark.sql(sql)
+        return spark.sql(_rewrite_words(sql, masked, mapping))
+    finally:
+        # spark.sql analyzes eagerly -- the returned frame holds the
+        # resolved relations, so the one-shot names can go at once
+        for v in created:
+            spark.catalog.dropTempView(v)
+
+
 def _parse_insert(sql: str, masked: str) -> dict:
     _FORMS = (
         "supported forms: INSERT INTO t [(cols)] VALUES (...), ... | "
@@ -1134,12 +1230,14 @@ def execute_sql(
     probe_keys_limit: int = 256,
     batch_id: "int | None" = None,
     epoch: "str | None" = None,
-) -> dict:
-    """Execute one DML statement against a manifest sink; returns the
-    underlying operation's summary dict plus ``"statement"``.  See the
-    module docstring for the grammar; SELECT is deliberately NOT here
-    -- reads are Spark SQL over the registered views
-    (:func:`~mqtt_message_pump_spark.catalog.register_sink`).
+) -> "dict | DataFrame":
+    """Execute one SQL statement against a manifest sink.  Write
+    statements return the underlying operation's summary dict plus
+    ``"statement"``; ``SELECT``/``WITH`` return the result DataFrame,
+    planned over FRESH fully-pruned native relations (one per
+    statement, so the registered views' ``pushdown=off`` safety
+    default costs reads through this layer nothing -- see
+    :func:`_select_statement_df`).
 
     ``batch_id`` / ``epoch`` apply to INSERT only: an explicit id makes
     a replayed statement swap its own batch atomically instead of
@@ -1149,6 +1247,8 @@ def execute_sql(
     masked = _masked(sql)
     head = re.match(r"^\s*([A-Za-z]+)", masked)
     verb = (head.group(1) if head else "").upper()
+    if verb in ("SELECT", "WITH"):
+        return _select_statement_df(spark, sql, masked, tables)
     if verb == "INSERT":
         p = _parse_insert(sql, masked)
         return _execute_insert(
@@ -1217,8 +1317,8 @@ def execute_sql(
     raise SqlStatementError(
         f"unsupported statement {verb or sql[:30]!r}: INSERT INTO / "
         "DELETE FROM / UPDATE / MERGE INTO / RESTORE TABLE / VACUUM / "
-        "OPTIMIZE are the write surface; SELECT goes through "
-        "spark.sql over registered views"
+        "OPTIMIZE are the write surface; SELECT / WITH read through "
+        "per-statement pruned relations"
     )
 
 

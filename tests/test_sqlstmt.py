@@ -620,8 +620,9 @@ class TestUpstreamReadInfoPoisoning:
 
 class TestStatementDispatch:
     def test_unsupported_statement_raises(self, spark):
-        with pytest.raises(SqlStatementError, match="SELECT goes"):
-            execute_sql(spark, "SELECT 1")
+        # SELECT is served by the statement layer since r15 (fresh
+        # pruned relation per statement) -- returns the DataFrame
+        assert execute_sql(spark, "SELECT 1 AS x").collect()[0]["x"] == 1
         with pytest.raises(SqlStatementError, match="unsupported"):
             execute_sql(spark, "TRUNCATE TABLE t")
 
@@ -1266,3 +1267,84 @@ class TestInsertStatement:
                 "collect_datetime) VALUES ('m', 't', 'p', "
                 "'2024-01-01 00:00:00')",
             )
+
+
+# ---------------------------- SELECT statements ---------------------------
+
+
+class TestSelectStatement:
+    """SELECT/WITH through ``execute_sql``: a FRESH pruned native
+    relation per statement -- full manifest/bloom pruning without the
+    readInfo-poisoning hazard the registered views' ``pushdown=off``
+    default guards against."""
+
+    def test_point_select_prunes_like_read_sink(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s")
+        catalog.register_sink(spark, tp, "sel_p_v")
+        df = execute_sql(
+            spark, "SELECT * FROM sel_p_v WHERE mid = 'm0105'"
+        )
+        assert df.count() == 1
+        # identical planned partition set to the opt-in pushdown view
+        # and to read_sink(eq=): one surviving batch x two date files
+        assert df.rdd.getNumPartitions() == 2
+        assert len(
+            read_sink(spark, tp, eq={"mid": "m0105"}).inputFiles()
+        ) == 2
+
+    def test_statement_reads_never_poison_each_other(
+        self, spark, tmp_path
+    ):
+        tp = _mk_sink(spark, tmp_path / "s")
+        catalog.register_sink(spark, tp, "sel_s_v")
+        assert execute_sql(
+            spark,
+            "SELECT count(*) AS n FROM sel_s_v WHERE mid = 'm0105'",
+        ).collect()[0]["n"] == 1
+        # a later unfiltered STATEMENT read is a fresh relation
+        assert execute_sql(
+            spark, "SELECT count(*) AS n FROM sel_s_v"
+        ).collect()[0]["n"] == 60
+        # and the long-lived view stays unpoisoned (pushdown=off)
+        assert spark.sql(
+            "SELECT count(*) AS n FROM sel_s_v"
+        ).collect()[0]["n"] == 60
+
+    def test_cte_name_shadows_sink(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=3)
+        catalog.register_sink(spark, tp, "cte_clash_v")
+        out = execute_sql(
+            spark,
+            "WITH cte_clash_v AS (SELECT 1 AS x) "
+            "SELECT x FROM cte_clash_v",
+        ).collect()
+        assert [r["x"] for r in out] == [1]
+
+    def test_alias_and_qualified_references(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=3)
+        catalog.register_sink(spark, tp, "sel_q_v")
+        out = execute_sql(
+            spark,
+            "SELECT s.mid, sel_q_v2.topic FROM sel_q_v s "
+            "JOIN (SELECT * FROM sel_q_v) sel_q_v2 "
+            "ON s.mid = sel_q_v2.mid WHERE s.mid = 'm0001'",
+        ).collect()
+        assert len(out) == 1 and out[0]["mid"] == "m0001"
+
+    def test_tables_mapping_resolves_paths(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=4)
+        assert execute_sql(
+            spark,
+            "SELECT count(*) AS n FROM stmt_t",
+            tables={"stmt_t": tp},
+        ).collect()[0]["n"] == 4
+
+    def test_one_shot_views_are_dropped(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        catalog.register_sink(spark, tp, "sel_d_v")
+        execute_sql(spark, "SELECT * FROM sel_d_v").count()
+        leftover = [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("__stmt_")
+        ]
+        assert leftover == []
