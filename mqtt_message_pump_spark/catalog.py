@@ -39,6 +39,7 @@ import re
 from pyspark.sql import SparkSession
 
 __all__ = [
+    "DEFAULT_PUSHDOWN",
     "register_sink",
     "registered_sinks",
     "sink_path",
@@ -50,6 +51,18 @@ __all__ = [
 _REGISTRY: "dict[str, dict[str, str]]" = {}
 
 _NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+# The module-wide default for register_sink's ``pushdown`` argument.
+# False guards the upstream Spark 4.1 readInfo-reuse defect (a
+# long-lived view's filtered scan poisons later unfiltered queries --
+# see the module docstring and TestUpstreamReadInfoPoisoning).  The
+# canary is written to FAIL the moment Spark fixes the reuse; when it
+# does, flip THIS constant to True and every registered view gets full
+# manifest/bloom pruning -- no other edits (the parity test
+# TestPushdownDefaultFlip pins that the flip alone suffices).  Until
+# then, statement-layer reads (execute_sql SELECT) already prune fully
+# via per-statement relations.
+DEFAULT_PUSHDOWN = False
 
 
 def _skey(spark: SparkSession) -> str:
@@ -64,7 +77,7 @@ def register_sink(
     path: str,
     name: str,
     metadata: bool = True,
-    pushdown: bool = False,
+    pushdown: "bool | None" = None,
 ) -> dict:
     """Register manifest sink ``path`` as temp view ``name`` (+
     ``<name>_files`` / ``<name>_history`` unless ``metadata=False``)
@@ -81,6 +94,8 @@ def register_sink(
         register_manifest_sink_source,
     )
 
+    if pushdown is None:
+        pushdown = DEFAULT_PUSHDOWN
     if not _NAME.match(name):
         raise ValueError(
             f"sink view name {name!r} must be a bare SQL identifier"

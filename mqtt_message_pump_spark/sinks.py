@@ -2262,6 +2262,21 @@ def describe_sink(spark: SparkSession, table_path: str) -> dict:
         for m in live
         if fs.exists(HPath(f"{table_path}/{m['dir']}/_bloom.json"))
     )
+    # folded bloom-index posture: the index is only as fresh as its
+    # fold -- batches appended/republished since consult their own
+    # sidecars until the next snapshot-cadence re-fold, so the operator
+    # surface must show HOW stale the accelerator is
+    from mqtt_message_pump_spark.functions.bloom import (
+        index_blooms_for,
+        load_bloom_index,
+    )
+
+    idx = load_bloom_index(_JvmFsReader(fs, HPath), table_path)
+    idx_covered = (
+        sum(1 for m in live if index_blooms_for(idx, m) is not None)
+        if idx is not None
+        else 0
+    )
     return {
         "batches": len(live),
         "rows": sum(int(m["rows"]) for m in live if "rows" in m),
@@ -2276,6 +2291,9 @@ def describe_sink(spark: SparkSession, table_path: str) -> dict:
             1 for m in state["live"] if m["name"] not in state["embedded"]
         ),
         "bloom_coverage": f"{blooms}/{len(live)}",
+        "bloomidx_seq": (idx or {}).get("seq"),
+        "bloomidx_coverage": f"{idx_covered}/{len(live)}",
+        "batches_since_fold": len(live) - idx_covered,
     }
 
 

@@ -284,3 +284,41 @@ class TestRetention:
         hit = read_sink(spark, tp, eq={"mid": _mid(1, 3)})
         assert len(hit.inputFiles()) == 1  # sidecars still prune
         assert hit.filter(hit.mid == _mid(1, 3)).count() == 1
+
+
+class TestDescribeIndexPosture:
+    """VERDICT r14 #6: the folded index is only as fresh as its fold --
+    describe_sink must surface its seq and how many live batches have
+    appeared since (those consult their own sidecars until re-fold)."""
+
+    def test_posture_tracks_folds_and_appends(self, spark, tmp_path):
+        from mqtt_message_pump_spark.sinks import describe_sink
+
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=3)
+        d0 = describe_sink(spark, tp)
+        assert d0["bloomidx_seq"] is None
+        assert d0["bloomidx_coverage"] == "0/3"
+        assert d0["batches_since_fold"] == 3
+        snapshot_sink(spark, tp, min_uncovered=1)
+        B._IDX_CACHE.clear()
+        d1 = describe_sink(spark, tp)
+        assert d1["bloomidx_seq"] == 1
+        assert d1["bloomidx_coverage"] == "3/3"
+        assert d1["batches_since_fold"] == 0
+        # a post-fold append is NOT covered until the next fold
+        append_batch_manifest(
+            _frame(
+                spark, [("ffffffff", "t/9", "p", "2024-01-01 00:00:01")]
+            ),
+            _store(), tp, 9,
+        )
+        d2 = describe_sink(spark, tp)
+        assert d2["bloomidx_seq"] == 1
+        assert d2["bloomidx_coverage"] == "3/4"
+        assert d2["batches_since_fold"] == 1
+        # re-fold covers it again
+        snapshot_sink(spark, tp, min_uncovered=1)
+        B._IDX_CACHE.clear()
+        d3 = describe_sink(spark, tp)
+        assert d3["bloomidx_seq"] == 2
+        assert d3["batches_since_fold"] == 0

@@ -559,8 +559,9 @@ class TestUpstreamReadInfoPoisoning:
     relation reuses that pruned plan -- rows silently vanish.
 
     If these assertions start FAILING, Spark fixed the reuse: flip
-    catalog.register_sink's pushdown default to True and retire this
-    class."""
+    the single constant ``catalog.DEFAULT_PUSHDOWN`` to True (every
+    registered view then prunes -- TestPushdownDefaultFlip pins that
+    the flip alone suffices) and retire this class."""
 
     def test_filtered_scan_poisons_unfiltered_reuse(
         self, spark, tmp_path
@@ -1348,3 +1349,35 @@ class TestSelectStatement:
             if t.name.startswith("__stmt_")
         ]
         assert leftover == []
+
+
+class TestPushdownDefaultFlip:
+    """Pre-wired flip for the day Spark fixes the readInfo reuse
+    (VERDICT r14 #5): setting ``catalog.DEFAULT_PUSHDOWN = True`` must
+    be the ONLY edit needed for registered views to prune."""
+
+    def test_flipping_the_constant_prunes_views(
+        self, spark, tmp_path, monkeypatch
+    ):
+        monkeypatch.setattr(catalog, "DEFAULT_PUSHDOWN", True)
+        tp = _mk_sink(spark, tmp_path / "s")
+        catalog.register_sink(spark, tp, "flip_v")
+        df = spark.sql("SELECT * FROM flip_v WHERE mid = 'm0105'")
+        assert df.count() == 1
+        assert df.rdd.getNumPartitions() == 2  # pruned, as the opt-in
+        # refresh keeps the resolved setting
+        catalog.refresh(spark, "flip_v")
+        assert spark.sql(
+            "SELECT * FROM flip_v WHERE mid = 'm0105'"
+        ).rdd.getNumPartitions() == 2
+
+    def test_default_stays_off_today(self, spark, tmp_path):
+        tp = _mk_sink(spark, tmp_path / "s", n_batches=1, per=2)
+        assert catalog.DEFAULT_PUSHDOWN is False
+        catalog.register_sink(spark, tp, "noflip_v")
+        p = spark.sql("SELECT * FROM noflip_v WHERE mid = 'm0000'")
+        assert p.count() == 1
+        assert p.rdd.getNumPartitions() >= 1  # unpruned full plan
+        assert spark.sql(
+            "SELECT count(*) AS n FROM noflip_v"
+        ).collect()[0]["n"] == 2
