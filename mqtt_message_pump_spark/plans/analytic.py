@@ -1131,6 +1131,89 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sql_insert_roundtrip",
+    oracle="""
+    WITH sel AS (
+      SELECT 'd-' || CAST(doc_id AS VARCHAR) AS mid,
+             't/' || lang AS topic,
+             CAST(n_chars AS VARCHAR) AS payload,
+             TIMESTAMP '2024-03-01 00:00:00'
+               + (doc_id % 86400) * INTERVAL 1 SECOND
+               AS collect_datetime
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    vals(mid, topic, payload, collect_datetime) AS (
+      VALUES ('v-1', 't/v', 'p1', TIMESTAMP '2024-03-02 10:00:00'),
+             ('v-2', 't/v', 'p2', TIMESTAMP '2024-03-03 11:30:00')
+    ),
+    replay(mid, topic, payload, collect_datetime) AS (
+      VALUES ('r-1', 't/r', 'attempt2',
+              TIMESTAMP '2024-03-04 00:00:00')
+    )
+    SELECT mid, topic, payload, collect_datetime,
+           CAST(CAST(collect_datetime AS DATE) AS VARCHAR)
+             AS collect_date
+    FROM (SELECT * FROM sel
+          UNION ALL SELECT * FROM vals
+          UNION ALL SELECT * FROM replay)
+    """,
+)
+def q_sql_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statement-text WRITE surface under the driver's own oracle:
+    ``INSERT INTO ... SELECT`` (the reference's batched store loop,
+    ``data_dbstore.go:336-421``), a no-column-list ``INSERT VALUES``
+    (positional onto the recorded schema minus the MATERIALIZED
+    ``collect_date``, ``data_dbstore.go:165``), and a REPLAYED
+    explicit-``batch_id`` insert whose second run atomically SWAPS the
+    first (the streaming writer's exactly-once republish contract) --
+    then one ``read_sink`` of the resulting manifest sink.  The oracle
+    is the pure relational end state: the replay contributes its
+    second attempt exactly once."""
+    import tempfile
+
+    from mqtt_message_pump_spark.sinks import read_sink
+    from mqtt_message_pump_spark.sqlstmt import execute_sql
+
+    tp = tempfile.mkdtemp(prefix="sqlins_") + "/sink"
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__sqlins_docs"
+    )
+    execute_sql(
+        spark,
+        f"""
+        INSERT INTO `{tp}` (mid, topic, payload, collect_datetime)
+        SELECT concat('d-', CAST(doc_id AS STRING)),
+               concat('t/', lang),
+               CAST(n_chars AS STRING),
+               timestamp'2024-03-01 00:00:00'
+                 + make_interval(0, 0, 0, 0, 0, 0, doc_id % 86400)
+        FROM __sqlins_docs WHERE doc_id % 5 = 0
+        """,
+    )
+    execute_sql(
+        spark,
+        f"INSERT INTO `{tp}` VALUES "
+        "('v-1', 't/v', 'p1', timestamp'2024-03-02 10:00:00'), "
+        "('v-2', 't/v', 'p2', timestamp'2024-03-03 11:30:00')",
+    )
+    stmt = (
+        f"INSERT INTO `{tp}` (mid, topic, payload, collect_datetime) "
+        "VALUES ('r-1', 't/r', '%s', timestamp'2024-03-04 00:00:00')"
+    )
+    execute_sql(spark, stmt % "attempt1", batch_id=7)
+    execute_sql(spark, stmt % "attempt2", batch_id=7)  # replay: swap
+    out = read_sink(spark, tp)
+    # collect_date travels as STRING: pandas formats same-dtype columns
+    # block-wise, so a DATE column sharing a frame with a TIMESTAMP
+    # renders '... 00:00:00' on one engine and '2024-03-01' on the
+    # other -- string it on both sides for a stable driver hash
+    return out.select(
+        "mid", "topic", "payload", "collect_datetime",
+        F.col("collect_date").cast("string").alias("collect_date"),
+    )
+
+
 def _morton_terms(a_col: str, b_col: str, bits: int) -> str:
     """SQL for bit-interleaving two small ints (shared by query + oracle)."""
     terms = []
