@@ -1036,21 +1036,32 @@ _SNAP_CACHE: "dict[tuple, dict]" = {}
 _SNAP_CACHE_MAX = 8
 
 
-def _read_snapshot_cached(
-    fs, HPath, table_path: str, name: str, mtime: int
-) -> dict:
+def _snap_cache_get(table_path: str, name: str, mtime, load) -> dict:
+    """Cache-or-load one parsed snapshot object; ``load`` is the
+    backend-specific reader (JVM Hadoop stream or the no-JVM ``_fsio``
+    handle -- the cache itself is backend-agnostic).  Hands out
+    shallow per-manifest copies; see :data:`_SNAP_CACHE`."""
     key = (table_path, name, mtime)
     snap = _SNAP_CACHE.get(key)
     if snap is None:
-        snap = _read_json_object(
-            fs, HPath, f"{table_path}/_manifests/{name}"
-        )
+        snap = load()
         while len(_SNAP_CACHE) >= _SNAP_CACHE_MAX:
             _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
         _SNAP_CACHE[key] = snap
     out = {k: v for k, v in snap.items() if k != "manifests"}
     out["manifests"] = [dict(m) for m in snap.get("manifests", [])]
     return out
+
+
+def _read_snapshot_cached(
+    fs, HPath, table_path: str, name: str, mtime: int
+) -> dict:
+    return _snap_cache_get(
+        table_path, name, mtime,
+        lambda: _read_json_object(
+            fs, HPath, f"{table_path}/_manifests/{name}"
+        ),
+    )
 
 
 def _snap_seq(name: str) -> int | None:
@@ -1697,9 +1708,10 @@ def _pinned_manifest_set(
             "under the vacuum retention rule -- pinned reads must "
             "finish (or re-pin) within retention_secs of the pin"
         )
-    snap = _read_json_object(
-        fs, HPath,
-        f"{table_path}/_manifests/{snaps[0].getPath().getName()}",
+    snap = _read_snapshot_cached(
+        fs, HPath, table_path,
+        snaps[0].getPath().getName(),
+        snaps[0].getModificationTime(),
     )
     live = [m for m in snap.get("manifests", []) if "dir" in m]
     gone = [

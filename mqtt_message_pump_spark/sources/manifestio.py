@@ -22,6 +22,7 @@ from mqtt_message_pump_spark.sinks import (
     SnapshotUnreadable,
     _ManifestVanished,
     _resolve_manifest_entries,
+    _snap_cache_get,
     _snap_seq,
 )
 
@@ -45,11 +46,27 @@ def live_set(fs, table_path: str) -> "list[dict]":
             except FileNotFoundError as e:
                 raise _ManifestVanished(str(e)) from None
 
+            mtimes = dict(entries)
+
             def read_json(name: str) -> dict:
-                try:
-                    return json.loads(fs.read_bytes(f"{mdir}/{name}"))
-                except FileNotFoundError:
-                    raise _ManifestVanished(name) from None
+                def _load() -> dict:
+                    try:
+                        return json.loads(
+                            fs.read_bytes(f"{mdir}/{name}")
+                        )
+                    except FileNotFoundError:
+                        raise _ManifestVanished(name) from None
+
+                # immutable snapshot objects parse ONCE per (name,
+                # mtime) -- the streaming tail calls this every
+                # microbatch, and at 10k embedded manifests the
+                # re-parse would dominate the trigger (shared cache
+                # with the JVM loader, sinks._SNAP_CACHE)
+                if _snap_seq(name) is not None and name in mtimes:
+                    return _snap_cache_get(
+                        table_path, name, mtimes[name], _load
+                    )
+                return _load()
 
             return _resolve_manifest_entries(entries, read_json)["live"]
         except _ManifestVanished:
@@ -69,8 +86,8 @@ def snapshot_set(fs, table_path: str, as_of: int) -> "list[dict]":
     or any attempt dir it names was vacuumed past retention."""
     mdir = f"{table_path}/_manifests"
     names = [
-        n
-        for n, _mt in (fs.listdir_mtime(mdir) if fs.isdir(mdir) else [])
+        (n, mt)
+        for n, mt in (fs.listdir_mtime(mdir) if fs.isdir(mdir) else [])
         if _snap_seq(n) == as_of
     ]
     if not names:
@@ -79,7 +96,10 @@ def snapshot_set(fs, table_path: str, as_of: int) -> "list[dict]":
             "have aged out under the vacuum retention rule -- pinned "
             "reads must finish (or re-pin) within retention_secs"
         )
-    snap = json.loads(fs.read_bytes(f"{mdir}/{names[0]}"))
+    snap = _snap_cache_get(
+        table_path, names[0][0], names[0][1],
+        lambda: json.loads(fs.read_bytes(f"{mdir}/{names[0][0]}")),
+    )
     live = [m for m in snap.get("manifests", []) if "dir" in m]
     gone = [
         m["dir"] for m in live if not fs.isdir(f"{table_path}/{m['dir']}")
