@@ -28,11 +28,29 @@ def explode_records(
     col: str,
     key_col: str = "key_id",
     value_col: str = "record",
+    outer: bool = False,
 ) -> DataFrame:
     """Explode a MapType column of record-id -> record into one row per
     record, keeping all other columns.  The map key becomes ``key_col``
-    (reference ``data_adapter.go:90-97``: ``mp["key_id"] = ik``)."""
+    (reference ``data_adapter.go:90-97``: ``mp["key_id"] = ik``).
+
+    ``outer=True`` (r15) uses ``explode_outer`` + a post-explode filter on
+    the map key.  Row-identical to the inner explode for map columns
+    (JSON map keys are never NULL, so only the NULL/empty-map placeholder
+    rows are dropped -- exactly the rows inner explode drops), but the
+    plan differs: inner ``explode`` plants an implicit
+    ``size(col) > 0 AND isnotnull(col)`` pre-filter that Catalyst pushes
+    below any repartition, re-evaluating the (expensive) map-producing
+    expression on the UN-split input -- the parse then runs twice, once
+    single-threaded.  The outer form's filter references the generator
+    OUTPUT, which cannot sink below the Generate, so the parse runs once,
+    after the split (guide SS4.4's duplicated-evaluation trap, JVM
+    edition)."""
     other = [c for c in df.columns if c != col]
+    if outer:
+        return df.select(
+            *other, F.explode_outer(F.col(col)).alias(key_col, value_col)
+        ).filter(F.col(key_col).isNotNull())
     return df.select(*other, F.explode(F.col(col)).alias(key_col, value_col))
 
 

@@ -608,13 +608,15 @@ def exact_dedup(
     return df.groupBy(*dedup_cols).agg(F.min(id_col).alias(id_col))
 
 
-def _union_find_labels(both: DataFrame, id_col: str) -> DataFrame:
-    """Exact min-label components of a SMALL doubled edge list via
-    driver-side union-find with path halving (see
-    :func:`connected_components` for when this is the right call).
-    Returns (id_col, group_id) for every vertex that appears in an edge;
+def _union_find_labels(
+    rows, id_type, spark, id_col: str
+) -> DataFrame:
+    """Exact min-label components of a SMALL edge list via driver-side
+    union-find with path halving (see :func:`connected_components` for
+    when this is the right call).  ``rows`` is the already-collected edge
+    list (direction irrelevant: union-find is symmetric).  Returns
+    (id_col, group_id) for every vertex that appears in an edge;
     singletons are absent (the caller's left-join coalesce labels them)."""
-    rows = both.collect()
     parent: dict = {}
 
     def find(x):
@@ -636,12 +638,10 @@ def _union_find_labels(both: DataFrame, id_col: str) -> DataFrame:
         if r not in min_of_root or v < min_of_root[r]:
             min_of_root[r] = v
     out = [(v, min_of_root[find(v)]) for v in parent]
-    spark = both.sparkSession
-    vid_type = both.schema[0].dataType
     schema = T.StructType(
         [
-            T.StructField(id_col, vid_type),
-            T.StructField("group_id", vid_type),
+            T.StructField(id_col, id_type),
+            T.StructField("group_id", id_type),
         ]
     )
     return spark.createDataFrame(out, schema)
@@ -675,35 +675,65 @@ def connected_components(
     LSH banding the candidate EDGE set is orders of magnitude smaller
     than the corpus -- the quadratic blowup lives in the buckets, and the
     capped candidate generators bound it (``minhash_candidate_pairs``
-    ``max_bucket_size``).  When the DOUBLED edge list is at most
-    ``driver_threshold_edges`` rows (default 500k, i.e. 250k undirected
-    edges -- bounding the driver collect itself, the quantity that can
-    OOM), a single-pass union-find on the driver replaces O(diameter)
-    scheduled rounds: one collect + one ``createDataFrame``, exact same
-    labels.
+    ``max_bucket_size``).  When the undirected edge list is at most
+    ``driver_threshold_edges // 2`` rows (default 500k doubled, i.e.
+    250k undirected edges -- bounding the driver collect itself, the
+    quantity that can OOM), a single-pass union-find on the driver
+    replaces O(diameter) scheduled rounds.  r15: the probe is ONE
+    bounded ``limit(cap+1).collect()`` of the raw edge list (union-find
+    is direction-symmetric, so no doubling) -- previously the doubled
+    list was localCheckpointed, counted, and collected as three separate
+    jobs; now the single job both sizes the graph and delivers the edges.
     This is NOT a collect of the corpus -- vertices never leave the
     cluster; only the (already materialized) edge list does, under an
     explicit cap, exactly like a broadcast-hash-join side.  Above the
     cap the distributed propagation runs unchanged.  Pass
     ``driver_threshold_edges=0`` to force the distributed path.
     """
+    # Driver fast path, ONE job (r15): collect the UNDIRECTED edge list
+    # directly under a limit of cap+1 rows -- union-find needs no doubled
+    # edges (it is symmetric), so the previous
+    # localCheckpoint(doubled) + count + collect triple (three scheduled
+    # jobs, the doubled list materialized once and collected again)
+    # collapses into a single bounded collect of the pair pipeline's
+    # output.  The limit caps the driver transfer exactly like the old
+    # doubled-edge threshold did (threshold/2 undirected edges == the
+    # same cap); if the limit row count exceeds the cap the graph is too
+    # big and the distributed propagation below runs unchanged.
+    # Gate BEFORE collecting: threshold 0 genuinely forces the
+    # distributed path (an empty edge list must not sneak onto the
+    # driver path when the caller asked for distributed; ADVICE r9).
+    cap_undirected = driver_threshold_edges // 2
+    if driver_threshold_edges:
+        head = (
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .limit(cap_undirected + 1)
+            .collect()
+        )
+        if len(head) <= cap_undirected:
+            id_type = vertices.schema[id_col].dataType
+            resolved = _union_find_labels(
+                head, id_type, vertices.sparkSession, id_col
+            )
+            return (
+                vertices.select(id_col)
+                .join(resolved, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce(F.col("group_id"), F.col(id_col)).alias(
+                        "group_id"
+                    ),
+                )
+            )
+
     both = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
     both = both.localCheckpoint(eager=True)
-
-    # gate BEFORE counting: threshold 0 genuinely forces the distributed
-    # path (an empty edge list must not sneak onto the driver path when
-    # the caller asked for distributed), and disables the extra eager
-    # count job entirely (ADVICE r9)
-    if driver_threshold_edges and both.count() <= driver_threshold_edges:
-        resolved = _union_find_labels(both, id_col)
-        return vertices.select(id_col).join(resolved, id_col, "left").select(
-            id_col,
-            F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
-        )
 
     # Iterate ONLY over vertices that appear in an edge: everything else is
     # a singleton whose label never moves.  In near-dup graphs the paired

@@ -55,7 +55,13 @@ def q_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition the JSON parse -- the only CPU-dense step here -- runs on
     one core (profiled ~1 s of the bench; parse itself, not the explode).
     At production scale the scan splits naturally and the repartition is
-    a no-op-sized shuffle of the raw payload bytes."""
+    a no-op-sized shuffle of the raw payload bytes.
+
+    r15: ``outer=True`` on the explode -- the inner explode's implicit
+    ``size(from_json(..)) > 0`` pre-filter was pushed BELOW the
+    repartition, so the parse ran twice and the first time on one core
+    (see :func:`explode_records`).  Row-identical output; the parse now
+    runs once, parallel."""
     events = table(spark, sf_dir, "events", split=True)
     payload = F.concat(
         F.lit('{"r1":'), F.col("props"), F.lit(',"r2":'), F.col("props"), F.lit("}")
@@ -64,7 +70,7 @@ def q_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StringType(), T.StructType([T.StructField("k", T.LongType())])
     )
     df = events.select("event_id", F.from_json(payload, schema).alias("records"))
-    df = explode_records(df, "records")
+    df = explode_records(df, "records", outer=True)
     return df.select("event_id", "key_id", F.col("record.k").alias("k"))
 
 

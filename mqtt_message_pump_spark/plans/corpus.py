@@ -153,16 +153,20 @@ def decontaminate(
     so ``n_shared`` is the exact count of distinct shared shingles, and
     the final per-doc count partial-aggregates map-side.
     """
-    bench_sh = (
-        docs.filter(F.col("source") == bench_source)
-        .select(F.explode(DD.shingles_col(F.col("text"), shingle_n)).alias("s"))
-        .distinct()
+    # r15: LEFT SEMI against the broadcast bench set instead of
+    # inner-join-after-distinct -- a semi join cannot multiply rows on
+    # duplicate build keys, so the bench side needs no distinct pass
+    # (one exchange + aggregation removed; the broadcast hash build
+    # dedups keys for free).  Hit rows are identical: per-doc shingles
+    # are already distinct, so inner x distinct-bench == semi.
+    bench_sh = docs.filter(F.col("source") == bench_source).select(
+        F.explode(DD.shingles_col(F.col("text"), shingle_n)).alias("s")
     )
     train_sh = docs.filter(F.col("source") != bench_source).select(
         "doc_id",
         F.explode(DD.shingles_col(F.col("text"), shingle_n)).alias("s"),
     )
-    hits = train_sh.join(F.broadcast(bench_sh), "s")
+    hits = train_sh.join(F.broadcast(bench_sh), "s", "left_semi")
     if max_df is not None:
         if two_pass:
             keep = (
@@ -197,8 +201,13 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark set (source 'src0' stands in for the benchmark corpus;
     production uses 8-13-grams the same way).  The stop-shingle cap
     defaults ON; fixture document frequencies are far below it, so the
-    oracle (uncapped SQL) stays exact at fixture scale."""
-    docs = table(spark, sf_dir, "documents")
+    oracle (uncapped SQL) stays exact at fixture scale.
+
+    r15: ``split="doc_id"`` parallelizes the two shingle explodes (the
+    single-row-group local scan otherwise runs both on one core); the
+    semi-join rewrite inside :func:`decontaminate` dropped the bench
+    side's distinct exchange."""
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     return decontaminate(docs)
 
 
@@ -234,8 +243,16 @@ def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leaves its scan partition un-combined), document frequency
     derives from the already-distinct (doc, term) frame, the corpus-size
     scalar joins as a 1-row broadcast, and the final top-1 is a window
-    over each doc's own terms with a deterministic tie-break."""
-    docs = table(spark, sf_dir, "documents")
+    over each doc's own terms with a deterministic tie-break.
+
+    r15 (guide SS2.4): ``split="doc_id"`` establishes one hash exchange
+    on doc_id (also parallelizing the single-row-group local scan) that
+    both the (doc, tok) aggregation (clustering on a superset of the
+    partition key) and the per-doc top-1 window then REUSE -- before,
+    each paid its own full-data exchange and the explode of the corpus
+    ran on one core.  The vocab-sized df table is explicitly broadcast
+    so the corpus-sized tf stream is never a join build side."""
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -248,7 +265,7 @@ def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.desc(), F.col("tok").asc()
     )
     return (
-        tf.join(df, "tok")
+        tf.join(F.broadcast(df), "tok")
         .join(F.broadcast(n))
         .withColumn("score", score)
         .withColumn("rn", F.row_number().over(w))
@@ -602,8 +619,14 @@ def q_bm25_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject.  Cross-engine determinism: ln differs in the
     last ulp between libm implementations, so the score rounds to 6
     digits before ranking with a doc_id tie-break (the q_cosine_topk
-    idiom); every other input to the sum is an exact double."""
-    docs = table(spark, sf_dir, "documents")
+    idiom); every other input to the sum is an exact double.
+
+    r15 (guide SS2.4): ``split="doc_id"`` -- the (doc, tok) term
+    frequencies, the dl equi-join, and the final per-doc score sum all
+    reuse one up-front doc_id exchange (which also parallelizes the
+    single-row-group local scan); before, tf and the score aggregation
+    each paid their own exchange over a single-core explode."""
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     dl = docs.select(
         "doc_id", TX.token_count(F.col("text")).cast("double").alias("dl")
     )
@@ -676,7 +699,16 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q_label_centroid treatment), and the final mean is two double
     ops.  At 100 TB the count tables prune to top-V vocabulary with an
     OOV floor -- same plan, one extra filter."""
-    docs = table(spark, sf_dir, "documents")
+    # r15 (guide SS3.1/SS2.4): the un-hinted join planned the corpus-sized
+    # (doc_id, bg) stream as the broadcast BUILD side (the 0.6 MB parquet
+    # estimate fools the planner; at 100 TB that build is fatal, locally
+    # it hashed millions of exploded rows into one relation).  The
+    # explicit broadcast puts the VOCAB-bounded weight table on the build
+    # side and streams the corpus.  split="doc_id" parallelizes the
+    # single-row-group scan AND pre-clusters by doc_id so the final
+    # per-doc aggregation reuses the partitioning -- no post-join
+    # exchange of the scored stream at all.
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     bg = docs.select(
         "doc_id", F.explode(_bigrams_col(F.col("text"))).alias("bg")
     )
@@ -690,13 +722,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantization into it once, so the corpus-sized bg stream joins a
     # single precomputed (bg -> weight) table instead of two count tables
     w1 = F.split(F.col("bg"), " ").getItem(0)
-    weights = bgc.join(uni, w1 == F.col("tok")).select(
+    weights = bgc.join(F.broadcast(uni), w1 == F.col("tok")).select(
         "bg",
         F.floor(F.log(F.col("c2") / F.col("c1")) * 1e6)
         .cast("long")
         .alias("lp_u"),
     )
-    scored = bg.join(weights, "bg").select("doc_id", "lp_u")
+    scored = bg.join(F.broadcast(weights), "bg").select("doc_id", "lp_u")
     return scored.groupBy("doc_id").agg(
         (F.sum("lp_u").cast("double") / 1e6 / F.count("*")).alias(
             "avg_logprob"
@@ -1086,8 +1118,16 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the removal anti-join broadcasts under AQE; re-assembly
     sorts a per-doc struct array whose size is bounded by the doc itself.
     No unbounded state anywhere -- the exact segment-df treatment of the
-    decontam/`max_df` family."""
-    docs = table(spark, sf_dir, "documents", split=True)
+    decontam/`max_df` family.
+
+    r15 (guide SS2.4): the split is now HASH on doc_id, so the
+    distinct-(seg, doc) phase of the df count (clustering on a superset
+    of the partition key), the per-doc re-assembly aggregation, and the
+    final totals join all reuse the one up-front exchange -- before,
+    the countDistinct pre-dedup and the collect_list aggregation each
+    re-shuffled the segment stream.  The boilerplate set is explicitly
+    broadcast (far smaller than the corpus by construction)."""
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     seg = (
         toks.select(
@@ -1112,7 +1152,7 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg")
     )
     clean = (
-        seg.join(boiler, "seg", "left_anti")
+        seg.join(F.broadcast(boiler), "seg", "left_anti")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_clean"),

@@ -151,7 +151,7 @@ def _sql_minhash_cols() -> str:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over distinct 3-token shingles); the
     narrow-map half of MinHash-LSH dedup."""
-    docs = table(spark, sf_dir, "documents", split=True)
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     return DD.minhash_signatures(
         docs, "doc_id", "text", num_hashes=_NH, shingle_n=_SHN, hash32=True
     )
@@ -187,7 +187,7 @@ def _sql_band_buckets() -> str:
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (4 bands x 2 rows): the only shuffle is on the
     (band, bucket) key; the quadratic comparison never materializes."""
-    docs = table(spark, sf_dir, "documents", split=True)
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     return DD.minhash_candidate_pairs(
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
     )
@@ -259,7 +259,7 @@ def _sql_simhash(bits: int = _SIM_BITS) -> str:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (16-bit, token bit-vote); near-dup detection is
     then Hamming distance over the signature, banded like MinHash."""
-    docs = table(spark, sf_dir, "documents", split=True)
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     return DD.simhash_signatures(
         docs, "doc_id", "text", bits=_SIM_BITS, hash32=True
     )
@@ -294,7 +294,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs SQL.  Their equality under the driver's hash
     compare IS the 100% recall proof: max_hamming < bands guarantees by
     pigeonhole that no within-radius pair escapes banding."""
-    docs = table(spark, sf_dir, "documents", split=True)
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     return DD.simhash_candidate_pairs(
         docs,
         "doc_id",
@@ -397,7 +397,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsing first is pure overhead, measured +2 s of fixed job cost
     at sf0.1 for zero graph shrinkage).  The dup-heavy production twin
     is ``q_dedup_groups_collapsed``."""
-    docs = table(spark, sf_dir, "documents", split=True)
+    docs = table(spark, sf_dir, "documents", split="doc_id")
     pairs = DD.minhash_candidate_pairs(
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
     )

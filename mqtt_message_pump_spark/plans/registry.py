@@ -115,7 +115,7 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 
 
 def table(
-    spark: SparkSession, sf_dir: str, name: str, split: bool = False
+    spark: SparkSession, sf_dir: str, name: str, split: bool | str = False
 ) -> DataFrame:
     """Load one fixture table.  Pins the session time zone to UTC so naive
     parquet timestamps mean the same instant in Spark and DuckDB.
@@ -129,6 +129,17 @@ def table(
     digest work it parallelizes.  At production scale the input is many
     files / row groups and the scan splits on its own, so callers should
     treat this as a small-input escape hatch, not a default.
+
+    ``split=<column name>`` HASH-repartitions on that column instead
+    (r15, guide SS2.4 "share one exchange"): downstream operations keyed
+    on the same column -- ``groupBy(col)``, ``groupBy(col, ...)``
+    (clustering on a superset of the partition key is still satisfied),
+    windows partitioned by it -- then reuse the established partitioning
+    and plan NO further exchange, where the round-robin form pays a full
+    hash exchange per keyed operation.  Equally balanced for unique-ish
+    keys (doc_id/event_id); also skips round-robin's defensive
+    sort-before-repartition pass.  Results are identical either way --
+    only the partitioning changes.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -138,6 +149,8 @@ def table(
         field = df.schema[c]
         if field.dataType.simpleString() == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    if split:
+    if isinstance(split, str):
+        df = df.repartition(spark.sparkContext.defaultParallelism, split)
+    elif split:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
