@@ -299,6 +299,28 @@ def pq_train_codebooks(
     seeded init (distinct sample rows), fixed iteration count, empty
     clusters keep their previous centroid.
     """
+    rows = _pq_train_rows(df, vec_col, m, nbits, seed, max_train, max_iter)
+    return df.sparkSession.createDataFrame(
+        rows, "sub_id int, code int, centroid array<double>"
+    )
+
+
+def _pq_train_rows(
+    df: DataFrame,
+    vec_col: str,
+    m: int,
+    nbits: int,
+    seed: int,
+    max_train: int,
+    max_iter: int,
+) -> list[tuple]:
+    """The codebook rows behind :func:`pq_train_codebooks`, pre-frame:
+    (sub_id, code, centroid) tuples in (sub_id asc, code asc) order.
+    Callers that also need the centers as numpy (the encode kernels)
+    build both views from this one list instead of collecting the
+    DataFrame back off the JVM (r15: that collect was a full scheduled
+    job per encode, pure round-trip overhead on rows the driver itself
+    just trained)."""
     k = 1 << nbits
     X = _collect_sample(df, vec_col, max_train)
     dim = X.shape[1]
@@ -310,9 +332,18 @@ def pq_train_codebooks(
         centers = _lloyd(X[:, j * sub : (j + 1) * sub], k, seed + j, max_iter)
         for code, ctr in enumerate(centers):
             rows.append((j, code, [float(x) for x in ctr]))
-    return df.sparkSession.createDataFrame(
-        rows, "sub_id int, code int, centroid array<double>"
-    )
+    return rows
+
+
+def _rows_to_centers(rows: list[tuple]):
+    """(m, k, sub) numpy centers from codebook rows -- the same array the
+    encode kernels' ``codebooks.collect()`` path builds (rows are already
+    (sub_id asc, code asc); float64 round-trips parquet/py4j exactly, so
+    either construction is bit-identical)."""
+    import numpy as np
+
+    m = max(r[0] for r in rows) + 1
+    return np.array([[r[2] for r in rows if r[0] == j] for j in range(m)])
 
 
 def _collect_sample(df: DataFrame, vec_col: str, max_train: int):
@@ -351,6 +382,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
+    pq_centers=None,
 ) -> DataFrame:
     """Encode each vector to ``m`` PQ codes: one (id, sub_id, code) row
     per subvector, code = argmin squared distance to that subspace's
@@ -375,14 +407,20 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
-    books: dict[int, dict[int, list[float]]] = {}
-    for r in codebooks.collect():  # bounded: m * 2**nbits rows
-        books.setdefault(r["sub_id"], {})[r["code"]] = [
-            float(x) for x in r["centroid"]
-        ]
-    centers = np.array(
-        [[books[j][c] for c in sorted(books[j])] for j in sorted(books)]
-    )  # (m, k, sub)
+    if pq_centers is not None:
+        # r15: trainers that just built the codebook rows driver-side
+        # pass the centers directly -- skipping a scheduled collect job
+        # whose only purpose was round-tripping 128 rows off the JVM
+        centers = np.asarray(pq_centers, dtype=np.float64)
+    else:
+        books: dict[int, dict[int, list[float]]] = {}
+        for r in codebooks.collect():  # bounded: m * 2**nbits rows
+            books.setdefault(r["sub_id"], {})[r["code"]] = [
+                float(x) for x in r["centroid"]
+            ]
+        centers = np.array(
+            [[books[j][c] for c in sorted(books[j])] for j in sorted(books)]
+        )  # (m, k, sub)
     n_sub, _, sub_len = centers.shape
 
     def encode(batches):
@@ -449,11 +487,16 @@ def pq_topk(
     asserted in tests (rows-only key: k-means centroids are not
     SQL-expressible).
     """
-    codebooks = pq_train_codebooks(
-        candidates, vec_col, m=m, nbits=nbits, seed=seed,
-        max_train=max_train, max_iter=max_iter,
+    book_rows = _pq_train_rows(
+        candidates, vec_col, m, nbits, seed, max_train, max_iter
     )
-    codes = pq_encode(candidates, codebooks, id_col, vec_col, m=m)
+    codebooks = candidates.sparkSession.createDataFrame(
+        book_rows, "sub_id int, code int, centroid array<double>"
+    )
+    codes = pq_encode(
+        candidates, codebooks, id_col, vec_col, m=m,
+        pq_centers=_rows_to_centers(book_rows),
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -527,6 +570,7 @@ def ivfpq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_centers=None,
 ) -> DataFrame:
     """Fused IVF-PQ index build: one Arrow pass assigns each vector to
     its nearest coarse cell AND PQ-encodes the RESIDUAL (vector minus
@@ -543,14 +587,20 @@ def ivfpq_encode(
     import numpy as np
     import pandas as pd
 
-    books: dict[int, dict[int, list[float]]] = {}
-    for r in codebooks.collect():  # bounded: m * 2**nbits rows
-        books.setdefault(r["sub_id"], {})[r["code"]] = [
-            float(x) for x in r["centroid"]
-        ]
-    pq_centers = np.array(
-        [[books[j][c] for c in sorted(books[j])] for j in sorted(books)]
-    )  # (m, k, sub)
+    if pq_centers is not None:
+        # r15: the build path passes its freshly-trained centers straight
+        # through instead of collecting the codebook frame back off the
+        # JVM (one whole scheduled job saved per build)
+        pq_centers = np.asarray(pq_centers, dtype=np.float64)
+    else:
+        books: dict[int, dict[int, list[float]]] = {}
+        for r in codebooks.collect():  # bounded: m * 2**nbits rows
+            books.setdefault(r["sub_id"], {})[r["code"]] = [
+                float(x) for x in r["centroid"]
+            ]
+        pq_centers = np.array(
+            [[books[j][c] for c in sorted(books[j])] for j in sorted(books)]
+        )  # (m, k, sub)
     coarse = np.asarray(coarse_centers, dtype=np.float64)
     n_sub, _, sub_len = pq_centers.shape
 
@@ -755,7 +805,10 @@ def ivfpq_build(
         [[r[2] for r in book_rows if r[0] == j] for j in range(m)]
     )
 
-    codes = ivfpq_encode(candidates, coarse, codebooks, id_col, vec_col)
+    codes = ivfpq_encode(
+        candidates, coarse, codebooks, id_col, vec_col,
+        pq_centers=pq_centers,
+    )
     if persist:
         codes = codes.persist()
     return IvfPqIndex(
@@ -1137,38 +1190,63 @@ def ivfpq_search(
     spark = queries.sparkSession
 
     # query side: probe lists + per-(query, cell) residual ADC tables,
-    # all driver-side numpy over the bounded query set
+    # all driver-side numpy over the bounded query set.  r15: the
+    # per-query/per-cell/per-code Python loops (|Q| * n_probe * m * 2^b
+    # iterations building row tuples) are vectorized into broadcasted
+    # numpy ops + ONE pandas createDataFrame -- arithmetic is per-element
+    # identical (same subtract/square/sum-over-last-axis per (query,
+    # cell, sub, code), same stable argsort), so the ADC table is
+    # bit-for-bit the one the loops built, just ~10x cheaper to build
+    # and ship (guide SS4.2: hand whole batches to vectorized kernels).
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).collect()  # bounded: the query set is the small side by contract
-    adc_rows = []
-    for r in q_rows:
-        qv = np.array(r["qv"], dtype=np.float64)
-        cell_d = ((coarse - qv[None, :]) ** 2).sum(-1)
-        probed = np.argsort(cell_d, kind="stable")[:n_probe]
-        for cell in probed:
-            resid = qv - coarse[cell]
-            Rs = resid.reshape(m, sub)
-            d = ((Rs[:, None, :] - pq_centers) ** 2).sum(-1)  # (m, k)
-            for j in range(m):
-                for code in range(actual_k):
-                    adc_rows.append(
-                        (
-                            r["query_id"],
-                            int(cell),
-                            j,
-                            code,
-                            float(d[j, code]),
-                        )
-                    )
-    # carry the caller's id type through (string/int query ids work the
-    # same as pq_encode's dynamic id_type -- not hardcoded to long)
     qid_type = dict(queries.dtypes)[id_col]
-    adc = spark.createDataFrame(
-        adc_rows,
-        f"query_id {qid_type}, cell int, sub_id int, code int, d2 double",
-    )
+    if q_rows:
+        import pandas as pd
+
+        Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+        qids = [r["query_id"] for r in q_rows]
+        nq = len(q_rows)
+        cell_d = ((coarse[None, :, :] - Q[:, None, :]) ** 2).sum(-1)
+        probed = np.argsort(cell_d, axis=1, kind="stable")[:, :n_probe]
+        # residuals per (query, probed cell): (nq, n_probe, dim)
+        resid = Q[:, None, :] - coarse[probed]
+        Rs = resid.reshape(nq, n_probe, m, sub)
+        # (nq, n_probe, m, k): same per-pair subtract/square/sum
+        d = ((Rs[:, :, :, None, :] - pq_centers[None, None, :, :, :]) ** 2).sum(-1)
+        n_per_q = n_probe * m * actual_k
+        adc_pdf = pd.DataFrame(
+            {
+                "query_id": np.repeat(np.array(qids, dtype=object), n_per_q),
+                "cell": np.repeat(
+                    probed.astype("int32"), m * actual_k
+                ).ravel(),
+                "sub_id": np.tile(
+                    np.repeat(np.arange(m, dtype="int32"), actual_k),
+                    nq * n_probe,
+                ),
+                "code": np.tile(
+                    np.arange(actual_k, dtype="int32"), nq * n_probe * m
+                ),
+                "d2": d.ravel(),
+            }
+        )
+        # carry the caller's id type through (string/int query ids work
+        # the same as pq_encode's dynamic id_type -- not hardcoded)
+        adc = spark.createDataFrame(
+            adc_pdf,
+            schema=(
+                f"query_id {qid_type}, cell int, sub_id int, code int, "
+                "d2 double"
+            ),
+        )
+    else:
+        adc = spark.createDataFrame(
+            [],
+            f"query_id {qid_type}, cell int, sub_id int, code int, d2 double",
+        )
 
     dist = (
         index.codes.withColumnRenamed(id_col, "cand_id")

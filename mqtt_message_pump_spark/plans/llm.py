@@ -731,10 +731,19 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     is sample/iteration-bounded (10k vectors, 10 k-means iterations) so
     the codebook cost is corpus-size-independent."""
     emb = table(spark, sf_dir, "embeddings")
-    books = SIM.pq_train_codebooks(
-        emb, "embedding", m=8, nbits=4, max_train=10_000, max_iter=10
+    # r15: train once driver-side and hand the centers straight to the
+    # encode kernel -- the codebook frame no longer round-trips through
+    # a collect job (same rows, one scheduled job fewer)
+    rows = SIM._pq_train_rows(
+        emb, "embedding", 8, 4, 42, 10_000, 10
     )
-    return SIM.pq_encode(emb, books, "vec_id", "embedding", m=8)
+    books = spark.createDataFrame(
+        rows, "sub_id int, code int, centroid array<double>"
+    )
+    return SIM.pq_encode(
+        emb, books, "vec_id", "embedding", m=8,
+        pq_centers=SIM._rows_to_centers(rows),
+    )
 
 
 @query("q_ann_pq")  # rows-only: recall checked in tests vs brute force
