@@ -190,6 +190,7 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     hash32: bool = True,
     max_bucket_size: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) from MinHash LSH.
 
@@ -201,6 +202,13 @@ def minhash_candidate_pairs(
     hashed twice).  ``max_bucket_size`` drops degenerate buckets (boiler-
     plate shingles shared by thousands of docs) whose pair blowup is
     quadratic -- standard practice in web-scale dedup; None keeps all.
+
+    ``distinct=False`` skips the final dedup exchange and may emit the
+    same pair once per shared band (at most ``bands`` copies).  For
+    multiplicity-insensitive consumers -- connected components, where
+    a duplicate edge changes nothing -- the dedup shuffle is pure cost
+    (r15, guide SS2.4 "remove shuffles outright").  Keep the default for
+    anything that joins or counts the pair list.
     """
     buckets = _cap_buckets(
         minhash_band_buckets(
@@ -213,12 +221,12 @@ def minhash_candidate_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
+    pairs = (
         grouped.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def jaccard_pairs(
@@ -870,6 +878,7 @@ def near_dup_groups(
         bands=bands,
         shingle_n=shingle_n,
         max_bucket_size=max_bucket_size,
+        distinct=False,  # CC ignores edge multiplicity (r15)
     )
     rep_groups = connected_components(rep_docs, pairs, id_col)
     return (
@@ -934,6 +943,7 @@ def near_dup_groups_auto(
         docs, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         max_bucket_size=max_bucket_size,
+        distinct=False,  # CC ignores edge multiplicity (r15)
     )
     return connected_components(docs, pairs, id_col)
 

@@ -398,8 +398,11 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 for zero graph shrinkage).  The dup-heavy production twin
     is ``q_dedup_groups_collapsed``."""
     docs = table(spark, sf_dir, "documents", split="doc_id")
+    # distinct=False: CC is edge-multiplicity-insensitive, so the pair
+    # dedup exchange is skipped (r15; output proven identical)
     pairs = DD.minhash_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN,
+        distinct=False,
     )
     return DD.connected_components(docs, pairs, "doc_id", "id_a", "id_b")
 
