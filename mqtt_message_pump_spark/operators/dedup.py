@@ -78,18 +78,31 @@ def minhash_signatures(
     A doc with NULL text keeps one NULL-hash row (``explode_outer``), so it
     survives with NULL signatures -- same semantics as the array version.
     """
-    shingle = F.explode_outer(shingles_col(F.col(text_col), shingle_n))
-    hashed = df.select(F.col(id_col), shingle.alias("__sh")).select(
-        id_col,
-        (md5_hash32(F.col("__sh")) if hash32 else F.xxhash64("__sh")).alias(
-            "__h"
-        ),
+    # r15: SQL-string construction (one parse per expression) -- the
+    # Column-by-Column form cost ~100 py4j round trips per build for the
+    # identical tree (see simhash_signatures).
+    sh_expr = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(split(`{text_col}`, ' ')) "
+        f"- {shingle_n - 1}, 1)), "
+        f"i -> array_join(slice(split(`{text_col}`, ' '), i, {shingle_n}), "
+        f"' ')))"
     )
+    hexpr = (
+        "CAST(conv(substring(md5(__sh), 1, 8), 16, 10) AS BIGINT)"
+        if hash32
+        else "xxhash64(__sh)"
+    )
+    hashed = df.selectExpr(
+        f"`{id_col}`", f"explode_outer({sh_expr}) AS __sh"
+    ).selectExpr(f"`{id_col}`", f"{hexpr} AS __h")
     aggs = []
     for i in range(num_hashes):
         a, b = 2 * i + 1, 1000003 * (i + 1)
         aggs.append(
-            F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"mh_{i}")
+            F.expr(
+                f"min(((__h * {a}) + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+            )
         )
     return hashed.groupBy(id_col).agg(*aggs)
 
@@ -276,27 +289,32 @@ def simhash_signatures(
     yields NULL votes -> all ``when`` branches false -> simhash 0, same
     as the array version.
     """
-    token = F.explode_outer(tokens_col(F.col(text_col)))
-    hashed = df.select(F.col(id_col), token.alias("__t")).select(
-        id_col,
-        (md5_hash32(F.col("__t")) if hash32 else F.xxhash64("__t")).alias(
-            "__h"
-        ),
+    # r15: the vote/signature trees are built as SQL STRINGS (one JVM
+    # parse each) instead of per-operator Column calls -- the old form
+    # cost ~200 py4j round trips per build (~0.5 s of driver latency on
+    # this host) for the identical expressions.  Guide SS5: the driver
+    # should do almost no work; that includes query CONSTRUCTION.
+    hexpr = (
+        "CAST(conv(substring(md5(__t), 1, 8), 16, 10) AS BIGINT)"
+        if hash32
+        else "xxhash64(__t)"
     )
+    hashed = df.selectExpr(
+        f"`{id_col}`", f"explode_outer(split(`{text_col}`, ' ')) AS __t"
+    ).selectExpr(f"`{id_col}`", f"{hexpr} AS __h")
     votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"__v{b}")
+            F.expr(f"sum(((shiftright(__h, {b}) & 1) * 2) - 1) AS __v{b}")
             for b in range(bits)
         ]
     )
-    sig = F.lit(0)
-    for b in range(bits):
-        sig = sig + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-    return votes.select(id_col, sig.cast("long").alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN __v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return votes.selectExpr(
+        f"`{id_col}`", f"CAST(0 + {sig} AS BIGINT) AS simhash"
+    )
 
 
 def simhash_candidate_pairs(
@@ -969,7 +987,7 @@ def embedding_near_dup_pairs(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     if planes is not None:
-        v = v.withColumn("bucket", sign_bucket(F.col("v"), planes))
+        v = v.withColumn("bucket", sign_bucket("v", planes))
         a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
         b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

@@ -39,9 +39,48 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def _dbl(x: float) -> str:
+    """Exact SQL double literal: scientific notation with 17 significant
+    digits round-trips every IEEE double bit-for-bit, and Spark parses
+    exponent literals as DOUBLE (not DECIMAL)."""
+    return f"{float(x):.17E}"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot_expr` over named columns -- the identical
+    left-to-right zip_with/aggregate fold, one JVM parse instead of the
+    HOF builder's dozens of py4j round trips (r15, guide SS5)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    """SQL text of :func:`norm_expr` over a named column."""
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + (x * x)))"
+
+
+def sign_bucket(
+    vec: "Column | str", planes: list[list[float]]
+) -> Column:
     """LSH bucket id from the sign bits of dot products with fixed random
-    hyperplanes (hyperplanes are literals -> broadcast for free)."""
+    hyperplanes (hyperplanes are literals -> broadcast for free).
+
+    Pass the COLUMN NAME (r15 fast path) to build the whole bucket
+    expression as one SQL string: the Column form issued ~400 py4j round
+    trips per call (64 literals x 6 planes plus the HOF builders),
+    ~0.4 s of pure driver latency per build on this host, for the
+    identical expression tree."""
+    if isinstance(vec, str):
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = "array(" + ", ".join(_dbl(x) for x in plane) + ")"
+            terms.append(
+                f"(CASE WHEN {_dot_sql(vec, arr)} >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return F.expr(" + ".join(terms))
     bits = []
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -103,9 +142,9 @@ def brute_force_topk(
         q_cols.append(F.col(carry_col).alias(f"query_{carry_col}"))
         c_cols.append(F.col(carry_col).alias(f"cand_{carry_col}"))
         carried = [f"query_{carry_col}", f"cand_{carry_col}"]
-    q = queries.select(*q_cols).withColumn("qn", norm_expr(F.col("qv")))
-    c = candidates.select(*c_cols).withColumn("cn", norm_expr(F.col("cv")))
-    cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    q = queries.select(*q_cols).withColumn("qn", F.expr(_norm_sql("qv")))
+    c = candidates.select(*c_cols).withColumn("cn", F.expr(_norm_sql("cv")))
+    cos = F.expr(f"{_dot_sql('qv', 'cv')} / (qn * cn)")
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     if exclude not in ("id", "carry"):
@@ -165,7 +204,7 @@ def ivf_topk(
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", norm_expr(F.col("cv")))
+    ).withColumn("cn", F.expr(_norm_sql("cv")))
 
     featurized = c.withColumn("features", array_to_vector("cv"))
     train = featurized.select("features").limit(max_train)
@@ -188,7 +227,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qn", norm_expr(F.col("qv")))
+    ).withColumn("qn", F.expr(_norm_sql("qv")))
     sq_dist = F.aggregate(
         F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -203,7 +242,7 @@ def ivf_topk(
         .select("query_id", "qv", "qn", "bucket")
     )
 
-    cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cos = F.expr(f"{_dot_sql('qv', 'cv')} / (qn * cn)")
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = (
@@ -243,8 +282,8 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", sign_bucket(F.col("qv"), planes)).withColumn(
-        "qn", norm_expr(F.col("qv"))
+    ).withColumn("bucket", sign_bucket("qv", planes)).withColumn(
+        "qn", F.expr(_norm_sql("qv"))
     )
     probe_xors = [0] + ([1 << i for i in range(num_planes)] if multi_probe else [])
     q = q.withColumn(
@@ -256,10 +295,10 @@ def lsh_topk(
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", sign_bucket(F.col("cv"), planes)).withColumn(
-        "cn", norm_expr(F.col("cv"))
+    ).withColumn("bucket", sign_bucket("cv", planes)).withColumn(
+        "cn", F.expr(_norm_sql("cv"))
     )
-    cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cos = F.expr(f"{_dot_sql('qv', 'cv')} / (qn * cn)")
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = (
