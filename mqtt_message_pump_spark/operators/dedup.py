@@ -743,9 +743,15 @@ def connected_components(
             resolved = _union_find_labels(
                 head, id_type, vertices.sparkSession, id_col
             )
+            # r15 (guide SS3.1): resolved is driver-built and bounded by
+            # the edge cap (<= 2*cap_undirected rows), but createDataFrame
+            # gives the planner no size estimate, so the label join-back
+            # planned as SortMergeJoin (2 exchanges + 2 sorts of the
+            # vertex stream).  Broadcast is exactly the right strategy
+            # for a relation this size at ANY scale.
             return (
                 vertices.select(id_col)
-                .join(resolved, id_col, "left")
+                .join(F.broadcast(resolved), id_col, "left")
                 .select(
                     id_col,
                     F.coalesce(F.col("group_id"), F.col(id_col)).alias(

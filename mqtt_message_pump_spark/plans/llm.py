@@ -404,7 +404,11 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN,
         distinct=False,
     )
-    return DD.connected_components(docs, pairs, "doc_id", "id_a", "id_b")
+    # vertex side unsplit (r15): the split repartition only pays off on
+    # the signature pipeline; on the label join-back it was a pure
+    # exchange of the id column (the broadcast join needs no partitioning)
+    verts = table(spark, sf_dir, "documents")
+    return DD.connected_components(verts, pairs, "doc_id", "id_a", "id_b")
 
 
 @query(
