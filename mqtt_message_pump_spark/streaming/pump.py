@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,14 +153,25 @@ def run_batch_pump(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         # rows arrive pre-clustered; files stay sorted (mid, topic) for
         # the MergeTree ORDER BY locality
         store = StoreConf()
-        write_table(
-            raw, store, f"{out_dir}/raw_message",
-            store.raw_table_name, mode="overwrite", cluster=False,
-        )
-        write_table(
-            flat, store, f"{out_dir}/json_message",
-            store.adapter_table_name, mode="overwrite", cluster=False,
-        )
+        # r15 (guide SS2.6): the two sink writes are independent jobs over
+        # the same persisted input -- submit them from a 2-thread pool so
+        # the flat path's JSON parse back-fills executors freed by the raw
+        # write's tail instead of waiting for it.  Cache correctness under
+        # concurrency is the BlockManager's per-block lock (one job
+        # computes a missing partition, the other blocks then reads).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            done = [
+                pool.submit(
+                    write_table, raw, store, f"{out_dir}/raw_message",
+                    store.raw_table_name, mode="overwrite", cluster=False,
+                ),
+                pool.submit(
+                    write_table, flat, store, f"{out_dir}/json_message",
+                    store.adapter_table_name, mode="overwrite", cluster=False,
+                ),
+            ]
+            for f in done:
+                f.result()
         return {"raw_rows": obs_raw.get["n"], "flat_rows": obs_flat.get["n"]}
     finally:
         messages.unpersist()
