@@ -907,37 +907,41 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation in ONE plan: quality scoring
     -> quality + language gate -> exact dedup (min-id per text group) ->
-    stratified hash sampling.  The composition the extension operators
-    exist for; everything stays declarative so Catalyst fuses the scoring
-    and both filters into the scan-side stage, and the only shuffle is the
-    dedup groupBy.  At 100 TB: same plan, with the groupBy key swapped to
-    md5(text) so the shuffle carries digests, not documents.
+    stratified hash sampling.
+
+    r16 restructure (results identical, proven against the oracle): the
+    original shape computed the tokenization-heavy quality expression
+    TWICE per row (Catalyst pushes the ``quality >= 0.2`` filter below the
+    projection that defines it -- guide SS4.4's duplicated-expression
+    pattern, here with built-ins) and ran both evaluations inside the
+    single-task scan stage of the one-row-group local fixture.  Now the
+    scan is hash-repartitioned on the dedup key ``text`` (one exchange,
+    reused by the groupBy -- guide SS2.4), the lang gate runs pre-shuffle,
+    and quality is computed INSIDE the aggregate as ``min(quality(text))``:
+    quality is a pure function of the group key, so the group minimum IS
+    the per-row value, the ``>= 0.2`` gate commutes with the groupBy (it
+    only ever drops whole groups), and the expression is evaluated exactly
+    once per surviving-lang row, 32-way parallel, with no recomputation at
+    the filter.  At 100 TB the shuffle key swaps to md5(text) so the
+    exchange carries digests, not documents.
 
     MIN(lang)/MIN(quality) (not ANY_VALUE) keeps the group attributes
     deterministic even if a future fixture gave identical texts different
     langs."""
-    docs = table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        TX.quality_score(F.col("text")).alias("quality"),
-    )
-    filtered = scored.filter(
-        (F.col("quality") >= 0.2) & F.col("lang").isin("en", "de", "fr")
-    )
+    docs = table(spark, sf_dir, "documents", split="text")
+    filtered = docs.filter(F.col("lang").isin("en", "de", "fr"))
     deduped = filtered.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"),
         F.min("lang").alias("lang"),
-        F.min("quality").alias("quality"),
+        F.min(TX.quality_score(F.col("text"))).alias("quality"),
     )
     from mqtt_message_pump_spark.operators.dedup import md5_hash32
 
     bucket = md5_hash32(F.col("doc_id").cast("string")) % 20
     threshold = F.when(F.col("lang") == "en", 10).otherwise(5)
-    return deduped.filter(bucket < threshold).select(
-        "doc_id", "lang", "quality"
-    )
+    return deduped.filter(
+        (F.col("quality") >= 0.2) & (bucket < threshold)
+    ).select("doc_id", "lang", "quality")
 
 
 @query(

@@ -222,8 +222,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Boundary semantics: Spark merges two events iff their gap-windows
     overlap (delta < gap, half-open windows), so the oracle starts a new
     session at delta >= gap exactly.
+
+    r16: the scan is hash-repartitioned on ``user_id`` (guide SS2.4) --
+    the session-window aggregate's required distribution is exactly
+    ``user_id``, so the groupBy plans NO further exchange and the partial
+    aggregation + session merge run 32-way parallel instead of inside the
+    single-task scan stage of the one-row-group local fixture.  The
+    exchange ships the raw (ts, user_id) pair, narrower than the partial
+    (window-struct, user_id, count) rows it previously carried.
     """
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", split="user_id")
     return (
         events.groupBy(
             F.session_window("ts", "5 minutes").alias("w"), "user_id"
