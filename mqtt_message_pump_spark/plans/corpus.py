@@ -122,6 +122,7 @@ def decontaminate(
     max_df: int | None = _DECONTAM_MAX_DF,
     shingle_n: int = 3,
     two_pass: bool = False,
+    bench_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Flag training docs sharing a word n-gram with the benchmark set.
 
@@ -159,7 +160,13 @@ def decontaminate(
     # (one exchange + aggregation removed; the broadcast hash build
     # dedups keys for free).  Hit rows are identical: per-doc shingles
     # are already distinct, so inner x distinct-bench == semi.
-    bench_sh = docs.filter(F.col("source") == bench_source).select(
+    # r16: ``bench_docs`` lets the caller feed the (small, source-pruned)
+    # bench branch an UNSPLIT scan -- repartitioning eval-set-sized input
+    # just to parallelize an explode that feeds a broadcast build is a
+    # whole exchange + AQE stage of pure overhead (guide SS2.4).
+    bench_sh = (bench_docs if bench_docs is not None else docs).filter(
+        F.col("source") == bench_source
+    ).select(
         F.explode(DD.shingles_col(F.col("text"), shingle_n)).alias("s")
     )
     train_sh = docs.filter(F.col("source") != bench_source).select(
@@ -203,12 +210,16 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     defaults ON; fixture document frequencies are far below it, so the
     oracle (uncapped SQL) stays exact at fixture scale.
 
-    r15: ``split="doc_id"`` parallelizes the two shingle explodes (the
-    single-row-group local scan otherwise runs both on one core); the
+    r15: ``split="doc_id"`` parallelizes the train-side shingle explode
+    (the single-row-group local scan otherwise runs it on one core); the
     semi-join rewrite inside :func:`decontaminate` dropped the bench
-    side's distinct exchange."""
+    side's distinct exchange.  r16: the BENCH branch reads the unsplit
+    scan -- its pushdown-pruned input is eval-set-sized and feeds a
+    broadcast build, so its split exchange was pure overhead."""
     docs = table(spark, sf_dir, "documents", split="doc_id")
-    return decontaminate(docs)
+    return decontaminate(
+        docs, bench_docs=table(spark, sf_dir, "documents")
+    )
 
 
 @query(
