@@ -404,7 +404,7 @@ def _exact_dup_classes(
             F.count(F.lit(1)).alias("__mult"),
             F.first(text_col).alias(text_col),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return classed, classes
 
@@ -431,8 +431,18 @@ def _expand_rep_pairs(
     materialized once -- Catalyst has no common-subplan reuse
     (docs/SCALE.md SS5b), and without this the whole banding subplan
     re-runs per consumer.  Both frames are output-scale-bounded (pair
-    count, and used-reps x cap)."""
-    rep_pairs = rep_pairs.localCheckpoint(eager=True)
+    count, and used-reps x cap).
+
+    r16: the checkpoints are LAZY (``eager=False``) -- the checkpointed
+    RDD still computes exactly once (block-cache semantics) and the
+    lineage is truncated identically, but the blocks materialize at the
+    first consuming job instead of as separate construction-time jobs.
+    Constructing or explaining the plan now schedules nothing, which is
+    what the registry-wide audits and plan dumps do 182 times per round
+    (guide SS7.2: the eager form also paid the banding pipeline's
+    whole-stage-codegen compilation at CONSTRUCTION time, ~30 s cold on
+    the widest key)."""
+    rep_pairs = rep_pairs.localCheckpoint(eager=False)
     used = (
         rep_pairs.select(F.col("rep_a").alias("__rep"))
         .unionByName(rep_pairs.select(F.col("rep_b").alias("__rep")))
@@ -450,7 +460,7 @@ def _expand_rep_pairs(
         with_rep.join(used, "__rep")
         .groupBy("__rep")
         .agg(F.collect_list(id_col).alias("__ids"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     carry = list(carry)
     return (
@@ -891,8 +901,13 @@ def near_dup_groups(
     # and the final mapping join -- Catalyst has no common-subplan reuse
     # (docs/SCALE.md SS5b), so without this the distinct-content groupBy
     # re-runs per consumer.  Size = distinct content, the fundamental
-    # working set of dedup (cluster analog: persist/checkpoint).
-    reps = reps.localCheckpoint(eager=True)
+    # working set of dedup (cluster analog: persist/checkpoint).  r16:
+    # eager=False -- the checkpoint blocks compute (once) at the first
+    # consuming job instead of as a separate construction-time job, so
+    # building or explaining the plan schedules nothing (guide SS7.2:
+    # the eager form forced whole-stage-codegen compilation of the
+    # banding pipeline during query CONSTRUCTION, ~30 s cold).
+    reps = reps.localCheckpoint(eager=False)
     rep_docs = reps.select(F.col("__rep").alias(id_col), text_col)
     pairs = minhash_candidate_pairs(
         rep_docs,
