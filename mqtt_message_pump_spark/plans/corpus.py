@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from mqtt_message_pump_spark.functions import text as TX
 from mqtt_message_pump_spark.operators import dedup as DD
 from mqtt_message_pump_spark.plans.llm import _SQL_SHINGLES
-from mqtt_message_pump_spark.plans.registry import query, table
+from mqtt_message_pump_spark.plans.registry import materialize_once, query, table
 
 # Non-distinct word bigram list (DuckDB twin of the Spark expression in
 # q_repetition_score): i = 1 .. len-1, two-token inclusive slices.
@@ -262,15 +262,25 @@ def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key) and the per-doc top-1 window then REUSE -- before,
     each paid its own full-data exchange and the explode of the corpus
     ran on one core.  The vocab-sized df table is explicitly broadcast
-    so the corpus-sized tf stream is never a join build side."""
+    so the corpus-sized tf stream is never a join build side.
+
+    r16 (guide SS1.2/SS5, the q_source_kl idiom): ``tf`` is materialized
+    once (lazy localCheckpoint) -- Catalyst has no common-subplan reuse
+    (docs/SCALE.md SS5b), so deriving df from the un-materialized tf
+    re-ran the WHOLE scan -> exchange -> explode -> aggregate subtree a
+    second time inside the df broadcast branch; at 100 TB that is a
+    second full corpus pass for a vocabulary-sized result.  The corpus
+    count comes off the raw (unsplit) scan: counting through the split
+    frame paid a full hash exchange of the corpus to count its rows."""
     docs = table(spark, sf_dir, "documents", split="doc_id")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
+        .transform(materialize_once)
     )
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
+    n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(
         score.desc(), F.col("tok").asc()
@@ -636,11 +646,21 @@ def q_bm25_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies, the dl equi-join, and the final per-doc score sum all
     reuse one up-front doc_id exchange (which also parallelizes the
     single-row-group local scan); before, tf and the score aggregation
-    each paid their own exchange over a single-core explode."""
+    each paid their own exchange over a single-core explode.
+
+    r16 (guide SS1.2/SS5, the q_source_kl idiom): ``dl`` and ``tf`` are
+    materialized once (lazy localCheckpoint) -- Catalyst has no
+    common-subplan reuse (docs/SCALE.md SS5b), so the un-materialized
+    frames re-ran their scan -> exchange -> tokenize/explode subtrees
+    per consumer: stats re-derived dl, idf re-derived tf -- FOUR full
+    corpus scans + doc_id exchanges per execution where two suffice.
+    dl is one narrow (id, double) row per doc; tf is <=|query terms|
+    rows per doc; both are exactly the frames a 100 TB run would rather
+    hold as blocks than re-scan the corpus for."""
     docs = table(spark, sf_dir, "documents", split="doc_id")
     dl = docs.select(
         "doc_id", TX.token_count(F.col("text")).cast("double").alias("dl")
-    )
+    ).transform(materialize_once)
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
@@ -652,6 +672,7 @@ def q_bm25_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").isin(*_BM25_TERMS))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("double").alias("tf"))
+        .transform(materialize_once)
     )
     idf = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
     k1, b = _BM25_K1, _BM25_B
@@ -719,10 +740,16 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group scan AND pre-clusters by doc_id so the final
     # per-doc aggregation reuses the partitioning -- no post-join
     # exchange of the scored stream at all.
+    # r16 (guide SS1.2/SS5, the q_source_kl idiom): ``bg`` is materialized
+    # once (lazy localCheckpoint) -- without it the bigram-count branch
+    # (bgc) re-ran the whole scan -> doc_id exchange -> bigram explode a
+    # second time (Catalyst has no common-subplan reuse, docs/SCALE.md
+    # SS5b): three corpus passes per execution where two suffice (the
+    # unigram explode is a genuinely different pass and keeps its own).
     docs = table(spark, sf_dir, "documents", split="doc_id")
     bg = docs.select(
         "doc_id", F.explode(_bigrams_col(F.col("text"))).alias("bg")
-    )
+    ).transform(materialize_once)
     uni = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .groupBy("tok")
@@ -1054,11 +1081,25 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 product overflow at any SF), ln is floor-quantized to
     micro-units (the q_lm_score treatment), and the rank tie-breaks on
     the bigram."""
+    # r16 (guide SS1.2/SS5, the q_source_kl idiom): the vocab-sized count
+    # tables are materialized once (lazy localCheckpoint) -- uni is
+    # consumed THREE times (n1 total, left word, right word) and bgc
+    # twice (n2 total, scored stream); un-materialized, each reference
+    # re-ran its full corpus explode (Catalyst has no common-subplan
+    # reuse, docs/SCALE.md SS5b): five corpus passes where two suffice.
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+        .transform(materialize_once)
+    )
     bg = docs.select(F.explode(_bigrams_col(F.col("text"))).alias("bg"))
-    bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    bgc = (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+        .transform(materialize_once)
+    )
     n1 = uni.agg(F.sum("c1").cast("double").alias("n1"))
     n2 = bgc.agg(F.sum("c2").cast("double").alias("n2"))
     a = uni.select(F.col("tok").alias("tok_a"), F.col("c1").alias("c1a"))
@@ -1137,7 +1178,14 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     final totals join all reuse the one up-front exchange -- before,
     the countDistinct pre-dedup and the collect_list aggregation each
     re-shuffled the segment stream.  The boilerplate set is explicitly
-    broadcast (far smaller than the corpus by construction)."""
+    broadcast (far smaller than the corpus by construction).
+
+    r16 (guide SS1.2/SS5, the q_source_kl idiom): ``seg`` is materialized
+    once (lazy localCheckpoint) and the per-doc totals are counted off it
+    -- Catalyst has no common-subplan reuse (docs/SCALE.md SS5b), so the
+    boiler-set branch re-ran the whole scan -> exchange -> segmentation
+    subtree and the totals branch paid a third scan + exchange: three
+    corpus passes per execution collapse to one segment pass."""
     docs = table(spark, sf_dir, "documents", split="doc_id")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     seg = (
@@ -1155,6 +1203,7 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "seg"
             ),
         )
+        .transform(materialize_once)
     )
     boiler = (
         seg.groupBy("seg")
@@ -1176,11 +1225,10 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
-    # totals come map-only from the token count (ceil(n/3) segments per
-    # doc) -- no third re-segmentation/explode branch of the corpus
-    tot = toks.select(
-        "doc_id", F.ceil(F.size("t") / 3).cast("bigint").alias("n_seg")
-    )
+    # totals count the checkpointed segment stream itself (one row per
+    # generated segment, so COUNT(*) == ceil(n_tok/3) by construction,
+    # and every doc has >= 1 segment) -- no separate corpus scan at all
+    tot = seg.groupBy("doc_id").agg(F.count("*").alias("n_seg"))
     return tot.join(clean, "doc_id", "left").select(
         "doc_id",
         "n_seg",

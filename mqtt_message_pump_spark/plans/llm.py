@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from mqtt_message_pump_spark.functions import text as TX
 from mqtt_message_pump_spark.operators import dedup as DD
 from mqtt_message_pump_spark.operators import similarity as SIM
-from mqtt_message_pump_spark.plans.registry import query, table
+from mqtt_message_pump_spark.plans.registry import materialize_once, query, table
 
 # ---------------------------------------------------------------- text ---
 
@@ -205,8 +205,17 @@ _SQL_PAIR_FROM = (
 
 
 def _shingle_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide SS1.2/SS5, the q_source_kl idiom): the shingle frame is
+    # materialized once (lazy localCheckpoint) -- the self-join's two
+    # sides each re-ran the scan -> repartition -> shingle build
+    # (Catalyst has no common-subplan reuse, docs/SCALE.md SS5b), i.e.
+    # two corpus passes + two O(text) shingle constructions per
+    # execution of q_ngram_jaccard / q_ngram_containment where one
+    # suffices; the join's own key exchanges are unchanged.
     docs = table(spark, sf_dir, "documents", split=True)
-    sh = docs.select("doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s"))
+    sh = docs.select(
+        "doc_id", DD.shingles_col(F.col("text"), _SHN).alias("s")
+    ).transform(materialize_once)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     return a.join(b, F.col("id_b") == F.col("id_a") + 1)

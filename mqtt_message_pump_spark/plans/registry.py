@@ -123,6 +123,35 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 _TABLE_PLANS: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Lazy ``localCheckpoint`` that PRESERVES the frame's partitioning.
+
+    The compute-once boundary for a subframe consumed by several branches
+    of ONE query (Catalyst has no common-subplan reuse — docs/SCALE.md
+    §5b): blocks materialize at the first consuming job of the current
+    execution and are freed with the DataFrame, so a fresh call computes
+    from the parquet input every time — nothing persists across runs.
+
+    Why the AQE flip: under AQE, ``Dataset.localCheckpoint`` records the
+    AdaptiveSparkPlan's output partitioning as Unknown in the LogicalRDD,
+    so every downstream keyed consumer re-plans an ENSURE_REQUIREMENTS
+    exchange over blocks that are already correctly hash-partitioned.
+    Compiling the checkpoint with AQE off records the real
+    hashpartitioning (verified: ``groupBy`` over the checkpointed frame
+    then plans ZERO exchanges); the flag is restored immediately, so
+    consumers still plan adaptively.  The checkpointed subtrees here are
+    scan → fixed-N repartition → narrow ops, where AQE had nothing to
+    adapt anyway.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def table(
     spark: SparkSession, sf_dir: str, name: str, split: bool | str = False
 ) -> DataFrame:

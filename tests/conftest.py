@@ -93,7 +93,7 @@ def pytest_report_header(config):
     if FULL_TESTS:
         return ["tier: FULL (SPARK_GRAFT_FULL_TESTS set) -- all tests run"]
     listed = ", ".join(
-        (f"{f}::{c or ''}{t or ''}" if (c or t) else f) for f, c, t in SLOW_TIER
+        "::".join(p for p in (f, c, t) if p) for f, c, t in SLOW_TIER
     )
     return [
         "tier: FAST (default) -- slow durability/maintenance/stress tests "
