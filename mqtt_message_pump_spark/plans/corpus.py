@@ -1180,12 +1180,16 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffled the segment stream.  The boilerplate set is explicitly
     broadcast (far smaller than the corpus by construction).
 
-    r16 (guide SS1.2/SS5, the q_source_kl idiom): ``seg`` is materialized
-    once (lazy localCheckpoint) and the per-doc totals are counted off it
-    -- Catalyst has no common-subplan reuse (docs/SCALE.md SS5b), so the
-    boiler-set branch re-ran the whole scan -> exchange -> segmentation
-    subtree and the totals branch paid a third scan + exchange: three
-    corpus passes per execution collapse to one segment pass."""
+    r16: a ``materialize_once`` checkpoint of ``seg`` was tried here (the
+    bm25/lm_score treatment) and REVERTED after interleaved A/B: unlike
+    the narrow per-doc count/signature frames that idiom is for, ``seg``
+    is the corpus-sized exploded segment STREAM -- materializing it costs
+    more than the map-side recomputation it saves (sf0.1: 1.45 vs 1.34 s
+    min-of-5; 10x data: 2.59 vs 2.25 s min-of-4, checkpointed slower in
+    every rep pair).  SCALE.md SS5b says materialize SMALL frames; the
+    per-doc totals therefore stay map-only off the token count (no third
+    segmentation pass) and the segment subtree is recomputed per branch
+    off the shared doc_id exchange."""
     docs = table(spark, sf_dir, "documents", split="doc_id")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     seg = (
@@ -1203,7 +1207,6 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "seg"
             ),
         )
-        .transform(materialize_once)
     )
     boiler = (
         seg.groupBy("seg")
@@ -1225,10 +1228,11 @@ def q_boiler_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
-    # totals count the checkpointed segment stream itself (one row per
-    # generated segment, so COUNT(*) == ceil(n_tok/3) by construction,
-    # and every doc has >= 1 segment) -- no separate corpus scan at all
-    tot = seg.groupBy("doc_id").agg(F.count("*").alias("n_seg"))
+    # totals come map-only from the token count (ceil(n/3) segments per
+    # doc) -- no third re-segmentation/explode branch of the corpus
+    tot = toks.select(
+        "doc_id", F.ceil(F.size("t") / 3).cast("bigint").alias("n_seg")
+    )
     return tot.join(clean, "doc_id", "left").select(
         "doc_id",
         "n_seg",
