@@ -30,17 +30,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions by SIZE (the advisory target),
-        # not up to max parallelism: tiny shuffles collapse to one or two
-        # reduce tasks instead of `cpus` near-empty ones, cutting both
-        # the per-task scheduling overhead (measured ~10 ms/task here;
-        # a 100k-row exchange drops 0.47 s -> 0.38 s) and the M x R
-        # shuffle block count that degrades large clusters (guide SS2.2
-        # "fewer, larger reduce partitions").  CPU-dense map stages keep
-        # their parallelism -- this only affects post-shuffle sizing.
+        # r16: parallelismFirst goes BACK to Spark's default (true).  The
+        # r15 setting (false = coalesce purely by the advisory size) was
+        # chosen off sf0.1 per-exchange overhead (~10 ms/task saved) but
+        # the round-16 10x spot bench exposed its scale failure mode:
+        # post-shuffle stages whose BYTES are small but whose WORK is
+        # large (LSH bucket lists fanning out k^2 candidate pairs via
+        # explode) coalesce to ONE task -- q_minhash_pairs 38.9 s -> 1.9 s
+        # and q_simhash_pairs 17.7 s -> 6.4 s on the 10x data just from
+        # this flag, while r15's own 15-query sf0.1 A/B measured pf=true
+        # vs false as noise (14.12 vs 14.24 s total).  AQE sizes reduce
+        # partitions from map-output BYTES and cannot see explode
+        # fan-out, so the parallelism floor is the only safe default;
+        # large shuffles still coalesce toward the 64 MB advisory size
+        # above that floor (guide SS2.2).
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false",
+            "true",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
