@@ -217,11 +217,13 @@ def minhash_candidate_pairs(
     quadratic -- standard practice in web-scale dedup; None keeps all.
 
     ``distinct=False`` skips the final dedup exchange and may emit the
-    same pair once per shared band (at most ``bands`` copies).  For
-    multiplicity-insensitive consumers -- connected components, where
-    a duplicate edge changes nothing -- the dedup shuffle is pure cost
-    (r15, guide SS2.4 "remove shuffles outright").  Keep the default for
-    anything that joins or counts the pair list.
+    same pair once per shared band (at most ``bands`` copies).  r15 used
+    it for connected components (multiplicity-insensitive); r16 measured
+    the reverse on data-bound input: CC re-joins the full edge list every
+    propagation round, so the ~bands-fold multiplicity taxes d rounds
+    while the dedup costs ONE exchange (10x interleaved A/B 11.8 vs
+    14.25 s, sf0.1 neutral).  Reserve ``distinct=False`` for one-pass
+    multiplicity-insensitive consumers.
     """
     buckets = _cap_buckets(
         minhash_band_buckets(
@@ -917,7 +919,11 @@ def near_dup_groups(
         bands=bands,
         shingle_n=shingle_n,
         max_bucket_size=max_bucket_size,
-        distinct=False,  # CC ignores edge multiplicity (r15)
+        # distinct=True (r16): CC tolerates duplicate edges, but every
+        # propagation round re-joins the full edge list -- one dedup
+        # exchange beats a ~bands-fold multiplicity tax on d rounds
+        # (10x interleaved A/B: 11.8 vs 14.25 s; sf0.1 neutral)
+        distinct=True,
     )
     rep_groups = connected_components(rep_docs, pairs, id_col)
     return (
@@ -982,7 +988,7 @@ def near_dup_groups_auto(
         docs, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         max_bucket_size=max_bucket_size,
-        distinct=False,  # CC ignores edge multiplicity (r15)
+        distinct=True,  # one dedup exchange < d rounds of duplicate edges (r16)
     )
     return connected_components(docs, pairs, id_col)
 

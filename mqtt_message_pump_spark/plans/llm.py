@@ -407,11 +407,14 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 for zero graph shrinkage).  The dup-heavy production twin
     is ``q_dedup_groups_collapsed``."""
     docs = table(spark, sf_dir, "documents", split="doc_id")
-    # distinct=False: CC is edge-multiplicity-insensitive, so the pair
-    # dedup exchange is skipped (r15; output proven identical)
+    # distinct=True again (r16): CC is edge-multiplicity-insensitive, so
+    # r15 dropped the pair-dedup exchange -- but EVERY propagation round
+    # joins the full edge list, so the ~bands-fold multiplicity taxes d
+    # rounds while the dedup costs one exchange.  10x interleaved A/B:
+    # distinct 11.8 s vs 14.25 s; sf0.1 neutral (1.04 vs 1.01).
     pairs = DD.minhash_candidate_pairs(
         docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, shingle_n=_SHN,
-        distinct=False,
+        distinct=True,
     )
     # vertex side unsplit (r15): the split repartition only pays off on
     # the signature pipeline; on the label join-back it was a pure
